@@ -1,0 +1,510 @@
+"""String kernels.
+
+Vectorized analogues of the reference's string UDF pack
+(/root/reference/osprey_worker/src/osprey/engine/stdlib/udfs/string.py:25-402,
+regex_match.py:34-68, string_hashes.py:12-45, string_base64.py:11-26,
+example_plugins/src/udfs/string.py, tokenize.py, censorize.py).  Where an
+Arrow compute kernel exists we use it; normalization-heavy kernels
+(StringClean / Censorize / Tokenize) precompile their tables once at module
+import (the per-actor ``__init__`` analogue — tables are process-global and
+built exactly once per worker).
+"""
+
+from __future__ import annotations
+
+import base64
+import functools
+import hashlib
+import re
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osprey_ray.expr import ExprError
+from osprey_ray.kernels import kernel, register_rowwise
+
+
+def _null_if(arr, cond_null_fn):
+    return arr
+
+
+# -- simple pc-backed kernels -----------------------------------------------
+
+
+@kernel("StringLength")
+class StringLength:
+    @staticmethod
+    def batch(ctx, target):
+        return pc.utf8_length(target)
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return len(target)
+
+
+@kernel("ToLower")
+class ToLower:
+    @staticmethod
+    def batch(ctx, target):
+        return pc.utf8_lower(target)
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return target.lower()
+
+
+@kernel("ToUpper")
+class ToUpper:
+    @staticmethod
+    def batch(ctx, target):
+        return pc.utf8_upper(target)
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return target.upper()
+
+
+@kernel("StartsWith")
+class StartsWith:
+    @staticmethod
+    def batch(ctx, target, prefix):
+        return pc.starts_with(target, pattern=prefix)
+
+    @staticmethod
+    def row(rctx, target, prefix):
+        if target is None:
+            raise ExprError("None")
+        return target.startswith(prefix)
+
+
+@kernel("EndsWith")
+class EndsWith:
+    @staticmethod
+    def batch(ctx, target, suffix):
+        return pc.ends_with(target, pattern=suffix)
+
+    @staticmethod
+    def row(rctx, target, suffix):
+        if target is None:
+            raise ExprError("None")
+        return target.endswith(suffix)
+
+
+@kernel("Strip")
+class Strip:
+    @staticmethod
+    def batch(ctx, target):
+        return pc.utf8_trim_whitespace(target)
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return target.strip()
+
+
+@kernel("LStrip")
+class LStrip:
+    @staticmethod
+    def batch(ctx, target):
+        return pc.utf8_ltrim_whitespace(target)
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return target.lstrip()
+
+
+@kernel("RStrip")
+class RStrip:
+    @staticmethod
+    def batch(ctx, target):
+        return pc.utf8_rtrim_whitespace(target)
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return target.rstrip()
+
+
+@kernel("Replace")
+class Replace:
+    @staticmethod
+    def batch(ctx, target, old, new):
+        return pc.replace_substring(target, pattern=old, replacement=new)
+
+    @staticmethod
+    def row(rctx, target, old, new):
+        if target is None:
+            raise ExprError("None")
+        return target.replace(old, new)
+
+
+@kernel("Split")
+class Split:
+    @staticmethod
+    def batch(ctx, target, sep=" "):
+        return pc.split_pattern(target, pattern=sep)
+
+    @staticmethod
+    def row(rctx, target, sep=" "):
+        if target is None:
+            raise ExprError("None")
+        return target.split(sep)
+
+
+@kernel("Join")
+class Join:
+    @staticmethod
+    def batch(ctx, items, sep=" "):
+        return pc.binary_join(items, sep)
+
+    @staticmethod
+    def row(rctx, items, sep=" "):
+        if items is None:
+            raise ExprError("None")
+        return sep.join(items)
+
+
+@kernel("StringContains")
+class StringContains:
+    """Substring / whole-word containment
+    (example_plugins/src/udfs/string.py:52-70)."""
+
+    @staticmethod
+    def batch(ctx, target, substring, word=False, case_insensitive=True):
+        if word:
+            pat = r"\b" + re.escape(substring) + r"\b"
+            return pc.match_substring_regex(target, pattern=pat, ignore_case=case_insensitive)
+        return pc.match_substring(target, pattern=substring, ignore_case=case_insensitive)
+
+    @staticmethod
+    def row(rctx, target, substring, word=False, case_insensitive=True):
+        if target is None:
+            raise ExprError("None")
+        t = target.lower() if case_insensitive else target
+        s = substring.lower() if case_insensitive else substring
+        if word:
+            return re.search(r"\b" + re.escape(s) + r"\b", t) is not None
+        return s in t
+
+
+@kernel("SubstrCount")
+class SubstrCount:
+    @staticmethod
+    def batch(ctx, target, substring):
+        return pc.count_substring(target, pattern=substring)
+
+    @staticmethod
+    def row(rctx, target, substring):
+        if target is None:
+            raise ExprError("None")
+        return target.count(substring)
+
+
+@kernel("ForceString")
+class ForceString:
+    @staticmethod
+    def batch(ctx, target):
+        if pa.types.is_string(target.type) or pa.types.is_large_string(target.type):
+            return target
+        return pc.cast(target, pa.string())
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            return None
+        return str(target)
+
+
+@kernel("RegexMatch")
+class RegexMatch:
+    """Pattern compiled once per plan (ConstExpr in the reference —
+    stdlib/udfs/regex_match.py:34-40)."""
+
+    @staticmethod
+    def batch(ctx, target, pattern, case_insensitive=False):
+        return pc.match_substring_regex(target, pattern=pattern, ignore_case=case_insensitive)
+
+    @staticmethod
+    def row(rctx, target, pattern, case_insensitive=False):
+        if target is None:
+            raise ExprError("None")
+        flags = re.IGNORECASE if case_insensitive else 0
+        return re.search(pattern, target, flags) is not None
+
+
+@functools.lru_cache(maxsize=512)
+def _compiled(pattern: str, flags: int = 0):
+    return re.compile(pattern, flags)
+
+
+@kernel("RegexExtract")
+class RegexExtract:
+    """First match of group 1 (or whole match); no match → expected null."""
+
+    @staticmethod
+    def batch(ctx, target, pattern, case_insensitive=False):
+        rx = _compiled(pattern, re.IGNORECASE if case_insensitive else 0)
+        out = []
+        for v in target.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            m = rx.search(v)
+            out.append(None if m is None else (m.group(1) if rx.groups else m.group(0)))
+        return pa.array(out, pa.string())
+
+    @staticmethod
+    def row(rctx, target, pattern, case_insensitive=False):
+        if target is None:
+            raise ExprError("None")
+        rx = _compiled(pattern, re.IGNORECASE if case_insensitive else 0)
+        m = rx.search(target)
+        if m is None:
+            raise ExprError("no match")
+        return m.group(1) if rx.groups else m.group(0)
+
+
+@kernel("RegexMatchMap")
+class RegexMatchMap:
+    """Regex over List[str], mode any/all (regex_match.py:51-68)."""
+
+    @staticmethod
+    def batch(ctx, target, pattern, mode="any", case_insensitive=False):
+        rx = _compiled(pattern, re.IGNORECASE if case_insensitive else 0)
+        agg = any if mode == "any" else all
+        out = []
+        for lst in target.to_pylist():
+            if lst is None:
+                out.append(None)
+            else:
+                out.append(agg(rx.search(s) is not None for s in lst if s is not None))
+        return pa.array(out, pa.bool_())
+
+    @staticmethod
+    def row(rctx, target, pattern, mode="any", case_insensitive=False):
+        if target is None:
+            raise ExprError("None")
+        rx = _compiled(pattern, re.IGNORECASE if case_insensitive else 0)
+        agg = any if mode == "any" else all
+        return agg(rx.search(s) is not None for s in target if s is not None)
+
+
+# -- URL / domain extraction -------------------------------------------------
+
+_URL_RE = re.compile(r"https?://[^\s/$.?#][^\s]*", re.IGNORECASE)
+_DOMAIN_OF_URL_RE = re.compile(r"https?://([^\s/:]+)", re.IGNORECASE)
+
+
+@kernel("StringExtractURLs")
+class StringExtractURLs:
+    @staticmethod
+    def batch(ctx, target):
+        out = [None if v is None else _URL_RE.findall(v) for v in target.to_pylist()]
+        return pa.array(out, pa.list_(pa.string()))
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return _URL_RE.findall(target)
+
+
+@kernel("StringExtractDomains")
+class StringExtractDomains:
+    @staticmethod
+    def batch(ctx, target):
+        out = [
+            None if v is None else [m.group(1).lower() for m in _DOMAIN_OF_URL_RE.finditer(v)]
+            for v in target.to_pylist()
+        ]
+        return pa.array(out, pa.list_(pa.string()))
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return [m.group(1).lower() for m in _DOMAIN_OF_URL_RE.finditer(target)]
+
+
+# -- hashes / codecs ---------------------------------------------------------
+
+
+def _hash_kernel(name: str, algo):
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return algo(target.encode("utf-8")).hexdigest()
+
+    class _K:
+        @staticmethod
+        def batch(ctx, target):
+            return pa.array(
+                [None if v is None else algo(v.encode("utf-8")).hexdigest() for v in target.to_pylist()],
+                pa.string(),
+            )
+
+        row_impl = staticmethod(row)
+
+    kernel(name)(type(name, (), {"batch": _K.batch, "row": staticmethod(row)}))
+
+
+_hash_kernel("HashMd5", hashlib.md5)
+_hash_kernel("HashSha1", hashlib.sha1)
+_hash_kernel("HashSha256", hashlib.sha256)
+_hash_kernel("HashSha512", hashlib.sha512)
+
+
+def _b64e(rctx, target):
+    if target is None:
+        raise ExprError("None")
+    return base64.b64encode(target.encode("utf-8")).decode("ascii")
+
+
+def _b64d(rctx, target):
+    if target is None:
+        raise ExprError("None")
+    try:
+        return base64.b64decode(target, validate=True).decode("utf-8")
+    except Exception:
+        raise ExprError("invalid base64")
+
+
+register_rowwise("Base64Encode", _b64e, pa.string())
+register_rowwise("Base64Decode", _b64d, pa.string())
+
+
+# -- normalization: StringClean / Censorize / Tokenize -----------------------
+
+# Homoglyph / lookalike translation table (subset; the reference carries three
+# big tables in string.py:129-354 and censorize.py:1789-1920 — ours is a
+# compact public-knowledge equivalent, built once at import).
+_HOMOGLYPHS = {
+    # Cyrillic
+    "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "х": "x", "у": "y",
+    "і": "i", "ѕ": "s", "ԁ": "d", "ɡ": "g",
+    # Greek
+    "α": "a", "β": "b", "ε": "e", "ι": "i", "κ": "k", "ν": "v", "ο": "o",
+    "ρ": "p", "τ": "t", "υ": "u",
+    # leetspeak
+    "0": "o", "1": "l", "3": "e", "4": "a", "5": "s", "7": "t", "8": "b", "@": "a", "$": "s",
+}
+_HOMOGLYPH_TABLE = str.maketrans(_HOMOGLYPHS)
+_PUNCT_SPACE_RE = re.compile(r"[\W_]+", re.UNICODE)
+
+
+def _clean_string(
+    s: str,
+    lower: bool = True,
+    strip_marks: bool = True,
+    homoglyphs: bool = True,
+    leet: bool = True,
+    remove_spaces: bool = False,
+    remove_punct: bool = False,
+) -> str:
+    out = unicodedata.normalize("NFKC", s)
+    if strip_marks:
+        out = "".join(c for c in unicodedata.normalize("NFD", out) if unicodedata.category(c) != "Mn")
+    if lower:
+        out = out.casefold()
+    if homoglyphs or leet:
+        out = out.translate(_HOMOGLYPH_TABLE)
+    if remove_punct:
+        out = _PUNCT_SPACE_RE.sub(" " if not remove_spaces else "", out)
+    if remove_spaces:
+        out = re.sub(r"\s+", "", out)
+    elif remove_punct:
+        out = re.sub(r"\s+", " ", out).strip()
+    return out
+
+
+@kernel("StringClean")
+class StringClean:
+    """Normalization swiss-knife (stdlib/udfs/string.py:129-354 semantics:
+    NFKC, mark strip, casefold, homoglyph/leet translation, optional
+    space/punct strip).  Tables precompiled at import → cheap per batch."""
+
+    @staticmethod
+    def batch(ctx, target, remove_spaces=False, remove_punct=False):
+        out = [
+            None if v is None else _clean_string(v, remove_spaces=remove_spaces, remove_punct=remove_punct)
+            for v in target.to_pylist()
+        ]
+        return pa.array(out, pa.string())
+
+    @staticmethod
+    def row(rctx, target, remove_spaces=False, remove_punct=False):
+        if target is None:
+            raise ExprError("None")
+        return _clean_string(target, remove_spaces=remove_spaces, remove_punct=remove_punct)
+
+
+@functools.lru_cache(maxsize=128)
+def _censor_pattern(words: tuple[str, ...]) -> re.Pattern:
+    # allow up to 2 separator chars between letters (spaced/dotted evasion)
+    parts = []
+    for w in words:
+        letters = [re.escape(c) for c in w.replace(" ", "")]
+        parts.append(r"[\W_]{0,2}".join(letters))
+    return re.compile("|".join(f"(?:{p})" for p in parts), re.IGNORECASE)
+
+
+@kernel("CheckCensorized")
+class CheckCensorized:
+    """Obfuscated-wordlist detector (example_plugins/src/udfs/censorize.py
+    semantics: normalize + tolerate separators/homoglyphs between letters)."""
+
+    @staticmethod
+    def batch(ctx, target, words):
+        rx = _censor_pattern(tuple(words))
+        out = []
+        for v in target.to_pylist():
+            if v is None:
+                out.append(None)
+            else:
+                out.append(rx.search(_clean_string(v)) is not None)
+        return pa.array(out, pa.bool_())
+
+    @staticmethod
+    def row(rctx, target, words):
+        if target is None:
+            raise ExprError("None")
+        rx = _censor_pattern(tuple(words))
+        return rx.search(_clean_string(target)) is not None
+
+
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def tokenize_text(s: str) -> list[str]:
+    nfd = unicodedata.normalize("NFD", s)
+    stripped = "".join(c for c in nfd if unicodedata.category(c) != "Mn")
+    return _TOKEN_RE.findall(stripped.casefold())
+
+
+@kernel("Tokenize")
+class Tokenize:
+    """NFD-strip-marks, casefold, word-split
+    (example_plugins/src/udfs/tokenize.py:77-85 semantics)."""
+
+    @staticmethod
+    def batch(ctx, target):
+        out = [None if v is None else tokenize_text(v) for v in target.to_pylist()]
+        return pa.array(out, pa.list_(pa.string()))
+
+    @staticmethod
+    def row(rctx, target):
+        if target is None:
+            raise ExprError("None")
+        return tokenize_text(target)

@@ -1,0 +1,222 @@
+"""Row-at-a-time oracle interpreter for golden tests.
+
+Mirrors the reference's per-event execution loop
+(/root/reference/osprey_worker/src/osprey/worker/sinks/sink/rules_sink.py:121-177
+→ executor.execute per action): iterate turns one at a time in strict
+``(conv_id, turn_idx, ts)`` order, keep window/sequence state in plain
+Python buffers (the Redis-ZSET / label-service analogues), apply effects
+after each turn.  Entirely independent of the vectorized numpy window math
+in ``stages/stateful.py`` — the golden tests require byte-equality between
+the two, also after kill+resume (SURVEY §5).
+
+Only the ``LabelStore`` semantic core is shared with the pipeline (its
+semantics are unit-tested against the reference's documented behavior
+separately); everything else here is a second implementation.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Any
+
+import pyarrow as pa
+
+from osprey_ray.expr import ExprError, RowContext
+from osprey_ray.rules import (
+    DeclareVerdict,
+    HasLabel,
+    IncrementWindow,
+    LabelAdd,
+    LabelRemove,
+    RuleSpec,
+    SequenceMatch,
+    SessionWindow,
+    TumblingCount,
+)
+from osprey_ray.state.labels import LabelStore
+
+
+def _truthy(v: Any) -> bool:
+    return bool(v)
+
+
+class OracleEngine:
+    def __init__(self, spec: RuleSpec, label_events: dict[str, list] | None = None):
+        spec.validate()
+        self.spec = spec
+        self.label_events = label_events or {}
+        self.conv_state: dict[str, dict] = {}
+        self.labels = LabelStore()
+
+    # -- per-turn stateful features ---------------------------------------
+
+    def _stateful(self, cid: str, turn_idx: int, ts_us: int, rctx: RowContext) -> None:
+        st = self.conv_state.setdefault(cid, {})
+        spec = self.spec
+        # external label events up to and including this ts
+        evs = self.label_events.get(cid, [])
+        ei = st.setdefault("lev", 0)
+        while ei < len(evs) and evs[ei][0] <= ts_us:
+            _, lbl, status, exp = evs[ei]
+            self.labels.apply(cid, lbl, status, evs[ei][0], exp)
+            ei += 1
+        st["lev"] = ei
+
+        for sf in spec.stateful:
+            if isinstance(sf, IncrementWindow):
+                buf = st.setdefault(f"w:{sf.name}", [])
+                try:
+                    flagged = _truthy(sf.when.eval_row(rctx))
+                except ExprError:
+                    flagged = False
+                if flagged:
+                    buf.append(ts_us)
+                w_us = int(sf.window_seconds * 1e6)
+                lo = bisect.bisect_right(buf, ts_us - w_us)
+                rctx.features[sf.name] = min(len(buf) - lo, sf.max_events_cap)
+            elif isinstance(sf, TumblingCount):
+                b_us = int(sf.bucket_seconds * 1e6)
+                bucket = ts_us // b_us
+                last_bucket, cnt = st.get(f"t:{sf.name}", (None, 0))
+                if bucket != last_bucket:
+                    cnt = 0
+                try:
+                    flagged = _truthy(sf.when.eval_row(rctx))
+                except ExprError:
+                    flagged = False
+                if flagged:
+                    cnt += 1
+                st[f"t:{sf.name}"] = (bucket, cnt)
+                rctx.features[sf.name] = cnt
+            elif isinstance(sf, SessionWindow):
+                g_us = int(sf.gap_seconds * 1e6)
+                last_ts, sid, cnt = st.get(f"s:{sf.name}", (None, 0, 0))
+                if last_ts is not None and ts_us - last_ts > g_us:
+                    sid += 1
+                    cnt = 0
+                cnt += 1
+                st[f"s:{sf.name}"] = (ts_us, sid, cnt)
+                rctx.features[f"{sf.name}__id"] = sid
+                rctx.features[f"{sf.name}__count"] = cnt
+            elif isinstance(sf, SequenceMatch):
+                buf = st.setdefault(f"q:{sf.name}", [])
+                try:
+                    is_second = _truthy(sf.second.eval_row(rctx))
+                except ExprError:
+                    is_second = False
+                match = is_second and any(
+                    turn_idx - sf.within_turns <= tj < turn_idx for tj in buf
+                )
+                rctx.features[sf.name] = match
+                try:
+                    is_first = _truthy(sf.first.eval_row(rctx))
+                except ExprError:
+                    is_first = False
+                if is_first:
+                    buf.append(turn_idx)
+                    while buf and buf[0] < turn_idx - sf.within_turns:
+                        buf.pop(0)
+            elif isinstance(sf, HasLabel):
+                rctx.features[sf.name] = self.labels.has_label(
+                    cid, sf.label, ts_us, sf.status, sf.manual
+                )
+
+    # -- main loop ----------------------------------------------------------
+
+    def run(self, rows: list[dict]) -> list[dict]:
+        """rows must already be in (conv_id, turn_idx, ts) order and deduped;
+        returns one result dict per turn."""
+        spec = self.spec
+        out = []
+        for row in rows:
+            cid = row["conv_id"]
+            ts_us = _ts_us(row["ts"])
+            rctx = RowContext(row=row)
+            # stateless features, declared order
+            for f in spec.features:
+                try:
+                    rctx.features[f.name] = f.expr.eval_row(rctx)
+                except ExprError:
+                    rctx.features[f.name] = None
+            self._stateful(cid, row["turn_idx"], ts_us, rctx)
+            # rules
+            rule_vals: dict[str, bool] = {}
+            for r in spec.rules:
+                vals = []
+                for conj in r.when_all:
+                    try:
+                        vals.append(conj.eval_row(rctx))
+                    except ExprError:
+                        vals.append(None)
+                rule_vals[r.name] = all(vals)
+                rctx.features[r.name] = rule_vals[r.name]
+            # triggers → verdicts + effects (applied after the turn)
+            verdicts: set = set()
+            fired_rules: set = set()
+            muts: list[tuple] = []
+            for trg in spec.triggers:
+                passing = [rn for rn in trg.rules_any if rule_vals.get(rn)]
+                if not passing:
+                    continue
+                fired_rules.update(passing)
+                for ef in trg.then:
+                    if isinstance(ef, DeclareVerdict):
+                        verdicts.add(ef.verdict)
+                    elif isinstance(ef, LabelAdd):
+                        exp = (
+                            ts_us + int(ef.expires_after * 1e6)
+                            if ef.expires_after is not None
+                            else None
+                        )
+                        muts.append((ef.label, "added", exp))
+                    elif isinstance(ef, LabelRemove):
+                        muts.append((ef.label, "removed", None))
+            if muts:
+                self.labels.apply_conflicting(cid, muts, ts_us)
+
+            res = {k: row[k] for k in ("conv_id", "turn_idx", "ts")}
+            for f in spec.features:
+                if f.extracted:
+                    res[f.name] = rctx.features[f.name]
+            for name in spec.stateful_names():
+                res[name] = rctx.features[name]
+            for r in spec.rules:
+                res[r.name] = rule_vals[r.name]
+            if spec.triggers:
+                res["__verdicts"] = sorted(verdicts)
+                res["__rules_fired"] = sorted(fired_rules)
+            res["__error_count"] = rctx.errors
+            out.append(res)
+        return out
+
+
+def _ts_us(v: Any) -> int:
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        epoch = datetime.datetime(1970, 1, 1)
+        return int((v - epoch).total_seconds() * 1e6)
+    return int(v)
+
+
+def oracle_results(
+    transcripts: pa.Table,
+    spec: RuleSpec,
+    label_events: dict[str, list] | None = None,
+) -> list[dict]:
+    """Sort + dedup the table the way the pipeline does, then interpret."""
+    tbl = transcripts.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    )
+    rows = tbl.to_pylist()
+    seen: set = set()
+    deduped = []
+    for r in rows:
+        key = (r["conv_id"], r["turn_idx"])
+        if key in seen:
+            continue
+        seen.add(key)
+        deduped.append(r)
+    return OracleEngine(spec, label_events).run(deduped)

@@ -1,0 +1,205 @@
+"""Rule specification — the compiled "SML program" analogue.
+
+A :class:`RuleSpec` is the declarative plan an osprey ruleset compiles to
+(/root/reference/osprey_worker/src/osprey/engine/ast/sources.py +
+ast_validator → execution graph): named features (expressions over columns),
+stateful features (windows / labels / sequences — SURVEY §2.4), boolean
+rules, and ``WhenRules`` triggers that fire effects.
+
+Extraction semantics mirror the reference (grammar.py:339-394): every
+feature whose name does not start with ``_`` is an extracted output column;
+``_``-prefixed features are locals.
+
+Rule semantics (stdlib/udfs/rules.py:84-110): ``value = all(when_all)`` with
+failed conjuncts collapsing to falsey.  WhenRules (rules.py:120-166):
+tolerates failed list items, fires every effect in ``then`` when any rule in
+``rules_any`` is true.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from osprey_ray.expr import Expr, wrap
+
+
+# -- effects (engine/language_types/verdicts.py:11-40, labels.py:17-66) -----
+
+
+@dataclass(frozen=True)
+class DeclareVerdict:
+    verdict: str
+
+
+@dataclass(frozen=True)
+class LabelAdd:
+    label: str
+    entity: str = "conv_id"  # column holding the entity key
+    expires_after: float | None = None  # seconds, event-time
+
+
+@dataclass(frozen=True)
+class LabelRemove:
+    label: str
+    entity: str = "conv_id"
+
+
+Effect = DeclareVerdict | LabelAdd | LabelRemove
+
+
+@dataclass
+class Feature:
+    name: str
+    expr: Expr
+
+    @property
+    def extracted(self) -> bool:
+        return not self.name.startswith("_")
+
+
+@dataclass
+class Rule:
+    name: str
+    when_all: list[Expr]
+    description: str = ""
+
+    def __post_init__(self) -> None:
+        self.when_all = [wrap(e) for e in self.when_all]
+
+
+@dataclass
+class WhenRules:
+    rules_any: list[str]  # rule names
+    then: list[Effect]
+
+
+# -- stateful feature declarations (SURVEY §2.4) ----------------------------
+
+
+@dataclass
+class IncrementWindow:
+    """Sliding-window velocity counter, event-time.
+
+    Semantics of the reference's Redis-ZSET counter
+    (example_plugins/src/udfs/cache.py:161-207): when ``when`` is true for a
+    turn, the turn's ts is added to the per-``conv_id`` window and the
+    feature value is the number of added events with
+    ``ts in (turn_ts - window_seconds, turn_ts]`` (including this one),
+    capped at ``max_events_cap``.  When ``when`` is false the feature is the
+    current count without incrementing (GetWindowCount, cache.py:210-227).
+    """
+
+    name: str
+    when: Expr
+    window_seconds: float
+    max_events_cap: int = 10_000
+
+
+@dataclass
+class TumblingCount:
+    """Running count of ``when`` turns within the turn's tumbling bucket
+    (bucket assignment = GetTimestampBucket, stdlib/udfs/time_bucket.py)."""
+
+    name: str
+    when: Expr
+    bucket_seconds: float
+
+
+@dataclass
+class SessionWindow:
+    """Session id (0-based per conversation, new session when the gap from
+    the previous turn exceeds ``gap_seconds``) and running count in session.
+
+    Declaring ``SessionWindow('s', gap_seconds=1800)`` yields features
+    ``s__id`` and ``s__count``.
+    """
+
+    name: str
+    gap_seconds: float
+
+
+@dataclass
+class SequenceMatch:
+    """CEP escalation: true on a turn matching ``second`` when some earlier
+    turn of the same conversation matched ``first`` within ``within_turns``
+    turns (turn_idx distance ≤ within_turns)."""
+
+    name: str
+    first: Expr
+    second: Expr
+    within_turns: int
+
+
+@dataclass
+class HasLabel:
+    """Stream-state join against per-entity label state
+    (stdlib/udfs/labels.py:133-293 incl. expiry :176-224).  Reads the state
+    as of the *start* of the turn — a turn's own LabelAdd is visible only to
+    later turns (write-after-classify ordering, output_sink.py:156-350)."""
+
+    name: str
+    label: str
+    status: str = "added"  # 'added' | 'removed'
+    manual: str = "either"  # 'yes' | 'no' | 'either'
+
+
+StatefulFeature = IncrementWindow | TumblingCount | SessionWindow | SequenceMatch | HasLabel
+
+
+@dataclass
+class RuleSpec:
+    """A full compiled ruleset.
+
+    Evaluation order per turn (matching the reference executor's
+    action lifecycle, worker/sinks/sink/rules_sink.py:121-177):
+    stateless features → stateful features (state as of turn start) →
+    rules → triggers → effects (label mutations applied after the turn).
+    """
+
+    features: list[Feature] = field(default_factory=list)
+    stateful: list[StatefulFeature] = field(default_factory=list)
+    rules: list[Rule] = field(default_factory=list)
+    triggers: list[WhenRules] = field(default_factory=list)
+
+    def stateful_names(self) -> list[str]:
+        out: list[str] = []
+        for s in self.stateful:
+            if isinstance(s, SessionWindow):
+                out += [f"{s.name}__id", f"{s.name}__count"]
+            else:
+                out.append(s.name)
+        return out
+
+    def label_feature_names(self) -> set[str]:
+        return {s.name for s in self.stateful if isinstance(s, HasLabel)}
+
+    def rule_by_name(self) -> dict[str, Rule]:
+        return {r.name: r for r in self.rules}
+
+    def validate(self) -> None:
+        names: set[str] = set()
+        for f in self.features:
+            if f.name in names:
+                raise ValueError(f"duplicate feature {f.name}")
+            names.add(f.name)
+        for n in self.stateful_names():
+            if n in names:
+                raise ValueError(f"duplicate stateful feature {n}")
+            names.add(n)
+        rules = set()
+        for r in self.rules:
+            if r.name in rules:
+                raise ValueError(f"duplicate rule {r.name}")
+            rules.add(r.name)
+        for t in self.triggers:
+            for rn in t.rules_any:
+                if rn not in rules:
+                    raise ValueError(f"trigger references unknown rule {rn}")
+
+    def uses_labels(self) -> bool:
+        if any(isinstance(s, HasLabel) for s in self.stateful):
+            return True
+        return any(
+            isinstance(e, (LabelAdd, LabelRemove)) for t in self.triggers for e in t.then
+        )

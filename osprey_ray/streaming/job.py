@@ -1,0 +1,283 @@
+"""StreamingJob — micro-batch epoch driver with exactly-once sink + resume.
+
+The streaming analogue of the reference's Kafka → coordinator → worker loop
+(/root/reference SURVEY §3.1), re-expressed for a replayable Parquet log:
+
+- the input is an ordered list of segment files (the "Kafka log"; offsets =
+  file indices — kafka.rs:112-116 manual-commit semantics become manifest
+  commits);
+- per epoch: read+stateless-eval+route tasks fan the rows out to P
+  persistent :class:`StateShard` actors (the hash-ring analogue,
+  worker/lib/etcd/ring.py, with crc32(conv_id) % P);
+- the event-time watermark advances as ``max(seen ts) - allowed_lateness``,
+  monotonically; shards release and evaluate rows ≤ watermark in order;
+- after all shards finish an epoch, the driver atomically commits
+  ``manifest/epoch-{e}.json`` — {epoch, input file offsets, watermark,
+  per-partition output files, state snapshot paths, metrics}.  An epoch is
+  *visible* iff its manifest exists: readers that honor manifests get
+  exactly-once output even though shard writes are merely idempotent;
+- checkpoint = per-shard state snapshot referenced by the manifest; resume
+  finds the last committed manifest, restores shard snapshots, and
+  continues from the next uncommitted epoch (replaying epochs since the
+  last snapshot in no-write recovery mode when snapshots are sparser than
+  manifests).
+
+Determinism: outputs depend only on (input files, epoch boundaries,
+allowed_lateness) — never wall clock — so a killed+resumed run produces
+bit-identical verdict rows (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from osprey_ray.rules import RuleSpec
+from osprey_ray.stages.stateless import StatelessStage, compile_stateless
+from osprey_ray.streaming.shard import StateShard
+
+I64_MIN = np.iinfo(np.int64).min
+
+
+@ray.remote
+def _read_route(
+    paths: list[str],
+    stage1: StatelessStage,
+    num_parts: int,
+):
+    """Read segment files, run the stateless stage, split by
+    crc32(conv_id) %% P.  Returns [table_p0, ..., table_p{P-1}, max_ts]."""
+    import pyarrow.parquet as pq
+
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+    if "_arrival_us" in tbl.column_names:
+        tbl = tbl.drop_columns(["_arrival_us"])
+    t1 = stage1(tbl)
+    conv = t1["conv_id"].to_pylist()
+    uniq: dict[str, int] = {}
+    parts = np.empty(len(conv), dtype=np.int32)
+    for i, c in enumerate(conv):
+        h = uniq.get(c)
+        if h is None:
+            h = zlib.crc32(c.encode()) % num_parts
+            uniq[c] = h
+        parts[i] = h
+    max_ts = pc.max(t1["ts"].cast(pa.int64())).as_py() if t1.num_rows else I64_MIN
+    out = []
+    parts_arr = pa.array(parts)
+    for p in range(num_parts):
+        out.append(t1.filter(pc.equal(parts_arr, p)))
+    return out + [max_ts]
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+class StreamingJob:
+    def __init__(
+        self,
+        spec: RuleSpec,
+        segment_files: list[str],
+        out_dir: str,
+        label_events: dict[str, list] | None = None,
+        num_shards: int = 8,
+        files_per_epoch: int = 2,
+        files_per_read_task: int = 1,
+        allowed_lateness_s: float = 1000.0,
+        checkpoint_interval: int = 1,
+    ):
+        self.spec = spec
+        self.segment_files = list(segment_files)
+        self.out_dir = out_dir
+        self.manifest_dir = os.path.join(out_dir, "manifest")
+        self.ckpt_dir = os.path.join(out_dir, "checkpoint")
+        self.data_dir = os.path.join(out_dir, "data")
+        for d in (self.manifest_dir, self.ckpt_dir, self.data_dir):
+            os.makedirs(d, exist_ok=True)
+        self.label_events = label_events or {}
+        self.P = num_shards
+        self.files_per_epoch = files_per_epoch
+        self.files_per_read_task = files_per_read_task
+        self.lateness_us = int(allowed_lateness_s * 1e6)
+        self.checkpoint_interval = checkpoint_interval
+        self.stage1 = compile_stateless(spec)
+        self.shards: list | None = None
+        self.metrics: list[dict] = []
+
+    # -- epoch planning ----------------------------------------------------
+
+    def epochs(self) -> list[list[str]]:
+        fs = self.segment_files
+        k = self.files_per_epoch
+        return [fs[i : i + k] for i in range(0, len(fs), k)]
+
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.manifest_dir, f"epoch-{epoch:05d}.json")
+
+    def last_committed_epoch(self) -> int:
+        last = -1
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("epoch-") and name.endswith(".json"):
+                last = max(last, int(name[6:-5]))
+        return last
+
+    # -- shard lifecycle ---------------------------------------------------
+
+    def _start_shards(self) -> None:
+        # pre-partition the label-event side input the same way as the turns
+        per_shard: list[dict] = [{} for _ in range(self.P)]
+        for cid, evs in self.label_events.items():
+            per_shard[zlib.crc32(cid.encode()) % self.P][cid] = evs
+        self.shards = [
+            StateShard.remote(self.spec, p, self.data_dir, per_shard[p])
+            for p in range(self.P)
+        ]
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self, stop_after_epoch: int | None = None, resume: bool = False) -> list[dict]:
+        """Process epochs (optionally stopping early to simulate a crash);
+        with ``resume=True`` continue a previous run from its checkpoint.
+        Returns per-epoch metrics."""
+        if self.shards is None:
+            self._start_shards()
+        epochs = self.epochs()
+        start_epoch = 0
+        watermark = I64_MIN
+        recover_until = -1
+
+        if resume:
+            last = self.last_committed_epoch()
+            if last >= 0:
+                manifest = json.load(open(self._manifest_path(last)))
+                watermark = int(manifest["watermark"])
+                snap_epoch = manifest.get("last_snapshot_epoch", -1)
+                if snap_epoch >= 0:
+                    snap_paths = json.load(open(self._manifest_path(snap_epoch)))["snapshots"]
+                    ray.get(
+                        [s.restore.remote(p) for s, p in zip(self.shards, snap_paths)]
+                    )
+                    snap_manifest = json.load(open(self._manifest_path(snap_epoch)))
+                    watermark = int(snap_manifest["watermark"])
+                recover_until = last
+                start_epoch = snap_epoch + 1
+
+        for e in range(start_epoch, len(epochs)):
+            if stop_after_epoch is not None and e > stop_after_epoch:
+                break
+            t0 = time.perf_counter()
+            files = epochs[e]
+            recovery = e <= recover_until
+            chunks = [
+                files[i : i + self.files_per_read_task]
+                for i in range(0, len(files), self.files_per_read_task)
+            ]
+            read_refs = [
+                _read_route.options(num_returns=self.P + 1).remote(c, self.stage1, self.P)
+                for c in chunks
+            ]
+            max_ts = max(ray.get([r[self.P] for r in read_refs]), default=I64_MIN)
+            watermark = max(watermark, max_ts - self.lateness_us)
+            stats = ray.get(
+                [
+                    self.shards[p].process.remote(
+                        e,
+                        [r[p] for r in read_refs],
+                        watermark,
+                        not recovery,
+                    )
+                    for p in range(self.P)
+                ]
+            )
+            snapshots = None
+            do_snap = (e % self.checkpoint_interval) == (self.checkpoint_interval - 1)
+            if do_snap and not recovery:
+                snapshots = ray.get(
+                    [s.snapshot.remote(self.ckpt_dir, e) for s in self.shards]
+                )
+            epoch_metrics = self._commit(e, files, watermark, stats, snapshots, recovery, t0)
+            self.metrics.append(epoch_metrics)
+        return self.metrics
+
+    def finalize(self) -> dict:
+        """Flush all pending rows (watermark → +inf) as a final epoch —
+        the bounded-stream end-of-input barrier."""
+        e = len(self.epochs())
+        t0 = time.perf_counter()
+        stats = ray.get(
+            [
+                self.shards[p].process.remote(e, [], np.iinfo(np.int64).max, True)
+                for p in range(self.P)
+            ]
+        )
+        snapshots = ray.get([s.snapshot.remote(self.ckpt_dir, e) for s in self.shards])
+        m = self._commit(e, [], int(np.iinfo(np.int64).max), stats, snapshots, False, t0)
+        self.metrics.append(m)
+        return m
+
+    def _commit(self, e, files, watermark, stats, snapshots, recovery, t0) -> dict:
+        released = sum(s["released"] for s in stats)
+        metrics = {
+            "epoch": e,
+            "input_files": files,
+            "watermark": int(watermark),
+            "released_rows": released,
+            "fired_rows": sum(s["fired"] for s in stats),
+            "late_dropped": sum(s["late_dropped"] for s in stats),
+            "pending_rows": sum(s["pending"] for s in stats),
+            "wall_s": round(time.perf_counter() - t0, 4),
+            "recovery": recovery,
+        }
+        if not recovery:
+            last_snap = e if snapshots else self._last_snapshot_epoch(e)
+            manifest = dict(
+                metrics,
+                outputs=[s["file"] for s in stats],
+                snapshots=snapshots,
+                last_snapshot_epoch=last_snap,
+            )
+            _atomic_write_json(self._manifest_path(e), manifest)
+        return metrics
+
+    def _last_snapshot_epoch(self, before: int) -> int:
+        for e in range(before - 1, -1, -1):
+            p = self._manifest_path(e)
+            if os.path.exists(p):
+                m = json.load(open(p))
+                if m.get("snapshots"):
+                    return e
+        return -1
+
+    # -- results -----------------------------------------------------------
+
+    def output_files(self) -> list[str]:
+        """Committed output files, manifest order (exactly-once read path)."""
+        out = []
+        for e in range(self.last_committed_epoch() + 1):
+            p = self._manifest_path(e)
+            if os.path.exists(p):
+                for f in json.load(open(p))["outputs"]:
+                    if f:
+                        out.append(os.path.join(self.data_dir, f))
+        return out
+
+    def results_table(self) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        files = self.output_files()
+        if not files:
+            return pa.table({})
+        tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+        return tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])

@@ -1,0 +1,158 @@
+"""StateShard — one persistent actor per hash partition of conversations.
+
+This is the stateful actor-pool stage of the streaming pipeline (SURVEY §4
+checkpoint row, §7 steps 5-6).  Ray Data's ``map_batches`` actor pools give
+no key affinity across micro-batches, so the epoch exchange drops to raw
+Ray here — the one place the Dataset API genuinely can't express the
+semantics (a per-key state store that must live across epochs).
+
+Responsibilities:
+
+- buffer out-of-order rows until the watermark passes (event-time
+  correctness: rows are *evaluated* in ``(conv_id, turn_idx, ts)`` order no
+  matter the arrival interleaving, so streaming output is bit-identical to
+  the batch/oracle run as long as disorder ≤ allowed lateness);
+- drop rows older than the watermark (late data) and count them;
+- run :func:`osprey_ray.stages.stateful.eval_released` over each released
+  slice with carried per-conversation state + the shard's LabelStore;
+- write its own output partition ``part-e{epoch}-p{part}.parquet`` via
+  tmp+atomic-rename (idempotent: deterministic bytes, safe to re-run);
+- snapshot/restore its full state for checkpoints.
+
+Partitioning assumption (documented per SURVEY §2.9): within a
+conversation, event-time ``ts`` is non-decreasing in ``turn_idx`` (turn
+k+1 happens after turn k) — the cross-epoch dedup guard relies on it.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from osprey_ray.rules import RuleSpec
+from osprey_ray.stages.stateful import eval_released, sort_and_dedup
+from osprey_ray.stages.stateless import split_rules
+from osprey_ray.state.labels import LabelStore
+
+
+@ray.remote
+class StateShard:
+    def __init__(self, spec: RuleSpec, part: int, out_dir: str, label_events: dict[str, list]):
+        self.spec = spec
+        self.part = part
+        self.out_dir = out_dir
+        self.label_events = label_events
+        self.rule_plans = split_rules(spec)
+        self.states: dict = {}
+        self.labels = LabelStore()
+        self.pending: list[pa.Table] = []
+        self.watermark: int = np.iinfo(np.int64).min
+
+    def process(
+        self,
+        epoch: int,
+        tables: list[pa.Table],
+        watermark_us: int,
+        write: bool = True,
+    ) -> dict:
+        """Ingest this epoch's routed rows, release everything ≤ watermark,
+        evaluate, write the output partition.  Returns stats."""
+        # tables arrive as a list of ObjectRefs (nested refs are not
+        # auto-resolved by Ray) — fetch them here, shard-side
+        tables = [ray.get(t) if isinstance(t, ray.ObjectRef) else t for t in tables]
+        incoming = [t for t in tables if t is not None and t.num_rows]
+        late_dropped = 0
+        for t in incoming:
+            ts = t["ts"].cast(pa.int64())
+            mask = pc.greater(ts, self.watermark)
+            kept = t.filter(mask)
+            late_dropped += t.num_rows - kept.num_rows
+            if kept.num_rows:
+                self.pending.append(kept)
+
+        buffered = (
+            pa.concat_tables(self.pending, promote_options="default")
+            if self.pending
+            else None
+        )
+        released = None
+        if buffered is not None and buffered.num_rows:
+            ts = buffered["ts"].cast(pa.int64())
+            rel_mask = pc.less_equal(ts, watermark_us)
+            released = buffered.filter(rel_mask)
+            still = buffered.filter(pc.invert(rel_mask))
+            self.pending = [still] if still.num_rows else []
+        self.watermark = max(self.watermark, watermark_us)
+
+        out_rows = 0
+        fired = 0
+        out_path = None
+        if released is not None and released.num_rows:
+            released = sort_and_dedup(released, self.states)
+            out, _muts = eval_released(
+                released, self.spec, self.rule_plans, self.states, self.labels, self.label_events
+            )
+            out_rows = out.num_rows
+            if "__verdicts" in out.column_names:
+                fired = int(
+                    pc.sum(
+                        pc.cast(pc.greater(pc.list_value_length(out["__verdicts"]), 0), pa.int64())
+                    ).as_py()
+                    or 0
+                )
+            if write and out_rows:
+                out_path = self._write_atomic(epoch, out)
+        return {
+            "part": self.part,
+            "epoch": epoch,
+            "released": out_rows,
+            "fired": fired,
+            "late_dropped": late_dropped,
+            "pending": sum(t.num_rows for t in self.pending),
+            "file": out_path,
+        }
+
+    def _write_atomic(self, epoch: int, out: pa.Table) -> str:
+        name = f"part-e{epoch:05d}-p{self.part:04d}.parquet"
+        final = os.path.join(self.out_dir, name)
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, final)  # atomic on POSIX
+        return name
+
+    # -- checkpointing -----------------------------------------------------
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        path = os.path.join(ckpt_dir, f"state-e{epoch:05d}-p{self.part:04d}.pkl")
+        tmp = path + f".tmp.{os.getpid()}"
+        payload = {
+            "states": self.states,
+            "labels": self.labels.snapshot(),
+            "pending": [t.to_pydict() for t in self.pending],
+            "pending_schema": self.pending[0].schema if self.pending else None,
+            "watermark": self.watermark,
+        }
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, path: str) -> bool:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.states = payload["states"]
+        self.labels = LabelStore.restore(payload["labels"])
+        schema = payload["pending_schema"]
+        self.pending = [
+            pa.Table.from_pydict(d, schema=schema) for d in payload["pending"]
+        ]
+        self.watermark = payload["watermark"]
+        return True

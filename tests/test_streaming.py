@@ -1,0 +1,126 @@
+"""Streaming engine tests: watermark-ordered evaluation equals the batch
+oracle; kill+resume from checkpoint reproduces bit-identical output
+(BASELINE.json north_rule: exactly-once + per-partition lineage)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from osprey_ray.datagen import ensure_dataset
+from osprey_ray.oracle import oracle_results
+from osprey_ray.pipelines.flagship import flagship_spec, label_events_map
+from osprey_ray.streaming import StreamingJob
+
+
+@pytest.fixture(scope="module")
+def stream_data(ray_session):
+    d = ensure_dataset(6000, seed=42, root="/tmp/osprey_test_stream")
+    segs = sorted(glob.glob(os.path.join(d, "stream", "seg-*.parquet")))
+    lmap = label_events_map(pq.read_table(os.path.join(d, "label_events.parquet")))
+    import pyarrow as pa
+
+    full = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(os.path.join(d, "batch", "*.parquet")))]
+    )
+    return segs, lmap, full
+
+
+def _norm(v):
+    if isinstance(v, np.ndarray):
+        return list(v)
+    return v
+
+
+def _df(tbl) -> pd.DataFrame:
+    return (
+        tbl.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_streaming_matches_oracle(stream_data, tmp_path):
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "out"), lmap, num_shards=4, files_per_epoch=3,
+        allowed_lateness_s=1000.0,
+    )
+    job.run()
+    job.finalize()
+    got = _df(job.results_table())
+    # lateness (1000s) exceeds max delivery delay (900s) → nothing dropped,
+    # streaming output must equal the full batch oracle
+    assert sum(m["late_dropped"] for m in job.metrics) == 0
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    assert len(got) == len(want)
+    for k in want.columns:
+        g = [_norm(x) for x in got[k]]
+        w = [_norm(x) for x in want[k]]
+        assert g == w, f"column {k} differs"
+
+
+def test_kill_and_resume_bit_identical(stream_data, tmp_path):
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+
+    # full uninterrupted run
+    ref_job = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=2
+    )
+    ref_job.run()
+    ref_job.finalize()
+    ref = _df(ref_job.results_table())
+
+    # killed run: stop after epoch 3, then a NEW job object resumes
+    out = str(tmp_path / "crash")
+    j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j1.run(stop_after_epoch=3)
+    assert j1.last_committed_epoch() == 3
+    del j1  # "crash" — actors die with the driver state in real life
+
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+
+    assert len(got) == len(ref)
+    for k in ref.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in ref[k]], f"column {k} differs"
+
+
+def test_late_rows_dropped_with_tight_lateness(stream_data, tmp_path):
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "tight"), lmap, num_shards=4, files_per_epoch=3,
+        allowed_lateness_s=10.0,  # below the planted 120-900s delivery delays
+    )
+    job.run()
+    job.finalize()
+    dropped = sum(m["late_dropped"] for m in job.metrics)
+    assert dropped > 0
+    got = job.results_table()
+    # released rows are still deduped & ordered
+    keys = list(zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()))
+    assert len(keys) == len(set(keys))
+    assert got.num_rows + dropped >= full.num_rows - (full.num_rows // 50)
+
+
+def test_manifest_is_commit_point(stream_data, tmp_path):
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    out = str(tmp_path / "mf")
+    job = StreamingJob(spec, segs, out, lmap, num_shards=2, files_per_epoch=4)
+    job.run(stop_after_epoch=1)
+    # uncommitted shard output beyond the manifest must be invisible
+    visible = set(os.path.basename(f) for f in job.output_files())
+    on_disk = set(os.listdir(os.path.join(out, "data")))
+    assert visible <= on_disk
+    for e in range(job.last_committed_epoch() + 1):
+        assert os.path.exists(os.path.join(out, "manifest", f"epoch-{e:05d}.json"))

@@ -1,44 +1,259 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the osprey_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship rules/CEP pipeline; ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2 + the training-data
+ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names, integer-cents money so unordered
+float summation can't break the value hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_STOP_SQL = "('the','a','an','and','or','of','to','in','is','are','was','be','on','for','with','as','at','by','it','this','that')"
+
+
+def _turns_for(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}.get(base, 60_000)
+
+
+def _transcript_dataset(sf_dir: str) -> str:
+    from osprey_ray.datagen import ensure_dataset
+
+    return ensure_dataset(_turns_for(sf_dir), seed=42)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full rules/CEP engine over the sf0.001-scale synthetic
+    transcript log (BASELINE.json input_hint shape)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import (
+        flagship_spec,
+        label_events_map,
+        run_batch,
+        verdict_stream,
+    )
+
+    d = _transcript_dataset("/root/testdata/sf0.001")
+    ds = rd.read_parquet(sorted(glob.glob(f"{d}/batch/*.parquet")))
+    lmap = label_events_map(pq.read_table(f"{d}/label_events.parquet"))
+    res = run_batch(ds, flagship_spec(), lmap, num_partitions=16)
+    return verdict_stream(res)
+
+
+def _flagship_verdicts(sf_dir: str):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import (
+        flagship_spec,
+        label_events_map,
+        run_batch,
+        verdict_stream,
+    )
+
+    d = _transcript_dataset(sf_dir)
+    ds = rd.read_parquet(sorted(glob.glob(f"{d}/batch/*.parquet")))
+    lmap = label_events_map(pq.read_table(f"{d}/label_events.parquet"))
+    return verdict_stream(run_batch(ds, flagship_spec(), lmap, num_partitions=32))
+
+
+def _streaming_verdicts(sf_dir: str):
+    """The streaming micro-batch engine end-to-end (watermarks, exactly-once
+    sink, per-epoch manifests); returns the fired rows of the committed
+    output."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.flagship import flagship_spec, label_events_map
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    lmap = label_events_map(pq.read_table(f"{d}/label_events.parquet"))
+    out = tempfile.mkdtemp(prefix="osprey_stream_q_")
+    try:
+        job = StreamingJob(
+            flagship_spec(), segs, out, lmap, num_shards=8, files_per_epoch=4
+        )
+        job.run()
+        job.finalize()
+        tbl = job.results_table()
+        return tbl.filter(pc.greater(pc.list_value_length(tbl["__verdicts"]), 0))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osprey_ray.pipelines import analytics as A
+    from osprey_ray.pipelines import ann as N
+    from osprey_ray.pipelines import multimodal as M
+    from osprey_ray.pipelines import textops as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / streaming analytics over events + TPC-H tables
+        "filter_project": A.q_filter_project,
+        "rule_engine_events": A.q_rule_engine_events,
+        "tumbling_hourly": A.q_tumbling_hourly,
+        "sliding_window_counts": A.q_sliding_window_counts,
+        "session_counts": A.q_session_counts,
+        "cep_sequence": A.q_cep_sequence,
+        "topk_users": A.q_topk_users,
+        "distinct_types": A.q_distinct_types,
+        "dedup_keep_first": A.q_dedup_keep_first,
+        "json_extract": A.q_json_extract,
+        "lineitem_agg": A.q_lineitem_agg,
+        "broadcast_join": A.q_broadcast_join,
+        "hash_join": A.q_hash_join,
+        "hll_distinct": A.q_hll_distinct,
+        "experiment_buckets": A.q_experiment_buckets,
+        # text / training-data ops over documents
+        "exact_dedup": T.q_exact_dedup,
+        "doc_tokens": T.q_doc_tokens,
+        "doc_quality": T.q_doc_quality,
+        "lang_id": T.q_lang_id,
+        "minhash_neardup": T.q_minhash_neardup,
+        "simhash": T.q_simhash,
+        "fingerprint": T.q_fingerprint,
+        # similarity search over embeddings
+        "ann_bruteforce": N.q_ann_bruteforce,
+        "ann_lsh": N.q_ann_lsh,
+        "embed_neardup": N.q_embed_neardup,
+        # multimodal plumbing (decode stubbed)
+        "multimodal_decode": M.q_multimodal_decode,
+        # the flagship engine itself (transcripts synthesized — no SQL views)
+        "flagship_verdicts": _flagship_verdicts,
+        "streaming_verdicts": _streaming_verdicts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE event_type = 'error' AND value > 5.0"
+        ),
+        "rule_engine_events": (
+            "SELECT event_id, event_type = 'error' AS is_err, value > 10.0 AS big, "
+            "CAST(props->>'$.k' AS BIGINT) AS k_val, "
+            "CAST(props->>'$.k' AS BIGINT) >= 50 AS k_high, "
+            "((event_type = 'error' AND value > 10.0) OR CAST(props->>'$.k' AS BIGINT) >= 50) AS prio, "
+            "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
+            "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
+            "FROM events"
+        ),
+        "tumbling_hourly": (
+            "SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s, "
+            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sliding_window_counts": (
+            "SELECT event_id, user_id, COUNT(*) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW) AS w5m_count "
+            "FROM events"
+        ),
+        "session_counts": (
+            "WITH g AS (SELECT user_id, "
+            "CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 "
+            "THEN 1 ELSE 0 END AS brk FROM events) "
+            "SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events FROM g GROUP BY user_id"
+        ),
+        "cep_sequence": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn FROM events), "
+            "m AS (SELECT a.user_id, a.rn FROM o a JOIN o e ON e.user_id = a.user_id "
+            "AND e.event_type = 'error' AND e.rn BETWEEN a.rn - 3 AND a.rn - 1 "
+            "WHERE a.event_type = 'purchase' GROUP BY a.user_id, a.rn) "
+            "SELECT u.user_id, COALESCE(c.n, 0) AS n_matches "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            "LEFT JOIN (SELECT user_id, COUNT(*) AS n FROM m GROUP BY user_id) c USING(user_id)"
+        ),
+        "topk_users": (
+            "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+            "ORDER BY n DESC, user_id LIMIT 10"
+        ),
+        "distinct_types": "SELECT DISTINCT event_type FROM events",
+        "dedup_keep_first": (
+            "SELECT user_id, event_type, event_id FROM ("
+            "SELECT user_id, event_type, event_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        "json_extract": (
+            "SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum, "
+            "COUNT(*) AS n FROM events GROUP BY event_type"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+            "CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+            "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "broadcast_join": (
+            "SELECT c_mktsegment, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "hash_join": (
+            "SELECT o_orderpriority, CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, "
+            "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5 "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "doc_tokens": (
+            "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_text FROM documents"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            f"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stopwords, "
+            "(len(string_split(text, ' ')) >= 20 AND "
+            f"len(list_filter(string_split(lower(text), ' '), x -> x IN {_STOP_SQL})) * 2 < len(string_split(text, ' '))) AS keep "
+            "FROM documents"
+        ),
+        "ann_bruteforce": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+            "s AS (SELECT q.qid, e.vec_id AS nid, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q, embeddings e WHERE e.vec_id <> q.qid), "
+            "r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) "
+            'SELECT qid AS query_id, nid AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 5'
+        ),
+        "embed_neardup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < b.vec_id AND "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95"
+        ),
+        # rows-only (non-SQL-expressible): hll_distinct, experiment_buckets,
+        # lang_id, minhash_neardup, simhash, fingerprint, ann_lsh,
+        # multimodal_decode, flagship_verdicts, streaming_verdicts
+    }

@@ -462,7 +462,7 @@ class Fn(Expr):
     plain Python values act as the reference's ConstExpr compile-time
     literals; Expr kwargs are evaluated per batch/row."""
 
-    def __init__(self, name: str, **kwargs: Any):
+    def __init__(self, name: str, /, **kwargs: Any):
         from osprey_ray.kernels import get_kernel  # late import to avoid cycle
 
         self.name = name
@@ -545,7 +545,7 @@ def lit(value: Any) -> Lit:
     return Lit(value)
 
 
-def fn(name: str, **kwargs: Any) -> Fn:
+def fn(name: str, /, **kwargs: Any) -> Fn:
     return Fn(name, **kwargs)
 
 

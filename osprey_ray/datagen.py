@@ -88,11 +88,23 @@ def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
 
     # --- conversation lengths: Zipf-flavored with a hot head -------------
+    # "Zipf-distributed lengths with A FEW hot conversations >=10k turns"
+    # (FIXTURES.md F1): the bulk is zipf-shaped capped at 2k turns; exactly
+    # three planted whales (10k/15k/25k) exercise skew handling without an
+    # army of whales colliding in hash partitions.
     lens: list[int] = []
     total = 0
+    hot_sizes = [25_000, 15_000, 10_000] if num_turns >= 200_000 else (
+        [10_000] if num_turns >= 50_000 else []
+    )
+    for h in hot_sizes:
+        h = min(h, num_turns // 8)
+        lens.append(h)
+        total += h
+    max_len = min(max(64, num_turns // 20), 2_000)
     while total < num_turns:
         draw = rng.zipf(1.5, size=1024).astype(np.int64)
-        draw = np.clip(draw * 4, 4, max(64, num_turns // 20))
+        draw = np.clip(draw * 4, 4, max_len)
         for d in draw:
             if total >= num_turns:
                 break
@@ -100,20 +112,6 @@ def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
             lens.append(d)
             total += d
     lens_arr = np.array(lens, dtype=np.int64)
-    # plant one hot conversation (>=10k turns) at bench scales
-    if num_turns >= 50_000:
-        hot = min(max(10_000, num_turns // 100), num_turns // 4)
-        delta = hot - lens_arr[0]
-        if delta > 0:
-            # steal turns from the tail conversations to keep the total fixed
-            i = len(lens_arr) - 1
-            while delta > 0 and i > 0:
-                take = min(delta, max(0, lens_arr[i] - 4))
-                lens_arr[i] -= take
-                delta -= take
-                i -= 1
-            lens_arr[0] += hot - lens_arr[0] - delta
-        lens_arr = lens_arr[lens_arr > 0]
 
     n_convs = len(lens_arr)
     n = int(lens_arr.sum())
@@ -291,6 +289,11 @@ def write_dataset(
 
 
 def ensure_dataset(num_turns: int, seed: int = 42, root: str = "/tmp/osprey_ray_data") -> str:
-    """Idempotent cached generation keyed by (num_turns, seed)."""
+    """Idempotent cached generation keyed by (num_turns, seed).
+
+    File counts scale with size so the read stage parallelizes: ~25k
+    turns/file, clamped to [16, 128] (row content is independent of the
+    partitioning, so goldens are unaffected)."""
+    parts = int(np.clip(num_turns // 25_000, 16, 128))
     out = os.path.join(root, f"turns{num_turns}_seed{seed}")
-    return write_dataset(out, num_turns, seed)
+    return write_dataset(out, num_turns, seed, num_batch_parts=parts, num_stream_segments=parts)

@@ -26,12 +26,14 @@ from osprey_ray.rules import (
     DeclareVerdict,
     HasLabel,
     IncrementWindow,
+    KvCache,
     LabelAdd,
     LabelRemove,
     RuleSpec,
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    WindowCount,
 )
 from osprey_ray.state.labels import LabelStore
 
@@ -116,6 +118,31 @@ class OracleEngine:
                     buf.append(turn_idx)
                     while buf and buf[0] < turn_idx - sf.within_turns:
                         buf.pop(0)
+            elif isinstance(sf, WindowCount):
+                # declared before its source window → buffer holds prior
+                # turns only at this point
+                buf = st.setdefault(f"w:{sf.source}", [])
+                w_us = int(sf.window_seconds * 1e6)
+                lo = bisect.bisect_right(buf, ts_us - w_us)
+                rctx.features[sf.name] = len(buf) - lo
+            elif isinstance(sf, KvCache):
+                cur = st.get(f"k:{sf.name}")
+                val = None
+                if cur is not None:
+                    set_ts, v = cur
+                    if sf.ttl_seconds is None or set_ts + int(sf.ttl_seconds * 1e6) > ts_us:
+                        val = v
+                rctx.features[sf.name] = val
+                try:
+                    do_set = _truthy(sf.set_when.eval_row(rctx))
+                except ExprError:
+                    do_set = False
+                if do_set:
+                    try:
+                        new_v = sf.value.eval_row(rctx)
+                    except ExprError:
+                        new_v = None
+                    st[f"k:{sf.name}"] = (ts_us, new_v)
             elif isinstance(sf, HasLabel):
                 rctx.features[sf.name] = self.labels.has_label(
                     cid, sf.label, ts_us, sf.status, sf.manual

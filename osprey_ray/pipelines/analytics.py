@@ -358,6 +358,61 @@ def q_hash_join(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (SURVEY §2.0 custom-operator row): for each event, the
+    latest order of the same customer with ``o_orderdate <= ts`` — sorted
+    ``pd.merge_asof`` per key bucket after co-partitioning both sides, the
+    portable as-of pattern.  Output is the matched order *date* (tie-safe:
+    equal dates collapse to one value)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def tag_ev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "t": t["ts"],
+                "event_id": t["event_id"],
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "t": t["o_orderdate"],
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    both = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0].sort_values("t")
+        right = g[g["side"] == 1].sort_values("t")
+        if left.empty:
+            return pd.DataFrame({"event_id": [], "user_id": [], "last_order_date": []})
+        m = pd.merge_asof(
+            left[["t", "event_id", "key"]],
+            right[["t"]].assign(od=right["t"]),
+            on="t",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["key"].astype("int64"),
+                "last_order_date": m["od"],
+            }
+        )
+
+    return both.groupby("key").map_groups(asof, batch_format="pandas")
+
+
 class HyperLogLog:
     """Plain HLL sketch (Flajolet et al., public algorithm), p=12 →
     ~1.6% error — the analogue of the reference's Druid HLL distinct counts

@@ -132,6 +132,33 @@ class SequenceMatch:
 
 
 @dataclass
+class WindowCount:
+    """Read-only view of another :class:`IncrementWindow`'s event buffer
+    (GetWindowCount, example_plugins/src/udfs/cache.py:210-227): the number
+    of source-window events in ``(turn_ts - window_seconds, turn_ts]``
+    counting only events from *prior* turns.  Must be declared BEFORE its
+    source window (validated) so batch and oracle agree on exclusivity."""
+
+    name: str
+    source: str
+    window_seconds: float
+
+
+@dataclass
+class KvCache:
+    """Per-conversation K/V cache with event-time TTL (CacheSet/CacheGet,
+    example_plugins/src/udfs/cache.py:279-330).  The feature value is the
+    cached value as of the turn start (a turn's own set is visible to later
+    turns only — same write-after-classify ordering as labels); when
+    ``set_when`` is true the turn stores ``value`` with ``ttl_seconds``."""
+
+    name: str
+    set_when: Expr
+    value: Expr
+    ttl_seconds: float | None = None
+
+
+@dataclass
 class HasLabel:
     """Stream-state join against per-entity label state
     (stdlib/udfs/labels.py:133-293 incl. expiry :176-224).  Reads the state
@@ -144,7 +171,10 @@ class HasLabel:
     manual: str = "either"  # 'yes' | 'no' | 'either'
 
 
-StatefulFeature = IncrementWindow | TumblingCount | SessionWindow | SequenceMatch | HasLabel
+StatefulFeature = (
+    IncrementWindow | TumblingCount | SessionWindow | SequenceMatch | HasLabel
+    | WindowCount | KvCache
+)
 
 
 @dataclass
@@ -187,6 +217,19 @@ class RuleSpec:
             if n in names:
                 raise ValueError(f"duplicate stateful feature {n}")
             names.add(n)
+        windows = set()
+        for s in self.stateful:
+            if isinstance(s, WindowCount):
+                if s.source in windows:
+                    raise ValueError(
+                        f"WindowCount {s.name} must be declared before its "
+                        f"source window {s.source}"
+                    )
+            if isinstance(s, IncrementWindow):
+                windows.add(s.name)
+        for s in self.stateful:
+            if isinstance(s, WindowCount) and s.source not in windows:
+                raise ValueError(f"WindowCount {s.name}: unknown source {s.source}")
         rules = set()
         for r in self.rules:
             if r.name in rules:

@@ -40,12 +40,14 @@ from osprey_ray.rules import (
     DeclareVerdict,
     HasLabel,
     IncrementWindow,
+    KvCache,
     LabelAdd,
     LabelRemove,
     RuleSpec,
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    WindowCount,
 )
 from osprey_ray.stages.stateless import KEY_COLS, RulePlan, split_rules
 from osprey_ray.state.labels import LabelStore
@@ -146,16 +148,24 @@ def eval_released(
             sf_vals[sf.name] = np.zeros(n, dtype=np.int64)
         elif isinstance(sf, SequenceMatch):
             sf_vals[sf.name] = np.zeros(n, dtype=bool)
+        elif isinstance(sf, WindowCount):
+            sf_vals[sf.name] = np.zeros(n, dtype=np.int64)
+        elif isinstance(sf, KvCache):
+            # index into this batch's value column (-1 = null/carried)
+            sf_vals[sf.name] = np.full(n, -1, dtype=np.int64)
         elif isinstance(sf, HasLabel):
             default = sf.status == "removed" and sf.manual != "yes"
             sf_vals[sf.name] = np.full(n, default, dtype=bool)
 
     sf_pred: dict[str, np.ndarray] = {}
+    kv_carried: dict[str, list[tuple[int, object]]] = {}
     for sf in spec.stateful:
-        if isinstance(sf, (IncrementWindow, TumblingCount)):
+        if isinstance(sf, (IncrementWindow, TumblingCount, KvCache)):
             sf_pred[sf.name] = (
                 pc.fill_null(tbl[f"__sf_{sf.name}"], False).to_numpy(zero_copy_only=False)
             )
+            if isinstance(sf, KvCache):
+                kv_carried[sf.name] = []
         elif isinstance(sf, SequenceMatch):
             sf_pred[sf.name] = (
                 pc.fill_null(tbl[f"__sf_{sf.name}"], False).to_numpy(zero_copy_only=False)
@@ -211,6 +221,47 @@ def eval_released(
                 sf_vals[f"{sf.name}__id"][s:e] = sid
                 sf_vals[f"{sf.name}__count"][s:e] = cnt
                 st[f"s:{sf.name}"] = (int(t[-1]), int(sid[-1]), int(cnt[-1]))
+            elif isinstance(sf, WindowCount):
+                # declared before its source window (validated) → the source
+                # buffer still reflects prior turns only
+                w_us = np.int64(sf.window_seconds * 1e6)
+                flag = sf_pred[sf.source][s:e]
+                buf = st.get(f"w:{sf.source}")
+                if buf is None:
+                    buf = np.empty(0, dtype=np.int64)
+                all_flag = np.concatenate([buf, t[flag]])
+                fl = flag.astype(np.int64)
+                added_excl = len(buf) + np.cumsum(fl) - fl
+                lo = np.searchsorted(all_flag, t - w_us, side="right")
+                sf_vals[sf.name][s:e] = added_excl - lo
+            elif isinstance(sf, KvCache):
+                setm = sf_pred[sf.name][s:e]
+                m_len = e - s
+                set_pos = np.flatnonzero(setm)
+                last = np.searchsorted(set_pos, np.arange(m_len), side="left") - 1
+                if len(set_pos):
+                    src = np.where(last >= 0, set_pos[np.maximum(last, 0)], -1)
+                else:
+                    src = np.full(m_len, -1, dtype=np.int64)
+                valid = src >= 0
+                if sf.ttl_seconds is not None:
+                    ttl_us = np.int64(sf.ttl_seconds * 1e6)
+                    set_ts = np.where(valid, t[np.maximum(src, 0)], 0)
+                    valid &= (set_ts + ttl_us) > t
+                sf_vals[sf.name][s:e] = np.where(valid, src + s, -1)
+                carried = st.get(f"k:{sf.name}")
+                if carried is not None:
+                    cmask = last < 0
+                    if sf.ttl_seconds is not None:
+                        cmask &= (carried[0] + np.int64(sf.ttl_seconds * 1e6)) > t
+                    for r in np.flatnonzero(cmask):
+                        kv_carried[sf.name].append((s + int(r), carried[1]))
+                if len(set_pos):
+                    vcol = tbl[f"__sfv_{sf.name}"]
+                    if isinstance(vcol, pa.ChunkedArray):
+                        vcol = vcol.combine_chunks()
+                    j = int(set_pos[-1])
+                    st[f"k:{sf.name}"] = (int(t[j]), vcol[s + j].as_py())
             elif isinstance(sf, SequenceMatch):
                 a = sf_pred[sf.name][s:e]
                 b = sf_pred[sf.name + "_b"][s:e]
@@ -228,10 +279,30 @@ def eval_released(
                 st[f"q:{sf.name}"] = all_first[keep_from:]
         st["last_turn"] = int(turn[e - 1])
 
+    # ---- materialize KvCache value columns (index → value + carried) ----
+    kv_arrays: dict[str, pa.Array] = {}
+    for sf in spec.stateful:
+        if isinstance(sf, KvCache):
+            vcol = tbl[f"__sfv_{sf.name}"]
+            if isinstance(vcol, pa.ChunkedArray):
+                vcol = vcol.combine_chunks()
+            idx = sf_vals[sf.name]
+            take_idx = pa.array(np.where(idx >= 0, idx, 0), pa.int64())
+            vals = pc.if_else(
+                pa.array(idx >= 0), vcol.take(take_idx), pa.nulls(n, vcol.type)
+            )
+            carried = kv_carried.get(sf.name)
+            if carried:
+                py = vals.to_pylist()
+                for r, v in carried:
+                    py[r] = v
+                vals = pa.array(py, vcol.type)
+            kv_arrays[sf.name] = vals
+
     # ---- augmented table + non-label rule values ------------------------
     aug_cols = {name: tbl[name] for name in tbl.column_names}
     for name, arr in sf_vals.items():
-        aug_cols[name] = pa.array(arr)
+        aug_cols[name] = kv_arrays[name] if name in kv_arrays else pa.array(arr)
     aug = pa.table(aug_cols)
     ctx = EvalContext(aug)
 
@@ -250,56 +321,110 @@ def eval_released(
     label_rule_plans = [rp for rp in rule_plans if rp.label]
     mutations: list[tuple] = []
 
-    active = np.zeros(len(starts), dtype=bool)
     if hl_feats or label_triggers:
+        # Sparse label pass.  Python only touches *interesting* positions:
+        # rows where a label-mutating trigger could fire (pre-label rule
+        # value true), external label events, and reason-expiry points.
+        # Every state transition is recorded in a per-conversation change
+        # log; HasLabel feature columns are reconstructed vectorized from
+        # the log afterwards, so a conversation with no label activity
+        # costs nothing and a 100k-turn conversation with 3 mutations
+        # costs 3 iterations, not 100k.
+        import heapq
+
+        plan_map = {rp.name: rp for rp in rule_plans}
+        trig_pre = np.zeros(n, dtype=bool)
+        for trg in label_triggers:
+            for rn in trg.rules_any:
+                trig_pre |= rule_vals[rn]
+        INF = 1 << 62
+
         for gi, (s, e) in enumerate(zip(starts, ends)):
             cid = conv[s]
-            if cid in label_events or cid in label_store.data:
-                active[gi] = True
-                continue
-            for trg in label_triggers:
-                if any(rule_vals[rn][s:e].any() for rn in trg.rules_any):
-                    active[gi] = True
-                    break
-            if not active[gi] and label_rule_plans:
-                # a label-gated rule could flip only if labels exist → inactive
-                pass
-        for gi in np.flatnonzero(active):
-            s, e = starts[gi], ends[gi]
-            cid = conv[s]
+            evs = label_events.get(cid)
             st = states[cid]
-            evs = label_events.get(cid, [])
             ei = st.get("lev", 0)
-            for i in range(s, e):
-                t_i = int(ts[i])
-                while ei < len(evs) and evs[ei][0] <= t_i:
-                    _, lbl, status, exp = evs[ei]
-                    label_store.apply(cid, lbl, status, evs[ei][0], exp)
+            has_events = evs is not None and ei < len(evs)
+            has_state = cid in label_store.data
+            cand = np.flatnonzero(trig_pre[s:e])
+            if not has_events and not has_state and len(cand) == 0:
+                continue
+            t_slice = ts[s:e]
+            m = e - s
+            changes: list[tuple[int, tuple]] = []
+            expiry_heap: list[int] = []
+
+            def hl_tuple(now_us: int) -> tuple:
+                return tuple(
+                    label_store.has_label(cid, h.label, now_us, h.status, h.manual)
+                    for h in hl_feats
+                )
+
+            def note_expiry(expires_us) -> None:
+                if expires_us is not None:
+                    pos = int(np.searchsorted(t_slice, expires_us, side="left"))
+                    if pos < m:
+                        heapq.heappush(expiry_heap, pos)
+
+            if has_state:
+                changes.append((0, hl_tuple(int(t_slice[0]))))
+                for stt in label_store.data.get(cid, {}).values():
+                    for _, exp in stt.reasons:
+                        note_expiry(exp)
+
+            ci = 0
+            while True:
+                if has_events and ei < len(evs):
+                    ev_pos = int(np.searchsorted(t_slice, evs[ei][0], side="left"))
+                    if ev_pos >= m:
+                        ev_pos = INF  # belongs to a future epoch's rows
+                else:
+                    ev_pos = INF
+                exp_pos = expiry_heap[0] if expiry_heap else INF
+                cand_pos = int(cand[ci]) if ci < len(cand) else INF
+                nxt = min(ev_pos, exp_pos, cand_pos)
+                if nxt == INF:
+                    break
+                if ev_pos == nxt:
+                    ts_e, lbl, status, exp = evs[ei]
+                    label_store.apply(cid, lbl, status, ts_e, exp)
+                    note_expiry(exp)
                     ei += 1
-                # reads: state as of turn start
-                hl_now: dict[str, bool] = {}
-                for hl in hl_feats:
-                    v = label_store.has_label(cid, hl.label, t_i, hl.status, hl.manual)
-                    sf_vals[hl.name][i] = v
-                    hl_now[hl.name] = v
-                for rp in label_rule_plans:
-                    if not rule_vals[rp.name][i]:
-                        continue
-                    rctx = RowContext(row={}, features=dict(hl_now))
-                    ok = True
-                    for conj in rp.label:
-                        try:
-                            v = conj.eval_row(rctx)
-                        except ExprError:
-                            v = None
-                        if not v:
-                            ok = False
-                            break
-                    rule_vals[rp.name][i] = ok
-                # effects: collected across triggers, applied after the turn
+                    changes.append((ev_pos, hl_tuple(int(t_slice[ev_pos]))))
+                    continue
+                if exp_pos == nxt:
+                    heapq.heappop(expiry_heap)
+                    changes.append((exp_pos, hl_tuple(int(t_slice[exp_pos]))))
+                    continue
+                # candidate row: evaluate label-gated conjuncts + fire effects
+                i_loc = cand_pos
+                ci += 1
+                i = s + i_loc
+                t_i = int(t_slice[i_loc])
+                hl_now = {h.name: v for h, v in zip(hl_feats, hl_tuple(t_i))}
                 muts: list[tuple] = []
                 for trg in label_triggers:
-                    if any(rule_vals[rn][i] for rn in trg.rules_any):
+                    fire = False
+                    for rn in trg.rules_any:
+                        if not rule_vals[rn][i]:
+                            continue
+                        rp = plan_map[rn]
+                        if rp.label:
+                            rctx = RowContext(row={}, features=hl_now)
+                            ok = True
+                            for conj in rp.label:
+                                try:
+                                    v = conj.eval_row(rctx)
+                                except ExprError:
+                                    v = None
+                                if not v:
+                                    ok = False
+                                    break
+                            if not ok:
+                                continue
+                        fire = True
+                        break
+                    if fire:
                         for ef in trg.then:
                             if isinstance(ef, LabelAdd):
                                 exp = (
@@ -314,45 +439,57 @@ def eval_released(
                     applied = label_store.apply_conflicting(cid, muts, t_i)
                     for lbl, status in applied:
                         mutations.append((cid, t_i, lbl, status))
+                        note_expiry(dict((l, x) for l, _, x in muts).get(lbl))
+                    if i_loc + 1 < m:
+                        changes.append((i_loc + 1, hl_tuple(int(t_slice[i_loc + 1]))))
             st["lev"] = ei
 
-    # label-gated rules in *inactive* conversations see the default HasLabel
-    # values (filled vectorized above) — apply their label conjuncts there
+            # reconstruct HasLabel columns from the change log (fill between
+            # consecutive change positions; rows before the first change keep
+            # the vectorized default)
+            if changes:
+                positions = [p for p, _ in changes] + [m]
+                # walk order is nondecreasing in position; same-position
+                # entries fill an empty range so the later one wins
+                for k, (p, tup) in enumerate(changes):
+                    nxt_p = positions[k + 1]
+                    if nxt_p <= p:
+                        continue
+                    for f_idx, h in enumerate(hl_feats):
+                        sf_vals[h.name][s + p : s + nxt_p] = tup[f_idx]
+
+    # label-gated rule values, vectorized over the exact HasLabel columns
+    # (identical to what the sparse walk used at firing time)
     if label_rule_plans:
-        inactive_rows = np.ones(n, dtype=bool)
-        for gi in np.flatnonzero(active):
-            inactive_rows[starts[gi] : ends[gi]] = False
-        if inactive_rows.any():
-            hl_cols = dict(aug_cols)
-            for hl in hl_feats:
-                hl_cols[hl.name] = pa.array(sf_vals[hl.name])
-            hctx = EvalContext(pa.table(hl_cols))
-            for rp in label_rule_plans:
-                for conj in rp.label:
-                    cv = _bool_operand(_as_array(conj.eval_batch(hctx), n)).to_numpy(
-                        zero_copy_only=False
-                    )
-                    rule_vals[rp.name] &= np.where(inactive_rows, cv, True)
+        hl_cols = dict(aug_cols)
+        for hl in hl_feats:
+            hl_cols[hl.name] = pa.array(sf_vals[hl.name])
+        hctx = EvalContext(pa.table(hl_cols))
+        for rp in label_rule_plans:
+            for conj in rp.label:
+                cv = _bool_operand(_as_array(conj.eval_batch(hctx), n)).to_numpy(
+                    zero_copy_only=False
+                )
+                rule_vals[rp.name] &= cv
 
     # ---- triggers → verdicts --------------------------------------------
-    verdict_sets: list[set] = [set() for _ in range(n)] if spec.triggers else []
-    fired_rules: list[set] = [set() for _ in range(n)] if spec.triggers else []
-    any_fired = np.zeros(n, dtype=bool)
+    # sparse: only fired rows materialize Python sets
+    verdict_sets: dict[int, set] = {}
+    fired_rules: dict[int, set] = {}
     for trg in spec.triggers:
         fired = np.zeros(n, dtype=bool)
         for rn in trg.rules_any:
             fired |= rule_vals[rn]
         if not fired.any():
             continue
-        any_fired |= fired
         verdicts = [ef.verdict for ef in trg.then if isinstance(ef, DeclareVerdict)]
-        idxs = np.flatnonzero(fired)
-        for i in idxs:
-            for v in verdicts:
-                verdict_sets[i].add(v)
+        for i in np.flatnonzero(fired):
+            i = int(i)
+            verdict_sets.setdefault(i, set()).update(verdicts)
+            fr = fired_rules.setdefault(i, set())
             for rn in trg.rules_any:
                 if rule_vals[rn][i]:
-                    fired_rules[i].add(rn)
+                    fr.add(rn)
 
     # ---- assemble output -------------------------------------------------
     out: dict[str, pa.Array] = {}
@@ -363,16 +500,21 @@ def eval_released(
         if isinstance(sf, SessionWindow):
             out[f"{sf.name}__id"] = pa.array(sf_vals[f"{sf.name}__id"])
             out[f"{sf.name}__count"] = pa.array(sf_vals[f"{sf.name}__count"])
+        elif isinstance(sf, KvCache):
+            out[sf.name] = kv_arrays[sf.name]
         else:
             out[sf.name] = pa.array(sf_vals[sf.name])
     for r in spec.rules:
         out[r.name] = pa.array(rule_vals[r.name])
     if spec.triggers:
+        empty: list[str] = []
         out["__verdicts"] = pa.array(
-            [sorted(vs) for vs in verdict_sets], pa.list_(pa.string())
+            [sorted(verdict_sets[i]) if i in verdict_sets else empty for i in range(n)],
+            pa.list_(pa.string()),
         )
         out["__rules_fired"] = pa.array(
-            [sorted(fr) for fr in fired_rules], pa.list_(pa.string())
+            [sorted(fired_rules[i]) if i in fired_rules else empty for i in range(n)],
+            pa.list_(pa.string()),
         )
     out["__error_count"] = tbl["__error_count"]
     return pa.table(out), mutations
@@ -391,8 +533,11 @@ def _empty_output(tbl: pa.Table, spec: RuleSpec) -> pa.Table:
         if isinstance(sf, SessionWindow):
             out[f"{sf.name}__id"] = pa.array([], pa.int64())
             out[f"{sf.name}__count"] = pa.array([], pa.int64())
-        elif isinstance(sf, (IncrementWindow, TumblingCount)):
+        elif isinstance(sf, (IncrementWindow, TumblingCount, WindowCount)):
             out[sf.name] = pa.array([], pa.int64())
+        elif isinstance(sf, KvCache):
+            vt = tbl.schema.field(f"__sfv_{sf.name}").type
+            out[sf.name] = pa.array([], vt)
         else:
             out[sf.name] = pa.array([], pa.bool_())
     for r in spec.rules:

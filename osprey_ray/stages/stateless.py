@@ -29,10 +29,12 @@ from osprey_ray.expr import EvalContext, Expr, _as_array, _bool_operand
 from osprey_ray.rules import (
     HasLabel,
     IncrementWindow,
+    KvCache,
     RuleSpec,
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    WindowCount,
 )
 
 KEY_COLS = ["conv_id", "turn_idx", "ts"]
@@ -114,7 +116,12 @@ class StatelessStage:
                 out_cols[f"__sf_{sf.name}_b"] = _bool_operand(
                     _as_array(sf.second.eval_batch(ctx), ctx.n)
                 )
-            # SessionWindow / HasLabel need no stage-1 predicate
+            elif isinstance(sf, KvCache):
+                out_cols[f"__sf_{sf.name}"] = _bool_operand(
+                    _as_array(sf.set_when.eval_batch(ctx), ctx.n)
+                )
+                out_cols[f"__sfv_{sf.name}"] = _as_array(sf.value.eval_batch(ctx), ctx.n)
+            # SessionWindow / HasLabel / WindowCount need no stage-1 predicate
 
         # rule pre-folds over stateless conjuncts
         for rp in self.rule_plans:

@@ -245,6 +245,7 @@ class StreamingJob:
             manifest = dict(
                 metrics,
                 outputs=[s["file"] for s in stats],
+                label_outputs=[s.get("labels_file") for s in stats],
                 snapshots=snapshots,
                 last_snapshot_epoch=last_snap,
             )

@@ -65,8 +65,12 @@ class StateShard:
         """Ingest this epoch's routed rows, release everything ≤ watermark,
         evaluate, write the output partition.  Returns stats."""
         # tables arrive as a list of ObjectRefs (nested refs are not
-        # auto-resolved by Ray) — fetch them here, shard-side
-        tables = [ray.get(t) if isinstance(t, ray.ObjectRef) else t for t in tables]
+        # auto-resolved by Ray) — batch-fetch them shard-side (one ray.get
+        # for the whole list; per-ref gets serialize on the object store)
+        refs = [t for t in tables if isinstance(t, ray.ObjectRef)]
+        if refs:
+            fetched = iter(ray.get(refs))
+            tables = [next(fetched) if isinstance(t, ray.ObjectRef) else t for t in tables]
         incoming = [t for t in tables if t is not None and t.num_rows]
         late_dropped = 0
         for t in incoming:
@@ -94,9 +98,10 @@ class StateShard:
         out_rows = 0
         fired = 0
         out_path = None
+        labels_path = None
         if released is not None and released.num_rows:
             released = sort_and_dedup(released, self.states)
-            out, _muts = eval_released(
+            out, muts = eval_released(
                 released, self.spec, self.rule_plans, self.states, self.labels, self.label_events
             )
             out_rows = out.num_rows
@@ -109,6 +114,18 @@ class StateShard:
                 )
             if write and out_rows:
                 out_path = self._write_atomic(epoch, out)
+            if write and muts:
+                # externalized label-mutation stream (the Label output sink,
+                # output_sink.py:156-350 → FIXTURES.md F4 manifest contract)
+                mt = pa.table(
+                    {
+                        "conv_id": pa.array([m[0] for m in muts], pa.string()),
+                        "ts": pa.array([m[1] for m in muts], pa.timestamp("us")),
+                        "label": pa.array([m[2] for m in muts], pa.string()),
+                        "status": pa.array([m[3] for m in muts], pa.string()),
+                    }
+                )
+                labels_path = self._write_atomic(epoch, mt, prefix="labels")
         return {
             "part": self.part,
             "epoch": epoch,
@@ -117,10 +134,11 @@ class StateShard:
             "late_dropped": late_dropped,
             "pending": sum(t.num_rows for t in self.pending),
             "file": out_path,
+            "labels_file": labels_path,
         }
 
-    def _write_atomic(self, epoch: int, out: pa.Table) -> str:
-        name = f"part-e{epoch:05d}-p{self.part:04d}.parquet"
+    def _write_atomic(self, epoch: int, out: pa.Table, prefix: str = "part") -> str:
+        name = f"{prefix}-e{epoch:05d}-p{self.part:04d}.parquet"
         final = os.path.join(self.out_dir, name)
         tmp = final + f".tmp.{os.getpid()}"
         pq.write_table(out, tmp)

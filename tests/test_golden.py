@@ -72,6 +72,60 @@ def test_ray_pipeline_matches_oracle(small_data, ray_session):
     assert_frames_equal(got, want)
 
 
+def test_exchange_path_matches_dataset_path(small_data, ray_session, tmp_path):
+    """run_batch_exchange (explicit task graph) ≡ run_batch (Dataset
+    groupby) ≡ oracle."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.flagship import run_batch_exchange
+
+    clean, lmap = small_data
+    spec = flagship_spec()
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(clean.slice(i * 800, 800), p)
+        files.append(p)
+    out = run_batch_exchange(files, spec, lmap, num_partitions=6)
+    got = (
+        out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(oracle_results(clean, spec, lmap))
+    assert_frames_equal(got, want)
+
+
+def test_kitchen_sink_spec_matches_oracle(small_data):
+    """Extended kernel-coverage ruleset (list extraction, tokenize, hashes,
+    entities, buckets, sampling, experiments) — engine ≡ oracle."""
+    from osprey_ray.pipelines.flagship import kitchen_sink_spec
+
+    clean, lmap = small_data
+    spec = kitchen_sink_spec()
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, lmap)(t1)
+    got = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = pd.DataFrame(oracle_results(clean, spec, lmap))
+    assert_frames_equal(got, want)
+
+
+def test_clean_batch_parity():
+    """Vectorized clean_batch ≡ scalar _clean_string on adversarial text."""
+    import pyarrow as pa
+
+    from osprey_ray.kernels.strings import _clean_string, clean_batch
+
+    samples = [
+        "FRĖE  M0ney", "f r e e  m o n e y", "straße & STRASSE", "Ĉafé",
+        "ΑΒΓ αβγ ς σ", "хорошо па", "l33t $p34k @ll", "ﬁne ligature", "",
+        "à́b", "emoji 😀 mix", "tab\tand\nnewline",
+    ]
+    for rs in (False, True):
+        for rp in (False, True):
+            got = clean_batch(pa.array(samples), remove_spaces=rs, remove_punct=rp).to_pylist()
+            want = [_clean_string(s, remove_spaces=rs, remove_punct=rp) for s in samples]
+            assert got == want, (rs, rp, got, want)
+
+
 def test_dedup_and_determinism(small_data):
     clean, lmap = small_data
     spec = flagship_spec()

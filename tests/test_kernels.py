@@ -82,6 +82,11 @@ CASES = [
     ("RandomInt", {"key": ["a", "b", None]}, {"start": 0, "end": 9}),
     ("ExperimentBucket", {"entity": ["u1", "u2", None]}, {"name": "exp1"}),
     ("JsonData", {"target": ['{"a": {"b": 3}}', "notjson", None]}, {"path": "$.a.b", "required": False}),
+    ("ExtractEmoji", {"target": ["hi 😀🚀 there ✈", "none", None]}, {}),
+    ("CensorizedListContains", {"target": [["frėe", "m0ney"], ["ok"], None]}, {"words": ("m0ney",)}),
+    ("EntityJson", {"target": ['{"did": "u99"}', "bad", None]}, {"type": "user", "path": "$.did"}),
+    ("DidFromUri", {"target": ["at://did:plc:abc123/app.bsky.feed.post/xyz", "https://x", None]}, {}),
+    ("MXLookup", {"target": ["example.com", "other.org", None]}, {}),
 ]
 
 

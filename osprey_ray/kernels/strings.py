@@ -495,6 +495,28 @@ def _censor_pattern(words: tuple[str, ...]) -> re.Pattern:
     return re.compile("|".join(f"(?:{p})" for p in parts), re.IGNORECASE)
 
 
+# ASCII leet sources per target char (inverse of _HOMOGLYPHS, ASCII only) —
+# used to build the cheap prefilter pattern that over-approximates a match
+# on *cleaned* text when the input is pure ASCII
+_ASCII_SOURCES: dict[str, str] = {}
+for _src, _tgt in _HOMOGLYPHS.items():
+    if ord(_src) < 128:
+        _ASCII_SOURCES.setdefault(_tgt, "")
+        _ASCII_SOURCES[_tgt] += _src
+
+
+@functools.lru_cache(maxsize=128)
+def _censor_prefilter_pattern(words: tuple[str, ...]) -> str:
+    parts = []
+    for w in words:
+        classes = []
+        for c in w.replace(" ", ""):
+            cls = re.escape(c) + "".join(re.escape(x) for x in _ASCII_SOURCES.get(c, ""))
+            classes.append(f"[{cls}]")
+        parts.append(r"[\W_]{0,2}".join(classes))
+    return "|".join(f"(?:{p})" for p in parts)
+
+
 @kernel("CheckCensorized")
 class CheckCensorized:
     """Obfuscated-wordlist detector (example_plugins/src/udfs/censorize.py
@@ -503,8 +525,30 @@ class CheckCensorized:
     @staticmethod
     def batch(ctx, target, words):
         rx = _censor_pattern(tuple(words))
-        cleaned = clean_batch(target)
-        return pc.match_substring_regex(cleaned, pattern=rx.pattern, ignore_case=True)
+        # cheap prefilter: pure-ASCII rows can only match if the leet-class
+        # pattern hits the raw text; non-ASCII rows always take the full
+        # clean path.  Cuts the ~20-pass normalization to candidate rows.
+        pre = pc.fill_null(
+            pc.match_substring_regex(
+                target, pattern=_censor_prefilter_pattern(tuple(words)), ignore_case=True
+            ),
+            False,
+        )
+        nonascii = pc.fill_null(
+            pc.match_substring_regex(target, pattern=r"[^\x00-\x7F]"), False
+        )
+        cand = pc.or_(pre, nonascii)
+        idx = np.flatnonzero(cand.to_numpy(zero_copy_only=False))
+        out = np.zeros(len(target), dtype=bool)
+        if len(idx):
+            sub = target.take(pa.array(idx))
+            cleaned = clean_batch(sub)
+            hit = pc.fill_null(
+                pc.match_substring_regex(cleaned, pattern=rx.pattern, ignore_case=True),
+                False,
+            ).to_numpy(zero_copy_only=False)
+            out[idx] = hit
+        return pa.array(out, pa.bool_(), mask=target.is_null().to_numpy(zero_copy_only=False))
 
     @staticmethod
     def row(rctx, target, words):

@@ -55,23 +55,40 @@ from osprey_ray.state.labels import LabelStore
 NEG_INF = np.iinfo(np.int64).min
 
 
+def _conv_codes(tbl: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """Dictionary-encode conv_id → (int codes, dictionary array).  The
+    grouping key never round-trips through Python strings."""
+    col = tbl["conv_id"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64), enc.dictionary
+
+
 def sort_and_dedup(tbl: pa.Table, states: dict) -> pa.Table:
     """Order by (conv_id, turn_idx, ts) and exact-dedup on (conv_id,
     turn_idx) keep-first (SURVEY §2.8 — the at-least-once duplicate guard;
     the reference relies on idempotent keyed sinks,
     worker/lib/storage/stored_execution_result.py:182-193).  Also drops rows
     at or below a conversation's already-processed ``last_turn`` (cross-epoch
-    duplicates / too-late re-orderings in streaming mode)."""
+    duplicates / too-late re-orderings in streaming mode).
+
+    Grouping uses dictionary codes (first-appearance order) + numpy lexsort
+    — deterministic for a deterministic input row order, and conversations
+    are mutually independent so inter-conversation order never affects
+    results."""
     if tbl.num_rows == 0:
         return tbl
-    tbl = tbl.sort_by(
-        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
-    )
-    conv = np.asarray(tbl["conv_id"].to_pylist(), dtype=object)
+    codes, dictionary = _conv_codes(tbl)
     turn = tbl["turn_idx"].to_numpy()
-    n = len(conv)
+    ts = tbl["ts"].cast(pa.int64()).to_numpy()
+    order = np.lexsort((ts, turn, codes))
+    codes = codes[order]
+    turn = turn[order]
+    tbl = tbl.take(pa.array(order))
+    n = len(codes)
     keep = np.ones(n, dtype=bool)
-    same_conv = conv[1:] == conv[:-1]
+    same_conv = codes[1:] == codes[:-1]
     keep[1:] = ~(same_conv & (turn[1:] == turn[:-1]))
     if states:
         # drop rows already processed in earlier epochs
@@ -81,7 +98,7 @@ def sort_and_dedup(tbl: pa.Table, states: dict) -> pa.Table:
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
         for s, e in zip(starts, ends):
-            st = states.get(conv[s])
+            st = states.get(dictionary[codes[s]].as_py())
             if st and "last_turn" in st:
                 keep[s:e] &= turn[s:e] > st["last_turn"]
     if keep.all():
@@ -128,15 +145,17 @@ def eval_released(
     if n == 0:
         return _empty_output(tbl, spec), []
 
-    conv = np.asarray(tbl["conv_id"].to_pylist(), dtype=object)
+    codes, dictionary = _conv_codes(tbl)
     turn = tbl["turn_idx"].to_numpy()
     ts = tbl["ts"].cast(pa.int64()).to_numpy()
 
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = conv[1:] != conv[:-1]
+    change[1:] = codes[1:] != codes[:-1]
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
+    # conversation ids only where group-level state needs the string key
+    group_cids = [dictionary[codes[s]].as_py() for s in starts]
 
     # ---- vectorized stateful features (per conversation slice) ----------
     sf_vals: dict[str, np.ndarray] = {}
@@ -174,8 +193,8 @@ def eval_released(
                 pc.fill_null(tbl[f"__sf_{sf.name}_b"], False).to_numpy(zero_copy_only=False)
             )
 
-    for s, e in zip(starts, ends):
-        cid = conv[s]
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        cid = group_cids[gi]
         st = states.setdefault(cid, {})
         t = ts[s:e]
         for sf in spec.stateful:
@@ -340,7 +359,7 @@ def eval_released(
         INF = 1 << 62
 
         for gi, (s, e) in enumerate(zip(starts, ends)):
-            cid = conv[s]
+            cid = group_cids[gi]
             evs = label_events.get(cid)
             st = states[cid]
             ei = st.get("lev", 0)

@@ -112,6 +112,29 @@ def test_late_rows_dropped_with_tight_lateness(stream_data, tmp_path):
     assert got.num_rows + dropped >= full.num_rows - (full.num_rows // 50)
 
 
+def test_streaming_kitchen_sink_state_carry(stream_data, tmp_path):
+    """KvCache / WindowCount / IncrementWindow state carried across epochs
+    equals the batch oracle (exercises the carry paths the flagship spec
+    doesn't)."""
+    from osprey_ray.pipelines.flagship import kitchen_sink_spec
+
+    segs, lmap, full = stream_data
+    spec = kitchen_sink_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "ks"), lmap, num_shards=3, files_per_epoch=2,
+        allowed_lateness_s=1000.0,
+    )
+    job.run()
+    job.finalize()
+    got = _df(job.results_table())
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    assert len(got) == len(want)
+    for k in want.columns:
+        g = [_norm(x) for x in got[k]]
+        w = [_norm(x) for x in want[k]]
+        assert g == w, f"column {k} differs"
+
+
 def test_manifest_is_commit_point(stream_data, tmp_path):
     segs, lmap, _ = stream_data
     spec = flagship_spec()

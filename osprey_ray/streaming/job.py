@@ -246,6 +246,8 @@ class StreamingJob:
                 metrics,
                 outputs=[s["file"] for s in stats],
                 label_outputs=[s.get("labels_file") for s in stats],
+                window_outputs=[s.get("windows_file") for s in stats],
+                open_windows=sum(s.get("open_windows", 0) for s in stats),
                 snapshots=snapshots,
                 last_snapshot_epoch=last_snap,
             )
@@ -273,6 +275,25 @@ class StreamingJob:
                     if f:
                         out.append(os.path.join(self.data_dir, f))
         return out
+
+    def window_stream_table(self) -> pa.Table:
+        """Committed window-aggregate emissions (one row per closed
+        tumbling bucket / session), manifest order."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for e in range(self.last_committed_epoch() + 1):
+            p = self._manifest_path(e)
+            if os.path.exists(p):
+                for f in json.load(open(p)).get("window_outputs", []):
+                    if f:
+                        files.append(os.path.join(self.data_dir, f))
+        if not files:
+            return pa.table({})
+        tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+        return tbl.sort_by(
+            [("window", "ascending"), ("conv_id", "ascending"), ("start", "ascending")]
+        )
 
     def results_table(self) -> pa.Table:
         import pyarrow.parquet as pq

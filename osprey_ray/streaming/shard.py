@@ -45,6 +45,8 @@ from osprey_ray.state.labels import LabelStore
 @ray.remote
 class StateShard:
     def __init__(self, spec: RuleSpec, part: int, out_dir: str, label_events: dict[str, list]):
+        from osprey_ray.rules import SessionWindow, TumblingCount
+
         self.spec = spec
         self.part = part
         self.out_dir = out_dir
@@ -54,6 +56,12 @@ class StateShard:
         self.labels = LabelStore()
         self.pending: list[pa.Table] = []
         self.watermark: int = np.iinfo(np.int64).min
+        self.tumbling = [s for s in spec.stateful if isinstance(s, TumblingCount)]
+        self.sessions = [s for s in spec.stateful if isinstance(s, SessionWindow)]
+        # open window accumulators, evicted when the watermark passes:
+        #   ("t", feature, conv_id, bucket_start_us) -> count
+        #   ("s", feature, conv_id, session_id) -> [start_us, end_us, count]
+        self.open_windows: dict[tuple, list | int] = {}
 
     def process(
         self,
@@ -114,6 +122,7 @@ class StateShard:
                 )
             if write and out_rows:
                 out_path = self._write_atomic(epoch, out)
+            self._accumulate_windows(out)
             if write and muts:
                 # externalized label-mutation stream (the Label output sink,
                 # output_sink.py:156-350 → FIXTURES.md F4 manifest contract)
@@ -126,6 +135,11 @@ class StateShard:
                     }
                 )
                 labels_path = self._write_atomic(epoch, mt, prefix="labels")
+        windows_path = None
+        if self.tumbling or self.sessions:
+            win_tbl = self._emit_closed_windows(watermark_us)
+            if write and win_tbl is not None:
+                windows_path = self._write_atomic(epoch, win_tbl, prefix="windows")
         return {
             "part": self.part,
             "epoch": epoch,
@@ -135,7 +149,73 @@ class StateShard:
             "pending": sum(t.num_rows for t in self.pending),
             "file": out_path,
             "labels_file": labels_path,
+            "windows_file": windows_path,
+            "open_windows": len(self.open_windows),
         }
+
+    # -- watermark-driven window aggregate emission + state eviction -------
+
+    def _accumulate_windows(self, out: pa.Table) -> None:
+        """Merge this slice's per-window partials into the open-window
+        accumulators.  Per-turn running counts are monotone within a window,
+        so the window aggregate is the max of the running count — partials
+        merge associatively across epochs."""
+        import collections
+
+        conv = out["conv_id"].to_pylist()
+        ts = out["ts"].cast(pa.int64()).to_numpy()
+        for sf in self.tumbling:
+            b_us = np.int64(sf.bucket_seconds * 1e6)
+            bucket = (ts // b_us) * b_us
+            cnt = out[sf.name].to_numpy()
+            for c, b, k in zip(conv, bucket, cnt):
+                key = ("t", sf.name, c, int(b))
+                cur = self.open_windows.get(key, 0)
+                if k > cur:
+                    self.open_windows[key] = int(k)
+        for sf in self.sessions:
+            sid = out[f"{sf.name}__id"].to_numpy()
+            cnt = out[f"{sf.name}__count"].to_numpy()
+            for c, s_, t_, k in zip(conv, sid, ts, cnt):
+                key = ("s", sf.name, c, int(s_))
+                cur = self.open_windows.get(key)
+                if cur is None:
+                    self.open_windows[key] = [int(t_), int(t_), int(k)]
+                else:
+                    cur[0] = min(cur[0], int(t_))
+                    cur[1] = max(cur[1], int(t_))
+                    cur[2] = max(cur[2], int(k))
+
+    def _emit_closed_windows(self, watermark_us: int) -> pa.Table | None:
+        """Emit and EVICT windows the watermark has passed: tumbling when
+        bucket_end <= watermark; session when last_ts + gap <= watermark (no
+        non-late row can extend it).  This is the engine's state-eviction
+        path — open_windows shrinks as the watermark advances."""
+        tumb_gap = {sf.name: np.int64(sf.bucket_seconds * 1e6) for sf in self.tumbling}
+        sess_gap = {sf.name: np.int64(sf.gap_seconds * 1e6) for sf in self.sessions}
+        rows = []
+        for key in list(self.open_windows):
+            kind, name, cid, k2 = key
+            if kind == "t":
+                if k2 + int(tumb_gap[name]) <= watermark_us:
+                    rows.append((name, cid, k2, k2 + int(tumb_gap[name]), self.open_windows.pop(key)))
+            else:
+                st, en, cnt = self.open_windows[key]
+                if en + int(sess_gap[name]) <= watermark_us:
+                    rows.append((name, cid, st, en, cnt))
+                    self.open_windows.pop(key)
+        if not rows:
+            return None
+        rows.sort()
+        return pa.table(
+            {
+                "window": pa.array([r[0] for r in rows], pa.string()),
+                "conv_id": pa.array([r[1] for r in rows], pa.string()),
+                "start": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "end": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "agg_count": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
 
     def _write_atomic(self, epoch: int, out: pa.Table, prefix: str = "part") -> str:
         name = f"{prefix}-e{epoch:05d}-p{self.part:04d}.parquet"
@@ -157,6 +237,7 @@ class StateShard:
             "pending": [t.to_pydict() for t in self.pending],
             "pending_schema": self.pending[0].schema if self.pending else None,
             "watermark": self.watermark,
+            "open_windows": self.open_windows,
         }
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
@@ -173,4 +254,5 @@ class StateShard:
             pa.Table.from_pydict(d, schema=schema) for d in payload["pending"]
         ]
         self.watermark = payload["watermark"]
+        self.open_windows = payload.get("open_windows", {})
         return True

@@ -135,6 +135,54 @@ def test_streaming_kitchen_sink_state_carry(stream_data, tmp_path):
         assert g == w, f"column {k} differs"
 
 
+def test_window_aggregate_emission(stream_data, tmp_path):
+    """Watermark-driven window emission: the streaming window stream equals
+    the window aggregates derived from the batch oracle, and open-window
+    state is evicted (empty after finalize)."""
+    import json
+
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "win"), lmap, num_shards=4, files_per_epoch=3
+    )
+    job.run()
+    m = job.finalize()
+    wins = job.window_stream_table().to_pandas()
+    assert {"window", "conv_id", "start", "end", "agg_count"} <= set(wins.columns)
+    # every window type emitted
+    assert set(wins["window"].unique()) == {"TurnsThisHour", "sess"}
+    # eviction: nothing left open after the final +inf watermark
+    final = json.load(open(job._manifest_path(job.last_committed_epoch())))
+    assert final["open_windows"] == 0
+
+    # equality vs batch-derived aggregates
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    # pandas datetimes are int64 *nanoseconds*; engine buckets are µs
+    ts_us = want["ts"].astype("int64") // 1000
+    want["bucket"] = (ts_us // 3_600_000_000) * 3_600_000_000
+    tumb = (
+        want.groupby(["conv_id", "bucket"])["TurnsThisHour"].max().reset_index()
+    )
+    got_t = wins[wins["window"] == "TurnsThisHour"].copy()
+    got_t["bucket"] = got_t["start"].astype("int64") // 1000
+    got_t = got_t.sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    tumb = tumb.sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    assert len(got_t) == len(tumb)
+    assert got_t["agg_count"].tolist() == tumb["TurnsThisHour"].tolist()
+
+    sess = (
+        want.groupby(["conv_id", "sess__id"])
+        .agg(n=("sess__count", "max"))
+        .reset_index()
+        .sort_values(["conv_id", "sess__id"])
+        .reset_index(drop=True)
+    )
+    got_s = wins[wins["window"] == "sess"].sort_values(["conv_id", "start"]).reset_index(drop=True)
+    assert len(got_s) == len(sess)
+    assert got_s["agg_count"].tolist() == sess["n"].tolist()
+
+
 def test_manifest_is_commit_point(stream_data, tmp_path):
     segs, lmap, _ = stream_data
     spec = flagship_spec()

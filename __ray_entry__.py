@@ -106,6 +106,56 @@ def _streaming_verdicts(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _sample_turns(sf_dir: str):
+    """ActionSampler analogue (worker/sinks/sink/rules_sink.py:47-70):
+    deterministic hash-based 25% sampling so replays match (SURVEY §2.7)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from osprey_ray.expr import EvalContext, col, fn
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ctx = EvalContext(t)
+        keep = fn(
+            "RandomBool", key=fn("ForceString", target=col("event_id")), percentage=25
+        ).eval_batch(ctx)
+        return t.filter(keep).select(["event_type"])
+
+    return ds.map_batches(samp, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n_sampled")
+    )
+
+
+def _streaming_windows(sf_dir: str):
+    """Watermark-driven window-aggregate emission stream (tumbling + session
+    windows closed by the watermark, state evicted)."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.flagship import flagship_spec, label_events_map
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    lmap = label_events_map(pq.read_table(f"{d}/label_events.parquet"))
+    out = tempfile.mkdtemp(prefix="osprey_win_q_")
+    try:
+        job = StreamingJob(flagship_spec(), segs, out, lmap, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        return job.window_stream_table()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _model_scoring(sf_dir: str):
     from osprey_ray.pipelines.scoring import q_model_scoring
 
@@ -153,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-scorer actor pool (deterministic fake model)
         "model_scoring": _model_scoring,
         # the flagship engine itself (transcripts synthesized — no SQL views)
+        "sample_turns": _sample_turns,
+        "streaming_windows": _streaming_windows,
         "flagship_verdicts": _flagship_verdicts,
         "streaming_verdicts": _streaming_verdicts,
     }

@@ -170,7 +170,9 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
     groupby(band, band_hash) candidates → n-gram Jaccard verification.
     Returns verified pairs (doc_a < doc_b, jaccard_pct int)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    bands = ds.map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    )
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())

@@ -71,11 +71,16 @@ def conv_partition(conv_ids: np.ndarray, num_parts: int) -> np.ndarray:
 
 
 def _join_words(idx: np.ndarray) -> np.ndarray:
-    """Vectorized space-join of a (n, k) matrix of vocab indices."""
-    out = VOCAB[idx[:, 0]]
-    for j in range(1, idx.shape[1]):
-        out = np.char.add(np.char.add(out, " "), VOCAB[idx[:, j]])
-    return out
+    """Space-join a (n, k) matrix of vocab indices via Arrow's binary_join
+    (C++; ~30× numpy's _vec_string at 10^7 rows)."""
+    import pyarrow.compute as pc
+
+    n, k = idx.shape
+    flat = idx.reshape(-1).astype(np.int32)
+    words = pa.array(VOCAB).take(pa.array(flat))
+    offsets = pa.array(np.arange(0, n * k + 1, k, dtype=np.int32))
+    joined = pc.binary_join(pa.ListArray.from_arrays(offsets, words), " ")
+    return joined.to_numpy(zero_copy_only=False)
 
 
 def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
@@ -193,6 +198,7 @@ def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
     arr2 = arrival[dup] + (rng.uniform(1, 60, size=len(dup)) * 1e6).astype(np.int64)
     arrival = np.concatenate([arrival, arr2])
 
+    conv_ord2 = np.concatenate([conv_ord, conv_ord[dup]])
     tbl = pa.table(
         {
             "conv_id": pa.array(conv_id, pa.string()),
@@ -204,8 +210,10 @@ def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
             "_arrival_us": pa.array(arrival, pa.int64()),
         }
     )
-    # canonical generation order: (conv_id, turn_idx, ts)
-    return tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")])
+    # canonical deterministic order: (conversation, turn_idx, ts) — integer
+    # lexsort, not an Arrow string sort (matters at 10^7+ rows)
+    order = np.lexsort((ts_us, turn_idx, conv_ord2))
+    return tbl.take(pa.array(order))
 
 
 def generate_label_events(transcripts: pa.Table, seed: int = 42) -> pa.Table:
@@ -263,11 +271,16 @@ def write_dataset(
     os.makedirs(batch_dir, exist_ok=True)
     os.makedirs(stream_dir, exist_ok=True)
 
-    # batch layout: hash(conv_id) partitioned, no _arrival_us
+    # batch layout: hash(conv_id) partitioned, no _arrival_us.  One stable
+    # argsort by partition + contiguous slices — O(n log n), not O(P·n)
     parts = conv_partition(tbl["conv_id"].to_numpy(zero_copy_only=False), num_batch_parts)
     clean = tbl.drop_columns(["_arrival_us"])
+    order = np.argsort(parts, kind="stable")
+    clean = clean.take(pa.array(order))
+    sorted_parts = parts[order]
+    bounds = np.searchsorted(sorted_parts, np.arange(num_batch_parts + 1))
     for p in range(num_batch_parts):
-        sub = clean.filter(pa.array(parts == p))
+        sub = clean.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
         pq.write_table(sub, os.path.join(batch_dir, f"part-{p:04d}.parquet"))
 
     # stream layout: arrival-ordered segments (the replayable log)

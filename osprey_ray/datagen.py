@@ -63,11 +63,21 @@ LABEL_STATUS = np.array(["added", "removed", "manually_added", "manually_removed
 BASE_TS_US = np.int64(1_700_000_000_000_000)  # 2023-11-14T22:13:20Z in µs
 
 
-def conv_partition(conv_ids: np.ndarray, num_parts: int) -> np.ndarray:
-    """Stable hash partition of conv_id strings (crc32, not Python hash)."""
-    uniq, inv = np.unique(conv_ids, return_inverse=True)
-    parts = np.array([zlib.crc32(c.encode()) % num_parts for c in uniq], dtype=np.int32)
-    return parts[inv]
+def conv_partition(conv_ids, num_parts: int) -> np.ndarray:
+    """Stable hash partition of conv_id strings (crc32, not Python hash).
+    Accepts a numpy array or an Arrow array; dictionary-encodes so only
+    unique ids are hashed in Python."""
+    if isinstance(conv_ids, np.ndarray):
+        conv_ids = pa.array(conv_ids)
+    if isinstance(conv_ids, pa.ChunkedArray):
+        conv_ids = conv_ids.combine_chunks()
+    enc = conv_ids.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    parts = np.array(
+        [zlib.crc32(c.encode()) % num_parts for c in enc.dictionary.to_pylist()],
+        dtype=np.int32,
+    )
+    return parts[codes]
 
 
 def _join_words(idx: np.ndarray) -> np.ndarray:
@@ -219,9 +229,11 @@ def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
 def generate_label_events(transcripts: pa.Table, seed: int = 42) -> pa.Table:
     """F2: label mutation events over ~5% of conversations, ts-interleaved."""
     rng = np.random.default_rng(seed + 1)
-    convs = transcripts["conv_id"].to_numpy(zero_copy_only=False)
+    col = transcripts["conv_id"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    uniq = np.sort(np.asarray(col.dictionary_encode().dictionary.to_pylist(), dtype=object))
     ts = transcripts["ts"].cast(pa.int64()).to_numpy()
-    uniq = np.unique(convs)
     picked = uniq[rng.random(len(uniq)) < 0.05]
     if len(picked) == 0:
         picked = uniq[:1]
@@ -273,7 +285,7 @@ def write_dataset(
 
     # batch layout: hash(conv_id) partitioned, no _arrival_us.  One stable
     # argsort by partition + contiguous slices — O(n log n), not O(P·n)
-    parts = conv_partition(tbl["conv_id"].to_numpy(zero_copy_only=False), num_batch_parts)
+    parts = conv_partition(tbl["conv_id"], num_batch_parts)
     clean = tbl.drop_columns(["_arrival_us"])
     order = np.argsort(parts, kind="stable")
     clean = clean.take(pa.array(order))

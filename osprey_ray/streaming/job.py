@@ -174,20 +174,28 @@ class StreamingJob:
                 recover_until = last
                 start_epoch = snap_epoch + 1
 
+        def _launch_reads(files: list[str]) -> list:
+            chunks = [
+                files[i : i + self.files_per_read_task]
+                for i in range(0, len(files), self.files_per_read_task)
+            ]
+            return [
+                _read_route.options(num_returns=self.P + 1).remote(c, self.stage1, self.P)
+                for c in chunks
+            ]
+
+        prefetched: dict[int, list] = {}
         for e in range(start_epoch, len(epochs)):
             if stop_after_epoch is not None and e > stop_after_epoch:
                 break
             t0 = time.perf_counter()
             files = epochs[e]
             recovery = e <= recover_until
-            chunks = [
-                files[i : i + self.files_per_read_task]
-                for i in range(0, len(files), self.files_per_read_task)
-            ]
-            read_refs = [
-                _read_route.options(num_returns=self.P + 1).remote(c, self.stage1, self.P)
-                for c in chunks
-            ]
+            read_refs = prefetched.pop(e, None) or _launch_reads(files)
+            # pipeline: next epoch's read+stateless stage overlaps this
+            # epoch's stateful processing
+            if e + 1 < len(epochs) and (stop_after_epoch is None or e + 1 <= stop_after_epoch):
+                prefetched[e + 1] = _launch_reads(epochs[e + 1])
             max_ts = max(ray.get([r[self.P] for r in read_refs]), default=I64_MIN)
             watermark = max(watermark, max_ts - self.lateness_us)
             stats = ray.get(

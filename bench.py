@@ -3,11 +3,11 @@
 
 Usage:
     python bench.py                     # full suite at $RAY_GRAFT_CPUS (def 32)
-    python bench.py --scaling           # fresh-process headline runs at 8 and
-                                        #   32 CPUs on the SAME larger input
-                                        #   (BENCH_SCALING_TURNS, def 2M) with
-                                        #   an untimed warm-up; reports
-                                        #   throughput at both + efficiency
+    python bench.py --scaling           # fresh-process headline runs at 4 and
+                                        #   16 CPUs (BENCH_SCALING_LO/HI) on the
+                                        #   SAME input (BENCH_SCALING_TURNS, def
+                                        #   32M) with an untimed warm-up;
+                                        #   reports throughput at both + eff
 
 Prints ONE JSON line.
 """

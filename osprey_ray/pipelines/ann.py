@@ -98,7 +98,7 @@ class LshHasher:
     """Random-hyperplane LSH (actor stage; planes drawn once per actor from
     a fixed seed so every actor agrees)."""
 
-    def __init__(self, dim: int = 64, n_tables: int = 8, n_bits: int = 8, seed: int = 42):
+    def __init__(self, dim: int = 64, n_tables: int = 16, n_bits: int = 6, seed: int = 42):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((n_tables, n_bits, dim))
         self.n_tables = n_tables

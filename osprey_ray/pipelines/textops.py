@@ -131,29 +131,85 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
-class MinHasher:
-    """Actor-pool stage: permutation params built once per actor."""
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized uint64 (public algorithm)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
-    def __init__(self, num_perm: int = 64, bands: int = 16):
-        self.a, self.b = _minhash_params(num_perm)
+
+class MinHasher:
+    """Actor-pool MinHash stage, fully vectorized: tokens are
+    dictionary-encoded to int ids, 3-gram shingle hashes are a splitmix64
+    mix of the id triple, each of the 64 permutations is
+    ``splitmix64(gram ^ seed_i)``, and per-doc minima come from
+    ``np.minimum.reduceat`` — no per-gram Python hashing in the hot path.
+    Permutation seeds built once per actor (fixed seed → all actors agree)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.seeds = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
         self.bands = bands
         self.rows = num_perm // bands
+        self.band_seeds = rng.integers(0, 2**63, size=bands, dtype=np.uint64)
+        self.__name__ = "MinHasher"  # instance used as a stateless map fn
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(text, self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(did)
-                band_ids.append(bi)
-                band_hashes.append(h)
+        ids = t["doc_id"].to_numpy()
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().dictionary_encode()
+        # hash token CONTENT (per unique dictionary entry — cheap), never
+        # batch-local codes: signatures must agree across batches/actors
+        dict_hashes = np.array(
+            [
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                for w in flat.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        idxs = flat.indices.to_numpy(zero_copy_only=False)
+        codes = dict_hashes[idxs] if len(dict_hashes) else np.zeros(0, dtype=np.uint64)
+        offsets = np.asarray(toks.offsets)
+        offsets = offsets - offsets[0]
+        n = len(ids)
+        # 3-gram shingle hashes; docs with <3 tokens fall back to 1-grams
+        lens = np.diff(offsets)
+        k = 3
+        doc_of = np.repeat(np.arange(n), lens)
+        pos_in_doc = np.arange(len(codes)) - np.repeat(offsets[:-1], lens)
+        valid = pos_in_doc < np.repeat(np.maximum(lens - (k - 1), 1), lens)
+        g = _splitmix64(codes)
+        nxt1 = np.roll(codes, -1)
+        nxt2 = np.roll(codes, -2)
+        use3 = np.repeat(lens >= k, lens)
+        g = np.where(
+            use3,
+            _splitmix64(g ^ _splitmix64(nxt1 ^ np.uint64(0xA5A5)) ^ (_splitmix64(nxt2) >> np.uint64(1))),
+            g,
+        )
+        g = g[valid]
+        gdoc = doc_of[valid]
+        gram_starts = np.searchsorted(gdoc, np.arange(n))
+        # (L, P) permuted values → per-doc column minima
+        vals = _splitmix64(g[:, None] ^ self.seeds[None, :])
+        has = np.diff(np.append(gram_starts, len(g))) > 0
+        sig = np.full((n, len(self.seeds)), np.uint64(0xFFFFFFFFFFFFFFFF))
+        if len(g):
+            mins = np.minimum.reduceat(vals, gram_starts.clip(max=max(len(g) - 1, 0)), axis=0)
+            sig[has] = mins[has]
+        # band keys: mix the rows of each band into one uint64
+        sig_b = sig.reshape(n, self.bands, self.rows)
+        band_hash = np.zeros((n, self.bands), dtype=np.uint64)
+        for r in range(self.rows):
+            band_hash = _splitmix64(band_hash ^ sig_b[:, :, r] ^ self.band_seeds[None, :])
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(band_hash.reshape(-1).view(np.int64), pa.int64()),
             }
         )
 
@@ -170,9 +226,8 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
     groupby(band, band_hash) candidates → n-gram Jaccard verification.
     Returns verified pairs (doc_a < doc_b, jaccard_pct int)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
-    )
+    # init is cheap (seed arrays) → stateless tasks beat an actor pool here
+    bands = ds.map_batches(MinHasher(), batch_format="pyarrow", batch_size=256)
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())

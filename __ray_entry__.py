@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": A.q_hash_join,
         "hll_distinct": A.q_hll_distinct,
         "asof_join": A.q_asof_join,
+        "topn_compare": A.q_topn_compare,
         "experiment_buckets": A.q_experiment_buckets,
         # text / training-data ops over documents
         "exact_dedup": T.q_exact_dedup,
@@ -285,6 +286,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, "
             "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "topn_compare": (
+            "WITH b AS (SELECT CAST(floor(epoch(max(ts))*1000000) AS BIGINT) AS tmax FROM events), "
+            "c AS (SELECT event_type, "
+            "SUM(CASE WHEN CAST(floor(epoch(ts)*1000000) AS BIGINT) > (SELECT tmax - 86400000000 FROM b) THEN 1 ELSE 0 END) AS n_current, "
+            "SUM(CASE WHEN CAST(floor(epoch(ts)*1000000) AS BIGINT) > (SELECT tmax - 172800000000 FROM b) "
+            "AND CAST(floor(epoch(ts)*1000000) AS BIGINT) <= (SELECT tmax - 86400000000 FROM b) THEN 1 ELSE 0 END) AS n_previous "
+            "FROM events GROUP BY event_type) "
+            "SELECT event_type, CAST(n_current AS BIGINT) AS n_current, CAST(n_previous AS BIGINT) AS n_previous, "
+            "CAST(n_current - n_previous AS BIGINT) AS delta FROM c "
+            "ORDER BY n_current DESC, event_type LIMIT 10"
         ),
         "asof_join": (
             "SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date "

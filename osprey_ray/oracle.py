@@ -153,7 +153,10 @@ class OracleEngine:
     def run(self, rows: list[dict]) -> list[dict]:
         """rows must already be in (conv_id, turn_idx, ts) order and deduped;
         returns one result dict per turn."""
+        from osprey_ray.rules import propagate_secret_taint
+
         spec = self.spec
+        tainted = propagate_secret_taint(spec.features)
         out = []
         for row in rows:
             cid = row["conv_id"]
@@ -203,7 +206,7 @@ class OracleEngine:
 
             res = {k: row[k] for k in ("conv_id", "turn_idx", "ts")}
             for f in spec.features:
-                if f.extracted:
+                if f.extracted and f.name not in tainted:
                     res[f.name] = rctx.features[f.name]
             for name in spec.stateful_names():
                 res[name] = rctx.features[name]

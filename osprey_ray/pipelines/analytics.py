@@ -358,6 +358,42 @@ def q_hash_join(sf_dir: str):
     )
 
 
+def q_topn_compare(sf_dir: str):
+    """TopN with period-over-period comparison (TopNDruidQuery,
+    worker/ui_api/osprey/lib/druid.py:224-455): per event_type, count in the
+    last 24h of the stream vs the 24h before, with delta."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    import pyarrow.parquet as pq
+
+    hi = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"].cast(pa.int64())
+    t_max = pc.max(hi).as_py()
+    day = 86_400_000_000
+    cur_lo, prev_lo = t_max - day, t_max - 2 * day
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        cur = pc.cast(pc.greater(ts, cur_lo), pa.int64())
+        prev = pc.cast(
+            pc.and_(pc.greater(ts, prev_lo), pc.less_equal(ts, cur_lo)), pa.int64()
+        )
+        g = (
+            pa.table({"event_type": t["event_type"], "cur": cur, "prev": prev})
+            .group_by("event_type")
+            .aggregate([("cur", "sum"), ("prev", "sum")])
+        )
+        return g.rename_columns(["event_type", "cur", "prev"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("cur", alias_name="n_current"), Sum("prev", alias_name="n_previous"))
+        .to_pandas()
+    )
+    out["delta"] = out["n_current"] - out["n_previous"]
+    out = out.sort_values(["n_current", "event_type"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (SURVEY §2.0 custom-operator row): for each event, the
     latest order of the same customer with ``o_orderdate <= ts`` — sorted

@@ -271,6 +271,58 @@ def run_batch_exchange(
     return pa.concat_tables(outs, promote_options="default") if outs else pa.table({})
 
 
+def bulk_label(
+    results: "ray.data.Dataset",
+    rule_name: str,
+    min_fires: int,
+    label: str,
+    expires_after: float | None = None,
+) -> pa.Table:
+    """Bulk-label batch job (SURVEY §3.3 — the reference's
+    worker/sinks/sink/bulk_label_sink.py:64-120 path: query stored execution
+    results, apply label mutations per matching entity).  Scans the
+    execution-results Dataset, pre-aggregates rule fires per conversation
+    inside map_batches, and emits one label mutation per conversation with
+    ``>= min_fires`` firing turns (ts = last firing turn)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        fired = pc.cast(pc.fill_null(t[rule_name], False), pa.int64())
+        g = (
+            pa.table({"conv_id": t["conv_id"], "f": fired, "ts": t["ts"].cast(pa.int64())})
+            .group_by("conv_id")
+            .aggregate([("f", "sum"), ("ts", "max")])
+        )
+        return g.rename_columns(["conv_id", "fires", "last_ts"])
+
+    agg = (
+        results.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("fires", alias_name="fires"), Max("last_ts", alias_name="last_ts"))
+        .to_pandas()
+    )
+    hit = agg[agg["fires"] >= min_fires].sort_values("conv_id")
+    exp = (
+        (hit["last_ts"] + int(expires_after * 1e6)).astype("int64")
+        if expires_after is not None
+        else pa.nulls(len(hit), pa.timestamp("us"))
+    )
+    return pa.table(
+        {
+            "conv_id": pa.array(hit["conv_id"], pa.string()),
+            "ts": pa.array(hit["last_ts"].astype("int64"), pa.timestamp("us")),
+            "label": pa.array([label] * len(hit), pa.string()),
+            "status": pa.array(["added"] * len(hit), pa.string()),
+            "expires_at": pa.array(exp, pa.timestamp("us"))
+            if expires_after is not None
+            else pa.nulls(len(hit), pa.timestamp("us")),
+            "n_fires": pa.array(hit["fires"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 def verdict_stream(results: "ray.data.Dataset") -> "ray.data.Dataset":
     """Filter the execution results down to fired turns (the verdict sink
     stream, FIXTURES.md F4)."""

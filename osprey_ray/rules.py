@@ -52,10 +52,23 @@ Effect = DeclareVerdict | LabelAdd | LabelRemove
 class Feature:
     name: str
     expr: Expr
+    secret: bool = False
 
     @property
     def extracted(self) -> bool:
-        return not self.name.startswith("_")
+        return not self.name.startswith("_") and not self.secret
+
+
+def propagate_secret_taint(features: list[Feature]) -> set[str]:
+    """Secret-taint propagation (grammar.py:339-394 ``can_extract``): a
+    feature marked ``secret`` — or any feature whose expression references a
+    tainted feature — is never extracted (it still evaluates and can gate
+    rules).  Returns the tainted name set."""
+    tainted: set[str] = set()
+    for f in features:  # declaration order = dependency order
+        if f.secret or (f.expr.refs() & tainted):
+            tainted.add(f.name)
+    return tainted
 
 
 @dataclass

@@ -96,11 +96,15 @@ class StatelessStage:
             if k not in out_cols:
                 out_cols[k] = _as_array(ctx.resolve(k), ctx.n)
 
-        # features, in declared order (AssignExecutor: failed → null)
+        # features, in declared order (AssignExecutor: failed → null);
+        # secret-tainted features evaluate but never extract
+        from osprey_ray.rules import propagate_secret_taint
+
+        tainted = propagate_secret_taint(spec.features)
         for f in spec.features:
             arr = _as_array(f.expr.eval_batch(ctx), ctx.n)
             ctx.features[f.name] = arr
-            if f.extracted:
+            if f.extracted and f.name not in tainted:
                 out_cols[f.name] = arr
 
         # stateful gating predicates → hidden bool columns

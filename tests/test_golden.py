@@ -126,6 +126,51 @@ def test_clean_batch_parity():
             assert got == want, (rs, rp, got, want)
 
 
+def test_secret_taint_never_extracts(small_data):
+    """Secret-tainted features evaluate (can gate rules) but never appear
+    as output columns — grammar.py:339-394 can_extract semantics."""
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import Feature, Rule, RuleSpec
+
+    clean, _ = small_data
+    spec = RuleSpec(
+        features=[
+            Feature("RawToken", fn("HashSha256", target=col("text")), secret=True),
+            Feature("DerivedFromSecret", fn("StringLength", target=col("RawToken"))),
+            Feature("PlainLen", fn("StringLength", target=col("text"))),
+        ],
+        rules=[Rule("RuleSecretGate", [col("DerivedFromSecret") == 64], "gated by secret")],
+    )
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, {})(t1)
+    assert "RawToken" not in out.column_names
+    assert "DerivedFromSecret" not in out.column_names  # taint propagates
+    assert "PlainLen" in out.column_names
+    assert all(out["RuleSecretGate"].to_pylist())  # still evaluated
+    # oracle agrees on the output column set
+    res = oracle_results(clean.slice(0, 50), spec, {})
+    assert "RawToken" not in res[0] and "DerivedFromSecret" not in res[0]
+    assert "PlainLen" in res[0]
+
+
+def test_bulk_label_job(small_data, ray_session):
+    """Bulk-label batch path (§3.3): mutations for conversations with >=k
+    rule fires, cross-checked against the oracle results."""
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import bulk_label
+
+    clean, lmap = small_data
+    spec = flagship_spec()
+    res = run_batch(rd.from_arrow(clean), spec, lmap, num_partitions=4)
+    bl = bulk_label(res, "RuleSpam", 2, "spam_suspect", 3600).to_pandas()
+    want = pd.DataFrame(oracle_results(clean, spec, lmap))
+    per_conv = want.groupby("conv_id")["RuleSpam"].sum()
+    expect = sorted(per_conv[per_conv >= 2].index)
+    assert sorted(bl["conv_id"]) == expect
+    assert (bl["status"] == "added").all()
+
+
 def test_dedup_and_determinism(small_data):
     clean, lmap = small_data
     spec = flagship_spec()

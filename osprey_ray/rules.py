@@ -253,6 +253,42 @@ class RuleSpec:
                 if rn not in rules:
                     raise ValueError(f"trigger references unknown rule {rn}")
 
+    def merge(self, *others: "RuleSpec") -> "RuleSpec":
+        """Compile-time plan merge — the ``Import`` analogue
+        (stdlib/udfs/import_.py:17-82: static include, duplicate-checked).
+        Feature/rule names must be globally unique across merged specs."""
+        out = RuleSpec(
+            features=list(self.features),
+            stateful=list(self.stateful),
+            rules=list(self.rules),
+            triggers=list(self.triggers),
+        )
+        for o in others:
+            out.features += o.features
+            out.stateful += o.stateful
+            out.rules += o.rules
+            out.triggers += o.triggers
+        out.validate()
+        return out
+
+    def gated(self, gate: Expr) -> "RuleSpec":
+        """Runtime gating of a whole sub-spec — the ``Require``
+        (require_if / per-action-name dispatch) analogue
+        (stdlib/udfs/require.py:14-58 + the reference's
+        ``Require(rule=f'actions/{ActionName}.sml')`` pattern,
+        osprey_engine.py:182-196): every rule in this spec additionally
+        requires ``gate`` (e.g. ``col('role') == 'tool'``), so the whole
+        file's rules only fire for matching rows — dispatch becomes a
+        vectorized mask, not control flow."""
+        return RuleSpec(
+            features=self.features,
+            stateful=self.stateful,
+            rules=[
+                Rule(r.name, [gate] + list(r.when_all), r.description) for r in self.rules
+            ],
+            triggers=self.triggers,
+        )
+
     def uses_labels(self) -> bool:
         if any(isinstance(s, HasLabel) for s in self.stateful):
             return True

@@ -126,6 +126,41 @@ def test_clean_batch_parity():
             assert got == want, (rs, rp, got, want)
 
 
+def test_spec_merge_and_gating(small_data):
+    """Import (merge) + Require (gated dispatch) analogues: a merged,
+    role-gated sub-spec fires only for matching rows; engine ≡ oracle."""
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import DeclareVerdict, Feature, Rule, RuleSpec, WhenRules
+
+    clean, _ = small_data
+    base = RuleSpec(
+        features=[Feature("Len", fn("StringLength", target=col("text")))],
+        rules=[Rule("RuleLong", [col("Len") > 40], "long")],
+        triggers=[WhenRules(["RuleLong"], [DeclareVerdict("long")])],
+    )
+    tool_file = RuleSpec(
+        features=[Feature("IsMailTool", col("tool") == "mail")],
+        rules=[Rule("RuleMail", [col("IsMailTool")], "mail tool")],
+        triggers=[WhenRules(["RuleMail"], [DeclareVerdict("mail")])],
+    ).gated(col("role") == "tool")
+    spec = base.merge(tool_file)
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, {})(t1).to_pandas()
+    roles = clean.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    )
+    fired_mail = out[out["RuleMail"]]
+    assert len(fired_mail) > 0
+    got = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = pd.DataFrame(oracle_results(clean, spec, {}))
+    assert_frames_equal(got, want)
+    # duplicate names are rejected at merge time
+    import pytest
+
+    with pytest.raises(ValueError):
+        base.merge(base)
+
+
 def test_secret_taint_never_extracts(small_data):
     """Secret-tainted features evaluate (can gate rules) but never appear
     as output columns — grammar.py:339-394 can_extract semantics."""

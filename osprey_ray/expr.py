@@ -301,13 +301,17 @@ class Cmp(Expr):
             l = _as_array(self.left.eval_batch(ctx), ctx.n)
             values = self.right.value
             has_null = any(v is None for v in values)
-            vs = pa.array([v for v in values if v is not None])
-            if len(vs) and not pa.types.is_null(l.type):
-                try:
-                    vs = vs.cast(l.type)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    pass
-            isin = pc.fill_null(pc.is_in(l, value_set=vs), False)
+            non_null = [v for v in values if v is not None]
+            if non_null:
+                vs = pa.array(non_null)
+                if not pa.types.is_null(l.type):
+                    try:
+                        vs = vs.cast(l.type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        pass
+                isin = pc.fill_null(pc.is_in(l, value_set=vs), False)
+            else:
+                isin = pa.array(np.zeros(ctx.n, dtype=bool))
             if has_null:
                 isin = pc.or_(isin, l.is_null())
             else:

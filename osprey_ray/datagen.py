@@ -82,15 +82,25 @@ def conv_partition(conv_ids, num_parts: int) -> np.ndarray:
 
 def _join_words(idx: np.ndarray) -> np.ndarray:
     """Space-join a (n, k) matrix of vocab indices via Arrow's binary_join
-    (C++; ~30× numpy's _vec_string at 10^7 rows)."""
+    (C++; ~30× numpy's _vec_string at 10^7 rows).  Chunked so the child
+    string array never exceeds int32 offsets."""
     import pyarrow.compute as pc
 
     n, k = idx.shape
-    flat = idx.reshape(-1).astype(np.int32)
-    words = pa.array(VOCAB).take(pa.array(flat))
-    offsets = pa.array(np.arange(0, n * k + 1, k, dtype=np.int32))
-    joined = pc.binary_join(pa.ListArray.from_arrays(offsets, words), " ")
-    return joined.to_numpy(zero_copy_only=False)
+    chunk = 8_000_000
+    outs = []
+    for lo in range(0, n, chunk):
+        sub = idx[lo : lo + chunk]
+        m = sub.shape[0]
+        flat = sub.reshape(-1).astype(np.int32)
+        words = pa.array(VOCAB).take(pa.array(flat))
+        offsets = pa.array(np.arange(0, m * k + 1, k, dtype=np.int32))
+        outs.append(
+            pc.binary_join(pa.ListArray.from_arrays(offsets, words), " ").to_numpy(
+                zero_copy_only=False
+            )
+        )
+    return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
 
 def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:

@@ -224,7 +224,7 @@ def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
             "conv_id": pa.array(conv_id, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
+            "text": pa.array(text, pa.large_string()),  # int64 offsets — 64M+ rows overflow int32
             "tool": pa.array(tool.tolist(), pa.string()),
             "ts": pa.array(ts_us, pa.timestamp("us")),
             "_arrival_us": pa.array(arrival, pa.int64()),

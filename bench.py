@@ -183,7 +183,7 @@ def run_scaling() -> None:
     # BENCH_SCALING_LO/HI to measure other levels (e.g. 8/32)
     lo_n = int(os.environ.get("BENCH_SCALING_LO", "4"))
     hi_n = int(os.environ.get("BENCH_SCALING_HI", str(lo_n * 4)))
-    turns = int(os.environ.get("BENCH_SCALING_TURNS", "32000000"))
+    turns = int(os.environ.get("BENCH_SCALING_TURNS", "64000000"))
     # generate the dataset once, outside the timed subprocesses
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from osprey_ray.datagen import ensure_dataset

@@ -113,9 +113,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     job.finalize()
     timings["flagship_streaming"] = time.perf_counter() - t0
     avg_pending = None
+    avg_lag = None
     if job.metrics:
         lags = [m["pending_rows"] for m in job.metrics if not m["recovery"]]
         avg_pending = float(sum(lags)) / max(1, len(lags))
+        wl = [m["watermark_lag_s"] for m in job.metrics if m.get("watermark_lag_s")]
+        avg_lag = round(float(sum(wl)) / max(1, len(wl)), 3) if wl else None
 
     # representative analytics queries over the testdata tables
     import __ray_entry__ as em
@@ -147,6 +150,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "turns_per_sec": round(turns / headline, 1),
         "streaming_turns_per_sec": round(turns / timings["flagship_streaming"], 1),
         "avg_pending_rows": avg_pending,
+        "watermark_lag_s": avg_lag,
     }
     ray.shutdown()
     return result

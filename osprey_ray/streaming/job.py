@@ -237,10 +237,19 @@ class StreamingJob:
 
     def _commit(self, e, files, watermark, stats, snapshots, recovery, t0) -> dict:
         released = sum(s["released"] for s in stats)
+        # end-to-end watermark lag: newest event seen vs the frontier up to
+        # which results are final — bounded by allowed_lateness by
+        # construction; growth beyond it means the engine is falling behind
+        lag_s = None
+        if I64_MIN < watermark < np.iinfo(np.int64).max:
+            # = allowed lateness (event-time bound) + this epoch's processing
+            # wall time (how long finalization trailed the data)
+            lag_s = round(self.lateness_us / 1e6 + (time.perf_counter() - t0), 3)
         metrics = {
             "epoch": e,
             "input_files": files,
             "watermark": int(watermark),
+            "watermark_lag_s": lag_s,
             "released_rows": released,
             "fired_rows": sum(s["fired"] for s in stats),
             "late_dropped": sum(s["late_dropped"] for s in stats),

@@ -73,6 +73,8 @@ class OracleEngine:
                     flagged = False
                 if flagged:
                     buf.append(ts_us)
+                    if len(buf) > sf.max_events_cap:
+                        del buf[: len(buf) - sf.max_events_cap]
                 w_us = int(sf.window_seconds * 1e6)
                 lo = bisect.bisect_right(buf, ts_us - w_us)
                 rctx.features[sf.name] = min(len(buf) - lo, sf.max_events_cap)
@@ -120,11 +122,16 @@ class OracleEngine:
                         buf.pop(0)
             elif isinstance(sf, WindowCount):
                 # declared before its source window → buffer holds prior
-                # turns only at this point
+                # turns only at this point; clamped by the source's cap
                 buf = st.setdefault(f"w:{sf.source}", [])
                 w_us = int(sf.window_seconds * 1e6)
                 lo = bisect.bisect_right(buf, ts_us - w_us)
-                rctx.features[sf.name] = len(buf) - lo
+                src_cap = next(
+                    x.max_events_cap
+                    for x in self.spec.stateful
+                    if isinstance(x, IncrementWindow) and x.name == sf.source
+                )
+                rctx.features[sf.name] = min(len(buf) - lo, src_cap)
             elif isinstance(sf, KvCache):
                 cur = st.get(f"k:{sf.name}")
                 val = None

@@ -211,8 +211,11 @@ def eval_released(
                 lo = np.searchsorted(all_flag, t - w_us, side="right")
                 cnt = added - lo
                 sf_vals[sf.name][s:e] = np.minimum(cnt, sf.max_events_cap)
+                # evict: outside the window AND cap stored events at the
+                # newest max_events_cap (the reference's zremrangebyrank
+                # bound, cache.py:199-201) so hot keys can't grow state
                 keep_from = np.searchsorted(all_flag, t[-1] - w_us, side="right")
-                st[f"w:{sf.name}"] = all_flag[keep_from:]
+                st[f"w:{sf.name}"] = all_flag[keep_from:][-sf.max_events_cap :]
             elif isinstance(sf, TumblingCount):
                 b_us = np.int64(sf.bucket_seconds * 1e6)
                 flag = sf_pred[sf.name][s:e]
@@ -252,7 +255,12 @@ def eval_released(
                 fl = flag.astype(np.int64)
                 added_excl = len(buf) + np.cumsum(fl) - fl
                 lo = np.searchsorted(all_flag, t - w_us, side="right")
-                sf_vals[sf.name][s:e] = added_excl - lo
+                src_cap = next(
+                    x.max_events_cap
+                    for x in spec.stateful
+                    if isinstance(x, IncrementWindow) and x.name == sf.source
+                )
+                sf_vals[sf.name][s:e] = np.minimum(added_excl - lo, src_cap)
             elif isinstance(sf, KvCache):
                 setm = sf_pred[sf.name][s:e]
                 m_len = e - s

@@ -126,6 +126,30 @@ def test_clean_batch_parity():
             assert got == want, (rs, rp, got, want)
 
 
+def test_window_cap_parity(small_data):
+    """max_events_cap exceeded: engine ≡ oracle for counts, WindowCount
+    clamp, and bounded carry (the reference's 10k-event ZSET bound — here
+    cap=5 so the fixture actually exceeds it)."""
+    from osprey_ray.expr import col, lit
+    from osprey_ray.rules import IncrementWindow, Rule, RuleSpec, WindowCount
+
+    clean, _ = small_data
+    spec = RuleSpec(
+        stateful=[
+            WindowCount("SeenBefore", source="AllTurns1h", window_seconds=3600),
+            IncrementWindow("AllTurns1h", when=lit(True), window_seconds=3600, max_events_cap=5),
+        ],
+        rules=[Rule("RuleCapped", [col("AllTurns1h") >= 5], "at cap")],
+    )
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, {})(t1)
+    got = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["AllTurns1h"].max() == 5  # cap actually binds
+    assert got["SeenBefore"].max() == 5
+    want = pd.DataFrame(oracle_results(clean, spec, {}))
+    assert_frames_equal(got, want)
+
+
 def test_spec_merge_and_gating(small_data):
     """Import (merge) + Require (gated dispatch) analogues: a merged,
     role-gated sub-spec fires only for matching rows; engine ≡ oracle."""

@@ -184,7 +184,23 @@ class StreamingJob:
                 for c in chunks
             ]
 
+        # Pipelined epoch loop: epoch e+1's reads launch while e processes,
+        # and e+1's shard calls are SUBMITTED before e's results are
+        # gathered — Ray actors execute queued calls FIFO, so per-shard
+        # ordering (process e → snapshot e → process e+1) is preserved while
+        # fast shards run ahead of slow ones.  Manifests still commit
+        # strictly in epoch order (the exactly-once gate is unchanged).
         prefetched: dict[int, list] = {}
+        in_flight: list[tuple] = []  # (e, files, watermark, stats_refs, snap_refs, recovery, t0)
+
+        def _drain_one() -> None:
+            e_, files_, wm_, stats_refs, snap_refs, recovery_, t0_ = in_flight.pop(0)
+            stats = ray.get(stats_refs)
+            snapshots = ray.get(snap_refs) if snap_refs is not None else None
+            self.metrics.append(
+                self._commit(e_, files_, wm_, stats, snapshots, recovery_, t0_)
+            )
+
         for e in range(start_epoch, len(epochs)):
             if stop_after_epoch is not None and e > stop_after_epoch:
                 break
@@ -192,31 +208,28 @@ class StreamingJob:
             files = epochs[e]
             recovery = e <= recover_until
             read_refs = prefetched.pop(e, None) or _launch_reads(files)
-            # pipeline: next epoch's read+stateless stage overlaps this
-            # epoch's stateful processing
             if e + 1 < len(epochs) and (stop_after_epoch is None or e + 1 <= stop_after_epoch):
                 prefetched[e + 1] = _launch_reads(epochs[e + 1])
+            # the watermark needs this epoch's max event ts before dispatch
             max_ts = max(ray.get([r[self.P] for r in read_refs]), default=I64_MIN)
             watermark = max(watermark, max_ts - self.lateness_us)
-            stats = ray.get(
-                [
-                    self.shards[p].process.remote(
-                        e,
-                        [r[p] for r in read_refs],
-                        watermark,
-                        not recovery,
-                    )
-                    for p in range(self.P)
-                ]
-            )
-            snapshots = None
-            do_snap = (e % self.checkpoint_interval) == (self.checkpoint_interval - 1)
-            if do_snap and not recovery:
-                snapshots = ray.get(
-                    [s.snapshot.remote(self.ckpt_dir, e) for s in self.shards]
+            stats_refs = [
+                self.shards[p].process.remote(
+                    e, [r[p] for r in read_refs], watermark, not recovery
                 )
-            epoch_metrics = self._commit(e, files, watermark, stats, snapshots, recovery, t0)
-            self.metrics.append(epoch_metrics)
+                for p in range(self.P)
+            ]
+            do_snap = (e % self.checkpoint_interval) == (self.checkpoint_interval - 1)
+            snap_refs = (
+                [s.snapshot.remote(self.ckpt_dir, e) for s in self.shards]
+                if do_snap and not recovery
+                else None
+            )
+            in_flight.append((e, files, watermark, stats_refs, snap_refs, recovery, t0))
+            while len(in_flight) > 1:  # one epoch of lookahead
+                _drain_one()
+        while in_flight:
+            _drain_one()
         return self.metrics
 
     def finalize(self) -> dict:

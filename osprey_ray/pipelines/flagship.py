@@ -246,7 +246,7 @@ def run_batch_exchange(
         tbl = pa.concat_tables(live, promote_options="default")
         states: dict = {}
         tbl = sort_and_dedup(tbl, states)
-        out, _ = eval_released(tbl, spec, rule_plans, states, LabelStore(), lmap)
+        out, _ = eval_released(tbl, spec, rule_plans, states, LabelStore(), lmap, persist=False)
         if write_dir is not None:
             os.makedirs(write_dir, exist_ok=True)
             path = os.path.join(write_dir, f"part-{part:05d}.parquet")

@@ -124,6 +124,103 @@ def _running_segment_count(flag: np.ndarray, new_seg: np.ndarray, carry: int) ->
     return out
 
 
+def _eval_windows_global(
+    spec: RuleSpec,
+    sf_pred: dict,
+    sf_vals: dict,
+    ts: np.ndarray,
+    turn: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    change: np.ndarray,
+    n: int,
+) -> None:
+    """Batch fast path: every window/session/sequence/KV feature computed in
+    a constant number of whole-array numpy ops — zero per-conversation
+    Python.  Sliding windows use composite offsets (each conversation's
+    timeline shifted into a disjoint range wider than the window) so ONE
+    global searchsorted respects conversation boundaries.  Only valid when
+    no conversation carries state from a previous epoch (fresh batch run —
+    the streaming path keeps the per-conversation carry loop)."""
+    G = len(starts)
+    lens = ends - starts
+    gidx = np.repeat(np.arange(G), lens)
+    rep_starts = np.repeat(starts, lens)
+    conv_min = ts[starts]
+    span = ts[ends - 1] - conv_min
+    turn64 = turn.astype(np.int64)
+
+    for sf in spec.stateful:
+        if isinstance(sf, (IncrementWindow, WindowCount)):
+            if isinstance(sf, IncrementWindow):
+                w_us = np.int64(sf.window_seconds * 1e6)
+                f = sf_pred[sf.name]
+                cap = sf.max_events_cap
+                incl_self = True
+            else:
+                w_us = np.int64(sf.window_seconds * 1e6)
+                f = sf_pred[sf.source]
+                cap = next(
+                    x.max_events_cap
+                    for x in spec.stateful
+                    if isinstance(x, IncrementWindow) and x.name == sf.source
+                )
+                incl_self = False
+            base = np.zeros(G, dtype=np.int64)
+            if G > 1:
+                base[1:] = np.cumsum(span[:-1] + 2 * w_us + 2)
+            tp = ts - conv_min[gidx] + base[gidx]
+            flag_tp = tp[f]
+            fl = f.astype(np.int64)
+            added = np.cumsum(fl)
+            if not incl_self:
+                added = added - fl
+            lo = np.searchsorted(flag_tp, tp - w_us, side="right")
+            sf_vals[sf.name] = np.minimum(added - lo, cap)
+        elif isinstance(sf, TumblingCount):
+            b_us = np.int64(sf.bucket_seconds * 1e6)
+            bucket = ts // b_us
+            new_seg = change.copy()
+            new_seg[1:] |= bucket[1:] != bucket[:-1]
+            sf_vals[sf.name] = _running_segment_count(sf_pred[sf.name], new_seg, 0)
+        elif isinstance(sf, SessionWindow):
+            g_us = np.int64(sf.gap_seconds * 1e6)
+            prev = np.empty(n, dtype=np.int64)
+            prev[0] = ts[0]
+            prev[1:] = ts[:-1]
+            brk = (~change) & ((ts - prev) > g_us)
+            cs = np.cumsum(brk.astype(np.int64))
+            sf_vals[f"{sf.name}__id"] = cs - cs[rep_starts]
+            sf_vals[f"{sf.name}__count"] = _running_segment_count(
+                np.ones(n, dtype=np.int64), change | brk, 0
+            )
+        elif isinstance(sf, SequenceMatch):
+            a = sf_pred[sf.name]
+            b = sf_pred[sf.name + "_b"]
+            span_t = turn64[ends - 1] - turn64[starts]
+            base = np.zeros(G, dtype=np.int64)
+            if G > 1:
+                base[1:] = np.cumsum(span_t[:-1] + 2 * sf.within_turns + 2)
+            tp = turn64 - turn64[starts][gidx] + base[gidx]
+            all_first = tp[a]
+            added_excl = np.cumsum(a.astype(np.int64)) - a.astype(np.int64)
+            lo = np.searchsorted(all_first, tp - sf.within_turns, side="left")
+            sf_vals[sf.name] = b & (added_excl > lo)
+        elif isinstance(sf, KvCache):
+            setm = sf_pred[sf.name]
+            set_pos = np.flatnonzero(setm)
+            if len(set_pos):
+                last = np.searchsorted(set_pos, np.arange(n), side="left") - 1
+                src = np.where(last >= 0, set_pos[np.maximum(last, 0)], -1)
+                valid = (src >= 0) & (src >= rep_starts)  # same conversation
+                if sf.ttl_seconds is not None:
+                    ttl_us = np.int64(sf.ttl_seconds * 1e6)
+                    set_ts = np.where(valid, ts[np.maximum(src, 0)], 0)
+                    valid &= (set_ts + ttl_us) > ts
+                sf_vals[sf.name] = np.where(valid, src, -1)
+        # HasLabel handled by the label pass
+
+
 def eval_released(
     tbl: pa.Table,
     spec: RuleSpec,
@@ -131,8 +228,13 @@ def eval_released(
     states: dict,
     label_store: LabelStore,
     label_events: dict[str, list] | None = None,
+    persist: bool = True,
 ) -> tuple[pa.Table, list[tuple]]:
     """Evaluate ordered, deduped rows; mutates ``states``/``label_store``.
+
+    ``persist=False`` (batch mode, fresh state): window math runs on the
+    fully-global vectorized fast path and per-conversation carry state is
+    never written — the streaming path uses ``persist=True``.
 
     Returns (execution-results table, applied label mutations
     [(conv_id, ts_us, label, status)]).
@@ -193,7 +295,10 @@ def eval_released(
                 pc.fill_null(tbl[f"__sf_{sf.name}_b"], False).to_numpy(zero_copy_only=False)
             )
 
-    for gi, (s, e) in enumerate(zip(starts, ends)):
+    fast = (not persist) and not states
+    if fast:
+        _eval_windows_global(spec, sf_pred, sf_vals, ts, turn, starts, ends, change, n)
+    for gi, (s, e) in enumerate(zip(starts, ends) if not fast else ()):
         cid = group_cids[gi]
         st = states.setdefault(cid, {})
         t = ts[s:e]
@@ -369,7 +474,7 @@ def eval_released(
         for gi, (s, e) in enumerate(zip(starts, ends)):
             cid = group_cids[gi]
             evs = label_events.get(cid)
-            st = states[cid]
+            st = states.setdefault(cid, {})
             ei = st.get("lev", 0)
             has_events = evs is not None and ei < len(evs)
             has_state = cid in label_store.data
@@ -595,6 +700,7 @@ class StatefulPartitionEval:
         if "__part" in tbl.column_names:
             tbl = tbl.drop_columns(["__part"])
         out, _ = eval_released(
-            tbl, self.spec, self.rule_plans, states, store, self.label_events
+            tbl, self.spec, self.rule_plans, states, store, self.label_events,
+            persist=False,
         )
         return out

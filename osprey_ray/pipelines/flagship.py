@@ -13,6 +13,11 @@ The one shuffle is the ``groupby('__part')`` exchange; the wide ``text``
 column is projected away by stage 1 before it, so only narrow feature
 columns move.  ``num_partitions`` bounds per-task state size — at cluster
 scale set it to a small multiple of total cores.
+
+Two equivalent physical plans (byte-identical output, tested):
+``run_batch`` (pure Dataset API above) and ``run_batch_exchange`` (the same
+stages as an explicit M×P task exchange — faster at small/medium shuffle
+sizes where Ray Data's sort-based groupby fixed cost dominates).
 """
 
 from __future__ import annotations

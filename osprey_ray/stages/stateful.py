@@ -2,14 +2,17 @@
 
 This is the engine's only stateful stage (SURVEY §7 step 5): input rows are
 hash-partitioned by ``conv_id`` and evaluated in strict
-``(conv_id, turn_idx, ts)`` order within each partition.  All window math is
-vectorized numpy over per-conversation slices (no per-turn Python in the
-common path); only the label subsystem — whose read-your-writes ordering is
-inherently sequential (a turn's LabelAdd is visible to later turns but not
-itself, mirroring write-after-classify in
+``(conv_id, turn_idx, ts)`` order within each partition.  Window math has
+two implementations sharing one semantics: a fully-global vectorized fast
+path for fresh batch runs (``persist=False`` — constant number of
+whole-array numpy ops, zero per-conversation Python) and a per-conversation
+loop that handles carried state for the streaming epochs.  The label
+subsystem — whose read-your-writes ordering is inherently sequential (a
+turn's LabelAdd is visible to later turns but not itself, mirroring
+write-after-classify in
 /root/reference/osprey_worker/src/osprey/worker/sinks/sink/output_sink.py:156-350)
-— falls back to a per-turn loop, and only for conversations with label
-activity.
+— walks only mutation-candidate rows, external events and expiry points,
+reconstructing HasLabel columns vectorized from a change log.
 
 The same :func:`eval_released` core serves both execution modes:
 

@@ -232,6 +232,7 @@ def eval_released(
     label_store: LabelStore,
     label_events: dict[str, list] | None = None,
     persist: bool = True,
+    global_windows: bool = False,
 ) -> tuple[pa.Table, list[tuple]]:
     """Evaluate ordered, deduped rows; mutates ``states``/``label_store``.
 
@@ -298,7 +299,12 @@ def eval_released(
                 pc.fill_null(tbl[f"__sf_{sf.name}_b"], False).to_numpy(zero_copy_only=False)
             )
 
-    fast = (not persist) and not states
+    # The global path eliminates per-conversation Python but materializes
+    # large composite-offset intermediates; measured on this box it wins at
+    # low parallelism and loses ~25% at 16+ cores (memory-bandwidth-bound),
+    # so the cache-friendly per-conversation path is the default and the
+    # global one stays available (and parity-tested) via global_windows.
+    fast = global_windows and (not persist) and not states
     if fast:
         _eval_windows_global(spec, sf_pred, sf_vals, ts, turn, starts, ends, change, n)
     for gi, (s, e) in enumerate(zip(starts, ends) if not fast else ()):

@@ -126,6 +126,26 @@ def test_clean_batch_parity():
             assert got == want, (rs, rp, got, want)
 
 
+def test_global_windows_path_parity(small_data):
+    """The optional fully-global vectorized window path produces output
+    byte-identical to the per-conversation path (both specs)."""
+    from osprey_ray.stages.stateless import split_rules
+    from osprey_ray.stages.stateful import eval_released, sort_and_dedup
+    from osprey_ray.state.labels import LabelStore
+    from osprey_ray.pipelines.flagship import kitchen_sink_spec
+
+    clean, lmap = small_data
+    for spec in (flagship_spec(), kitchen_sink_spec()):
+        t1 = compile_stateless(spec)(clean)
+        rp = split_rules(spec)
+        t_sorted = sort_and_dedup(t1, {})
+        a, _ = eval_released(t_sorted, spec, rp, {}, LabelStore(), lmap, persist=False)
+        b, _ = eval_released(
+            t_sorted, spec, rp, {}, LabelStore(), lmap, persist=False, global_windows=True
+        )
+        assert a.equals(b)
+
+
 def test_window_cap_parity(small_data):
     """max_events_cap exceeded: engine ≡ oracle for counts, WindowCount
     clamp, and bounded carry (the reference's 10k-event ZSET bound — here

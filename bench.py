@@ -205,8 +205,17 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # the sandbox VM shows ~±15% run-to-run noise; interleave the two levels
+    # and take the best of two fresh processes per level so time-varying
+    # noise doesn't land on one side of the ratio
     lo = run(lo_n)
     hi = run(hi_n)
+    lo2 = run(lo_n)
+    hi2 = run(hi_n)
+    if lo2["turns_per_sec"] > lo["turns_per_sec"]:
+        lo = lo2
+    if hi2["turns_per_sec"] > hi["turns_per_sec"]:
+        hi = hi2
     tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_n / lo_n)
     print(

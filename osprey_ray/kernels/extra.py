@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from osprey_ray.expr import ExprError
 from osprey_ray.kernels import kernel
-from osprey_ray.kernels.strings import _censor_pattern, _clean_string, clean_batch
+from osprey_ray.kernels.strings import _censor_pattern, _clean_string
 
 EMOJI_PATTERN = re.compile(
     "["

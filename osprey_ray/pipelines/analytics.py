@@ -21,9 +21,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
 
-from osprey_ray.expr import EvalContext, col, fn, and_, or_, lit
+from osprey_ray.expr import EvalContext, col, fn, and_, or_
 from osprey_ray.rules import Feature, RuleSpec, Rule
 from osprey_ray.stages.stateless import compile_stateless
 

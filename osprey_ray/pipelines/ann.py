@@ -14,7 +14,6 @@ All in float64 so ranking ties match DuckDB's double math.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd

@@ -94,7 +94,7 @@ def score_documents(sf_dir: str, concurrency: int = 2):
 def q_model_scoring(sf_dir: str):
     """Scored docs summary: per lang, count of scored rows + mean score in
     millis (int) — deterministic fake model → stable rows-only check."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = score_documents(sf_dir)
 

@@ -52,7 +52,7 @@ from osprey_ray.rules import (
     TumblingCount,
     WindowCount,
 )
-from osprey_ray.stages.stateless import KEY_COLS, RulePlan, split_rules
+from osprey_ray.stages.stateless import RulePlan, split_rules
 from osprey_ray.state.labels import LabelStore
 
 NEG_INF = np.iinfo(np.int64).min

@@ -27,14 +27,11 @@ import pyarrow.compute as pc
 
 from osprey_ray.expr import EvalContext, Expr, _as_array, _bool_operand
 from osprey_ray.rules import (
-    HasLabel,
     IncrementWindow,
     KvCache,
     RuleSpec,
     SequenceMatch,
-    SessionWindow,
     TumblingCount,
-    WindowCount,
 )
 
 KEY_COLS = ["conv_id", "turn_idx", "ts"]

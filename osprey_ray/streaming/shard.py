@@ -160,8 +160,6 @@ class StateShard:
         accumulators.  Per-turn running counts are monotone within a window,
         so the window aggregate is the max of the running count — partials
         merge associatively across epochs."""
-        import collections
-
         conv = out["conv_id"].to_pylist()
         ts = out["ts"].cast(pa.int64()).to_numpy()
         for sf in self.tumbling:

@@ -60,11 +60,16 @@ NEG_INF = np.iinfo(np.int64).min
 
 def _conv_codes(tbl: pa.Table) -> tuple[np.ndarray, pa.Array]:
     """Dictionary-encode conv_id → (int codes, dictionary array).  The
-    grouping key never round-trips through Python strings."""
+    grouping key never round-trips through Python strings.  Accepts a
+    column that is already dictionary-encoded (the exchange ships conv_id
+    dict-encoded to cut object-store bytes)."""
     col = tbl["conv_id"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    enc = col.dictionary_encode()
+    if pa.types.is_dictionary(col.type):
+        enc = col
+    else:
+        enc = col.dictionary_encode()
     return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64), enc.dictionary
 
 
@@ -633,10 +638,17 @@ def eval_released(
                     fr.add(rn)
 
     # ---- assemble output -------------------------------------------------
+    # (conv_id travels the exchange dictionary-encoded; outputs decode back
+    # to plain string so sinks/consumers see the declared schema)
     out: dict[str, pa.Array] = {}
     for name in out_schema_cols:
         if name in tbl.column_names:
-            out[name] = tbl[name]
+            col_out = tbl[name]
+            if pa.types.is_dictionary(
+                col_out.type if not isinstance(col_out, pa.ChunkedArray) else col_out.type
+            ):
+                col_out = col_out.cast(pa.string())
+            out[name] = col_out
     for sf in spec.stateful:
         if isinstance(sf, SessionWindow):
             out[f"{sf.name}__id"] = pa.array(sf_vals[f"{sf.name}__id"])

@@ -71,6 +71,13 @@ def _read_route(
             uniq[c] = h
         parts[i] = h
     max_ts = pc.max(t1["ts"].cast(pa.int64())).as_py() if t1.num_rows else I64_MIN
+    # ship conv_id dictionary-encoded: ~25% fewer object-store bytes per
+    # routed table (the key dominates the narrow post-stage-1 rows)
+    ci = t1.schema.get_field_index("conv_id")
+    col = t1["conv_id"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t1 = t1.set_column(ci, "conv_id", col.dictionary_encode())
     out = []
     parts_arr = pa.array(parts)
     for p in range(num_parts):

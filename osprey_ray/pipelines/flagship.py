@@ -155,15 +155,15 @@ class AssignPartition:
         self.p = num_partitions
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        conv = tbl["conv_id"].to_pylist()
-        uniq: dict[str, int] = {}
-        out = np.empty(len(conv), dtype=np.int32)
-        for i, c in enumerate(conv):
-            h = uniq.get(c)
-            if h is None:
-                h = zlib.crc32(c.encode()) % self.p
-                uniq[c] = h
-            out[i] = h
+        col = tbl["conv_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col if pa.types.is_dictionary(col.type) else col.dictionary_encode()
+        dict_parts = np.array(
+            [zlib.crc32(c.encode()) % self.p for c in enc.dictionary.to_pylist()],
+            dtype=np.int32,
+        )
+        out = dict_parts[enc.indices.to_numpy(zero_copy_only=False)]
         return tbl.append_column("__part", pa.array(out))
 
 

@@ -61,23 +61,21 @@ def _read_route(
     if "_arrival_us" in tbl.column_names:
         tbl = tbl.drop_columns(["_arrival_us"])
     t1 = stage1(tbl)
-    conv = t1["conv_id"].to_pylist()
-    uniq: dict[str, int] = {}
-    parts = np.empty(len(conv), dtype=np.int32)
-    for i, c in enumerate(conv):
-        h = uniq.get(c)
-        if h is None:
-            h = zlib.crc32(c.encode()) % num_parts
-            uniq[c] = h
-        parts[i] = h
-    max_ts = pc.max(t1["ts"].cast(pa.int64())).as_py() if t1.num_rows else I64_MIN
-    # ship conv_id dictionary-encoded: ~25% fewer object-store bytes per
-    # routed table (the key dominates the narrow post-stage-1 rows)
-    ci = t1.schema.get_field_index("conv_id")
+    # dictionary-encode conv_id once: crc32 only over unique ids (route),
+    # and the encoded column ships through the exchange (~25% fewer
+    # object-store bytes — the key dominates the narrow post-stage-1 rows)
     col = t1["conv_id"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    t1 = t1.set_column(ci, "conv_id", col.dictionary_encode())
+    enc = col.dictionary_encode()
+    dict_parts = np.array(
+        [zlib.crc32(c.encode()) % num_parts for c in enc.dictionary.to_pylist()],
+        dtype=np.int32,
+    )
+    parts = dict_parts[enc.indices.to_numpy(zero_copy_only=False)]
+    max_ts = pc.max(t1["ts"].cast(pa.int64())).as_py() if t1.num_rows else I64_MIN
+    ci = t1.schema.get_field_index("conv_id")
+    t1 = t1.set_column(ci, "conv_id", enc)
     out = []
     parts_arr = pa.array(parts)
     for p in range(num_parts):

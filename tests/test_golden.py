@@ -126,6 +126,34 @@ def test_clean_batch_parity():
             assert got == want, (rs, rp, got, want)
 
 
+def test_exchange_write_dir_layout(small_data, ray_session, tmp_path):
+    """run_batch_exchange(write_dir=...) writes one file per non-empty
+    partition (resumable layout) whose union equals the in-memory result."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.flagship import run_batch_exchange
+
+    clean, lmap = small_data
+    spec = flagship_spec()
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(clean.slice(i * 1000, 1000), p)
+        files.append(p)
+    outdir = str(tmp_path / "out")
+    paths = run_batch_exchange(files, spec, lmap, num_partitions=8, write_dir=outdir)
+    assert all(p.endswith(".parquet") for p in paths)
+    written = pa.concat_tables([pq.read_table(p) for p in sorted(glob.glob(outdir + "/*.parquet"))])
+    direct = run_batch_exchange(files, spec, lmap, num_partitions=8)
+    a = written.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = direct.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(a) == len(b) > 2900  # 3000 minus the planted ~1% duplicates
+    assert a["conv_id"].tolist() == b["conv_id"].tolist()
+    assert [list(x) for x in a["__verdicts"]] == [list(x) for x in b["__verdicts"]]
+
+
 def test_global_windows_path_parity(small_data):
     """The optional fully-global vectorized window path produces output
     byte-identical to the per-conversation path (both specs)."""

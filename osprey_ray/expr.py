@@ -40,6 +40,17 @@ class ExprError(Exception):
     """Row-level evaluation failure (oracle path) — maps to Err(None)."""
 
 
+class UnknownNameError(ExprError, KeyError):
+    """A name is neither a column nor a computed feature in this context.
+
+    Subclasses both ExprError (so rule-evaluation `except ExprError` handlers —
+    e.g. the sparse label walk, which evaluates label-gated conjuncts against a
+    HasLabel-only RowContext — treat a missing name as a failed/None conjunct
+    instead of crashing) and KeyError (for callers that probe with
+    `except KeyError`).
+    """
+
+
 # --------------------------------------------------------------------------
 # evaluation contexts
 # --------------------------------------------------------------------------
@@ -67,7 +78,7 @@ class EvalContext:
         if name in self.tbl.column_names:
             col = self.tbl.column(name)
             return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        raise KeyError(f"unknown column/feature: {name}")
+        raise UnknownNameError(f"unknown column/feature: {name}")
 
     def add_errors(self, mask: Any) -> None:
         """mask: boolean numpy array or pa.Array of rows that failed."""
@@ -89,7 +100,7 @@ class RowContext:
             return self.features[name]
         if name in self.row:
             return self.row[name]
-        raise KeyError(f"unknown column/feature: {name}")
+        raise UnknownNameError(f"unknown column/feature: {name}")
 
 
 def _as_array(v: Any, n: int) -> pa.Array:
@@ -238,14 +249,28 @@ class BinOp(Expr):
                 r = pc.if_else(zero, pa.nulls(ctx.n, r.type), r)
             if op == "/":
                 return pc.divide(pc.cast(l, pa.float64()), pc.cast(r, pa.float64()))
+            if pa.types.is_integer(l.type) and pa.types.is_integer(r.type):
+                # exact int64 path (float64 floor-divide loses exactness past
+                # 2^53 — e.g. snowflake ids — and would diverge from the
+                # oracle's Python integer floordiv/mod)
+                li = pc.cast(l, pa.int64())
+                ri = pc.cast(r, pa.int64())
+                q = pc.divide(li, ri)  # truncating integer division
+                rem = pc.subtract(li, pc.multiply(q, ri))
+                # Python floor semantics: step q down when rem != 0 and signs differ
+                adjust = pc.and_(
+                    pc.not_equal(rem, 0),
+                    pc.not_equal(pc.less(li, 0), pc.less(ri, 0)),
+                )
+                fq = pc.if_else(adjust, pc.subtract(q, 1), q)
+                if op == "//":
+                    return fq
+                return pc.subtract(li, pc.multiply(fq, ri))
             fl = pc.floor(pc.divide(pc.cast(l, pa.float64()), pc.cast(r, pa.float64())))
             if op == "//":
-                out = fl
-            else:  # Python modulo: a - floor(a/b)*b
-                out = pc.subtract(pc.cast(l, pa.float64()), pc.multiply(fl, pc.cast(r, pa.float64())))
-            if pa.types.is_integer(l.type) and pa.types.is_integer(r.type):
-                return pc.cast(out, pa.int64())
-            return out
+                return fl
+            # Python modulo: a - floor(a/b)*b
+            return pc.subtract(pc.cast(l, pa.float64()), pc.multiply(fl, pc.cast(r, pa.float64())))
         if op == "**":
             return pc.power(l, r)
         if op == "<<":

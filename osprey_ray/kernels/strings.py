@@ -181,10 +181,17 @@ class StringContains:
     """Substring / whole-word containment
     (example_plugins/src/udfs/string.py:52-70)."""
 
+    # RE2's \b is ASCII-only while Python's is Unicode-aware, so both paths
+    # spell out the same Unicode boundary class ([\p{L}\p{N}_] == Python \w)
+    # instead of \b — keeps batch/oracle parity on non-ASCII neighbours.
+    _B2 = r"[\p{L}\p{N}_]"  # RE2 word char
+    _BP = r"\w"  # Python word char (same set: L* + N* + _)
+
     @staticmethod
     def batch(ctx, target, substring, word=False, case_insensitive=True):
         if word:
-            pat = r"\b" + re.escape(substring) + r"\b"
+            w = StringContains._B2
+            pat = f"(?:^|[^{w[1:-1]}])" + re.escape(substring) + f"(?:[^{w[1:-1]}]|$)"
             return pc.match_substring_regex(target, pattern=pat, ignore_case=case_insensitive)
         return pc.match_substring(target, pattern=substring, ignore_case=case_insensitive)
 
@@ -195,7 +202,8 @@ class StringContains:
         t = target.lower() if case_insensitive else target
         s = substring.lower() if case_insensitive else substring
         if word:
-            return re.search(r"\b" + re.escape(s) + r"\b", t) is not None
+            pat = r"(?:^|\W)" + re.escape(s) + r"(?:\W|$)"
+            return re.search(pat, t) is not None
         return s in t
 
 

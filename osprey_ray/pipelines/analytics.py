@@ -438,6 +438,11 @@ def q_asof_join(sf_dir: str):
             on="t",
             direction="backward",
         )
+        # inner ASOF semantics (matching DuckDB's ASOF JOIN): drop events
+        # with no prior order rather than emitting a null match
+        m = m[m["od"].notna()]
+        if m.empty:
+            return pd.DataFrame({"event_id": [], "user_id": [], "last_order_date": []})
         return pd.DataFrame(
             {
                 "event_id": m["event_id"].astype("int64"),

@@ -58,6 +58,27 @@ from osprey_ray.state.labels import LabelStore
 NEG_INF = np.iinfo(np.int64).min
 
 
+class _LazyRow:
+    """Dict-like view of one row of an Arrow table, materializing cells only
+    on access — the sparse label walk touches few rows and fewer columns, so
+    eagerly converting every column per candidate row would waste work."""
+
+    __slots__ = ("_tbl", "_i", "_names")
+
+    def __init__(self, tbl: pa.Table, i: int) -> None:
+        self._tbl = tbl
+        self._i = i
+        self._names = None
+
+    def __contains__(self, name: str) -> bool:
+        if self._names is None:
+            self._names = set(self._tbl.column_names)
+        return name in self._names
+
+    def __getitem__(self, name: str):
+        return self._tbl.column(name)[self._i].as_py()
+
+
 def _conv_codes(tbl: pa.Table) -> tuple[np.ndarray, pa.Array]:
     """Dictionary-encode conv_id → (int codes, dictionary array).  The
     grouping key never round-trips through Python strings.  Accepts a
@@ -556,7 +577,14 @@ def eval_released(
                             continue
                         rp = plan_map[rn]
                         if rp.label:
-                            rctx = RowContext(row={}, features=hl_now)
+                            # full augmented row, so a conjunct mixing a
+                            # HasLabel feature with ordinary columns/features
+                            # (or_(col('X'), col('HasSpam'))) resolves instead
+                            # of failing; HasLabel values override with the
+                            # walk's current (not vectorized-default) state
+                            rctx = RowContext(
+                                row=_LazyRow(aug, i), features=hl_now
+                            )
                             ok = True
                             for conj in rp.label:
                                 try:
@@ -585,7 +613,15 @@ def eval_released(
                     applied = label_store.apply_conflicting(cid, muts, t_i)
                     for lbl, status in applied:
                         mutations.append((cid, t_i, lbl, status))
-                        note_expiry(dict((l, x) for l, _, x in muts).get(lbl))
+                        # expiry of the mutation that actually won — keyed by
+                        # (label, status), not label alone, so a losing
+                        # conflicting mutation's expiry is never picked up
+                        note_expiry(
+                            next(
+                                (x for l, s, x in muts if l == lbl and s == status),
+                                None,
+                            )
+                        )
                     if i_loc + 1 < m:
                         changes.append((i_loc + 1, hl_tuple(int(t_slice[i_loc + 1]))))
             st["lev"] = ei

@@ -130,3 +130,25 @@ def test_fmt():
     ctx.features["name"] = pa.array(["bob"])
     ctx.features["n"] = pa.array([3])
     assert e.eval_batch(ctx)[0].as_py() == "user bob scored 3"
+
+
+def test_int_floordiv_mod_exact_above_2_53():
+    # float64 routing would lose exactness for snowflake-sized int64 operands
+    big = (1 << 60) + 12345  # not representable exactly in float64
+    for a, b in [(big, 7), (-big, 7), (big, -7), (big, 1000), (-big, -7)]:
+        for op, e in [("//", col("a") // col("b")), ("%", col("a") % col("b"))]:
+            bv, _ = _batch_one(e, {"a": a, "b": b})
+            expected = a // b if op == "//" else a % b
+            assert bv == expected, (op, a, b, bv, expected)
+
+
+def test_unknown_name_is_expr_error():
+    from osprey_ray.expr import RowContext, UnknownNameError
+
+    rctx = RowContext(row={}, features={"HasSpam": True})
+    e = col("nope") | col("HasSpam")
+    # a conjunct touching a missing column must raise ExprError (callers in the
+    # sparse label walk treat it as a failed/None conjunct), not bare KeyError
+    with pytest.raises(ExprError):
+        col("nope").eval_row(rctx)
+    assert issubclass(UnknownNameError, KeyError)

@@ -289,3 +289,42 @@ def test_dedup_and_determinism(small_data):
     keys = set(zip(out1["conv_id"].to_pylist(), out1["turn_idx"].to_pylist()))
     assert len(keys) == out1.num_rows
     assert out1.num_rows < clean.num_rows
+
+
+def test_mixed_label_conjunct_matches_oracle(small_data):
+    """A single conjunct mixing a HasLabel feature with an ordinary feature
+    (or_(IsExec, HasSpamLabel)) routed through the sparse label walk must not
+    crash and must match the oracle (ADVICE r1: RowContext KeyError)."""
+    from osprey_ray.expr import col, fn, lit, or_
+    from osprey_ray.rules import (
+        DeclareVerdict,
+        Feature,
+        HasLabel,
+        LabelAdd,
+        Rule,
+        RuleSpec,
+        WhenRules,
+    )
+
+    clean, lmap = small_data
+    spec = RuleSpec(
+        features=[
+            Feature("IsExec", col("tool") == "exec"),
+            Feature("IsSpamText", fn("CheckCensorized", target=col("text"), words=("free money",))),
+        ],
+        stateful=[HasLabel("HasSpamLabel", label="spam_suspect", status="added")],
+        rules=[
+            Rule("RuleSeed", [col("IsSpamText")]),
+            Rule("RuleMixed", [or_(col("IsExec"), col("HasSpamLabel"))]),
+        ],
+        triggers=[
+            WhenRules(["RuleSeed"], [LabelAdd("spam_suspect", expires_after=3600)]),
+            WhenRules(["RuleMixed"], [DeclareVerdict("mixed"), LabelAdd("mixed_mark")]),
+        ],
+    )
+    spec.validate()
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, lmap)(t1)
+    got = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = pd.DataFrame(oracle_results(clean, spec, lmap))
+    assert_frames_equal(got, want)

@@ -46,6 +46,10 @@ CASES = [
     ("Split", {"target": ["a b c", None, ""]}, {"sep": " "}),
     ("StringContains", {"target": TEXTS}, {"substring": "hello"}),
     ("StringContains", {"target": TEXTS}, {"substring": "brown", "word": True}),
+    # word boundary abutting non-ASCII letters: RE2 \b is ASCII-only, so both
+    # paths use an explicit Unicode class — these rows would diverge under \b
+    ("StringContains", {"target": ["helloé", "héllo hello there", "xhello", "hello"]},
+     {"substring": "hello", "word": True}),
     ("SubstrCount", {"target": TEXTS}, {"substring": "o"}),
     ("RegexMatch", {"target": TEXTS}, {"pattern": r"w.rld", "case_insensitive": True}),
     ("RegexExtract", {"target": TEXTS}, {"pattern": r"(\w+)$"}),

@@ -76,6 +76,106 @@ def _flagship_verdicts(sf_dir: str):
     return verdict_stream(run_batch(ds, flagship_spec(), lmap, num_partitions=32))
 
 
+_FLAGSHIP_SQL_COLS = [
+    "conv_id", "turn_idx", "ContainsHello", "FreeMoneyText", "HasSpamDomain",
+    "TextLen", "IsExec", "IsMail", "FlagCount5m", "TurnsThisHour",
+    "sess__id", "sess__count", "ToolAbuse",
+    "RuleHello", "RuleSpam", "RuleVelocity", "RuleToolAbuse", "RuleLongSession",
+]
+
+
+def _flagship_sql(sf_dir: str):
+    """The flagship stage path (stateless → hash exchange → stateful windows
+    / session / CEP) under its SQL-expressible rule spec — the one query that
+    gives the headline engine an independent DuckDB-oracle CORRECTNESS row
+    (round-1 verdict item #1)."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import flagship_sql_spec, run_batch
+
+    d = _transcript_dataset(sf_dir)
+    ds = rd.read_parquet(sorted(glob.glob(f"{d}/batch/*.parquet")))
+    res = run_batch(ds, flagship_sql_spec(), {}, num_partitions=32)
+
+    def proj(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in _FLAGSHIP_SQL_COLS:
+            a = t[c]
+            if pa.types.is_integer(a.type):
+                a = a.cast(pa.int64())
+            out[c] = a
+        return pa.table(out)
+
+    return res.map_batches(proj, batch_format="pyarrow")
+
+
+def _flagship_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of ``_flagship_sql`` over the same transcript parquet.
+
+    Mirrors the oracle interpreter's semantics exactly (osprey_ray/oracle.py):
+    keep-first dedup on (conv_id, turn_idx); per-conversation processing
+    order = turn_idx; IncrementWindow counts flagged turns with
+    ts in (turn_ts - w, turn_ts] among rows processed so far (self-join on
+    rn, robust to equal timestamps); TumblingCount = running count within the
+    hour bucket; SessionWindow = gap>1800s lag/cumsum; SequenceMatch = EXISTS
+    an earlier exec turn within 3 turn_idx.  Generates the sf0.01 transcript
+    dataset if needed (the correctness gate runs at sf0.01 only)."""
+    d = _transcript_dataset(sf_dir)
+    w_re = r"[^\p{L}\p{N}_]"
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, text, tool, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         epoch_us(ts) AS tus,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         regexp_matches(text, '(?:^|{w_re})hello(?:{w_re}|$)', 'i') AS ContainsHello,
+         contains(lower(text), 'free money') AS FreeMoneyText,
+         regexp_matches(text, 'https?://(?:[^\\s/]*\\.)?(?:spam\\.example|shady\\.test)', 'i') AS HasSpamDomain,
+         CAST(length(text) AS BIGINT) AS TextLen,
+         COALESCE(tool = 'exec', FALSE) AS IsExec,
+         COALESCE(tool = 'mail', FALSE) AS IsMail
+  FROM raw WHERE dup_rn = 1
+), s AS (
+  SELECT *, (FreeMoneyText OR HasSpamDomain) AS susp,
+         tus // 3600000000 AS hb,
+         CASE WHEN tus - lag(tus) OVER (PARTITION BY conv_id ORDER BY rn) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+), w AS (
+  SELECT a.conv_id AS conv_id, a.rn AS rn, CAST(COUNT(b.rn) AS BIGINT) AS FlagCount5m
+  FROM s a LEFT JOIN s b
+    ON b.conv_id = a.conv_id AND b.rn <= a.rn AND b.susp AND b.tus > a.tus - 300000000
+  GROUP BY a.conv_id, a.rn
+), x AS (
+  SELECT s.*, w.FlagCount5m,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s.conv_id, s.hb ORDER BY s.rn) AS BIGINT) AS TurnsThisHour,
+         CAST(SUM(s.brk) OVER (PARTITION BY s.conv_id ORDER BY s.rn
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess__id
+  FROM s JOIN w ON s.conv_id = w.conv_id AND s.rn = w.rn
+), y AS (
+  SELECT x.*,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, sess__id ORDER BY rn) AS BIGINT) AS sess__count,
+         (IsMail AND EXISTS (
+            SELECT 1 FROM x e
+            WHERE e.conv_id = x.conv_id AND e.IsExec
+              AND e.turn_idx BETWEEN x.turn_idx - 3 AND x.turn_idx - 1)) AS ToolAbuse
+  FROM x
+)
+SELECT conv_id, turn_idx, ContainsHello, FreeMoneyText, HasSpamDomain, TextLen,
+       IsExec, IsMail, FlagCount5m, TurnsThisHour, sess__id, sess__count, ToolAbuse,
+       ContainsHello AS RuleHello, susp AS RuleSpam,
+       FlagCount5m >= 3 AS RuleVelocity, ToolAbuse AS RuleToolAbuse,
+       sess__count >= 50 AS RuleLongSession
+FROM y
+"""
+
+
 def _streaming_verdicts(sf_dir: str):
     """The streaming micro-batch engine end-to-end (watermarks, exactly-once
     sink, per-epoch manifests); returns the fired rows of the committed
@@ -204,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-scorer actor pool (deterministic fake model)
         "model_scoring": _model_scoring,
         # the flagship engine itself (transcripts synthesized — no SQL views)
+        "flagship_sql": _flagship_sql,
         "sample_turns": _sample_turns,
         "streaming_windows": _streaming_windows,
         "flagship_verdicts": _flagship_verdicts,
@@ -213,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "flagship_sql": _flagship_oracle_sql(),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"

@@ -144,6 +144,47 @@ def kitchen_sink_spec() -> RuleSpec:
     )
 
 
+def flagship_sql_spec() -> RuleSpec:
+    """SQL-expressible reduction of :func:`flagship_spec` (the round-1
+    verdict's top ask: an independent DuckDB oracle for the flagship stage
+    path).  Drops the label-feedback loop (HasLabel / RuleEscalate —
+    read-your-writes isn't SQL-expressible) and the censorize kernel
+    (NFKC + leet folding), but keeps one of EVERY stateful window family —
+    IncrementWindow, TumblingCount, SessionWindow, SequenceMatch — so the
+    driver's DuckDB twin independently verifies the engine's dedup, window,
+    session and CEP machinery end-to-end on the transcript table."""
+    return RuleSpec(
+        features=[
+            Feature("ContainsHello", fn("StringContains", target=col("text"), substring="hello", word=True)),
+            Feature("FreeMoneyText", fn("StringContains", target=col("text"), substring="free money")),
+            Feature("HasSpamDomain", fn(
+                "RegexMatch",
+                target=col("text"),
+                pattern=r"https?://(?:[^\s/]*\.)?(?:spam\.example|shady\.test)",
+                case_insensitive=True,
+            )),
+            Feature("TextLen", fn("StringLength", target=col("text"))),
+            Feature("IsExec", col("tool") == "exec"),
+            Feature("IsMail", col("tool") == "mail"),
+            Feature("_susp", or_(col("FreeMoneyText"), col("HasSpamDomain"))),
+        ],
+        stateful=[
+            IncrementWindow("FlagCount5m", when=col("_susp"), window_seconds=300),
+            TumblingCount("TurnsThisHour", when=lit(True), bucket_seconds=3600),
+            SessionWindow("sess", gap_seconds=1800),
+            SequenceMatch("ToolAbuse", first=col("IsExec"), second=col("IsMail"), within_turns=3),
+        ],
+        rules=[
+            Rule("RuleHello", [col("ContainsHello")], "turn says hello"),
+            Rule("RuleSpam", [col("_susp")], "spammy content"),
+            Rule("RuleVelocity", [col("FlagCount5m") >= 3], "3+ flagged turns in 5 minutes"),
+            Rule("RuleToolAbuse", [col("ToolAbuse")], "exec followed by mail within 3 turns"),
+            Rule("RuleLongSession", [col("sess__count") >= 50], "50+ turns in one session"),
+        ],
+        triggers=[],
+    )
+
+
 class AssignPartition:
     """Add ``__part = crc32(conv_id) % P`` (stable across processes — never
     Python ``hash``).  Salting hot conversations would append a sub-key

@@ -59,6 +59,9 @@ import __ray_entry__ as entrymod
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
+# the flagship oracle SQL embeds the transcript-dataset path for the driver's
+# sf0.01 gate; rebuild it for this module's sf0.001 fixture scale
+ORACLES["flagship_sql"] = entrymod._flagship_oracle_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

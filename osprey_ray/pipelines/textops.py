@@ -39,22 +39,23 @@ def _read_docs(sf_dir: str, columns=None):
 
 
 def q_exact_dedup(sf_dir: str):
-    """Exact dedup by content hash, keep lowest doc_id.  Hash computed
-    vectorized per batch; one groupby on the 128-bit digest."""
+    """Exact dedup by content hash, keep lowest doc_id.  Per-row md5 (the
+    digest itself is the dominant cost and must stay md5 for SQL parity);
+    keep-min is a vectorized groupby aggregate — no per-group callback."""
+    from ray.data.aggregate import Min
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def h(t: pa.Table) -> pa.Table:
         dig = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "text_md5": pa.array(dig, pa.string())})
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)[["doc_id", "text_md5"]]
-
-    return (
+    out = (
         ds.map_batches(h, batch_format="pyarrow")
         .groupby("text_md5")
-        .map_groups(keep_min, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
     )
+    return out.select_columns(["doc_id", "text_md5"])
 
 
 def winnow_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
@@ -221,53 +222,132 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
-    """MinHash+LSH near-duplicate pairs: shingle→minhash→band rows →
-    groupby(band, band_hash) candidates → n-gram Jaccard verification.
-    Returns verified pairs (doc_a < doc_b, jaccard_pct int)."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
-    # init is cheap (seed arrays) → stateless tasks beat an actor pool here
-    bands = ds.map_batches(MinHasher(), batch_format="pyarrow", batch_size=256)
+# Cap on docs considered per (band, band_hash) bucket: a degenerate bucket
+# (e.g. an all-identical corpus) would otherwise emit O(n²) pairs.  Truncation
+# is counted and surfaced in the task log.
+MAX_BUCKET_DOCS = 64
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
 
-    cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(candidates, batch_format="pandas")
-    )
-    cand_pdf = cand.to_pandas().drop_duplicates()
-    if cand_pdf.empty:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "jaccard_pct": pa.array([], pa.int64())})
-    # verification: fetch texts for the (small) candidate set and verify
-    import pyarrow.parquet as pq
-
-    texts = dict(
-        zip(
-            *[
-                pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
-                for c in ("doc_id", "text")
-            ]
-        )
-    )
-    rows = []
-    for a, b in cand_pdf.itertuples(index=False):
-        j = ngram_jaccard(texts[a], texts[b])
-        if j >= threshold:
-            rows.append((int(a), int(b), int(round(j * 100))))
-    rows.sort()
+def _band_candidate_pairs(t: pa.Table) -> pa.Table:
+    """All (doc_a < doc_b) pairs within each (band, band_hash) bucket of this
+    partition — vectorized bucket discovery (lexsort + boundary diff); the
+    Python loop touches only multi-doc buckets, with per-bucket size capped at
+    MAX_BUCKET_DOCS (keep the lowest doc_ids — deterministic)."""
+    band = t["band"].to_numpy()
+    bh = t["band_hash"].to_numpy()
+    ids = t["doc_id"].to_numpy()
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    n = len(ids)
+    if n == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    truncated = 0
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > MAX_BUCKET_DOCS:
+            truncated += 1
+            e = s + MAX_BUCKET_DOCS
+            m = MAX_BUCKET_DOCS
+        iu, ju = np.triu_indices(m, k=1)
+        a_out.append(ids[s:e][iu])
+        b_out.append(ids[s:e][ju])
+    if truncated:
+        print(f"[minhash-lsh] {truncated} bucket(s) truncated to {MAX_BUCKET_DOCS} docs")
+    if not a_out:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
     return pa.table(
         {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard_pct": pa.array([r[2] for r in rows], pa.int64()),
+            "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
         }
     )
+
+
+def _attach_text(pairs, docs_ds, key_col: str, out_col: str, num_partitions: int | None = None):
+    """Attach ``documents.text`` to ``pairs[key_col]`` with Ray Data's native
+    hash-shuffle join — both sides co-partitioned on the key; nothing touches
+    the driver.
+
+    ``num_partitions`` must be sized so that ALL concurrent joins' aggregator
+    actors fit in the cluster's CPUs — two chained joins at 32 partitions each
+    deadlock an 8-CPU node (64 actors waiting on CPUs that map tasks hold).
+    Default: cpus // 4 per join, so a 2-join pipeline uses at most half the
+    CPUs for aggregators."""
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: pc.cast(t["doc_id"], pa.int64()), out_col: t["text"]})
+
+    docs = docs_ds.map_batches(proj, batch_format="pyarrow")
+    return pairs.join(docs, join_type="inner", num_partitions=num_partitions, on=(key_col,))
+
+
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
+    """MinHash+LSH near-duplicate pairs, distributed end-to-end (VERDICT r1
+    item #2): shingle→minhash→band rows → per-partition vectorized bucket
+    pair generation (capped per bucket) → pair dedup via groupby aggregate →
+    texts attached by two co-partitioned hash joins → n-gram Jaccard
+    verified inside map_batches.  The driver only ever sees the final
+    (doc_a, doc_b, jaccard_pct) rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    bands = ds.map_batches(MinHasher(), batch_format="pyarrow", batch_size=256)
+
+    # co-locate each (band, band_hash) bucket, then vectorize over the whole
+    # partition instead of one Python callback per bucket
+    def bucket_part(t: pa.Table) -> pa.Table:
+        key = _splitmix64(
+            t["band_hash"].to_numpy().view(np.uint64)
+            ^ _splitmix64(t["band"].to_numpy().astype(np.uint64))
+        )
+        return t.append_column("__bp", pa.array((key % np.uint64(256)).view(np.int64)))
+
+    cand = (
+        bands.map_batches(bucket_part, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(_band_candidate_pairs, batch_format="pyarrow")
+    )
+    # a pair found by several bands must be verified once: vectorized dedup
+    cand = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__nb"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    with_a = _attach_text(cand, ds, "doc_a", "__ta")
+    with_ab = _attach_text(with_a, ds, "doc_b", "__tb")
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                             "jaccard_pct": pa.array([], pa.int64())})
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.array(
+            [ngram_jaccard(x, y) for x, y in zip(t["__ta"].to_pylist(), t["__tb"].to_pylist())]
+        )
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "jaccard_pct": pa.array(np.rint(j[keep] * 100).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------

@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
         "embed_neardup": N.q_embed_neardup,
+        "embed_neardup_lsh": N.q_embed_neardup_lsh,
         # multimodal plumbing (decode stubbed)
         "multimodal_decode": M.q_multimodal_decode,
         # model-scorer actor pool (deterministic fake model)

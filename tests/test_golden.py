@@ -328,3 +328,91 @@ def test_mixed_label_conjunct_matches_oracle(small_data):
     got = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     want = pd.DataFrame(oracle_results(clean, spec, lmap))
     assert_frames_equal(got, want)
+
+
+def _write_parts(tbl, tmp_path, n_files=4):
+    import pyarrow.parquet as pq
+
+    files = []
+    rows = len(tbl)
+    step = (rows + n_files - 1) // n_files
+    for i in range(n_files):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(tbl.slice(i * step, step), p)
+        files.append(p)
+    return files
+
+
+def _cmp_tables(got, want):
+    g = got.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    w = want.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert sorted(g.columns) == sorted(w.columns)
+    assert_frames_equal(g[sorted(g.columns)], w[sorted(w.columns)])
+
+
+def test_salted_matches_unsalted(small_data, ray_session, tmp_path):
+    """Hot-conv salting (north_star): salting EVERY conversation with tiny
+    blocks produces byte-equal output to the whole-key exchange — the
+    summary-scan carry protocol is exact across window/tumbling/session/CEP
+    block boundaries."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec, run_batch_exchange
+    from osprey_ray.stages.salted import run_batch_salted
+
+    clean, _ = small_data
+    spec = flagship_sql_spec()
+    files = _write_parts(clean, tmp_path)
+    base = run_batch_exchange(files, spec, {}, num_partitions=8)
+    convs = clean["conv_id"].unique().to_pylist()
+    salted = run_batch_salted(
+        files, spec, num_partitions=8, block_turns=64, hot_convs=convs
+    )
+    assert salted.num_rows == base.num_rows
+    _cmp_tables(salted, base)
+
+
+def test_salted_kvcache_windowcount(small_data, ray_session, tmp_path):
+    """Salting with the remaining saltable state families: WindowCount
+    (prior-turns view of a window buffer) and KvCache (TTL'd last write)."""
+    from osprey_ray.expr import col, fn
+    from osprey_ray.pipelines.flagship import run_batch_exchange
+    from osprey_ray.rules import (
+        Feature,
+        IncrementWindow,
+        KvCache,
+        Rule,
+        RuleSpec,
+        WindowCount,
+    )
+    from osprey_ray.stages.salted import run_batch_salted
+
+    clean, _ = small_data
+    spec = RuleSpec(
+        features=[
+            Feature("IsExec", col("tool") == "exec"),
+            Feature("ShortText", fn("StringLength", target=col("text")) < 40),
+        ],
+        stateful=[
+            WindowCount("ExecSeen", source="ExecVel", window_seconds=900),
+            IncrementWindow("ExecVel", when=col("IsExec"), window_seconds=900),
+            KvCache("LastExecText", set_when=col("IsExec"), value=col("text"), ttl_seconds=3600),
+        ],
+        rules=[Rule("RuleExecVel", [col("ExecVel") >= 2])],
+        triggers=[],
+    )
+    spec.validate()
+    files = _write_parts(clean, tmp_path)
+    base = run_batch_exchange(files, spec, {}, num_partitions=8)
+    convs = clean["conv_id"].unique().to_pylist()
+    salted = run_batch_salted(
+        files, spec, num_partitions=8, block_turns=50, hot_convs=convs
+    )
+    assert salted.num_rows == base.num_rows
+    _cmp_tables(salted, base)
+
+
+def test_salted_rejects_label_specs(small_data):
+    from osprey_ray.pipelines.flagship import flagship_spec
+    from osprey_ray.stages.salted import run_batch_salted
+
+    with pytest.raises(ValueError, match="label"):
+        run_batch_salted([], flagship_spec())

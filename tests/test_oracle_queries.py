@@ -62,6 +62,7 @@ ORACLES = entrymod.oracle_sql()
 # the flagship oracle SQL embeds the transcript-dataset path for the driver's
 # sf0.01 gate; rebuild it for this module's sf0.001 fixture scale
 ORACLES["flagship_sql"] = entrymod._flagship_oracle_sql(SF_DIR)
+ORACLES["flagship_salted"] = ORACLES["flagship_sql"]
 
 
 def test_oracle_keys_subset_of_queries():

@@ -115,58 +115,142 @@ def q_tumbling_hourly(sf_dir: str):
     return out
 
 
+_KEY_PARTS = 64
+
+
+def _by_user_partition(ds, P: int = _KEY_PARTS):
+    """Shuffle by hash(user_id) % P — ONE Python callback per partition
+    (not per user); the callback vectorizes over every user in the
+    partition (VERDICT r1 item #5: per-key map_groups is Python-per-group
+    and dies at 100× key cardinality)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        z = (u + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        return t.append_column("__kp", pa.array(((z >> np.uint64(17)) % np.uint64(P)).view(np.int64)))
+
+    return ds.map_batches(part, batch_format="pyarrow").groupby("__kp")
+
+
 def q_sliding_window_counts(sf_dir: str):
     """Per event: number of events by the same user with
     ``ts in [t-5min, t]`` (peers-inclusive — matches a SQL RANGE frame).
-    Shuffle by user, vectorized searchsorted per group."""
+    Hash-partitioned by user; within a partition the window count is ONE
+    global searchsorted over composite-offset timestamps (each user's times
+    shifted into a disjoint range — the same trick as the stateful stage's
+    global window path), zero per-user Python."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    W = 300_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        t = g["ts"].astype("int64").to_numpy()
-        lo = np.searchsorted(t, t - 300_000_000, side="left")
-        hi = np.searchsorted(t, t, side="right")
-        return pd.DataFrame(
-            {"event_id": g["event_id"], "user_id": g["user_id"], "w5m_count": hi - lo}
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "w5m_count": pa.array([], pa.int64())})
+        eid = t["event_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        uid = t["user_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
+        n = len(uid_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid_s[1:] != uid_s[:-1]
+        gidx = np.cumsum(change) - 1
+        span = np.int64(ts_s.max() - ts_s.min() + W + 2)
+        shifted = (ts_s - ts_s.min()) + gidx * span
+        lo = np.searchsorted(shifted, shifted - W, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "w5m_count": pa.array(hi - lo, pa.int64()),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
 def q_session_counts(sf_dir: str):
     """Sessionization: per user, number of sessions under a 30-minute
-    inactivity gap (the SessionWindow operator as an aggregate)."""
+    inactivity gap — per-partition vectorized (gap diffs masked at user
+    boundaries, per-user sums via add.reduceat)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    G = 1_800_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(g["ts"].astype("int64").to_numpy())
-        gaps = np.diff(t) > 1_800_000_000
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1],
-             "n_events": [len(t)]}
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        n = len(uid_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(change)
+        brk = np.zeros(n, dtype=np.int64)
+        brk[1:] = (np.diff(ts_s) > G) & ~change[1:]
+        n_sessions = np.add.reduceat(brk, starts) + 1
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
 def q_cep_sequence(sf_dir: str):
-    """CEP over the event log: per user, count of 'purchase' events occurring
-    within 3 events after an 'error' (the SequenceMatch operator on a
-    row-number axis)."""
+    """CEP over the event log: per user, count of 'purchase' events within 3
+    events after an 'error' — per-partition vectorized on a composite
+    row-number axis (each user's rows offset into a disjoint range so one
+    global searchsorted serves every user)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    K = 3
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        et = g["event_type"].to_numpy()
-        idx = np.arange(len(g))
-        first_rows = idx[et == "error"]
-        second = et == "purchase"
-        added_excl = np.searchsorted(first_rows, idx, side="left")
-        lo = np.searchsorted(first_rows, idx - 3, side="left")
-        match = second & (added_excl > lo)
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_matches": [int(match.sum())]})
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, et_s = uid[order], et[order]
+        n = len(uid_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(change)
+        gidx = np.cumsum(change) - 1
+        # composite row index: per-user row number + disjoint per-user base
+        rn = np.arange(n) - starts[gidx]
+        base = gidx * np.int64(n + K + 2)
+        pos = rn + base
+        first_pos = pos[et_s == "error"]
+        added_excl = np.searchsorted(first_pos, pos, side="left")
+        lo = np.searchsorted(first_pos, pos - K, side="left")
+        match = (et_s == "purchase") & (added_excl > lo)
+        n_matches = np.add.reduceat(match.astype(np.int64), starts)
+        # reduceat quirk: a length-0 final slice repeats — starts always
+        # non-empty and strictly increasing here, so shape == len(starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "n_matches": pa.array(n_matches, pa.int64()),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
 def q_topk_users(sf_dir: str):
@@ -185,14 +269,31 @@ def q_distinct_types(sf_dir: str):
 
 def q_dedup_keep_first(sf_dir: str):
     """Exact dedup keep-first: earliest (ts, event_id) per
-    (user_id, event_type) — SURVEY §2.8."""
+    (user_id, event_type) — SURVEY §2.8.  Hash-partitioned by user; group
+    firsts found vectorized (lexsort + boundary take) per partition."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(1)
-        return g[["user_id", "event_type", "event_id"]]
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "event_id": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        et = t["event_type"].combine_chunks() if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"]
+        ecodes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, ecodes, uid))
+        uid_s, ec_s = uid[order], ecodes[order]
+        n = len(uid_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (uid_s[1:] != uid_s[:-1]) | (ec_s[1:] != ec_s[:-1])
+        firsts = order[np.flatnonzero(change)]
+        sub = t.take(pa.array(firsts))
+        return sub.select(["user_id", "event_type", "event_id"])
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pandas")
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
 def q_json_extract(sf_dir: str):
@@ -363,10 +464,11 @@ def q_topn_compare(sf_dir: str):
     worker/ui_api/osprey/lib/druid.py:224-455): per event_type, count in the
     last 24h of the stream vs the 24h before, with delta."""
     ds = _read(sf_dir, "events", ["ts", "event_type"])
-    import pyarrow.parquet as pq
-
-    hi = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"].cast(pa.int64())
-    t_max = pc.max(hi).as_py()
+    # distributed max (tiny scalar result), not a driver-side column read
+    t_max = _read(sf_dir, "events", ["ts"]).map_batches(
+        lambda t: pa.table({"m": [pc.max(t["ts"].cast(pa.int64())).as_py()]}),
+        batch_format="pyarrow",
+    ).max("m")
     day = 86_400_000_000
     cur_lo, prev_lo = t_max - day, t_max - 2 * day
 
@@ -465,15 +567,24 @@ class HyperLogLog:
 
     @staticmethod
     def add_batch(regs: np.ndarray, values: np.ndarray) -> None:
-        import hashlib
-
-        for v in values:
-            h = int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
-            idx = h & (HyperLogLog.M - 1)
-            w = h >> HyperLogLog.P
-            rank = (64 - HyperLogLog.P) - w.bit_length() + 1
-            if rank > regs[idx]:
-                regs[idx] = rank
+        """Fully vectorized: splitmix64 over the int64 ids, exact integer
+        bit-length (no float log2 — wrong near powers of two), max-scatter
+        into the registers (VERDICT r1: the blake2b-per-row loop)."""
+        v = np.asarray(values).astype(np.int64).view(np.uint64)
+        h = (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        idx = (h & np.uint64(HyperLogLog.M - 1)).astype(np.int64)
+        w = h >> np.uint64(HyperLogLog.P)
+        bl = np.zeros(len(w), dtype=np.int64)
+        vv = w.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = vv >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            vv[big] >>= np.uint64(shift)
+        bl[w > 0] += 1
+        rank = ((64 - HyperLogLog.P) - bl + 1).astype(np.int8)
+        np.maximum.at(regs, idx, rank)
 
     @staticmethod
     def estimate(regs: np.ndarray) -> int:
@@ -528,8 +639,10 @@ def q_hll_distinct(sf_dir: str):
 
     exact = (
         ds.map_batches(exact_partial, batch_format="pyarrow")
+        # double pre-dedup + count: one row per distinct pair via a
+        # vectorized aggregate, then count per type — no per-pair callbacks
         .groupby(["event_type", "u"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="__n"))
         .groupby("event_type")
         .aggregate(Count(alias_name="exact_distinct"))
     ).to_pandas()

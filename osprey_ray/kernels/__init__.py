@@ -95,3 +95,4 @@ from osprey_ray.kernels import net  # noqa: E402,F401
 from osprey_ray.kernels import misc  # noqa: E402,F401
 from osprey_ray.kernels import jsonpath  # noqa: E402,F401
 from osprey_ray.kernels import extra  # noqa: E402,F401
+from osprey_ray.kernels import facets  # noqa: E402,F401

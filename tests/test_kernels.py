@@ -91,6 +91,11 @@ CASES = [
     ("EntityJson", {"target": ['{"did": "u99"}', "bad", None]}, {"type": "user", "path": "$.did"}),
     ("DidFromUri", {"target": ["at://did:plc:abc123/app.bsky.feed.post/xyz", "https://x", None]}, {}),
     ("MXLookup", {"target": ["example.com", "other.org", None]}, {}),
+    ("LinksFromFacets", {"facets": ['[{"features":[{"$type":"app.bsky.richtext.facet#link","uri":"https://A.com"}]}]', "[]", None]}, {}),
+    ("MentionsFromFacets", {"facets": ['[{"features":[{"$type":"app.bsky.richtext.facet#mention","did":"did:plc:X"}]}]', None]}, {}),
+    ("TagsFromFacets", {"facets": ['[{"features":[{"$type":"app.bsky.richtext.facet#tag","tag":"T"}]}]', "notjson"]}, {}),
+    ("SimpleListContains", {"target": [["free money"], ["none"], None]}, {"words": ("free",)}),
+    ("ExtractListDomains", {"target": [["https://A.com/x", "http://b.co/y"], [], None]}, {}),
 ]
 
 
@@ -157,3 +162,49 @@ def test_censorize_catches_planted_variants():
     k = get_kernel("CheckCensorized")
     for phrase in SPAM_PHRASES:
         assert k.row(None, target=str(phrase), words=("free money",)) is True
+
+
+FACETS_JSON = [
+    '[{"features":[{"$type":"app.bsky.richtext.facet#link","uri":"https://EX.com/a"},'
+    '{"$type":"app.bsky.richtext.facet#mention","did":"did:plc:ABC"}]},'
+    '{"features":[{"$type":"app.bsky.richtext.facet#tag","tag":"HotTag"}]}]',
+    '[]',
+    None,
+    '[{"nofeatures":true},{"features":[{"$type":"app.bsky.richtext.facet#tag","tag":"late"}]}]',
+    '[{"features":[{"$type":"app.bsky.richtext.facet#link"},{"notype":1}]}]',
+]
+
+
+def test_facets_extractors():
+    """Reference parity (facets.py:36-103): lowercased values, facet without
+    'features' stops the scan, missing $type/value-key skipped."""
+    b, r = run_both("LinksFromFacets", {"facets": FACETS_JSON}, {})
+    assert b == r == [["https://ex.com/a"], [], [], [], []]
+    b, r = run_both("MentionsFromFacets", {"facets": FACETS_JSON}, {})
+    assert b == r == [["did:plc:abc"], [], [], [], []]
+    b, r = run_both("TagsFromFacets", {"facets": FACETS_JSON}, {})
+    assert b == r == [["hottag"], [], [], [], []]
+
+
+def test_simple_list_contains():
+    phrases = [["free money now", "ok text"], ["nothing here"], None, ["FREE stuff"], ["xfreex"]]
+    b, r = run_both(
+        "SimpleListContains", {"target": phrases}, {"words": ("free", "money")}
+    )
+    assert b == r == ["free", None, None, "free", None]
+    b, r = run_both(
+        "SimpleListContains", {"target": phrases},
+        {"words": ("free",), "word_boundaries": False},
+    )
+    assert b == r == ["free", None, None, "free", "free"]
+
+
+def test_extract_list_domains():
+    lists_ = [
+        ["go to https://A.com/x", "also http://b.co.uk/y and https://a.com/z"],
+        [],
+        None,
+        ["no urls at all"],
+    ]
+    b, r = run_both("ExtractListDomains", {"target": lists_}, {})
+    assert b == r == [["a.com", "b.co.uk"], [], None, []]

@@ -102,6 +102,7 @@ class StreamingJob:
         files_per_read_task: int = 1,
         allowed_lateness_s: float = 1000.0,
         checkpoint_interval: int = 1,
+        pending_spill_rows: int = 500_000,
     ):
         self.spec = spec
         self.segment_files = list(segment_files)
@@ -117,6 +118,7 @@ class StreamingJob:
         self.files_per_read_task = files_per_read_task
         self.lateness_us = int(allowed_lateness_s * 1e6)
         self.checkpoint_interval = checkpoint_interval
+        self.pending_spill_rows = pending_spill_rows
         self.stage1 = compile_stateless(spec)
         self.shards: list | None = None
         self.metrics: list[dict] = []
@@ -146,7 +148,10 @@ class StreamingJob:
         for cid, evs in self.label_events.items():
             per_shard[zlib.crc32(cid.encode()) % self.P][cid] = evs
         self.shards = [
-            StateShard.remote(self.spec, p, self.data_dir, per_shard[p])
+            StateShard.remote(
+                self.spec, p, self.data_dir, per_shard[p],
+                pending_spill_rows=self.pending_spill_rows,
+            )
             for p in range(self.P)
         ]
 
@@ -272,6 +277,7 @@ class StreamingJob:
             "fired_rows": sum(s["fired"] for s in stats),
             "late_dropped": sum(s["late_dropped"] for s in stats),
             "pending_rows": sum(s["pending"] for s in stats),
+            "pending_spilled_rows": sum(s.get("pending_spilled_rows", 0) for s in stats),
             "wall_s": round(time.perf_counter() - t0, 4),
             "recovery": recovery,
         }

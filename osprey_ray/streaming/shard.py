@@ -44,7 +44,14 @@ from osprey_ray.state.labels import LabelStore
 
 @ray.remote
 class StateShard:
-    def __init__(self, spec: RuleSpec, part: int, out_dir: str, label_events: dict[str, list]):
+    def __init__(
+        self,
+        spec: RuleSpec,
+        part: int,
+        out_dir: str,
+        label_events: dict[str, list],
+        pending_spill_rows: int = 500_000,
+    ):
         from osprey_ray.rules import SessionWindow, TumblingCount
 
         self.spec = spec
@@ -55,6 +62,16 @@ class StateShard:
         self.states: dict = {}
         self.labels = LabelStore()
         self.pending: list[pa.Table] = []
+        # bounded buffer (VERDICT r1 item #10): a stalled watermark used to
+        # grow `pending` without limit (a stuck segment ⇒ eventual OOM).
+        # Past this row count, buffered rows spill to Parquet under
+        # out_dir/spill and are read back only once the watermark reaches
+        # their min ts; consumed spill files are deleted after the next
+        # snapshot commits (resume uses the latest snapshot only).
+        self.pending_spill_rows = pending_spill_rows
+        self.spilled: list[dict] = []  # {"path", "min_ts", "rows"}
+        self._spill_seq = 0
+        self._consumed_spills: list[str] = []
         self.watermark: int = np.iinfo(np.int64).min
         self.tumbling = [s for s in spec.stateful if isinstance(s, TumblingCount)]
         self.sessions = [s for s in spec.stateful if isinstance(s, SessionWindow)]
@@ -89,6 +106,16 @@ class StateShard:
             if kept.num_rows:
                 self.pending.append(kept)
 
+        # read back spilled rows the watermark has reached (files whose
+        # min ts is still in the future stay on disk untouched)
+        if self.spilled:
+            ready = [f for f in self.spilled if f["min_ts"] <= watermark_us]
+            if ready:
+                self.spilled = [f for f in self.spilled if f["min_ts"] > watermark_us]
+                for f in ready:
+                    self.pending.append(pq.read_table(f["path"]))
+                    self._consumed_spills.append(f["path"])
+
         buffered = (
             pa.concat_tables(self.pending, promote_options="default")
             if self.pending
@@ -102,6 +129,8 @@ class StateShard:
             still = buffered.filter(pc.invert(rel_mask))
             self.pending = [still] if still.num_rows else []
         self.watermark = max(self.watermark, watermark_us)
+        if sum(t.num_rows for t in self.pending) > self.pending_spill_rows:
+            self._spill_pending()
 
         out_rows = 0
         fired = 0
@@ -146,7 +175,9 @@ class StateShard:
             "released": out_rows,
             "fired": fired,
             "late_dropped": late_dropped,
-            "pending": sum(t.num_rows for t in self.pending),
+            "pending": sum(t.num_rows for t in self.pending)
+            + sum(f["rows"] for f in self.spilled),
+            "pending_spilled_rows": sum(f["rows"] for f in self.spilled),
             "file": out_path,
             "labels_file": labels_path,
             "windows_file": windows_path,
@@ -215,6 +246,23 @@ class StateShard:
             }
         )
 
+    def _spill_pending(self) -> None:
+        tbl = pa.concat_tables(self.pending, promote_options="default")
+        ts = tbl["ts"].cast(pa.int64())
+        spill_dir = os.path.join(self.out_dir, "spill")
+        os.makedirs(spill_dir, exist_ok=True)
+        path = os.path.join(
+            spill_dir, f"spill-p{self.part:04d}-{self._spill_seq:06d}.parquet"
+        )
+        self._spill_seq += 1
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        self.spilled.append(
+            {"path": path, "min_ts": pc.min(ts).as_py(), "rows": tbl.num_rows}
+        )
+        self.pending = []
+
     def _write_atomic(self, epoch: int, out: pa.Table, prefix: str = "part") -> str:
         name = f"{prefix}-e{epoch:05d}-p{self.part:04d}.parquet"
         final = os.path.join(self.out_dir, name)
@@ -236,10 +284,20 @@ class StateShard:
             "pending_schema": self.pending[0].schema if self.pending else None,
             "watermark": self.watermark,
             "open_windows": self.open_windows,
+            "spilled": self.spilled,
+            "spill_seq": self._spill_seq,
         }
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
         os.replace(tmp, path)
+        # spill files consumed before this snapshot are no longer referenced
+        # by the latest checkpoint (resume uses the latest only) — delete now
+        for p in self._consumed_spills:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        self._consumed_spills = []
         return path
 
     def restore(self, path: str) -> bool:
@@ -253,4 +311,7 @@ class StateShard:
         ]
         self.watermark = payload["watermark"]
         self.open_windows = payload.get("open_windows", {})
+        self.spilled = payload.get("spilled", [])
+        self._spill_seq = payload.get("spill_seq", 0)
+        self._consumed_spills = []
         return True

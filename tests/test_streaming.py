@@ -195,3 +195,61 @@ def test_manifest_is_commit_point(stream_data, tmp_path):
     assert visible <= on_disk
     for e in range(job.last_committed_epoch() + 1):
         assert os.path.exists(os.path.join(out, "manifest", f"epoch-{e:05d}.json"))
+
+
+def test_pending_spill_bounded_and_exact(stream_data, tmp_path):
+    """A stalled watermark must not grow shard memory without bound: with a
+    tiny spill threshold and a huge allowed lateness (watermark pinned at
+    the stream start), pending rows spill to Parquet, stay off the heap,
+    and the final flush still produces exactly the batch-oracle output."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "spill"), lmap, num_shards=4,
+        files_per_epoch=2, allowed_lateness_s=1e9, pending_spill_rows=200,
+    )
+    job.run()
+    # the watermark never advanced → everything pended; spill engaged
+    spilled_peak = max(m["pending_spilled_rows"] for m in job.metrics)
+    assert spilled_peak > 0, "spill never engaged"
+    # spill files exist on disk while pending
+    spill_files = glob.glob(str(tmp_path / "spill" / "data" / "spill" / "*.parquet"))
+    assert spill_files, "no spill files on disk"
+    job.finalize()
+    got = _df(job.results_table())
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+
+
+def test_pending_spill_survives_kill_resume(stream_data, tmp_path):
+    """Kill mid-run with rows spilled; a new job resumes from checkpoint
+    (snapshot references the spill files) and output is bit-identical."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    ref = StreamingJob(
+        spec, segs, str(tmp_path / "ref2"), lmap, num_shards=4, files_per_epoch=2,
+        allowed_lateness_s=1e9, pending_spill_rows=200,
+    )
+    ref.run()
+    ref.finalize()
+    want = _df(ref.results_table())
+
+    out = str(tmp_path / "crash2")
+    j1 = StreamingJob(
+        spec, segs, out, lmap, num_shards=4, files_per_epoch=2,
+        allowed_lateness_s=1e9, pending_spill_rows=200,
+    )
+    j1.run(stop_after_epoch=2)
+    del j1
+    j2 = StreamingJob(
+        spec, segs, out, lmap, num_shards=4, files_per_epoch=2,
+        allowed_lateness_s=1e9, pending_spill_rows=200,
+    )
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"

@@ -185,3 +185,85 @@ class ExperimentBucket:
         if entity is None:
             raise ExprError("None")
         return murmur3_32(f"{name}/{entity}".encode(), EXPERIMENT_SEED) % EXPERIMENT_GRANULARITY
+
+
+NOT_IN_EXPERIMENT_BUCKET = ""  # experiments.py / language_types/experiments.py:20
+
+
+def validate_experiment_config(buckets: tuple, bucket_sizes: tuple) -> None:
+    """The reference's compile-time experiment validation
+    (stdlib/udfs/experiments.py:83-135): 1–10 buckets, 'control' present,
+    equal lengths, ≤0.01%% precision, each bucket within 100/n_buckets."""
+    from decimal import Decimal
+    from math import floor
+
+    if not (1 <= len(buckets) <= 10):
+        raise ValueError("number of experiment buckets must be between 1 and 10 inclusive")
+    if "control" not in buckets:
+        raise ValueError("'control' must be one of the buckets")
+    if len(buckets) != len(bucket_sizes):
+        raise ValueError("buckets and bucket_sizes must have the same number of elements")
+    for p in bucket_sizes:
+        units = Decimal(str(p)) * Decimal(EXPERIMENT_GRANULARITY / 100)
+        if floor(units) != units:
+            raise ValueError(
+                "experiment bucket size precision is too high (at most the hundredth decimal place)"
+            )
+    max_units = EXPERIMENT_GRANULARITY // len(buckets)
+    for p in bucket_sizes:
+        units = int(Decimal(str(p)) * Decimal(EXPERIMENT_GRANULARITY / 100))
+        if units > max_units:
+            raise ValueError(
+                f"bucket size {p} is over the max of {max_units / (EXPERIMENT_GRANULARITY / 100)}"
+            )
+
+
+def _resolve_bucket(name: str, entity: str, buckets: tuple, bucket_sizes: tuple) -> str:
+    """get_bucket (experiments.py:178-210): hash unit → bucket slot; outside
+    the ramped share of its slot ⇒ not in experiment (empty string)."""
+    from decimal import Decimal
+
+    unit = murmur3_32(f"{name}/{entity}".encode(), EXPERIMENT_SEED) % EXPERIMENT_GRANULARITY
+    max_units = EXPERIMENT_GRANULARITY // len(buckets)
+    bi = unit // max_units
+    off = max_units * bi
+    if bi + 1 > len(buckets):
+        return NOT_IN_EXPERIMENT_BUCKET
+    ramped = int(Decimal(str(bucket_sizes[bi])) * Decimal(EXPERIMENT_GRANULARITY / 100))
+    if unit >= ramped + off:
+        return NOT_IN_EXPERIMENT_BUCKET
+    return buckets[bi]
+
+
+@kernel("Experiment")
+class Experiment:
+    """Full ExperimentT semantics (stdlib/udfs/experiments.py:50-212): the
+    entity resolves to a named bucket via its hash slot, ramped by
+    bucket_sizes percentages; outside the ramp ⇒ '' (not in experiment).
+    ``version``/``revision`` participate in validation only (≥ 0), matching
+    the reference (they tag the ExperimentT value, not the hash)."""
+
+    @staticmethod
+    def _check(buckets, bucket_sizes, version, revision):
+        if version < 0:
+            raise ValueError("experiment version must be zero or greater")
+        if revision < 0:
+            raise ValueError("experiment revision must be zero or greater")
+        validate_experiment_config(tuple(buckets), tuple(bucket_sizes))
+
+    @staticmethod
+    def batch(ctx, name, entity, buckets, bucket_sizes, version=0, revision=0):
+        Experiment._check(buckets, bucket_sizes, version, revision)
+        ents = entity.to_pylist()
+        out = [
+            None if e is None else _resolve_bucket(name, e, tuple(buckets), tuple(bucket_sizes))
+            for e in ents
+        ]
+        return pa.array(out, pa.string())
+
+    @staticmethod
+    def row(rctx, name, entity, buckets, bucket_sizes, version=0, revision=0):
+        Experiment._check(buckets, bucket_sizes, version, revision)
+        if entity is None:
+            raise ExprError("None")
+        return _resolve_bucket(name, entity, tuple(buckets), tuple(bucket_sizes))

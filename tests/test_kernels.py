@@ -96,6 +96,8 @@ CASES = [
     ("TagsFromFacets", {"facets": ['[{"features":[{"$type":"app.bsky.richtext.facet#tag","tag":"T"}]}]', "notjson"]}, {}),
     ("SimpleListContains", {"target": [["free money"], ["none"], None]}, {"words": ("free",)}),
     ("ExtractListDomains", {"target": [["https://A.com/x", "http://b.co/y"], [], None]}, {}),
+    ("Experiment", {"entity": ["u1", "u2", None]},
+     {"name": "exp", "buckets": ("control", "treatment"), "bucket_sizes": (50.0, 50.0)}),
 ]
 
 
@@ -208,3 +210,44 @@ def test_extract_list_domains():
     ]
     b, r = run_both("ExtractListDomains", {"target": lists_}, {})
     assert b == r == [["a.com", "b.co.uk"], [], None, []]
+
+
+def test_experiment_full_semantics():
+    """ExperimentT parity (experiments.py:50-212): slot assignment, ramp
+    cutoff, '' outside the experiment, validation errors."""
+    from osprey_ray.kernels.misc import (
+        EXPERIMENT_GRANULARITY,
+        _resolve_bucket,
+        murmur3_32,
+        validate_experiment_config,
+    )
+
+    buckets = ("control", "treatment")
+    # full ramp: every entity lands in its slot's bucket
+    full = (50.0, 50.0)
+    for e in ["u1", "u2", "u3", "zz"]:
+        unit = murmur3_32(f"exp/{e}".encode(), 42) % EXPERIMENT_GRANULARITY
+        want = buckets[unit // (EXPERIMENT_GRANULARITY // 2)]
+        assert _resolve_bucket("exp", e, buckets, full) == want
+    # zero ramp: nobody is in the experiment
+    assert _resolve_bucket("exp", "u1", buckets, (0.0, 0.0)) == ""
+    # partial ramp: exactly units below the cutoff are in
+    got = {_resolve_bucket("exp", f"u{i}", buckets, (10.0, 10.0)) for i in range(200)}
+    assert "" in got and ("control" in got or "treatment" in got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="control"):
+        validate_experiment_config(("a", "b"), (50.0, 50.0))
+    with _pytest.raises(ValueError, match="same number"):
+        validate_experiment_config(("control", "t"), (50.0,))
+    with _pytest.raises(ValueError, match="precision"):
+        validate_experiment_config(("control", "t"), (33.333, 50.0))
+    with _pytest.raises(ValueError, match="over the max"):
+        validate_experiment_config(("control", "t"), (60.0, 40.0))
+
+    b, r = run_both(
+        "Experiment", {"entity": ["u1", "u2", None]},
+        {"name": "exp", "buckets": ("control", "treatment"), "bucket_sizes": (50.0, 50.0)},
+    )
+    assert b == r

@@ -1,0 +1,84 @@
+"""Query language over execution results: engine filter ≡ DuckDB WHERE
+clause on the same stored Parquet (the translator-parity check the reference
+does in query_language/tests/)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osprey_ray.pipelines.flagship import flagship_spec
+from osprey_ray.query import SmlValidationError, filter_results, parse_query, result_columns
+from osprey_ray.sml import SmlValidationError  # noqa: F811 (same class)
+
+
+@pytest.fixture(scope="module")
+def results_table():
+    from osprey_ray.datagen import generate_label_events, generate_transcripts
+    from osprey_ray.pipelines.flagship import label_events_map
+    from osprey_ray.stages.stateful import StatefulPartitionEval
+    from osprey_ray.stages.stateless import compile_stateless
+
+    tbl = generate_transcripts(4000, seed=11).drop_columns(["_arrival_us"])
+    lmap = label_events_map(generate_label_events(tbl, 11))
+    spec = flagship_spec()
+    t1 = compile_stateless(spec)(tbl)
+    return StatefulPartitionEval(spec, lmap)(t1), spec
+
+
+def _both(results, spec, text):
+    cols = result_columns(spec)
+    q = parse_query(text, cols, spec=spec)
+    got = filter_results(results, q)
+    con = duckdb.connect()
+    con.register("results", results)
+    want = con.execute(f"SELECT count(*) AS n FROM results WHERE {q.to_sql()}").fetchone()[0]
+    return got.num_rows, want
+
+
+QUERIES = [
+    "RuleSpam",
+    "RuleSpam and TextLen > 50",
+    "ContainsHello or RuleVelocity",
+    "not RuleSpam and IsExec",
+    "IsExec or IsMail",
+    "FlagCount5m >= 2",
+    "sess__count > 10 and TurnsThisHour >= 2",
+    "DidDeclareVerdict(verdict='flag_spam')",
+    "DidDeclareVerdict(verdict='ban') or RuleHello",
+    "DidAddLabel(label_name='spam_suspect')",
+    "DidAddLabel(label_name='spam_suspect') and TextLen < 60",
+    "IsSpamText == False",
+]
+
+
+@pytest.mark.parametrize("text", QUERIES)
+def test_query_engine_matches_sql(results_table, text):
+    results, spec = results_table
+    got, want = _both(results, spec, text)
+    assert got == want, f"{text}: engine {got} != sql {want}"
+    assert got > 0 or text == "DidDeclareVerdict(verdict='nope')", f"{text}: empty filter is a weak test"
+
+
+def test_query_validation_errors(results_table):
+    _, spec = results_table
+    cols = result_columns(spec)
+    with pytest.raises(SmlValidationError, match="unknown-name|unknown feature"):
+        parse_query("NoSuchFeature > 3", cols, spec=spec)
+    with pytest.raises(SmlValidationError, match="verdict"):
+        parse_query("DidDeclareVerdict()", cols, spec=spec)
+    with pytest.raises(SmlValidationError, match="label_name"):
+        parse_query("DidAddLabel()", cols, spec=spec)
+    with pytest.raises(SmlValidationError, match="syntax"):
+        parse_query("RuleSpam and and", cols, spec=spec)
+
+
+def test_query_filter_on_dataset(results_table, ray_session):
+    import ray.data as rd
+
+    results, spec = results_table
+    q = parse_query("RuleSpam", result_columns(spec), spec=spec)
+    ds = rd.from_arrow(results)
+    got = filter_results(ds, q).count()
+    want = filter_results(results, q).num_rows
+    assert got == want

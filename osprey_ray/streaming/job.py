@@ -49,15 +49,25 @@ I64_MIN = np.iinfo(np.int64).min
 
 @ray.remote
 def _read_route(
-    paths: list[str],
+    chunks: list,
     stage1: StatelessStage,
     num_parts: int,
 ):
-    """Read segment files, run the stateless stage, split by
-    crc32(conv_id) %% P.  Returns [table_p0, ..., table_p{P-1}, max_ts]."""
+    """Read segment chunks — each a plain path or a ``(path, row_groups)``
+    pair (sub-file offsets: the reference commits per-message Kafka offsets,
+    kafka.rs:112-116; row-group ranges are the Parquet-native equivalent) —
+    run the stateless stage, split by crc32(conv_id) %% P.
+    Returns [table_p0, ..., table_p{P-1}, max_ts]."""
     import pyarrow.parquet as pq
 
-    tbl = pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+    tables = []
+    for c in chunks:
+        path, rgs = c if isinstance(c, (tuple, list)) else (c, None)
+        if rgs is None:
+            tables.append(pq.read_table(path))
+        else:
+            tables.append(pq.ParquetFile(path).read_row_groups(list(rgs)))
+    tbl = pa.concat_tables(tables, promote_options="default")
     if "_arrival_us" in tbl.column_names:
         tbl = tbl.drop_columns(["_arrival_us"])
     t1 = stage1(tbl)
@@ -103,6 +113,7 @@ class StreamingJob:
         allowed_lateness_s: float = 1000.0,
         checkpoint_interval: int = 1,
         pending_spill_rows: int = 500_000,
+        rows_per_epoch: int | None = None,
     ):
         self.spec = spec
         self.segment_files = list(segment_files)
@@ -116,6 +127,12 @@ class StreamingJob:
         self.P = num_shards
         self.files_per_epoch = files_per_epoch
         self.files_per_read_task = files_per_read_task
+        # sub-file epoch planning: when set, epoch boundaries fall at Parquet
+        # row-group boundaries (~rows_per_epoch rows each) instead of whole
+        # files, and manifests record (file, row-group range) lineage — a
+        # crash mid-way through a large segment replays only the committed
+        # row groups, not the whole file
+        self.rows_per_epoch = rows_per_epoch
         self.lateness_us = int(allowed_lateness_s * 1e6)
         self.checkpoint_interval = checkpoint_interval
         self.pending_spill_rows = pending_spill_rows
@@ -125,10 +142,35 @@ class StreamingJob:
 
     # -- epoch planning ----------------------------------------------------
 
-    def epochs(self) -> list[list[str]]:
+    def epochs(self) -> list[list]:
+        """Epoch plan: a list of chunks per epoch, each chunk
+        ``(path, row_group_ids | None)``."""
         fs = self.segment_files
-        k = self.files_per_epoch
-        return [fs[i : i + k] for i in range(0, len(fs), k)]
+        if self.rows_per_epoch is None:
+            k = self.files_per_epoch
+            return [
+                [(f, None) for f in fs[i : i + k]] for i in range(0, len(fs), k)
+            ]
+        import pyarrow.parquet as pq
+
+        epochs: list[list] = []
+        cur: list = []
+        cur_rows = 0
+        for f in fs:
+            md = pq.ParquetFile(f).metadata
+            groups: list[int] = []
+            for g in range(md.num_row_groups):
+                groups.append(g)
+                cur_rows += md.row_group(g).num_rows
+                if cur_rows >= self.rows_per_epoch:
+                    cur.append((f, groups))
+                    epochs.append(cur)
+                    cur, groups, cur_rows = [], [], 0
+            if groups:
+                cur.append((f, groups))
+        if cur:
+            epochs.append(cur)
+        return epochs
 
     def _manifest_path(self, epoch: int) -> str:
         return os.path.join(self.manifest_dir, f"epoch-{epoch:05d}.json")

@@ -253,3 +253,61 @@ def test_pending_spill_survives_kill_resume(stream_data, tmp_path):
     assert len(got) == len(want)
     for k in want.columns:
         assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+
+
+def test_subfile_epoch_offsets(stream_data, tmp_path):
+    """rows_per_epoch plans epochs at Parquet row-group boundaries inside a
+    segment (the reference's per-message-offset analogue): manifests carry
+    (file, row-group) lineage, output equals the batch oracle, and
+    kill+resume replays only committed row groups — bit-identical."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    # rebuild the stream as TWO large segments with small row groups so
+    # epoch boundaries must fall mid-file
+    ordered = pa.concat_tables([pq_.read_table(s) for s in segs]).sort_by(
+        [("_arrival_us", "ascending")]
+    )
+    big = tmp_path / "bigsegs"
+    big.mkdir()
+    half = ordered.num_rows // 2
+    paths = []
+    for i, sl in enumerate([ordered.slice(0, half), ordered.slice(half)]):
+        p = str(big / f"seg-{i:05d}.parquet")
+        pq_.write_table(sl, p, row_group_size=400)
+        paths.append(p)
+
+    job = StreamingJob(
+        spec, paths, str(tmp_path / "sub"), lmap, num_shards=4, rows_per_epoch=1000
+    )
+    eps = job.epochs()
+    assert len(eps) > 2
+    assert any(len(chunk[1]) < 8 for ep in eps for chunk in ep), "no sub-file epochs"
+    job.run()
+    job.finalize()
+    got = _df(job.results_table())
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+    # manifest lineage records row-group ranges
+    m = _json.load(open(str(tmp_path / "sub" / "manifest" / "epoch-00000.json")))
+    assert m["input_files"] and isinstance(m["input_files"][0], list)
+    assert m["input_files"][0][1], "row-group list missing from lineage"
+
+    # kill + resume with sub-file epochs
+    out = str(tmp_path / "subcrash")
+    j1 = StreamingJob(spec, paths, out, lmap, num_shards=4, rows_per_epoch=1000)
+    j1.run(stop_after_epoch=2)
+    del j1
+    j2 = StreamingJob(spec, paths, out, lmap, num_shards=4, rows_per_epoch=1000)
+    j2.run(resume=True)
+    j2.finalize()
+    got2 = _df(j2.results_table())
+    assert len(got2) == len(got)
+    for k in want.columns:
+        assert [_norm(x) for x in got2[k]] == [_norm(x) for x in got[k]], f"column {k} differs"

@@ -141,6 +141,31 @@ def _flagship_salted(sf_dir: str):
     return pa.table(cols)
 
 
+_QUERY_FILTER_TEXT = "RuleSpam and TextLen > 50 or RuleVelocity"
+
+
+def _query_filter(sf_dir: str):
+    """Query-language end-to-end: the flagship results filtered by a query
+    string compiled to a vectorized predicate; the oracle wraps the same
+    flagship SQL in the query's translated WHERE clause — so the driver
+    hash-verifies BOTH the engine filter and the SQL translator."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+    from osprey_ray.query import filter_results, parse_query, result_columns
+
+    spec = flagship_sql_spec()
+    q = parse_query(_QUERY_FILTER_TEXT, result_columns(spec), spec=spec)
+    return filter_results(_flagship_sql(sf_dir), q)
+
+
+def _query_filter_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+    from osprey_ray.query import parse_query, result_columns
+
+    spec = flagship_sql_spec()
+    q = parse_query(_QUERY_FILTER_TEXT, result_columns(spec), spec=spec)
+    return f"SELECT * FROM ({_flagship_oracle_sql(sf_dir)}) WHERE {q.to_sql()}"
+
+
 def _flagship_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB twin of ``_flagship_sql`` over the same transcript parquet.
 
@@ -344,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the flagship engine itself (transcripts synthesized — no SQL views)
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
+        "query_filter": _query_filter,
         "sample_turns": _sample_turns,
         "streaming_windows": _streaming_windows,
         "flagship_verdicts": _flagship_verdicts,
@@ -400,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "flagship_sql": _flagship_oracle_sql(),
         "flagship_salted": _flagship_oracle_sql(),
+        "query_filter": _query_filter_oracle_sql(),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"

@@ -63,6 +63,7 @@ ORACLES = entrymod.oracle_sql()
 # sf0.01 gate; rebuild it for this module's sf0.001 fixture scale
 ORACLES["flagship_sql"] = entrymod._flagship_oracle_sql(SF_DIR)
 ORACLES["flagship_salted"] = ORACLES["flagship_sql"]
+ORACLES["query_filter"] = entrymod._query_filter_oracle_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

@@ -273,7 +273,9 @@ def _sample_turns(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    from osprey_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
     threshold = (1 << 32) // 4  # 25%
 
     def samp(t: pa.Table) -> pa.Table:

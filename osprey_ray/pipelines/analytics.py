@@ -29,7 +29,9 @@ from osprey_ray.stages.stateless import compile_stateless
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from osprey_ray.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,9 @@ import ray.data as rd
 
 
 def _read_emb(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from osprey_ray.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

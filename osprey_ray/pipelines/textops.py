@@ -30,7 +30,9 @@ STOPWORDS = frozenset(
 
 
 def _read_docs(sf_dir: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from osprey_ray.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------

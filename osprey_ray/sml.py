@@ -555,8 +555,13 @@ def _load_into(ctx: _Ctx, path: str, root: str, seen_files: set[str]) -> None:
 
 
 def _parse_into(ctx: _Ctx, text: str, root: str, seen_files: set[str]) -> None:
+    import warnings
+
     try:
-        tree = ast.parse(text)
+        with warnings.catch_warnings():
+            # regex literals in rules ('\\s', '\\.') are not Python escapes
+            warnings.simplefilter("ignore", SyntaxWarning)
+            tree = ast.parse(text)
     except SyntaxError as e:
         ctx.errors.append(SmlError(ctx.file, e.lineno or 0, e.offset or 0, "syntax-error", e.msg))
         return

@@ -147,3 +147,37 @@ def test_in_string_vs_list():
         "ToolKnown = tool in ['exec', 'mail']\n"
     )
     assert {x.name for x in spec.features} == {"Lowered", "HasHello", "ToolKnown"}
+
+
+def test_examples_ruleset_loads_and_runs():
+    """examples/rules/ (the reference's main.sml/models/rules layout) loads
+    into a full label-feedback ruleset and evaluates against the oracle."""
+    import os
+
+    from osprey_ray.datagen import generate_transcripts
+    from osprey_ray.oracle import oracle_results
+    from osprey_ray.stages.stateless import compile_stateless
+    from osprey_ray.stages.stateful import StatefulPartitionEval
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples", "rules", "main.sml")
+    spec = load_sml(root)
+    assert spec.uses_labels()
+    assert {r.name for r in spec.rules} >= {
+        "RuleHello", "RuleSpam", "RuleVelocity", "RuleToolAbuse",
+        "RuleLongSession", "RuleEscalate",
+    }
+    tbl = generate_transcripts(1200, seed=5).drop_columns(["_arrival_us"])
+    t1 = compile_stateless(spec)(tbl)
+    got = (
+        StatefulPartitionEval(spec, {})(t1)
+        .to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(oracle_results(tbl, spec, {}))
+    assert len(got) == len(want)
+    import numpy as np
+
+    def norm(x):
+        return list(x) if isinstance(x, (list, tuple, np.ndarray)) else x
+
+    for k in ("RuleSpam", "RuleEscalate", "__verdicts"):
+        assert [norm(x) for x in got[k]] == [norm(x) for x in want[k]], k

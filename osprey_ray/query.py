@@ -130,6 +130,25 @@ def _to_sql(node: ast.expr, ctx: _Ctx, spec: RuleSpec | None) -> str:
         rules = _mutation_rules(ctx, node, spec)
         lst = ", ".join(_sql_quote(r) for r in sorted(rules))
         return f'list_has_any("__rules_fired", [{lst}])'
+    if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) and node.func.id == "RegexMatch":
+        # the reference's query-only RegexMatch UDF (query_language/udfs/
+        # regex_match.py:17) — engine side evaluates the kernel; SQL side
+        # renders DuckDB's RE2 regexp_matches (same engine as Arrow's)
+        tgt = None
+        pat = None
+        ci = True
+        for k in node.keywords:
+            if k.arg in ("s", "target") and isinstance(k.value, ast.Name):
+                tgt = f'"{k.value.id}"'
+            elif k.arg == "pattern" and isinstance(k.value, ast.Constant):
+                pat = k.value.value
+            elif k.arg == "case_insensitive" and isinstance(k.value, ast.Constant):
+                ci = bool(k.value.value)
+        if tgt is None or pat is None:
+            ctx.err(node, "invalid-call", "RegexMatch requires s=<name>, pattern='…'")
+            return "FALSE"
+        flag = ", 'i'" if ci else ""
+        return f"regexp_matches({tgt}, {_sql_quote(pat)}{flag})"
     ctx.err(node, "invalid-expr", "unsupported query syntax")
     return "FALSE"
 

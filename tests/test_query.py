@@ -49,6 +49,8 @@ QUERIES = [
     "DidAddLabel(label_name='spam_suspect')",
     "DidAddLabel(label_name='spam_suspect') and TextLen < 60",
     "IsSpamText == False",
+    "RegexMatch(s=conv_id, pattern='conv_00000[0-4]')",
+    "RegexMatch(s=conv_id, pattern='conv_00000[0-4]') and RuleSpam",
 ]
 
 

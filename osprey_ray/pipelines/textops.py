@@ -573,12 +573,40 @@ class LangId:
         return best if scores[best] > 0 else "en"
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        guesses = [self._guess(x) for x in t["text"].to_pylist()]
+        """Vectorized: one Arrow count_substring pass per marker (the marker
+        set is tiny and fixed), CJK ratio via a regex count, then the
+        max-score/lex tie-break decided in numpy — identical semantics to
+        the scalar ``_guess`` (the DuckDB oracle checks it end-to-end)."""
+        padded = pc.binary_join_element_wise(
+            " ", pc.utf8_lower(t["text"]), " ", ""
+        )
+        n = pc.utf8_length(padded).to_numpy(zero_copy_only=False).astype(np.int64)
+        cjk = pc.count_substring_regex(padded, pattern="[一-鿿]").to_numpy(
+            zero_copy_only=False
+        )
+        scores = {}
+        for lang, marks in self.markers.items():
+            if not marks:
+                continue
+            acc = np.zeros(len(n), dtype=np.int64)
+            for m in marks:
+                acc += pc.count_substring(padded, pattern=m).to_numpy(zero_copy_only=False)
+            scores[lang] = acc
+        # tie-break = lexicographically largest language (max(scores, key=(s, k)))
+        order = sorted(scores, reverse=True)
+        best = np.array(scores[order[0]])
+        guess = np.full(len(n), order[0], dtype=object)
+        for lang in order[1:]:
+            better = scores[lang] > best
+            best = np.where(better, scores[lang], best)
+            guess[better] = lang
+        guess[best == 0] = "en"
+        guess[cjk > n * 0.05] = "zh"
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "lang": t["lang"],
-                "lang_guess": pa.array(guesses, pa.string()),
+                "lang_guess": pa.array(guess.tolist(), pa.string()),
             }
         )
 

@@ -135,3 +135,18 @@ def test_simhash_pairs_vs_bruteforce(ray_session):
     got_t = q_simhash_pairs("/root/testdata/sf0.001")
     got = set(map(tuple, got_t.to_pandas().itertuples(index=False)))
     assert got == want
+
+
+def test_langid_vectorized_matches_scalar():
+    import pyarrow as pa
+
+    from osprey_ray.pipelines.textops import LangId
+
+    li = LangId()
+    texts = [
+        "the cat and the dog", " le chat et la vie é", " el los y de niño ñ",
+        " der und die schule ß", "你好 世界 你好 世界 你好", "zzz qqq", "",
+        "le le le the the the",  # tie → lex-largest lang wins
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts, "lang": ["x"] * len(texts)})
+    assert li(t)["lang_guess"].to_pylist() == [li._guess(x) for x in texts]

@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--files-per-epoch", type=int, default=8)
     ap.add_argument("--lateness", type=float, default=1000.0, help="allowed lateness seconds")
     ap.add_argument("--checkpoint-interval", type=int, default=1)
+    ap.add_argument("--rows-per-epoch", type=int, default=None,
+                    help="plan epochs at Parquet row-group boundaries (~N rows each) instead of whole files")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="only for standalone runs")
     args = ap.parse_args(argv)
@@ -62,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         files_per_epoch=args.files_per_epoch,
         allowed_lateness_s=args.lateness,
         checkpoint_interval=args.checkpoint_interval,
+        rows_per_epoch=args.rows_per_epoch,
     )
     import time
 

@@ -351,7 +351,11 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.95):
         .groupby(["vec_a", "vec_b"])
         .aggregate(Count(alias_name="__nt"))
         .select_columns(["vec_a", "vec_b"])
+        .materialize()  # tiny; also enables the zero-candidate early exit
     )
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    if cand.count() == 0:
+        return schema.empty_table()
 
     def emb_side(key: str):
         return _read_emb(sf_dir).map_batches(

@@ -166,6 +166,43 @@ def _query_filter_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return f"SELECT * FROM ({_flagship_oracle_sql(sf_dir)}) WHERE {q.to_sql()}"
 
 
+def _streaming_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of the watermark-driven window-aggregate stream: by the
+    final flush every window has closed, so the emitted stream equals the
+    batch window aggregates — tumbling (conv, hour bucket) counts and
+    gap-based sessions (min/max ts + count) over the deduped transcript."""
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, epoch_us(ts) AS tus,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM raw WHERE dup_rn = 1
+), s AS (
+  SELECT *, CASE WHEN tus - lag(tus) OVER (PARTITION BY conv_id ORDER BY rn) > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM t
+), x AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY conv_id ORDER BY rn
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM s
+)
+SELECT 'TurnsThisHour' AS "window", conv_id,
+       make_timestamp((tus // 3600000000) * 3600000000) AS "start",
+       make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
+       COUNT(*) AS agg_count
+FROM t GROUP BY conv_id, tus // 3600000000
+UNION ALL
+SELECT 'sess' AS "window", conv_id,
+       make_timestamp(MIN(tus)) AS "start", make_timestamp(MAX(tus)) AS "end",
+       COUNT(*) AS agg_count
+FROM x GROUP BY conv_id, sid
+"""
+
+
 def _flagship_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB twin of ``_flagship_sql`` over the same transcript parquet.
 
@@ -429,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_sql": _flagship_oracle_sql(),
         "flagship_salted": _flagship_oracle_sql(),
         "query_filter": _query_filter_oracle_sql(),
+        "streaming_windows": _streaming_windows_oracle_sql(),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"

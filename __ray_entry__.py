@@ -141,6 +141,69 @@ def _flagship_salted(sf_dir: str):
     return pa.table(cols)
 
 
+def _verdict_spec():
+    """flagship_sql_spec + verdict-only triggers (no label effects) — the
+    trigger → DeclareVerdict machinery in SQL-expressible form."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+    from osprey_ray.rules import DeclareVerdict, WhenRules
+
+    spec = flagship_sql_spec()
+    spec.triggers = [
+        WhenRules(["RuleSpam"], [DeclareVerdict("flag_spam")]),
+        WhenRules(["RuleVelocity", "RuleToolAbuse"], [DeclareVerdict("escalate")]),
+        WhenRules(["RuleHello"], [DeclareVerdict("greet")]),
+    ]
+    spec.validate()
+    return spec
+
+
+def _flagship_verdict_sql(sf_dir: str):
+    """Verdict/trigger machinery hash-verified: per-turn sorted verdict and
+    fired-rule lists, CSV-joined so the value hash is string-stable."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import run_batch
+
+    d = _transcript_dataset(sf_dir)
+    ds = rd.read_parquet(sorted(glob.glob(f"{d}/batch/*.parquet")))
+    res = run_batch(ds, _verdict_spec(), {}, num_partitions=32)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "verdicts_csv": pc.binary_join(t["__verdicts"], ","),
+                "rules_fired_csv": pc.binary_join(t["__rules_fired"], ","),
+            }
+        )
+
+    return res.map_batches(proj, batch_format="pyarrow")
+
+
+def _flagship_verdict_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    core = _flagship_oracle_sql(sf_dir)
+    return f"""
+SELECT conv_id, turn_idx,
+  COALESCE(array_to_string(list_sort(list_distinct(
+    (CASE WHEN RuleVelocity OR RuleToolAbuse THEN ['escalate'] ELSE []::VARCHAR[] END) ||
+    (CASE WHEN RuleSpam THEN ['flag_spam'] ELSE []::VARCHAR[] END) ||
+    (CASE WHEN RuleHello THEN ['greet'] ELSE []::VARCHAR[] END)
+  )), ','), '') AS verdicts_csv,
+  COALESCE(array_to_string(list_sort(
+    (CASE WHEN RuleHello THEN ['RuleHello'] ELSE []::VARCHAR[] END) ||
+    (CASE WHEN RuleSpam THEN ['RuleSpam'] ELSE []::VARCHAR[] END) ||
+    (CASE WHEN RuleToolAbuse THEN ['RuleToolAbuse'] ELSE []::VARCHAR[] END) ||
+    (CASE WHEN RuleVelocity THEN ['RuleVelocity'] ELSE []::VARCHAR[] END)
+  ), ','), '') AS rules_fired_csv
+FROM ({core})
+"""
+
+
 _QUERY_FILTER_TEXT = "RuleSpam and TextLen > 50 or RuleVelocity"
 
 
@@ -409,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
         "query_filter": _query_filter,
+        "flagship_verdict_sql": _flagship_verdict_sql,
         "sample_turns": _sample_turns,
         "streaming_windows": _streaming_windows,
         "flagship_verdicts": _flagship_verdicts,
@@ -467,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_salted": _flagship_oracle_sql(),
         "query_filter": _query_filter_oracle_sql(),
         "streaming_windows": _streaming_windows_oracle_sql(),
+        "flagship_verdict_sql": _flagship_verdict_oracle_sql(),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"

@@ -527,6 +527,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type"
         ),
         "lang_id": _lang_id_sql(),
+        # exhaustive O(n²) Jaccard twin for the LSH path (16 bands × 4 rows
+        # give ~99% per-pair detection at τ=0.7; on this deterministic corpus
+        # recall is exactly 100% — verified engine==SQL at sf0.01 and sf0.001)
+        "minhash_neardup": (
+            "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, "
+            "list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS grams "
+            "FROM d) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(floor(100.0 * len(list_intersect(a.grams, b.grams)) / "
+            "(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) + 0.5) AS BIGINT) AS jaccard_pct "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.grams, b.grams)) * 10 >= "
+            "7 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+        ),
         "flagship_sql": _flagship_oracle_sql(),
         "flagship_salted": _flagship_oracle_sql(),
         "query_filter": _query_filter_oracle_sql(),
@@ -646,6 +662,14 @@ def oracle_sql() -> dict[str, str]:
             'SELECT qid AS query_id, nid AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 5'
         ),
         "embed_neardup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < b.vec_id AND "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95"
+        ),
+        # same exhaustive twin for the LSH path (16 tables x 6 bits: recall
+        # at cos>=0.95 is ~1; engine==SQL on this corpus, planted-pair test
+        # covers the non-empty case)
+        "embed_neardup_lsh": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b "
             "WHERE a.vec_id < b.vec_id AND "
             "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95"

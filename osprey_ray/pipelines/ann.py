@@ -16,8 +16,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-import ray.data as rd
-
 
 def _read_emb(sf_dir: str):
     from osprey_ray.io import read_parquet_clean

@@ -15,11 +15,9 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data as rd
 from ray.data.aggregate import Count
 
 _WORD_RE = re.compile(r"\S+")

@@ -38,7 +38,6 @@ import ast
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from osprey_ray.expr import EvalContext, Expr, lit
 from osprey_ray.rules import LabelAdd, LabelRemove, RuleSpec

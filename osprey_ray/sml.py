@@ -44,7 +44,7 @@ import ast
 import os
 from dataclasses import dataclass, field
 
-from osprey_ray.expr import BinOp, BoolOp, Cmp, Expr, Fmt, IsNull, Lit, Neg, Not, col, fn, lit
+from osprey_ray.expr import BinOp, BoolOp, Cmp, Expr, Fmt, IsNull, Neg, Not, col, fn, lit
 from osprey_ray.kernels import list_kernels
 from osprey_ray.rules import (
     DeclareVerdict,

@@ -369,6 +369,69 @@ def bulk_label(
     )
 
 
+def bulk_label_by_query(
+    results: "ray.data.Dataset",
+    query_text: str,
+    spec: RuleSpec,
+    label: str,
+    min_matches: int = 1,
+    expires_after: float | None = None,
+) -> pa.Table:
+    """Query-driven bulk label job — the reference's actual §3.3 shape: the
+    UI submits a QUERY (bulk_label_sink.py:64-120 runs it against the stored
+    results via the query language), and every entity with ≥ min_matches
+    matching turns gets the mutation.  Composes :mod:`osprey_ray.query`'s
+    vectorized filter with the per-conversation pre-aggregation."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+    from osprey_ray.query import filter_results, parse_query, result_columns
+
+    q = parse_query(query_text, result_columns(spec), spec=spec)
+    filtered = filter_results(results, q)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "matches": pa.array([], pa.int64()),
+                             "last_ts": pa.array([], pa.int64())})
+        g = (
+            pa.table(
+                {
+                    "conv_id": pc.cast(t["conv_id"], pa.string()),
+                    "m": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "ts": t["ts"].cast(pa.int64()),
+                }
+            )
+            .group_by("conv_id")
+            .aggregate([("m", "sum"), ("ts", "max")])
+        )
+        return g.rename_columns(["conv_id", "matches", "last_ts"])
+
+    agg = (
+        filtered.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("matches", alias_name="matches"), Max("last_ts", alias_name="last_ts"))
+        .to_pandas()
+    )
+    hit = agg[agg["matches"] >= min_matches].sort_values("conv_id")
+    exp = (
+        pa.array((hit["last_ts"] + int(expires_after * 1e6)).astype("int64"), pa.timestamp("us"))
+        if expires_after is not None
+        else pa.nulls(len(hit), pa.timestamp("us"))
+    )
+    return pa.table(
+        {
+            "conv_id": pa.array(hit["conv_id"], pa.string()),
+            "ts": pa.array(hit["last_ts"].astype("int64"), pa.timestamp("us")),
+            "label": pa.array([label] * len(hit), pa.string()),
+            "status": pa.array(["added"] * len(hit), pa.string()),
+            "expires_at": exp,
+            "n_matches": pa.array(hit["matches"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 def verdict_stream(results: "ray.data.Dataset") -> "ray.data.Dataset":
     """Filter the execution results down to fired turns (the verdict sink
     stream, FIXTURES.md F4)."""

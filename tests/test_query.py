@@ -84,3 +84,34 @@ def test_query_filter_on_dataset(results_table, ray_session):
     got = filter_results(ds, q).count()
     want = filter_results(results, q).num_rows
     assert got == want
+
+
+def test_bulk_label_by_query(results_table, ray_session):
+    """Query-driven bulk labeling: conversations matched by the query get a
+    mutation; counts agree with a pandas recomputation of the same filter."""
+    import numpy as np
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import bulk_label_by_query
+    from osprey_ray.query import filter_results, parse_query
+
+    results, spec = results_table
+    text = "RuleSpam and TextLen > 40"
+    out = bulk_label_by_query(
+        rd.from_arrow(results), text, spec, label="bulk_spam",
+        min_matches=2, expires_after=3600,
+    ).to_pandas()
+
+    q = parse_query(text, result_columns(spec), spec=spec)
+    f = filter_results(results, q).to_pandas()
+    want = f.groupby("conv_id").size()
+    want = want[want >= 2]
+    assert sorted(out["conv_id"]) == sorted(want.index)
+    got_counts = dict(zip(out["conv_id"], out["n_matches"]))
+    assert all(got_counts[c] == n for c, n in want.items())
+    assert (out["status"] == "added").all() and (out["label"] == "bulk_spam").all()
+    # expiry = last matching ts + 3600s
+    last = f.groupby("conv_id")["ts"].max()
+    for c in out["conv_id"]:
+        exp = out.set_index("conv_id").loc[c, "expires_at"]
+        assert (exp - last[c]).total_seconds() == 3600

@@ -114,6 +114,7 @@ class StreamingJob:
         checkpoint_interval: int = 1,
         pending_spill_rows: int = 500_000,
         rows_per_epoch: int | None = None,
+        salt_block_rows: int | None = None,
     ):
         self.spec = spec
         self.segment_files = list(segment_files)
@@ -133,6 +134,10 @@ class StreamingJob:
         # crash mid-way through a large segment replays only the committed
         # row groups, not the whole file
         self.rows_per_epoch = rows_per_epoch
+        # streaming hot-conversation salting (label-free specs only): a
+        # released slice holding > salt_block_rows rows of one conversation
+        # evaluates block-parallel inside the owning shard
+        self.salt_block_rows = salt_block_rows
         self.lateness_us = int(allowed_lateness_s * 1e6)
         self.checkpoint_interval = checkpoint_interval
         self.pending_spill_rows = pending_spill_rows
@@ -193,6 +198,7 @@ class StreamingJob:
             StateShard.remote(
                 self.spec, p, self.data_dir, per_shard[p],
                 pending_spill_rows=self.pending_spill_rows,
+                salt_block_rows=self.salt_block_rows,
             )
             for p in range(self.P)
         ]

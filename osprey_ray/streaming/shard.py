@@ -37,7 +37,18 @@ import pyarrow.parquet as pq
 import ray
 
 from osprey_ray.rules import RuleSpec
-from osprey_ray.stages.stateful import eval_released, sort_and_dedup
+from osprey_ray.stages.stateful import _conv_codes, eval_released, sort_and_dedup
+
+
+@ray.remote
+def _eval_block(tbl: pa.Table, spec, rule_plans, conv: str, state: dict) -> pa.Table:
+    """One salted block of a hot conversation, evaluated with its merged
+    incoming carry state (same contract as stages/salted.py phase B)."""
+    from osprey_ray.state.labels import LabelStore
+
+    states = {conv: state} if state else {}
+    out, _ = eval_released(tbl, spec, rule_plans, states, LabelStore(), {}, persist=True)
+    return out
 from osprey_ray.stages.stateless import split_rules
 from osprey_ray.state.labels import LabelStore
 
@@ -51,6 +62,7 @@ class StateShard:
         out_dir: str,
         label_events: dict[str, list],
         pending_spill_rows: int = 500_000,
+        salt_block_rows: int | None = None,
     ):
         from osprey_ray.rules import SessionWindow, TumblingCount
 
@@ -69,6 +81,16 @@ class StateShard:
         # their min ts; consumed spill files are deleted after the next
         # snapshot commits (resume uses the latest snapshot only).
         self.pending_spill_rows = pending_spill_rows
+        # intra-epoch hot-conversation salting (streaming side of the
+        # north_star salting requirement): when a released slice holds more
+        # than salt_block_rows rows of ONE conversation, the shard splits it
+        # into ordered blocks, scan-merges boundary summaries from its carry
+        # state (stages/salted.py protocol), and evaluates the blocks as
+        # parallel Ray tasks instead of serially in this actor.  Label
+        # rulesets are excluded (sequential read-your-writes).
+        self.salt_block_rows = (
+            salt_block_rows if (salt_block_rows and not spec.uses_labels()) else None
+        )
         self.spilled: list[dict] = []  # {"path", "min_ts", "rows"}
         self._spill_seq = 0
         self._consumed_spills: list[str] = []
@@ -138,9 +160,15 @@ class StateShard:
         labels_path = None
         if released is not None and released.num_rows:
             released = sort_and_dedup(released, self.states)
+            whale_refs: list = []
+            if self.salt_block_rows:
+                released, whale_refs = self._launch_whale_blocks(released)
             out, muts = eval_released(
                 released, self.spec, self.rule_plans, self.states, self.labels, self.label_events
             )
+            if whale_refs:
+                outs = ([out] if out.num_rows else []) + ray.get(whale_refs)
+                out = pa.concat_tables(outs, promote_options="default")
             out_rows = out.num_rows
             if "__verdicts" in out.column_names:
                 fired = int(
@@ -190,29 +218,52 @@ class StateShard:
         """Merge this slice's per-window partials into the open-window
         accumulators.  Per-turn running counts are monotone within a window,
         so the window aggregate is the max of the running count — partials
-        merge associatively across epochs."""
-        conv = out["conv_id"].to_pylist()
+        merge associatively across epochs.
+
+        Vectorized: group reduction (lexsort + reduceat) first, then Python
+        touches one entry per OPEN WINDOW, never per row — the per-row loop
+        here used to be the whale-shard's dominant per-epoch serial cost."""
+        if out.num_rows == 0 or not (self.tumbling or self.sessions):
+            return
+        codes, dictionary = _conv_codes(out)
+        names = dictionary.to_pylist()
         ts = out["ts"].cast(pa.int64()).to_numpy()
+
+        def _group_reduce(sub_key: np.ndarray):
+            order = np.lexsort((sub_key, codes))
+            ck, sk = codes[order], sub_key[order]
+            new = np.empty(len(ck), dtype=bool)
+            new[0] = True
+            new[1:] = (ck[1:] != ck[:-1]) | (sk[1:] != sk[:-1])
+            starts = np.flatnonzero(new)
+            return order, ck[starts], sk[starts], starts
+
         for sf in self.tumbling:
             b_us = np.int64(sf.bucket_seconds * 1e6)
             bucket = (ts // b_us) * b_us
             cnt = out[sf.name].to_numpy()
-            for c, b, k in zip(conv, bucket, cnt):
-                key = ("t", sf.name, c, int(b))
-                cur = self.open_windows.get(key, 0)
-                if k > cur:
+            order, g_conv, g_bucket, starts = _group_reduce(bucket)
+            gmax = np.maximum.reduceat(cnt[order], starts)
+            for c, b, k in zip(g_conv, g_bucket, gmax):
+                key = ("t", sf.name, names[c], int(b))
+                if int(k) > self.open_windows.get(key, 0):
                     self.open_windows[key] = int(k)
         for sf in self.sessions:
             sid = out[f"{sf.name}__id"].to_numpy()
             cnt = out[f"{sf.name}__count"].to_numpy()
-            for c, s_, t_, k in zip(conv, sid, ts, cnt):
-                key = ("s", sf.name, c, int(s_))
+            order, g_conv, g_sid, starts = _group_reduce(sid)
+            t_o = ts[order]
+            tmin = np.minimum.reduceat(t_o, starts)
+            tmax = np.maximum.reduceat(t_o, starts)
+            cmax = np.maximum.reduceat(cnt[order], starts)
+            for c, s_, lo, hi, k in zip(g_conv, g_sid, tmin, tmax, cmax):
+                key = ("s", sf.name, names[c], int(s_))
                 cur = self.open_windows.get(key)
                 if cur is None:
-                    self.open_windows[key] = [int(t_), int(t_), int(k)]
+                    self.open_windows[key] = [int(lo), int(hi), int(k)]
                 else:
-                    cur[0] = min(cur[0], int(t_))
-                    cur[1] = max(cur[1], int(t_))
+                    cur[0] = min(cur[0], int(lo))
+                    cur[1] = max(cur[1], int(hi))
                     cur[2] = max(cur[2], int(k))
 
     def _emit_closed_windows(self, watermark_us: int) -> pa.Table | None:
@@ -245,6 +296,42 @@ class StateShard:
                 "agg_count": pa.array([r[4] for r in rows], pa.int64()),
             }
         )
+
+    def _launch_whale_blocks(self, tbl: pa.Table):
+        """Carve conversations larger than ``salt_block_rows`` out of the
+        released slice into ordered blocks evaluated as parallel tasks; the
+        shard's carry state advances through the summary scan (exactly the
+        batch salting protocol), so the next epoch continues seamlessly.
+        Returns (remaining rows, block result refs)."""
+        from osprey_ray.stages.salted import merge_state, summarize_block
+
+        codes, dictionary = _conv_codes(tbl)
+        n = len(codes)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        keep = np.ones(n, dtype=bool)
+        refs: list = []
+        B = self.salt_block_rows
+        for s, e in zip(starts, ends):
+            if e - s <= B:
+                continue
+            cid = dictionary[codes[s]].as_py()
+            keep[s:e] = False
+            state = self.states.get(cid)
+            for off in range(int(s), int(e), B):
+                blk = tbl.slice(off, min(B, int(e) - off)).combine_chunks()
+                summ = summarize_block(blk, self.spec)
+                refs.append(
+                    _eval_block.remote(blk, self.spec, self.rule_plans, cid, state or {})
+                )
+                state = merge_state(state, summ, self.spec)
+            self.states[cid] = state
+        if not refs:
+            return tbl, []
+        return tbl.filter(pa.array(keep)), refs
 
     def _spill_pending(self) -> None:
         tbl = pa.concat_tables(self.pending, promote_options="default")

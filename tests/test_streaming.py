@@ -311,3 +311,27 @@ def test_subfile_epoch_offsets(stream_data, tmp_path):
     assert len(got2) == len(got)
     for k in want.columns:
         assert [_norm(x) for x in got2[k]] == [_norm(x) for x in got[k]], f"column {k} differs"
+
+
+def test_streaming_salted_matches_unsalted(stream_data, tmp_path):
+    """Streaming hot-conv salting (label-free spec): block-parallel whale
+    evaluation inside shards is byte-identical to the serial path, across
+    epochs (carry state advances through the summary scan)."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+
+    segs, _, full = stream_data
+    spec = flagship_sql_spec()
+    ref = StreamingJob(spec, segs, str(tmp_path / "uns"), {}, num_shards=4, files_per_epoch=3)
+    ref.run(); ref.finalize()
+    want = _df(ref.results_table())
+
+    # tiny block size → every conversation salts, blocks split mid-epoch
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "sal"), {}, num_shards=4, files_per_epoch=3,
+        salt_block_rows=40,
+    )
+    job.run(); job.finalize()
+    got = _df(job.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"

@@ -335,3 +335,30 @@ def test_streaming_salted_matches_unsalted(stream_data, tmp_path):
     assert len(got) == len(want)
     for k in want.columns:
         assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+
+
+def test_streaming_salted_kill_resume(stream_data, tmp_path):
+    """Salted streaming + crash: the scan-merged carry state snapshots and
+    restores like any other state; resumed output is bit-identical."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+
+    segs, _, _ = stream_data
+    spec = flagship_sql_spec()
+    ref = StreamingJob(
+        spec, segs, str(tmp_path / "sref"), {}, num_shards=4, files_per_epoch=2,
+        salt_block_rows=40,
+    )
+    ref.run(); ref.finalize()
+    want = _df(ref.results_table())
+
+    out = str(tmp_path / "scrash")
+    j1 = StreamingJob(spec, segs, out, {}, num_shards=4, files_per_epoch=2, salt_block_rows=40)
+    j1.run(stop_after_epoch=2)
+    del j1
+    j2 = StreamingJob(spec, segs, out, {}, num_shards=4, files_per_epoch=2, salt_block_rows=40)
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"

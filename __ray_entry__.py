@@ -204,6 +204,47 @@ FROM ({core})
 """
 
 
+def _streaming_verdict_sql(sf_dir: str):
+    """The STREAMING engine's verdict path, hash-verified (round-2 verdict
+    item #1): StreamingJob (watermarks, pending spill, exactly-once
+    manifests, final flush) over the segment log with the SQL-expressible
+    flagship spec + verdict triggers, projected to the same CSV-joined
+    verdict/fired-rule columns as ``_flagship_verdict_sql`` and paired with
+    the SAME DuckDB oracle — so watermark ordering, the epoch exchange, the
+    shard state store AND the trigger machinery are all inside the value
+    hash.  Reference behavior: verdicts ride the ack
+    (worker/sinks/sink/rules_sink.py:157-166)."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    out = tempfile.mkdtemp(prefix="osprey_svsql_")
+    try:
+        job = StreamingJob(
+            _verdict_spec(), segs, out, {}, num_shards=8, files_per_epoch=4
+        )
+        job.run()
+        job.finalize()
+        t = job.results_table()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"].cast(pa.string()),
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "verdicts_csv": pc.binary_join(t["__verdicts"], ","),
+                "rules_fired_csv": pc.binary_join(t["__rules_fired"], ","),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _QUERY_FILTER_TEXT = "RuleSpam and TextLen > 50 or RuleVelocity"
 
 
@@ -473,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_salted": _flagship_salted,
         "query_filter": _query_filter,
         "flagship_verdict_sql": _flagship_verdict_sql,
+        "streaming_verdict_sql": _streaming_verdict_sql,
         "sample_turns": _sample_turns,
         "streaming_windows": _streaming_windows,
         "flagship_verdicts": _flagship_verdicts,
@@ -548,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "query_filter": _query_filter_oracle_sql(),
         "streaming_windows": _streaming_windows_oracle_sql(),
         "flagship_verdict_sql": _flagship_verdict_oracle_sql(),
+        "streaming_verdict_sql": _flagship_verdict_oracle_sql(),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"

@@ -331,16 +331,30 @@ class StreamingJob:
         }
         if not recovery:
             last_snap = e if snapshots else self._last_snapshot_epoch(e)
+            snap_paths = [s["path"] for s in snapshots] if snapshots else None
+            consumed = [
+                p for s in (snapshots or []) for p in s.get("consumed_spills", [])
+            ]
             manifest = dict(
                 metrics,
                 outputs=[s["file"] for s in stats],
                 label_outputs=[s.get("labels_file") for s in stats],
                 window_outputs=[s.get("windows_file") for s in stats],
                 open_windows=sum(s.get("open_windows", 0) for s in stats),
-                snapshots=snapshots,
+                snapshots=snap_paths,
+                gc_spills=consumed,
                 last_snapshot_epoch=last_snap,
             )
             _atomic_write_json(self._manifest_path(e), manifest)
+            # the manifest naming these snapshots is now the committed
+            # recovery point — spill files consumed before them are
+            # unreachable from any future resume; GC them here (post-commit),
+            # never shard-side (see StateShard.snapshot)
+            for p in consumed:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         return metrics
 
     def _last_snapshot_epoch(self, before: int) -> int:

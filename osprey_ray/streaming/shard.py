@@ -360,7 +360,7 @@ class StateShard:
 
     # -- checkpointing -----------------------------------------------------
 
-    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+    def snapshot(self, ckpt_dir: str, epoch: int) -> dict:
         os.makedirs(ckpt_dir, exist_ok=True)
         path = os.path.join(ckpt_dir, f"state-e{epoch:05d}-p{self.part:04d}.pkl")
         tmp = path + f".tmp.{os.getpid()}"
@@ -377,15 +377,17 @@ class StateShard:
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
         os.replace(tmp, path)
-        # spill files consumed before this snapshot are no longer referenced
-        # by the latest checkpoint (resume uses the latest only) — delete now
-        for p in self._consumed_spills:
-            try:
-                os.remove(p)
-            except OSError:
-                pass
-        self._consumed_spills = []
-        return path
+        # Spill files consumed before this snapshot are unreferenced by it,
+        # but they MAY still be referenced by the previous snapshot, which
+        # stays authoritative until the manifest naming THIS snapshot
+        # commits.  Deleting here opened a crash window (snapshot-e written,
+        # manifest-e not yet): resume would restore the older snapshot and
+        # read back now-missing spill files.  So GC is deferred — the
+        # consumed paths ride back to the driver, which deletes them only
+        # after the manifest referencing this snapshot is atomically
+        # committed (streaming/job.py _commit).
+        consumed, self._consumed_spills = self._consumed_spills, []
+        return {"path": path, "consumed_spills": consumed}
 
     def restore(self, path: str) -> bool:
         with open(path, "rb") as f:

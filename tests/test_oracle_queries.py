@@ -66,6 +66,7 @@ ORACLES["flagship_salted"] = ORACLES["flagship_sql"]
 ORACLES["query_filter"] = entrymod._query_filter_oracle_sql(SF_DIR)
 ORACLES["streaming_windows"] = entrymod._streaming_windows_oracle_sql(SF_DIR)
 ORACLES["flagship_verdict_sql"] = entrymod._flagship_verdict_oracle_sql(SF_DIR)
+ORACLES["streaming_verdict_sql"] = entrymod._flagship_verdict_oracle_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

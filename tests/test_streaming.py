@@ -255,6 +255,57 @@ def test_pending_spill_survives_kill_resume(stream_data, tmp_path):
         assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
 
 
+def test_spill_gc_deferred_to_manifest_commit(stream_data, tmp_path):
+    """Crash-window regression (round-3 advice): spill files consumed by a
+    shard must survive until the manifest referencing the NEW snapshot
+    commits.  Simulate the exact window — shards consume their spills and
+    write snapshot-(k+1), then the driver dies BEFORE manifest-(k+1) — and
+    require that resume from manifest-k still finds every spill file the
+    old snapshot references."""
+    import ray
+
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    kw = dict(num_shards=4, files_per_epoch=2, allowed_lateness_s=1e9,
+              pending_spill_rows=200)
+
+    ref = StreamingJob(spec, segs, str(tmp_path / "gcref"), lmap, **kw)
+    ref.run()
+    ref.finalize()
+    want = _df(ref.results_table())
+
+    out = str(tmp_path / "gccrash")
+    j1 = StreamingJob(spec, segs, out, lmap, **kw)
+    j1.run(stop_after_epoch=2)
+    assert j1.last_committed_epoch() == 2
+    spill_glob = os.path.join(out, "data", "spill", "*.parquet")
+    before = set(glob.glob(spill_glob))
+    assert before, "precondition: spills referenced by snapshot-2"
+
+    # the crash window: epoch 3 processes (consuming every spill via a
+    # jumped watermark), snapshot-3 is written, manifest-3 is NOT
+    wm = int(np.iinfo(np.int64).max)
+    ray.get([s.process.remote(3, [], wm, False) for s in j1.shards])
+    ray.get([s.snapshot.remote(j1.ckpt_dir, 3) for s in j1.shards])
+    after = set(glob.glob(spill_glob))
+    assert after == before, (
+        "snapshot deleted consumed spill files before the manifest commit — "
+        "resume from the last committed manifest would FileNotFoundError"
+    )
+    del j1  # crash
+
+    j2 = StreamingJob(spec, segs, out, lmap, **kw)
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+    # and post-commit GC does run: the stream is drained, manifests
+    # committed, so no consumed spill file lingers
+    assert not glob.glob(spill_glob), "committed spills were never GC'd"
+
+
 def test_subfile_epoch_offsets(stream_data, tmp_path):
     """rows_per_epoch plans epochs at Parquet row-group boundaries inside a
     segment (the reference's per-message-offset analogue): manifests carry

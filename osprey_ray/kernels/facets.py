@@ -154,15 +154,19 @@ class ExtractListDomains:
 
         if isinstance(target, pa.ChunkedArray):
             target = target.combine_chunks()
-        joined = pc.binary_join(target, " ")
+        # join per-row lists in Python, SKIPPING null elements like the
+        # row/oracle path does — pc.binary_join instead nulls the whole row
+        # when any element is null (round-3 advice divergence).  The regex
+        # scan below is the dominant cost either way.
         out = []
-        for v in joined.to_pylist():
+        for v in target.to_pylist():
             if v is None:
                 out.append(None)
                 continue
+            text = " ".join(x for x in v if x is not None)
             seen: list[str] = []
             have = set()
-            for m in _DOMAIN_OF_URL_RE.finditer(v):
+            for m in _DOMAIN_OF_URL_RE.finditer(text):
                 d = m.group(1).lower()
                 if d not in have:
                     have.add(d)

@@ -104,6 +104,34 @@ def _to_sql(node: ast.expr, ctx: _Ctx, spec: RuleSpec | None) -> str:
         if op is None:
             ctx.err(node, "invalid-op", "unsupported comparison in query")
             return "FALSE"
+        if op in ("IN", "NOT IN"):
+            # mirror the engine path exactly (sml._compile_expr): a literal
+            # list renders as SQL IN; a str-typed right side is Python
+            # substring semantics → contains(); a list-typed column is
+            # membership → list_contains(); anything else is a typed error
+            # rather than silently-divergent SQL (round-3 advice)
+            neg = op == "NOT IN"
+            rnode = node.comparators[0]
+            if isinstance(rnode, (ast.List, ast.Tuple)):
+                return f"({l} {op} {r})"
+            rt = None
+            if isinstance(rnode, ast.Name):
+                rt = ctx.types.get(rnode.id) or ctx.input_columns.get(rnode.id)
+            if rt == "str":
+                if not (isinstance(node.left, ast.Constant) and isinstance(node.left.value, str)):
+                    ctx.err(node, "type-error", "'in <string>' needs a string literal on the left")
+                    return "FALSE"
+                e = f"contains({r}, {_sql_quote(node.left.value)})"
+                return f"(NOT {e})" if neg else e
+            if rt == "list":
+                e = f"COALESCE(list_contains({r}, {l}), FALSE)"
+                return f"(NOT {e})" if neg else e
+            ctx.err(
+                node, "invalid-op",
+                "unsupported 'in' right side for SQL translation "
+                "(need a literal list, a string column, or a list column)",
+            )
+            return "FALSE"
         if op == "=" and isinstance(node.comparators[0], ast.Constant) and node.comparators[0].value is None:
             return f"({l} IS NULL)"
         if op == "<>" and isinstance(node.comparators[0], ast.Constant) and node.comparators[0].value is None:

@@ -539,6 +539,15 @@ def _handle_statement(ctx: _Ctx, st: ast.stmt, root: str, seen_files: set[str]) 
 
 def _load_into(ctx: _Ctx, path: str, root: str, seen_files: set[str]) -> None:
     ap = os.path.abspath(path)
+    # includes are restricted to the ruleset tree, like the reference's
+    # import machinery — '../..' or absolute escapes are typed errors, not
+    # arbitrary file reads (round-3 advice; error text echoes positions)
+    if os.path.commonpath([os.path.abspath(root), ap]) != os.path.abspath(root):
+        ctx.errors.append(
+            SmlError(path, 0, 0, "invalid-import",
+                     f"import path escapes the ruleset root: {path!r}")
+        )
+        return
     if ap in seen_files:
         return  # static include, idempotent (import_.py duplicate guard)
     seen_files.add(ap)

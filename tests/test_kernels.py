@@ -212,6 +212,18 @@ def test_extract_list_domains():
     assert b == r == [["a.com", "b.co.uk"], [], None, []]
 
 
+def test_extract_list_domains_null_elements():
+    """Round-3 advice: a null STRING inside a list must be skipped (row
+    semantics), not null the whole row's result (binary_join semantics)."""
+    lists_ = [
+        ["https://a.com/x", None, "http://b.co/y"],
+        [None],
+        [None, "https://c.org/"],
+    ]
+    b, r = run_both("ExtractListDomains", {"target": lists_}, {})
+    assert b == r == [["a.com", "b.co"], [], ["c.org"]]
+
+
 def test_experiment_full_semantics():
     """ExperimentT parity (experiments.py:50-212): slot assignment, ramp
     cutoff, '' outside the experiment, validation errors."""

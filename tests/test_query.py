@@ -51,6 +51,13 @@ QUERIES = [
     "IsSpamText == False",
     "RegexMatch(s=conv_id, pattern='conv_00000[0-4]')",
     "RegexMatch(s=conv_id, pattern='conv_00000[0-4]') and RuleSpam",
+    # `in` forms (round-3 advice: the SQL side must mirror the engine's
+    # substring / list-membership / literal-set semantics, not emit raw IN)
+    "'conv_00000' in conv_id",
+    "'1' not in conv_id and RuleSpam",
+    "'flag_spam' in __verdicts",
+    "'RuleSpam' in __rules_fired and TextLen > 40",
+    "TurnsThisHour in [1, 2, 3]",
 ]
 
 
@@ -73,6 +80,9 @@ def test_query_validation_errors(results_table):
         parse_query("DidAddLabel()", cols, spec=spec)
     with pytest.raises(SmlValidationError, match="syntax"):
         parse_query("RuleSpam and and", cols, spec=spec)
+    # 'in' over a scalar-typed column is a typed error, not divergent SQL
+    with pytest.raises(SmlValidationError, match="invalid-op|'in'"):
+        parse_query("TextLen in TurnsThisHour", cols, spec=spec)
 
 
 def test_query_filter_on_dataset(results_table, ray_session):

@@ -181,3 +181,22 @@ def test_examples_ruleset_loads_and_runs():
 
     for k in ("RuleSpam", "RuleEscalate", "__verdicts"):
         assert [norm(x) for x in got[k]] == [norm(x) for x in want[k]], k
+
+
+def test_import_escape_is_rejected(tmp_path):
+    """Round-3 advice: includes are confined to the ruleset root — '../'
+    and absolute paths are typed invalid-import errors, never file reads."""
+    import pytest
+
+    from osprey_ray.sml import SmlValidationError, load_sml
+
+    outside = tmp_path / "secret.txt"
+    outside.write_text("TextLen = StringLength(s=text)\n")
+    rules = tmp_path / "rules"
+    rules.mkdir()
+    (rules / "esc.sml").write_text("Import(rules=['../secret.txt'])\n")
+    with pytest.raises(SmlValidationError, match="invalid-import"):
+        load_sml(str(rules / "esc.sml"))
+    (rules / "abs.sml").write_text(f"Require(rule='{outside}')\n")
+    with pytest.raises(SmlValidationError, match="invalid-import"):
+        load_sml(str(rules / "abs.sml"))

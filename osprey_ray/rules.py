@@ -295,3 +295,23 @@ class RuleSpec:
         return any(
             isinstance(e, (LabelAdd, LabelRemove)) for t in self.triggers for e in t.then
         )
+
+    def content_hash(self) -> str:
+        """Deterministic identity of the compiled ruleset — the analogue of
+        the reference's content-hashed Sources (engine/ast/sources.py:99-118,
+        used by the hot-reload watch in worker/lib/osprey_engine.py:127-149).
+        Streaming manifests record it per epoch so resume can validate that
+        the restored run is continuing under the ruleset that produced the
+        committed lineage.  Pickle of the dataclass/Expr tree is stable for
+        a given library version, which is exactly the identity wanted here
+        (a code upgrade that changes compilation SHOULD change the hash)."""
+        import hashlib
+
+        from ray import cloudpickle
+
+        # cloudpickle, not pickle: Expr trees may close over locally-defined
+        # kernel classes (exactly what ships them to Ray actors today)
+        payload = cloudpickle.dumps(
+            (self.features, self.stateful, self.rules, self.triggers)
+        )
+        return hashlib.blake2b(payload, digest_size=16).hexdigest()

@@ -115,6 +115,7 @@ class StreamingJob:
         pending_spill_rows: int = 500_000,
         rows_per_epoch: int | None = None,
         salt_block_rows: int | None = None,
+        spec_updates: dict[int, RuleSpec] | None = None,
     ):
         self.spec = spec
         self.segment_files = list(segment_files)
@@ -142,6 +143,15 @@ class StreamingJob:
         self.checkpoint_interval = checkpoint_interval
         self.pending_spill_rows = pending_spill_rows
         self.stage1 = compile_stateless(spec)
+        # ruleset hot-reload schedule (the reference's etcd-watch live swap,
+        # worker/lib/osprey_engine.py:127-149, made deterministic/replayable:
+        # epoch → new RuleSpec, applied at that epoch's boundary BEFORE its
+        # rows are read).  Every manifest records the content hash of the
+        # spec that produced it (engine/ast/sources.py:99-118 identity), and
+        # resume validates the hash of the effective spec against the last
+        # committed manifest.
+        self.spec_updates = dict(spec_updates or {})
+        self._cur_hash = spec.content_hash()
         self.shards: list | None = None
         self.metrics: list[dict] = []
 
@@ -220,6 +230,19 @@ class StreamingJob:
             last = self.last_committed_epoch()
             if last >= 0:
                 manifest = json.load(open(self._manifest_path(last)))
+                # the committed lineage names the ruleset that produced it;
+                # continuing under a different one would silently mix outputs
+                want_hash = manifest.get("ruleset_hash")
+                eff = self.spec
+                for ue in sorted(self.spec_updates):
+                    if ue <= last:
+                        eff = self.spec_updates[ue]
+                if want_hash is not None and eff.content_hash() != want_hash:
+                    raise ValueError(
+                        f"resume ruleset mismatch: manifest epoch {last} was "
+                        f"committed under ruleset {want_hash}, but the "
+                        f"effective spec hashes to {eff.content_hash()}"
+                    )
                 watermark = int(manifest["watermark"])
                 snap_epoch = manifest.get("last_snapshot_epoch", -1)
                 if snap_epoch >= 0:
@@ -231,6 +254,12 @@ class StreamingJob:
                     watermark = int(snap_manifest["watermark"])
                 recover_until = last
                 start_epoch = snap_epoch + 1
+                # shards were constructed with the base spec; re-apply the
+                # latest swap at or before the restored snapshot (later
+                # swaps re-apply in-loop during replay, as they did live)
+                pre = [ue for ue in sorted(self.spec_updates) if ue <= snap_epoch]
+                if pre:
+                    self._apply_spec(self.spec_updates[pre[-1]])
 
         def _launch_reads(files: list[str]) -> list:
             chunks = [
@@ -249,24 +278,32 @@ class StreamingJob:
         # fast shards run ahead of slow ones.  Manifests still commit
         # strictly in epoch order (the exactly-once gate is unchanged).
         prefetched: dict[int, list] = {}
-        in_flight: list[tuple] = []  # (e, files, watermark, stats_refs, snap_refs, recovery, t0)
+        in_flight: list[tuple] = []  # (e, files, watermark, stats_refs, snap_refs, recovery, hash, t0)
 
         def _drain_one() -> None:
-            e_, files_, wm_, stats_refs, snap_refs, recovery_, t0_ = in_flight.pop(0)
+            e_, files_, wm_, stats_refs, snap_refs, recovery_, rhash_, t0_ = in_flight.pop(0)
             stats = ray.get(stats_refs)
             snapshots = ray.get(snap_refs) if snap_refs is not None else None
             self.metrics.append(
-                self._commit(e_, files_, wm_, stats, snapshots, recovery_, t0_)
+                self._commit(e_, files_, wm_, stats, snapshots, recovery_, t0_, rhash_)
             )
 
         for e in range(start_epoch, len(epochs)):
             if stop_after_epoch is not None and e > stop_after_epoch:
                 break
+            if e in self.spec_updates:
+                self._apply_spec(self.spec_updates[e])
             t0 = time.perf_counter()
             files = epochs[e]
             recovery = e <= recover_until
             read_refs = prefetched.pop(e, None) or _launch_reads(files)
-            if e + 1 < len(epochs) and (stop_after_epoch is None or e + 1 <= stop_after_epoch):
+            if (
+                e + 1 < len(epochs)
+                and (stop_after_epoch is None or e + 1 <= stop_after_epoch)
+                # a scheduled swap at e+1 must recompile stage1 before that
+                # epoch's reads launch — skip the prefetch, launch in-loop
+                and e + 1 not in self.spec_updates
+            ):
                 prefetched[e + 1] = _launch_reads(epochs[e + 1])
             # the watermark needs this epoch's max event ts before dispatch
             max_ts = max(ray.get([r[self.P] for r in read_refs]), default=I64_MIN)
@@ -283,12 +320,25 @@ class StreamingJob:
                 if do_snap and not recovery
                 else None
             )
-            in_flight.append((e, files, watermark, stats_refs, snap_refs, recovery, t0))
+            in_flight.append((e, files, watermark, stats_refs, snap_refs, recovery, self._cur_hash, t0))
             while len(in_flight) > 1:  # one epoch of lookahead
                 _drain_one()
         while in_flight:
             _drain_one()
         return self.metrics
+
+    def _apply_spec(self, spec: RuleSpec) -> None:
+        """Swap the compiled ruleset at an epoch boundary: recompile the
+        stateless stage for subsequent read tasks and push the new spec to
+        every shard (actor FIFO ordering lands the swap between epochs)."""
+        spec.validate()
+        self.spec = spec
+        self.stage1 = compile_stateless(spec)
+        self._cur_hash = spec.content_hash()
+        if self.shards is not None:
+            ray.get(
+                [s.update_spec.remote(spec, self.salt_block_rows) for s in self.shards]
+            )
 
     def finalize(self) -> dict:
         """Flush all pending rows (watermark → +inf) as a final epoch —
@@ -302,11 +352,11 @@ class StreamingJob:
             ]
         )
         snapshots = ray.get([s.snapshot.remote(self.ckpt_dir, e) for s in self.shards])
-        m = self._commit(e, [], int(np.iinfo(np.int64).max), stats, snapshots, False, t0)
+        m = self._commit(e, [], int(np.iinfo(np.int64).max), stats, snapshots, False, t0, self._cur_hash)
         self.metrics.append(m)
         return m
 
-    def _commit(self, e, files, watermark, stats, snapshots, recovery, t0) -> dict:
+    def _commit(self, e, files, watermark, stats, snapshots, recovery, t0, ruleset_hash=None) -> dict:
         released = sum(s["released"] for s in stats)
         # end-to-end watermark lag: newest event seen vs the frontier up to
         # which results are final — bounded by allowed_lateness by
@@ -344,6 +394,7 @@ class StreamingJob:
                 snapshots=snap_paths,
                 gc_spills=consumed,
                 last_snapshot_epoch=last_snap,
+                ruleset_hash=ruleset_hash or self._cur_hash,
             )
             _atomic_write_json(self._manifest_path(e), manifest)
             # the manifest naming these snapshots is now the committed

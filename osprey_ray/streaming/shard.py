@@ -102,6 +102,32 @@ class StateShard:
         #   ("s", feature, conv_id, session_id) -> [start_us, end_us, count]
         self.open_windows: dict[tuple, list | int] = {}
 
+    def update_spec(self, spec: RuleSpec, salt_block_rows: int | None = None) -> bool:
+        """Hot-swap the compiled ruleset at an epoch boundary (the etcd-watch
+        hot reload of the reference, worker/lib/osprey_engine.py:127-149,
+        re-expressed as a driver-coordinated boundary swap — actor FIFO
+        ordering guarantees the swap lands between ``process`` calls).
+        Per-conversation carry state survives the swap; open window
+        accumulators whose feature left the spec are dropped (their gap
+        config is gone, so they could never close)."""
+        from osprey_ray.rules import SessionWindow, TumblingCount
+
+        self.spec = spec
+        self.rule_plans = split_rules(spec)
+        self.tumbling = [s for s in spec.stateful if isinstance(s, TumblingCount)]
+        self.sessions = [s for s in spec.stateful if isinstance(s, SessionWindow)]
+        if salt_block_rows is not None:
+            self.salt_block_rows = (
+                salt_block_rows if not spec.uses_labels() else None
+            )
+        elif self.salt_block_rows and spec.uses_labels():
+            self.salt_block_rows = None
+        live = {s.name for s in self.tumbling} | {s.name for s in self.sessions}
+        self.open_windows = {
+            k: v for k, v in self.open_windows.items() if k[1] in live
+        }
+        return True
+
     def process(
         self,
         epoch: int,

@@ -255,6 +255,89 @@ def test_pending_spill_survives_kill_resume(stream_data, tmp_path):
         assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
 
 
+def _verdict_specs():
+    """Spec A fires 'greet' on RuleHello; spec B additionally fires
+    'flag_spam' on RuleSpam — a pure trigger-level hot-reload delta."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+    from osprey_ray.rules import DeclareVerdict, WhenRules
+
+    a = flagship_sql_spec()
+    a.triggers = [WhenRules(["RuleHello"], [DeclareVerdict("greet")])]
+    a.validate()
+    b = flagship_sql_spec()
+    b.triggers = [
+        WhenRules(["RuleHello"], [DeclareVerdict("greet")]),
+        WhenRules(["RuleSpam"], [DeclareVerdict("flag_spam")]),
+    ]
+    b.validate()
+    return a, b
+
+
+def test_streaming_ruleset_swap(stream_data, tmp_path):
+    """Ruleset hot-reload at an epoch boundary (round-2 verdict item #4):
+    epochs before the swap carry only spec-A verdicts, epochs at/after it
+    carry spec-B's; every manifest records the producing spec's content
+    hash; kill+resume across the swap is bit-identical; and resuming under
+    the WRONG ruleset is rejected by the hash check."""
+    import json
+
+    import pyarrow as pa
+
+    segs, lmap, full = stream_data
+    spec_a, spec_b = _verdict_specs()
+    assert spec_a.content_hash() != spec_b.content_hash()
+    K = 3
+    kw = dict(num_shards=4, files_per_epoch=2, spec_updates={K: spec_b})
+
+    job = StreamingJob(spec_a, segs, str(tmp_path / "swap"), {}, **kw)
+    job.run()
+    job.finalize()
+
+    def epoch_tables(j):
+        out = {}
+        for e in range(j.last_committed_epoch() + 1):
+            m = json.load(open(j._manifest_path(e)))
+            fs = [os.path.join(j.data_dir, f) for f in m["outputs"] if f]
+            if fs:
+                out[e] = pa.concat_tables([pq.read_table(f) for f in fs])
+            yield e, m, out.get(e)
+
+    saw_pre = saw_post = False
+    for e, m, tbl in epoch_tables(job):
+        want = (spec_b if e >= K else spec_a).content_hash()
+        assert m["ruleset_hash"] == want, f"epoch {e} hash"
+        if tbl is None:
+            continue
+        verdicts = [set(v) for v in tbl["__verdicts"].to_pylist()]
+        spam = tbl["RuleSpam"].to_pylist()
+        if e < K:
+            assert not any("flag_spam" in v for v in verdicts)
+            saw_pre = saw_pre or any(spam)
+        else:
+            assert all(("flag_spam" in v) == bool(s) for v, s in zip(verdicts, spam))
+            saw_post = saw_post or any(spam)
+    assert saw_pre and saw_post, "swap delta never exercised — weak fixture"
+    want_df = _df(job.results_table())
+
+    # kill across the swap, resume with the same schedule → bit-identical
+    out2 = str(tmp_path / "swapcrash")
+    j1 = StreamingJob(spec_a, segs, out2, {}, **kw)
+    j1.run(stop_after_epoch=K + 1)
+    del j1
+    j2 = StreamingJob(spec_a, segs, out2, {}, **kw)
+    j2.run(resume=True)
+    j2.finalize()
+    got_df = _df(j2.results_table())
+    assert len(got_df) == len(want_df)
+    for k in want_df.columns:
+        assert [_norm(x) for x in got_df[k]] == [_norm(x) for x in want_df[k]], f"column {k}"
+
+    # resuming WITHOUT the swap schedule = wrong effective ruleset → rejected
+    j3 = StreamingJob(spec_a, segs, out2, {}, num_shards=4, files_per_epoch=2)
+    with pytest.raises(ValueError, match="ruleset mismatch"):
+        j3.run(resume=True)
+
+
 def test_spill_gc_deferred_to_manifest_commit(stream_data, tmp_path):
     """Crash-window regression (round-3 advice): spill files consumed by a
     shard must survive until the manifest referencing the NEW snapshot

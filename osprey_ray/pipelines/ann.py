@@ -393,12 +393,28 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.95):
     return pa.concat_tables([p.select(["vec_a", "vec_b"]) for p in parts])
 
 
-def q_embed_neardup(sf_dir: str, threshold: float = 0.95):
+EXACT_NEARDUP_MAX_ROWS = 1_000_000
+
+
+def q_embed_neardup(
+    sf_dir: str, threshold: float = 0.95, max_rows: int = EXACT_NEARDUP_MAX_ROWS
+):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim ≥ τ).
     Per-batch matmul against the broadcast full matrix — O(n²/B) work per
-    batch, which at real scale becomes the LSH path above."""
+    batch.  This is the exact small-scale oracle twin of
+    :func:`q_embed_neardup_lsh`; it broadcasts the whole matrix, so it is
+    GATED: above ``max_rows`` it refuses with a pointer to the LSH path
+    rather than silently running an O(n²) job at corpus scale (round-2
+    verdict item #6)."""
     import pyarrow.parquet as pq
 
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"q_embed_neardup is the exact O(n²) twin and is capped at "
+            f"{max_rows} rows (input has {n_rows}); use q_embed_neardup_lsh "
+            f"— the bucketed scale path — for large tables"
+        )
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids_all, m_all = _to_matrix(t)
     order = np.argsort(ids_all)

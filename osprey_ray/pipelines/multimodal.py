@@ -49,7 +49,10 @@ class FakeImageDecoder:
         self.codec = "fake-v1"  # real path: self.codec = PIL / libav handle
 
     def _decode(self, payload: bytes, mime: str) -> tuple[int, int, int]:
-        h = hashlib.blake2b(payload, digest_size=8).digest()
+        # md5-derived (not blake2b) so DuckDB can compute the identical
+        # fake — flips the driver's multimodal row from rows-only to
+        # hash-verified (round-2 verdict item #5)
+        h = hashlib.md5(payload).digest()
         w = 64 + h[0] % 192
         ht = 64 + h[1] % 192
         frames = 1 if mime.startswith("image") else 1 + h[2] % 120
@@ -68,9 +71,9 @@ class FakeImageDecoder:
                 "doc_id": t["doc_id"],
                 "mime": t["mime"],
                 "payload_bytes": pa.array(sz, pa.int64()),
-                "width": pa.array(ws, pa.int32()),
-                "height": pa.array(hs, pa.int32()),
-                "n_frames": pa.array(fs, pa.int32()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_frames": pa.array(fs, pa.int64()),
             }
         )
 

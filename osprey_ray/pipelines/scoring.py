@@ -24,22 +24,32 @@ import pyarrow.compute as pc
 
 
 class _FakeSentimentModel:
-    """Deterministic stand-in: mean of per-token blake2b-derived valences
-    in [-1, 1].  Stable across processes/runs (replay-safe)."""
+    """Deterministic stand-in: mean of per-token md5-derived valences in
+    [-1, 1].  Stable across processes/runs (replay-safe), and md5 (not
+    blake2b) so DuckDB can reproduce it exactly — ``score_batch_exact``
+    additionally returns the per-row INTEGER token-valence sum and token
+    count, the float-free duals the oracle aggregates over (round-2
+    verdict item #5)."""
 
-    def score_batch(self, texts: list[str]) -> np.ndarray:
-        out = np.empty(len(texts))
+    def score_batch_exact(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        scores = np.empty(len(texts))
+        vsums = np.zeros(len(texts), dtype=np.int64)
+        ntoks = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             toks = t.split()
             if not toks:
-                out[i] = 0.0
+                scores[i] = 0.0
                 continue
-            vals = [
-                (hashlib.blake2b(w.encode(), digest_size=2).digest()[0] / 127.5) - 1.0
-                for w in toks
-            ]
-            out[i] = float(np.mean(vals))
-        return out
+            raw = [hashlib.md5(w.encode()).digest()[0] for w in toks]
+            vsums[i] = sum(raw)
+            ntoks[i] = len(raw)
+            scores[i] = float(vsums[i]) / (127.5 * len(raw)) - 1.0
+        return scores, vsums, ntoks
+
+    def score_batch(self, texts: list[str]) -> np.ndarray:
+        return self.score_batch_exact(texts)[0]
 
 
 class SentimentScorer:
@@ -63,13 +73,18 @@ class SentimentScorer:
         else:
             gate = np.ones(len(texts), dtype=bool)
         scores = np.full(len(texts), np.nan)
+        vsums = np.zeros(len(texts), dtype=np.int64)
+        ntoks = np.zeros(len(texts), dtype=np.int64)
         idx = [i for i in np.flatnonzero(gate) if texts[i] is not None]
         if idx:
-            scored = self.model.score_batch([texts[i] for i in idx])
-            scores[idx] = scored
+            s, v, n = self.model.score_batch_exact([texts[i] for i in idx])
+            scores[idx], vsums[idx], ntoks[idx] = s, v, n
         col = pa.array(scores, pa.float64())
         col = pc.if_else(pa.array(np.isnan(scores)), pa.nulls(len(texts), pa.float64()), col)
-        return t.append_column("sentiment_score", col)
+        t = t.append_column("sentiment_score", col)
+        # integer duals of the fake score, used by the oracle aggregate
+        t = t.append_column("sentiment_valence_sum", pa.array(vsums, pa.int64()))
+        return t.append_column("sentiment_n_tokens", pa.array(ntoks, pa.int64()))
 
 
 def score_documents(sf_dir: str, concurrency: int = 2):
@@ -92,22 +107,32 @@ def score_documents(sf_dir: str, concurrency: int = 2):
 
 
 def q_model_scoring(sf_dir: str):
-    """Scored docs summary: per lang, count of scored rows + mean score in
-    millis (int) — deterministic fake model → stable rows-only check."""
+    """Scored docs summary: per lang, count of scored rows + the integer
+    token-valence sum and token count the fake model derives its scores
+    from.  Fully integer aggregates over md5-derived values — DuckDB
+    computes the identical numbers, so the driver hash-verifies the whole
+    actor-pool inference shape (gate, init-once model, batching)."""
     from ray.data.aggregate import Sum
 
     ds = score_documents(sf_dir)
 
     def proj(t: pa.Table) -> pa.Table:
-        scored = pc.if_else(t["sentiment_score"].is_valid(), 1, 0)
-        millis = pc.cast(
-            pc.round(pc.multiply(pc.fill_null(t["sentiment_score"], 0.0), 1000.0)),
-            pa.int64(),
+        scored = pc.cast(pc.if_else(t["sentiment_score"].is_valid(), 1, 0), pa.int64())
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "scored": scored,
+                "vs": t["sentiment_valence_sum"],
+                "nt": t["sentiment_n_tokens"],
+            }
         )
-        return pa.table({"lang": t["lang"], "scored": pc.cast(scored, pa.int64()), "millis": millis})
 
     return (
         ds.map_batches(proj, batch_format="pyarrow")
         .groupby("lang")
-        .aggregate(Sum("scored", alias_name="n_scored"), Sum("millis", alias_name="score_millis_sum"))
+        .aggregate(
+            Sum("scored", alias_name="n_scored"),
+            Sum("vs", alias_name="valence_sum"),
+            Sum("nt", alias_name="n_tokens"),
+        )
     )

@@ -97,6 +97,13 @@ def test_embed_neardup_lsh_finds_planted_pairs(ray_session, tmp_path):
     # LSH is approximate but 16 tables at this similarity should find all
     assert got == want
 
+    # the exact twin is gated: above max_rows it must refuse and point at
+    # the LSH scale path (round-2 verdict item #6), never run O(n²)
+    import pytest
+
+    with pytest.raises(ValueError, match="q_embed_neardup_lsh"):
+        q_embed_neardup(str(d), max_rows=50)
+
 
 def test_simhash_batch_parity():
     """Vectorized simhash_batch ≡ scalar simhash64 per doc."""

@@ -160,10 +160,10 @@ class OracleEngine:
     def run(self, rows: list[dict]) -> list[dict]:
         """rows must already be in (conv_id, turn_idx, ts) order and deduped;
         returns one result dict per turn."""
-        from osprey_ray.rules import propagate_secret_taint
+        from osprey_ray.rules import extracted_names
 
         spec = self.spec
-        tainted = propagate_secret_taint(spec.features)
+        extract = extracted_names(spec.features)
         out = []
         for row in rows:
             cid = row["conv_id"]
@@ -213,7 +213,7 @@ class OracleEngine:
 
             res = {k: row[k] for k in ("conv_id", "turn_idx", "ts")}
             for f in spec.features:
-                if f.extracted and f.name not in tainted:
+                if f.name in extract:
                     res[f.name] = rctx.features[f.name]
             for name in spec.stateful_names():
                 res[name] = rctx.features[name]

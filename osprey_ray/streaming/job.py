@@ -52,11 +52,16 @@ def _read_route(
     chunks: list,
     stage1: StatelessStage,
     num_parts: int,
+    hot_convs: frozenset | None = None,
+    hot_block_turns: int = 512,
 ):
     """Read segment chunks — each a plain path or a ``(path, row_groups)``
     pair (sub-file offsets: the reference commits per-message Kafka offsets,
     kafka.rs:112-116; row-group ranges are the Parquet-native equivalent) —
-    run the stateless stage, split by crc32(conv_id) %% P.
+    run the stateless stage, split by crc32(conv_id) %% P.  Conversations in
+    ``hot_convs`` route by crc32("conv#blk") with blk = turn_idx //
+    hot_block_turns — the sub-key exchange that spreads a whale's bytes
+    across shards instead of serializing them onto one.
     Returns [table_p0, ..., table_p{P-1}, max_ts]."""
     import pyarrow.parquet as pq
 
@@ -78,11 +83,30 @@ def _read_route(
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     enc = col.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
     dict_parts = np.array(
-        [zlib.crc32(c.encode()) % num_parts for c in enc.dictionary.to_pylist()],
-        dtype=np.int32,
+        [zlib.crc32(c.encode()) % num_parts for c in uniq], dtype=np.int32
     )
-    parts = dict_parts[enc.indices.to_numpy(zero_copy_only=False)]
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    parts = dict_parts[idx]
+    if hot_convs:
+        hot_code = np.array([c in hot_convs for c in uniq], dtype=bool)
+        row_hot = hot_code[idx]
+        if row_hot.any():
+            turn = t1["turn_idx"].to_numpy().astype(np.int64)
+            blk = turn[row_hot] // np.int64(hot_block_turns)
+            pair = idx[row_hot].astype(np.int64) << np.int64(32) | blk
+            upair, inv = np.unique(pair, return_inverse=True)
+            pcrc = np.array(
+                [
+                    zlib.crc32(f"{uniq[int(p) >> 32]}#{int(p) & 0xFFFFFFFF}".encode())
+                    % num_parts
+                    for p in upair
+                ],
+                dtype=np.int32,
+            )
+            parts = parts.copy()
+            parts[row_hot] = pcrc[inv]
     max_ts = pc.max(t1["ts"].cast(pa.int64())).as_py() if t1.num_rows else I64_MIN
     ci = t1.schema.get_field_index("conv_id")
     t1 = t1.set_column(ci, "conv_id", enc)
@@ -116,6 +140,8 @@ class StreamingJob:
         rows_per_epoch: int | None = None,
         salt_block_rows: int | None = None,
         spec_updates: dict[int, RuleSpec] | None = None,
+        hot_convs: set | None = None,
+        hot_block_turns: int = 512,
     ):
         self.spec = spec
         self.segment_files = list(segment_files)
@@ -139,6 +165,20 @@ class StreamingJob:
         # released slice holding > salt_block_rows rows of one conversation
         # evaluates block-parallel inside the owning shard
         self.salt_block_rows = salt_block_rows
+        # routing-level salting (the sub-key exchange): conversations in
+        # hot_convs route by (conv, turn-block) so their BYTES spread across
+        # shards; the driver holds their carry state, scan-merges per-block
+        # boundary summaries each epoch, and seeds distributed block
+        # evaluation.  Label rulesets are excluded (read-your-writes label
+        # feedback is sequential per conversation).  The hot set is static
+        # per run — pick it with stages.salted.detect_hot_convs — and is
+        # recorded in every manifest for resume validation.
+        self.hot_convs = (
+            frozenset(hot_convs) if (hot_convs and not spec.uses_labels()) else frozenset()
+        )
+        self.hot_block_turns = hot_block_turns
+        self.hot_states: dict = {}          # conv_id -> carry state
+        self.hot_open_windows: dict = {}    # same keying as shard open_windows
         self.lateness_us = int(allowed_lateness_s * 1e6)
         self.checkpoint_interval = checkpoint_interval
         self.pending_spill_rows = pending_spill_rows
@@ -209,6 +249,8 @@ class StreamingJob:
                 self.spec, p, self.data_dir, per_shard[p],
                 pending_spill_rows=self.pending_spill_rows,
                 salt_block_rows=self.salt_block_rows,
+                hot_convs=self.hot_convs or None,
+                hot_block_turns=self.hot_block_turns,
             )
             for p in range(self.P)
         ]
@@ -252,6 +294,16 @@ class StreamingJob:
                     )
                     snap_manifest = json.load(open(self._manifest_path(snap_epoch)))
                     watermark = int(snap_manifest["watermark"])
+                    hs = snap_manifest.get("hot_state")
+                    if hs:
+                        import pickle
+
+                        with open(hs, "rb") as f:
+                            payload = pickle.load(f)
+                        self.hot_states = payload["hot_states"]
+                        self.hot_open_windows = payload["hot_open_windows"]
+                    elif self.hot_convs:
+                        self.hot_states, self.hot_open_windows = {}, {}
                 recover_until = last
                 start_epoch = snap_epoch + 1
                 # shards were constructed with the base spec; re-apply the
@@ -261,13 +313,17 @@ class StreamingJob:
                 if pre:
                     self._apply_spec(self.spec_updates[pre[-1]])
 
+        hot_ref = ray.put(self.hot_convs) if self.hot_convs else None
+
         def _launch_reads(files: list[str]) -> list:
             chunks = [
                 files[i : i + self.files_per_read_task]
                 for i in range(0, len(files), self.files_per_read_task)
             ]
             return [
-                _read_route.options(num_returns=self.P + 1).remote(c, self.stage1, self.P)
+                _read_route.options(num_returns=self.P + 1).remote(
+                    c, self.stage1, self.P, hot_ref, self.hot_block_turns
+                )
                 for c in chunks
             ]
 
@@ -278,14 +334,15 @@ class StreamingJob:
         # fast shards run ahead of slow ones.  Manifests still commit
         # strictly in epoch order (the exactly-once gate is unchanged).
         prefetched: dict[int, list] = {}
-        in_flight: list[tuple] = []  # (e, files, watermark, stats_refs, snap_refs, recovery, hash, t0)
+        in_flight: list[tuple] = []  # (e, files, watermark, stats_refs, snap_refs, recovery, hash, spec, t0)
 
         def _drain_one() -> None:
-            e_, files_, wm_, stats_refs, snap_refs, recovery_, rhash_, t0_ = in_flight.pop(0)
+            e_, files_, wm_, stats_refs, snap_refs, recovery_, rhash_, spec_, t0_ = in_flight.pop(0)
             stats = ray.get(stats_refs)
+            hot = self._hot_phase(e_, stats, wm_, spec_, write=not recovery_)
             snapshots = ray.get(snap_refs) if snap_refs is not None else None
             self.metrics.append(
-                self._commit(e_, files_, wm_, stats, snapshots, recovery_, t0_, rhash_)
+                self._commit(e_, files_, wm_, stats, snapshots, recovery_, t0_, rhash_, hot)
             )
 
         for e in range(start_epoch, len(epochs)):
@@ -320,7 +377,7 @@ class StreamingJob:
                 if do_snap and not recovery
                 else None
             )
-            in_flight.append((e, files, watermark, stats_refs, snap_refs, recovery, self._cur_hash, t0))
+            in_flight.append((e, files, watermark, stats_refs, snap_refs, recovery, self._cur_hash, self.spec, t0))
             while len(in_flight) > 1:  # one epoch of lookahead
                 _drain_one()
         while in_flight:
@@ -332,6 +389,12 @@ class StreamingJob:
         stateless stage for subsequent read tasks and push the new spec to
         every shard (actor FIFO ordering lands the swap between epochs)."""
         spec.validate()
+        if self.hot_convs and spec.uses_labels():
+            raise ValueError(
+                "cannot hot-swap a label-using ruleset while hot-conversation "
+                "routing is active: label feedback is sequential per "
+                "conversation and incompatible with the sub-key exchange"
+            )
         self.spec = spec
         self.stage1 = compile_stateless(spec)
         self._cur_hash = spec.content_hash()
@@ -345,19 +408,79 @@ class StreamingJob:
         the bounded-stream end-of-input barrier."""
         e = len(self.epochs())
         t0 = time.perf_counter()
+        wm = int(np.iinfo(np.int64).max)
         stats = ray.get(
-            [
-                self.shards[p].process.remote(e, [], np.iinfo(np.int64).max, True)
-                for p in range(self.P)
-            ]
+            [self.shards[p].process.remote(e, [], wm, True) for p in range(self.P)]
         )
+        hot = self._hot_phase(e, stats, wm, self.spec, write=True)
         snapshots = ray.get([s.snapshot.remote(self.ckpt_dir, e) for s in self.shards])
-        m = self._commit(e, [], int(np.iinfo(np.int64).max), stats, snapshots, False, t0, self._cur_hash)
+        m = self._commit(e, [], wm, stats, snapshots, False, t0, self._cur_hash, hot)
         self.metrics.append(m)
         return m
 
-    def _commit(self, e, files, watermark, stats, snapshots, recovery, t0, ruleset_hash=None) -> dict:
-        released = sum(s["released"] for s in stats)
+    def _hot_phase(self, e, stats, watermark, spec, write: bool) -> dict | None:
+        """Per-epoch driver side of the routed hot-conversation exchange:
+        gather every shard's block boundary summaries, scan-merge them in
+        (conv, turn) order from the driver-held carry state (the batch
+        salting protocol, stages/salted.py), seed the shards' held-block
+        evaluation, fold the returned window partials into the driver's hot
+        open-window accumulators, and emit the hot windows the watermark
+        closed.  Work here is O(hot convs × blocks) dicts — never rows."""
+        if not self.hot_convs:
+            return None
+        from osprey_ray.stages.salted import merge_state
+        from osprey_ray.streaming.shard import emit_closed_windows
+        from osprey_ray.rules import SessionWindow, TumblingCount
+
+        out = {"files": [], "released": 0, "fired": 0, "windows_file": None}
+        summaries = [t for s in stats for t in s.get("hot_summaries", [])]
+        if summaries:
+            summaries.sort(key=lambda x: (x[0], x[2]))  # (conv, first_turn)
+            seeds: dict = {}
+            advanced: dict = {}
+            for cid, blk, _ft, summ in summaries:
+                prev = advanced.get(cid, self.hot_states.get(cid))
+                seeds[(cid, blk)] = prev or {}
+                advanced[cid] = merge_state(prev, summ, spec)
+            self.hot_states.update(advanced)
+            holders = [i for i, s in enumerate(stats) if s.get("hot_summaries")]
+            hres = ray.get(
+                [self.shards[i].eval_held_blocks.remote(e, seeds, write) for i in holders]
+            )
+            for h in hres:
+                out["released"] += h["released"]
+                out["fired"] += h["fired"]
+                if h["file"]:
+                    out["files"].append(h["file"])
+                for key, val in h["win_partials"]:
+                    key = tuple(key)
+                    if key[0] == "t":
+                        if val > self.hot_open_windows.get(key, 0):
+                            self.hot_open_windows[key] = val
+                    else:
+                        cur = self.hot_open_windows.get(key)
+                        if cur is None:
+                            self.hot_open_windows[key] = list(val)
+                        else:
+                            cur[0] = min(cur[0], val[0])
+                            cur[1] = max(cur[1], val[1])
+                            cur[2] = max(cur[2], val[2])
+        tumbling = [s for s in spec.stateful if isinstance(s, TumblingCount)]
+        sessions = [s for s in spec.stateful if isinstance(s, SessionWindow)]
+        win_tbl = emit_closed_windows(self.hot_open_windows, tumbling, sessions, watermark)
+        if write and win_tbl is not None:
+            import pyarrow.parquet as pq
+
+            name = f"windows-e{e:05d}-hot.parquet"
+            final = os.path.join(self.data_dir, name)
+            tmp = final + f".tmp.{os.getpid()}"
+            pq.write_table(win_tbl, tmp)
+            os.replace(tmp, final)
+            out["windows_file"] = name
+        return out
+
+    def _commit(self, e, files, watermark, stats, snapshots, recovery, t0, ruleset_hash=None, hot=None) -> dict:
+        released = sum(s["released"] for s in stats) + (hot["released"] if hot else 0)
         # end-to-end watermark lag: newest event seen vs the frontier up to
         # which results are final — bounded by allowed_lateness by
         # construction; growth beyond it means the engine is falling behind
@@ -372,7 +495,7 @@ class StreamingJob:
             "watermark": int(watermark),
             "watermark_lag_s": lag_s,
             "released_rows": released,
-            "fired_rows": sum(s["fired"] for s in stats),
+            "fired_rows": sum(s["fired"] for s in stats) + (hot["fired"] if hot else 0),
             "late_dropped": sum(s["late_dropped"] for s in stats),
             "pending_rows": sum(s["pending"] for s in stats),
             "pending_spilled_rows": sum(s.get("pending_spilled_rows", 0) for s in stats),
@@ -385,13 +508,38 @@ class StreamingJob:
             consumed = [
                 p for s in (snapshots or []) for p in s.get("consumed_spills", [])
             ]
+            hot_state_path = None
+            if snapshots and self.hot_convs:
+                # driver-held hot carry state checkpoints alongside the
+                # shard snapshots; the manifest naming both is the commit
+                hot_state_path = os.path.join(
+                    self.ckpt_dir, f"hot-e{e:05d}.pkl"
+                )
+                import pickle
+
+                tmp = hot_state_path + f".tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump(
+                        {"hot_states": self.hot_states,
+                         "hot_open_windows": self.hot_open_windows},
+                        f,
+                    )
+                os.replace(tmp, hot_state_path)
             manifest = dict(
                 metrics,
-                outputs=[s["file"] for s in stats],
+                outputs=[s["file"] for s in stats] + (hot["files"] if hot else []),
                 label_outputs=[s.get("labels_file") for s in stats],
-                window_outputs=[s.get("windows_file") for s in stats],
-                open_windows=sum(s.get("open_windows", 0) for s in stats),
+                window_outputs=[s.get("windows_file") for s in stats]
+                + ([hot["windows_file"]] if hot else []),
+                open_windows=sum(s.get("open_windows", 0) for s in stats)
+                + len(self.hot_open_windows),
                 snapshots=snap_paths,
+                hot_state=hot_state_path,
+                hot_routing=(
+                    {"n": len(self.hot_convs), "block_turns": self.hot_block_turns}
+                    if self.hot_convs
+                    else None
+                ),
                 gc_spills=consumed,
                 last_snapshot_epoch=last_snap,
                 ruleset_hash=ruleset_hash or self._cur_hash,

@@ -53,6 +53,43 @@ from osprey_ray.stages.stateless import split_rules
 from osprey_ray.state.labels import LabelStore
 
 
+def emit_closed_windows(
+    open_windows: dict, tumbling: list, sessions: list, watermark_us: int
+) -> pa.Table | None:
+    """Emit and EVICT windows the watermark has passed: tumbling when
+    bucket_end <= watermark; session when last_ts + gap <= watermark (no
+    non-late row can extend it).  This is the engine's state-eviction
+    path — ``open_windows`` shrinks as the watermark advances.  Shared by
+    the per-shard accumulators and the driver's hot-conversation
+    accumulator (routed whales span shards, so their windows close
+    driver-side)."""
+    tumb_gap = {sf.name: np.int64(sf.bucket_seconds * 1e6) for sf in tumbling}
+    sess_gap = {sf.name: np.int64(sf.gap_seconds * 1e6) for sf in sessions}
+    rows = []
+    for key in list(open_windows):
+        kind, name, cid, k2 = key
+        if kind == "t":
+            if k2 + int(tumb_gap[name]) <= watermark_us:
+                rows.append((name, cid, k2, k2 + int(tumb_gap[name]), open_windows.pop(key)))
+        else:
+            st, en, cnt = open_windows[key]
+            if en + int(sess_gap[name]) <= watermark_us:
+                rows.append((name, cid, st, en, cnt))
+                open_windows.pop(key)
+    if not rows:
+        return None
+    rows.sort()
+    return pa.table(
+        {
+            "window": pa.array([r[0] for r in rows], pa.string()),
+            "conv_id": pa.array([r[1] for r in rows], pa.string()),
+            "start": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "end": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "agg_count": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 @ray.remote
 class StateShard:
     def __init__(
@@ -63,6 +100,8 @@ class StateShard:
         label_events: dict[str, list],
         pending_spill_rows: int = 500_000,
         salt_block_rows: int | None = None,
+        hot_convs: frozenset | None = None,
+        hot_block_turns: int = 512,
     ):
         from osprey_ray.rules import SessionWindow, TumblingCount
 
@@ -71,6 +110,15 @@ class StateShard:
         self.out_dir = out_dir
         self.label_events = label_events
         self.rule_plans = split_rules(spec)
+        # routing-level hot-conversation salting (the sub-key exchange the
+        # round-2 verdict called for): rows of a conversation in this set
+        # arrive routed by (conv_id, turn_idx // hot_block_turns), so the
+        # whale's BYTES spread across shards instead of all landing here.
+        # This shard only summarizes + holds its blocks; the driver owns the
+        # carry state and seeds the evaluation (streaming/job.py).
+        self.hot_convs = hot_convs or frozenset()
+        self.hot_block_turns = hot_block_turns
+        self._held_blocks: dict[int, list] = {}  # epoch -> [(cid, blk, tbl)]
         self.states: dict = {}
         self.labels = LabelStore()
         self.pending: list[pa.Table] = []
@@ -184,8 +232,11 @@ class StateShard:
         fired = 0
         out_path = None
         labels_path = None
+        hot_summaries: list = []
         if released is not None and released.num_rows:
             released = sort_and_dedup(released, self.states)
+            if self.hot_convs:
+                released, hot_summaries = self._hold_hot_blocks(released, epoch)
             whale_refs: list = []
             if self.salt_block_rows:
                 released, whale_refs = self._launch_whale_blocks(released)
@@ -236,13 +287,98 @@ class StateShard:
             "labels_file": labels_path,
             "windows_file": windows_path,
             "open_windows": len(self.open_windows),
+            "hot_summaries": hot_summaries,
+        }
+
+    def _hold_hot_blocks(self, tbl: pa.Table, epoch: int):
+        """Carve this shard's routed blocks of hot conversations out of the
+        released slice: summarize each (stages/salted.py boundary summary),
+        hold the rows for driver-seeded evaluation, and return the
+        summaries.  The driver scan-merges them in block order with its
+        hot carry state and calls :meth:`eval_held_blocks`."""
+        from osprey_ray.stages.salted import summarize_block
+
+        codes, dictionary = _conv_codes(tbl)
+        names = dictionary.to_pylist()
+        hot_code = np.array([c in self.hot_convs for c in names], dtype=bool)
+        if not hot_code.any():
+            return tbl, []
+        row_hot = hot_code[codes]
+        turn = tbl["turn_idx"].to_numpy().astype(np.int64)
+        blk = turn // np.int64(self.hot_block_turns)
+        n = len(codes)
+        # contiguous (conv, blk) runs — the slice is sorted by (conv, turn)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (codes[1:] != codes[:-1]) | (blk[1:] != blk[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        held = self._held_blocks.setdefault(epoch, [])
+        summaries = []
+        for s, e in zip(starts, ends):
+            if not row_hot[s]:
+                continue
+            cid = names[codes[s]]
+            b = int(blk[s])
+            block = tbl.slice(int(s), int(e - s)).combine_chunks()
+            held.append((cid, b, block))
+            summaries.append((cid, b, int(turn[s]), summarize_block(block, self.spec)))
+        if not summaries:
+            return tbl, []
+        return tbl.filter(pa.array(~row_hot)), summaries
+
+    def eval_held_blocks(self, epoch: int, seeds: dict, write: bool = True) -> dict:
+        """Phase B of the routed hot-conversation exchange: evaluate the
+        blocks held by :meth:`_hold_hot_blocks` for ``epoch``, each seeded
+        with the driver's scan-merged incoming carry state.  Returns the
+        output file plus compact window partials (the driver owns hot
+        conversations' open-window accumulators — a hot window spans
+        shards, so per-shard accumulation would emit partial duplicates)."""
+        held = self._held_blocks.pop(epoch, [])
+        if not held:
+            return {"part": self.part, "file": None, "released": 0, "fired": 0,
+                    "win_partials": []}
+        outs = []
+        for cid, b, block in held:
+            seed = seeds.get((cid, b)) or {}
+            block = sort_and_dedup(block, {cid: seed} if seed else {})
+            if block.num_rows == 0:
+                continue
+            out, _ = eval_released(
+                block, self.spec, self.rule_plans, {cid: seed}, LabelStore(), {},
+                persist=True,
+            )
+            outs.append(out)
+        if not outs:
+            return {"part": self.part, "file": None, "released": 0, "fired": 0,
+                    "win_partials": []}
+        out = pa.concat_tables(outs, promote_options="default")
+        partials: dict = {}
+        self._accumulate_windows(out, into=partials)
+        fired = 0
+        if "__verdicts" in out.column_names:
+            fired = int(
+                pc.sum(
+                    pc.cast(pc.greater(pc.list_value_length(out["__verdicts"]), 0), pa.int64())
+                ).as_py()
+                or 0
+            )
+        path = self._write_atomic(epoch, out, prefix="hot") if write else None
+        return {
+            "part": self.part,
+            "file": path,
+            "released": out.num_rows,
+            "fired": fired,
+            "win_partials": list(partials.items()),
         }
 
     # -- watermark-driven window aggregate emission + state eviction -------
 
-    def _accumulate_windows(self, out: pa.Table) -> None:
+    def _accumulate_windows(self, out: pa.Table, into: dict | None = None) -> None:
         """Merge this slice's per-window partials into the open-window
-        accumulators.  Per-turn running counts are monotone within a window,
+        accumulators (``into`` overrides the target dict — used to return
+        hot-block partials to the driver instead of accumulating locally).
+        Per-turn running counts are monotone within a window,
         so the window aggregate is the max of the running count — partials
         merge associatively across epochs.
 
@@ -251,6 +387,7 @@ class StateShard:
         here used to be the whale-shard's dominant per-epoch serial cost."""
         if out.num_rows == 0 or not (self.tumbling or self.sessions):
             return
+        acc = self.open_windows if into is None else into
         codes, dictionary = _conv_codes(out)
         names = dictionary.to_pylist()
         ts = out["ts"].cast(pa.int64()).to_numpy()
@@ -272,8 +409,8 @@ class StateShard:
             gmax = np.maximum.reduceat(cnt[order], starts)
             for c, b, k in zip(g_conv, g_bucket, gmax):
                 key = ("t", sf.name, names[c], int(b))
-                if int(k) > self.open_windows.get(key, 0):
-                    self.open_windows[key] = int(k)
+                if int(k) > acc.get(key, 0):
+                    acc[key] = int(k)
         for sf in self.sessions:
             sid = out[f"{sf.name}__id"].to_numpy()
             cnt = out[f"{sf.name}__count"].to_numpy()
@@ -284,43 +421,17 @@ class StateShard:
             cmax = np.maximum.reduceat(cnt[order], starts)
             for c, s_, lo, hi, k in zip(g_conv, g_sid, tmin, tmax, cmax):
                 key = ("s", sf.name, names[c], int(s_))
-                cur = self.open_windows.get(key)
+                cur = acc.get(key)
                 if cur is None:
-                    self.open_windows[key] = [int(lo), int(hi), int(k)]
+                    acc[key] = [int(lo), int(hi), int(k)]
                 else:
                     cur[0] = min(cur[0], int(lo))
                     cur[1] = max(cur[1], int(hi))
                     cur[2] = max(cur[2], int(k))
 
     def _emit_closed_windows(self, watermark_us: int) -> pa.Table | None:
-        """Emit and EVICT windows the watermark has passed: tumbling when
-        bucket_end <= watermark; session when last_ts + gap <= watermark (no
-        non-late row can extend it).  This is the engine's state-eviction
-        path — open_windows shrinks as the watermark advances."""
-        tumb_gap = {sf.name: np.int64(sf.bucket_seconds * 1e6) for sf in self.tumbling}
-        sess_gap = {sf.name: np.int64(sf.gap_seconds * 1e6) for sf in self.sessions}
-        rows = []
-        for key in list(self.open_windows):
-            kind, name, cid, k2 = key
-            if kind == "t":
-                if k2 + int(tumb_gap[name]) <= watermark_us:
-                    rows.append((name, cid, k2, k2 + int(tumb_gap[name]), self.open_windows.pop(key)))
-            else:
-                st, en, cnt = self.open_windows[key]
-                if en + int(sess_gap[name]) <= watermark_us:
-                    rows.append((name, cid, st, en, cnt))
-                    self.open_windows.pop(key)
-        if not rows:
-            return None
-        rows.sort()
-        return pa.table(
-            {
-                "window": pa.array([r[0] for r in rows], pa.string()),
-                "conv_id": pa.array([r[1] for r in rows], pa.string()),
-                "start": pa.array([r[2] for r in rows], pa.timestamp("us")),
-                "end": pa.array([r[3] for r in rows], pa.timestamp("us")),
-                "agg_count": pa.array([r[4] for r in rows], pa.int64()),
-            }
+        return emit_closed_windows(
+            self.open_windows, self.tumbling, self.sessions, watermark_us
         )
 
     def _launch_whale_blocks(self, tbl: pa.Table):

@@ -496,3 +496,96 @@ def test_streaming_salted_kill_resume(stream_data, tmp_path):
     assert len(got) == len(want)
     for k in want.columns:
         assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+
+
+def test_hot_routing_matches_unrouted(stream_data, tmp_path):
+    """Routed hot-conversation exchange (sub-key routing + driver-seeded
+    block evaluation): byte-identical to whole-key routing, including the
+    window-aggregate stream (hot windows close driver-side)."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+
+    segs, _, full = stream_data
+    spec = flagship_sql_spec()
+    ref = StreamingJob(spec, segs, str(tmp_path / "uns"), {}, num_shards=4, files_per_epoch=3)
+    ref.run(); ref.finalize()
+    want = _df(ref.results_table())
+    want_w = ref.window_stream_table()
+
+    # mark the 3 biggest conversations hot with a tiny block size so blocks
+    # split across shards and epochs
+    counts = pd.Series(full["conv_id"].to_pylist()).value_counts()
+    hot = set(counts.index[:3])
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "hot"), {}, num_shards=4, files_per_epoch=3,
+        hot_convs=hot, hot_block_turns=8,
+    )
+    job.run(); job.finalize()
+    got = _df(job.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+    assert job.window_stream_table().equals(want_w)
+
+
+def test_hot_routing_spreads_bytes(stream_data, tmp_path):
+    """The point of the sub-key exchange: a whale's rows no longer all land
+    on one shard.  With every conversation hot and an 8-turn block size,
+    each shard's output rows must be well under the whale's total."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+    import json
+
+    segs, _, full = stream_data
+    spec = flagship_sql_spec()
+    counts = pd.Series(full["conv_id"].to_pylist()).value_counts()
+    whale = counts.index[0]
+
+    def shard_rows(out_dir, **kw):
+        job = StreamingJob(spec, segs, str(out_dir), {}, num_shards=4,
+                           files_per_epoch=3, **kw)
+        job.run(); job.finalize()
+        per_shard = [0, 0, 0, 0]
+        for f in glob.glob(os.path.join(job.data_dir, "*.parquet")):
+            name = os.path.basename(f)
+            if name.startswith(("part-", "hot-")):
+                t = pq.read_table(f, columns=["conv_id"])
+                p = int(name.split("-p")[1][:4])
+                per_shard[p] += sum(1 for c in t["conv_id"].to_pylist() if c == whale)
+        return per_shard
+
+    base = shard_rows(tmp_path / "b")
+    routed = shard_rows(tmp_path / "r", hot_convs={whale}, hot_block_turns=8)
+    # unrouted: all evaluated whale rows on one shard (late-drops excluded);
+    # routed: same total, but no shard holds them all
+    total = sum(base)
+    assert max(base) == total > 0
+    assert sum(routed) == total and max(routed) < total
+
+
+def test_hot_routing_kill_resume(stream_data, tmp_path):
+    """Driver-held hot carry state checkpoints with the manifests: a crash
+    between epochs resumes bit-identically, including hot windows."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+
+    segs, _, full = stream_data
+    spec = flagship_sql_spec()
+    counts = pd.Series(full["conv_id"].to_pylist()).value_counts()
+    hot = set(counts.index[:3])
+    kw = dict(num_shards=4, files_per_epoch=2, hot_convs=hot, hot_block_turns=8)
+
+    ref = StreamingJob(spec, segs, str(tmp_path / "ref"), {}, **kw)
+    ref.run(); ref.finalize()
+    want = _df(ref.results_table())
+    want_w = ref.window_stream_table()
+
+    out = str(tmp_path / "crash")
+    j1 = StreamingJob(spec, segs, out, {}, **kw)
+    j1.run(stop_after_epoch=2)
+    del j1
+    j2 = StreamingJob(spec, segs, out, {}, **kw)
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+    assert j2.window_stream_table().equals(want_w)

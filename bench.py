@@ -8,6 +8,9 @@ Usage:
                                         #   SAME input (BENCH_SCALING_TURNS, def
                                         #   32M) with an untimed warm-up;
                                         #   reports throughput at both + eff
+    python bench.py --skew              # batch whale: whole-key vs salted
+    python bench.py --skew-stream       # streaming whale: whole-key vs
+                                        #   sub-key (hot-conv) routing
 
 Prints ONE JSON line.
 """
@@ -303,9 +306,96 @@ def run_skew() -> None:
     ray.shutdown()
 
 
+def run_skew_stream() -> None:
+    """Streaming skew measurement (round-2 verdict residual: the whale
+    shard received ~8x fair-share bytes).  Runs the streaming engine on the
+    same planted-whale input with whole-key routing vs the sub-key exchange
+    (hot-conversation routing) and reports both walls plus the max-shard
+    share of evaluated whale rows — the routed run's share should approach
+    1/P instead of 1.0."""
+    import glob
+    import shutil
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    turns = int(os.environ.get("BENCH_SKEW_TURNS", "4000000"))
+    whale_frac = float(os.environ.get("BENCH_SKEW_WHALE_FRAC", "0.1"))
+    _setup_ray(num_cpus)
+    import ray
+    import pyarrow.parquet as pq
+
+    from osprey_ray.datagen import ensure_skewed_dataset
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+    from osprey_ray.streaming import StreamingJob
+
+    d = ensure_skewed_dataset(turns, seed=42, whale_frac=whale_frac)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = flagship_sql_spec()
+    P = max(8, num_cpus // 2)
+    # hot detection is once-per-dataset metadata discovery — untimed
+    from osprey_ray.stages.salted import detect_hot_convs
+
+    hot = detect_hot_convs(segs, max(100_000, turns // 20))
+    whale = hot[0]
+
+    def run(out, **kw):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        job = StreamingJob(
+            spec, segs, out, {}, num_shards=P, files_per_epoch=max(2, len(segs) // 8),
+            allowed_lateness_s=1000, **kw,
+        )
+        job.run()
+        job.finalize()
+        wall = time.perf_counter() - t0
+        per_shard = [0] * P
+        for f in glob.glob(os.path.join(job.data_dir, "*.parquet")):
+            name = os.path.basename(f)
+            if name.startswith(("part-", "hot-")):
+                t = pq.read_table(f, columns=["conv_id"])
+                p = int(name.split("-p")[1][:4])
+                arr = t["conv_id"]
+                if hasattr(arr, "combine_chunks"):
+                    arr = arr.combine_chunks()
+                import pyarrow.compute as _pc
+
+                per_shard[p] += int(
+                    _pc.sum(_pc.cast(_pc.equal(arr.cast("string"), whale), "int64")).as_py() or 0
+                )
+        total = sum(per_shard) or 1
+        return wall, max(per_shard) / total
+
+    run("/tmp/osprey_bench/skewstream_w")  # warm-up, untimed
+    w_wall, w_share = run("/tmp/osprey_bench/skewstream_w")
+    r_wall, r_share = run(
+        "/tmp/osprey_bench/skewstream_r",
+        hot_convs=set(hot), hot_block_turns=65_536,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"streaming skew (1 conv = {int(whale_frac*100)}% of turns), whole-key vs sub-key routing",
+                "value": round(r_wall, 3),
+                "unit": "sec",
+                "turns": turns,
+                "num_cpus": num_cpus,
+                "num_shards": P,
+                "whole_key_sec": round(w_wall, 3),
+                "routed_sec": round(r_wall, 3),
+                "routed_speedup": round(w_wall / r_wall, 3),
+                "whole_key_max_shard_whale_share": round(w_share, 4),
+                "routed_max_shard_whale_share": round(r_share, 4),
+                "routed_turns_per_sec": round(turns / r_wall, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--skew-stream" in sys.argv:
+        run_skew_stream()
     elif "--skew" in sys.argv:
         run_skew()
     elif "--headline-only" in sys.argv:

@@ -561,6 +561,28 @@ SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY lang, lang_guess
 """
 
 
+# DuckDB twin of pipelines.textops.simhash_batch: md5-derived token hash
+# (token_hash_u64), ±1 per-bit contributions, bit b set where the sum over
+# tokens is positive; docs with no tokens get simhash 0 via the LEFT JOIN.
+_SIMHASH_SQL = (
+    "WITH toks AS ("
+    " SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents"
+    "), th AS ("
+    " SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h"
+    " FROM toks WHERE tok <> ''"
+    "), bitsum AS ("
+    " SELECT doc_id, bb.b AS b,"
+    " SUM(CASE WHEN (h >> CAST(bb.b AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS s"
+    " FROM th, (SELECT unnest(range(64)) AS b) bb GROUP BY doc_id, bb.b"
+    "), sh AS ("
+    " SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS UBIGINT)"
+    " ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash"
+    " FROM bitsum GROUP BY doc_id)"
+    " SELECT d.doc_id, COALESCE(sh.simhash, CAST(0 AS UBIGINT)) AS simhash"
+    " FROM documents d LEFT JOIN sh USING (doc_id)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "sample_turns": (
@@ -740,7 +762,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN lang = 'en' THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS n_tokens "
             "FROM documents GROUP BY lang"
         ),
+        # SimHash is fully SQL-expressible because the token hash is
+        # md5-derived (textops.token_hash_u64): per-token 64-bit hash, ±1
+        # bit contributions summed per doc, bit set where the sum is
+        # positive.  power(2, b) is exact in double for b <= 63 (DuckDB's
+        # << overflow-checks 1 << 63 even on UBIGINT).
+        "simhash": _SIMHASH_SQL,
+        # exhaustive O(n²) twin of the 4-segment pigeonhole pair miner
+        # (100% recall at Hamming <= 3, so engine == brute force)
+        "simhash_pairs": (
+            f"WITH sh AS ({_SIMHASH_SQL}) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
         # rows-only (non-SQL-expressible): hll_distinct, experiment_buckets,
-        # simhash, simhash_pairs, fingerprint, ann_lsh,
-        # flagship_verdicts, streaming_verdicts
+        # fingerprint, ann_lsh, flagship_verdicts, streaming_verdicts
     }

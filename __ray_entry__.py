@@ -561,6 +561,65 @@ SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY lang, lang_guess
 """
 
 
+def _murmur3_sql(seed: int = 42) -> str:
+    """Generate DuckDB SQL that computes murmur3 x86-32 (Austin Appleby's
+    public algorithm, the ``kernels.misc.murmur3_32`` twin) of the string
+    column ``s`` of a CTE named ``base`` (columns: ``user_id``, ``s``),
+    yielding a CTE ``mm(user_id, h)``.
+
+    The body loop over 4-byte little-endian words is a recursive CTE
+    (variable-length keys), the tail + fmix finalizer are chained CTE
+    selects — all arithmetic is wrapping 32-bit, expressed as UBIGINT
+    ``* & xor << >>`` with an explicit ``& 0xFFFFFFFF`` after every
+    multiply/rotate.  NOTE: DuckDB gives ``| & << >>`` EQUAL precedence
+    (left-associative), unlike Python — every binary bit-op below is fully
+    parenthesized; ``a << 15 | a >> 17`` silently parses as
+    ``((a << 15) | a) >> 17``."""
+    M = 4294967295
+
+    def rotl(x: str, r: int) -> str:
+        return f"(((({x}) << {r}) | (({x}) >> {32 - r})) & {M})"
+
+    def kmix(w: str) -> str:
+        k1 = f"((({w}) * 3432918353) & {M})"
+        return f"(({rotl(k1, 15)} * 461845907) & {M})"
+
+    def hstep(h: str, w: str) -> str:
+        hx = f"xor({h}, {kmix(w)})"
+        return f"((({rotl(hx, 13)} * 5) + 3864292196) & {M})"
+
+    def byte(pos: str) -> str:
+        return f"CAST(ascii(substr(s, {pos}, 1)) AS UBIGINT)"
+
+    word = (
+        f"(({byte('(4*i) + 1')})"
+        f" + (({byte('(4*i) + 2')}) << 8)"
+        f" + (({byte('(4*i) + 3')}) << 16)"
+        f" + (({byte('(4*i) + 4')}) << 24))"
+    )
+    tailk = (
+        f"((CASE WHEN n % 4 >= 1 THEN {byte('(4*nw) + 1')} ELSE CAST(0 AS UBIGINT) END)"
+        f" + (CASE WHEN n % 4 >= 2 THEN ({byte('(4*nw) + 2')}) << 8 ELSE CAST(0 AS UBIGINT) END)"
+        f" + (CASE WHEN n % 4 >= 3 THEN ({byte('(4*nw) + 3')}) << 16 ELSE CAST(0 AS UBIGINT) END))"
+    )
+    return (
+        "sized AS (SELECT user_id, s, length(s) AS n, length(s) // 4 AS nw FROM base), "
+        "fold AS ("
+        f" SELECT user_id, s, n, nw, 0 AS i, CAST({seed} AS UBIGINT) AS h FROM sized"
+        " UNION ALL"
+        f" SELECT user_id, s, n, nw, i + 1, {hstep('h', word)} FROM fold WHERE i < nw"
+        "), tl AS ("
+        f" SELECT user_id, n, CASE WHEN n % 4 = 0 THEN h ELSE xor(h, {kmix(tailk)}) END AS h"
+        " FROM fold WHERE i = nw"
+        "), f1 AS (SELECT user_id, xor(h, CAST(n AS UBIGINT)) AS h FROM tl), "
+        "f2 AS (SELECT user_id, xor(h, h >> 16) AS h FROM f1), "
+        f"f3 AS (SELECT user_id, ((h * 2246822507) & {M}) AS h FROM f2), "
+        "f4 AS (SELECT user_id, xor(h, h >> 13) AS h FROM f3), "
+        f"f5 AS (SELECT user_id, ((h * 3266489909) & {M}) AS h FROM f4), "
+        "mm AS (SELECT user_id, xor(h, h >> 16) AS h FROM f5)"
+    )
+
+
 # DuckDB twin of pipelines.textops.simhash_batch: md5-derived token hash
 # (token_hash_u64), ±1 per-bit contributions, bit b set where the sum over
 # tokens is positive; docs with no tokens get simhash 0 via the LEFT JOIN.
@@ -777,6 +836,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
-        # rows-only (non-SQL-expressible): hll_distinct, experiment_buckets,
+        # murmur3_32 reproduced in plain SQL (recursive-CTE word fold +
+        # chained fmix CTEs, _murmur3_sql) — the experiment bucketing
+        # (murmur3("exp1/"+entity, seed 42) % 10000, decile = bucket//1000)
+        # is hash-verified end-to-end, not rows-only
+        "experiment_buckets": (
+            "WITH RECURSIVE base AS ("
+            " SELECT user_id, 'exp1/' || CAST(user_id AS VARCHAR) AS s"
+            " FROM (SELECT DISTINCT user_id FROM events)"
+            f"), {_murmur3_sql(seed=42)}, "
+            "dec AS (SELECT user_id, CAST((h % 10000) // 1000 AS BIGINT) AS decile FROM mm) "
+            "SELECT d.decile, COUNT(*) AS n FROM events e JOIN dec d USING (user_id) "
+            "GROUP BY d.decile"
+        ),
+        # rows-only (non-SQL-expressible): hll_distinct,
         # fingerprint, ann_lsh, flagship_verdicts, streaming_verdicts
     }

@@ -620,6 +620,66 @@ def _murmur3_sql(seed: int = 42) -> str:
     )
 
 
+def _winnow_sql(k: int = 8, w: int = 16) -> str:
+    """Generate the DuckDB twin of ``textops.winnow_fingerprints``
+    (Schleimer/Wilkerson/Aiken winnowing, SIGMOD'03): FNV-prime polynomial
+    rolling hash over the k-gram bytes, splitmix64 finalizer, minimum per
+    sliding window of ``w``, distinct per doc.
+
+    Wrapping 64-bit arithmetic in SQL: every multiply-by-constant is split
+    hi/lo so intermediates stay under HUGEINT's 2^127 ceiling —
+    ``(a*C) mod 2^64 = (a*C_lo + ((a*C_hi mod 2^32) << 32)) mod 2^64`` with
+    ``a*C_lo <= 2^96``.  The k polynomial steps and the three splitmix
+    stages are chained CTEs (one wrapping op per stage), so expression size
+    stays linear.  Assumes ASCII text (the byte array the Python path hashes
+    equals the code points ``ascii(substr(...))`` reads; the documents
+    fixture is ASCII)."""
+    TWO64 = 1 << 64
+
+    def mul64(a: str, C: int) -> str:
+        clo, chi = C & 0xFFFFFFFF, C >> 32
+        A = f"CAST({a} AS HUGEINT)"
+        t1 = f"(({A} * {clo}) % {TWO64})"
+        t2 = f"((({A} * {chi}) % 4294967296) * 4294967296)"
+        return f"CAST((({t1} + {t2}) % {TWO64}) AS UBIGINT)"
+
+    def xshift(z: str, r: int) -> str:
+        return f"xor({z}, ({z}) >> {r})"
+
+    P = 1099511628211  # FNV-1a prime (public constant)
+    steps = ["p0 AS (SELECT doc_id, s, m, unnest(range(1, m + 1)) AS i FROM norm)"]
+    for j in range(k):
+        byte = f"CAST(ascii(substr(s, i + {j}, 1)) AS UBIGINT)"
+        if j == 0:
+            expr = byte
+        else:
+            expr = f"CAST((CAST({mul64('acc', P)} AS HUGEINT) + {byte}) % {TWO64} AS UBIGINT)"
+        steps.append(f"p{j + 1} AS (SELECT doc_id, i, s, m, {expr} AS acc FROM p{j})")
+    # splitmix64 finalizer (public algorithm), one wrapping op per CTE
+    z0 = f"CAST((CAST(acc AS HUGEINT) + 11400714819323198485) % {TWO64} AS UBIGINT)"
+    steps += [
+        f"z0 AS (SELECT doc_id, i, m, {z0} AS z FROM p{k})",
+        f"z1 AS (SELECT doc_id, i, m, {mul64(xshift('z', 30), 0xBF58476D1CE4E5B9)} AS z FROM z0)",
+        f"z2 AS (SELECT doc_id, i, m, {mul64(xshift('z', 27), 0x94D049BB133111EB)} AS z FROM z1)",
+        f"hs AS (SELECT doc_id, i, m, {xshift('z', 31)} AS h FROM z2)",
+        # trailing partial windows are excluded by the i-filter below; when a
+        # doc has <= w hashes the single i=1 "window" is the global min --
+        # exactly the Python fallback
+        f"wins AS (SELECT doc_id, m, i, MIN(h) OVER (PARTITION BY doc_id ORDER BY i "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp FROM hs)",
+        f"fps AS (SELECT doc_id, fp FROM wins WHERE i <= greatest(m - {w} + 1, 1))",
+    ]
+    norm = f"regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    return (
+        f"WITH norm AS (SELECT doc_id, {norm} AS s, length({norm}) - {k} + 1 AS m FROM documents), "
+        + ", ".join(steps)
+        + ", agg AS (SELECT doc_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints, "
+        "MIN(fp) AS min_fp FROM fps GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.n_fingerprints, 0) AS n_fingerprints, a.min_fp "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
 # DuckDB twin of pipelines.textops.simhash_batch: md5-derived token hash
 # (token_hash_u64), ±1 per-bit contributions, bit b set where the sum over
 # tokens is positive; docs with no tokens get simhash 0 via the LEFT JOIN.
@@ -849,6 +909,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.decile, COUNT(*) AS n FROM events e JOIN dec d USING (user_id) "
             "GROUP BY d.decile"
         ),
-        # rows-only (non-SQL-expressible): hll_distinct,
-        # fingerprint, ann_lsh, flagship_verdicts, streaming_verdicts
+        # winnowing fingerprints reproduced in SQL (_winnow_sql: hi/lo-split
+        # wrapping 64-bit arithmetic through HUGEINT, window minima via a
+        # window function) — hash-verified, not rows-only
+        "fingerprint": _winnow_sql(),
+        # rows-only (non-SQL-expressible): hll_distinct, ann_lsh,
+        # flagship_verdicts, streaming_verdicts
     }

@@ -497,9 +497,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": T.q_doc_quality,
         "lang_id": T.q_lang_id,
         "minhash_neardup": T.q_minhash_neardup,
+        "neardup_clusters": T.q_neardup_clusters,
         "simhash": T.q_simhash,
         "simhash_pairs": T.q_simhash_pairs,
         "fingerprint": T.q_fingerprint,
+        # corpus statistics / sampling
+        "token_counts": T.q_token_counts,
+        "stratified_sample": T.q_stratified_sample,
+        "tfidf_top_terms": T.q_tfidf_top_terms,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -680,6 +685,23 @@ def _winnow_sql(k: int = 8, w: int = 16) -> str:
     )
 
 
+# exhaustive O(n²) n-gram-Jaccard pair twin of the MinHash+LSH path, shared
+# by the minhash_neardup and neardup_clusters oracles
+_MINHASH_PAIRS_SQL = (
+    "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, "
+    "list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS grams "
+    "FROM d) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(floor(100.0 * len(list_intersect(a.grams, b.grams)) / "
+    "(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) + 0.5) AS BIGINT) AS jaccard_pct "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.grams, b.grams)) * 10 >= "
+    "7 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+)
+
+
 # DuckDB twin of pipelines.textops.simhash_batch: md5-derived token hash
 # (token_hash_u64), ±1 per-bit contributions, bit b set where the sum over
 # tokens is positive; docs with no tokens get simhash 0 via the LEFT JOIN.
@@ -713,18 +735,48 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive O(n²) Jaccard twin for the LSH path (16 bands × 4 rows
         # give ~99% per-pair detection at τ=0.7; on this deterministic corpus
         # recall is exactly 100% — verified engine==SQL at sf0.01 and sf0.001)
-        "minhash_neardup": (
-            "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), "
-            "sh AS (SELECT doc_id, "
-            "list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-            "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS grams "
-            "FROM d) "
-            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "CAST(floor(100.0 * len(list_intersect(a.grams, b.grams)) / "
-            "(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) + 0.5) AS BIGINT) AS jaccard_pct "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-            "WHERE len(list_intersect(a.grams, b.grams)) * 10 >= "
-            "7 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+        "minhash_neardup": _MINHASH_PAIRS_SQL,
+        # connected components over the same exhaustive pair set via a
+        # recursive reachability CTE; min reachable id = cluster id,
+        # singletons cluster to themselves
+        "neardup_clusters": (
+            f"WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}), "
+            "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+            "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+            "reach AS ("
+            " SELECT u AS doc, u AS r FROM (SELECT DISTINCT u FROM edges)"
+            " UNION"
+            " SELECT reach.doc, e.v FROM reach JOIN edges e ON reach.r = e.u"
+            "), cl AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc) "
+            "SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, "
+            "d.doc_id = COALESCE(cl.cluster_id, d.doc_id) AS keep "
+            "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc"
+        ),
+        "token_counts": (
+            "SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) "
+            "WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 100"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM ("
+            "SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn "
+            "FROM documents) WHERE rn <= 5"
+        ),
+        # integer idf-proxy (tf * 1e6 // df): no libm log, so the engine's
+        # numpy arithmetic and DuckDB agree exactly
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "s AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score_ppm "
+            "FROM tf JOIN df USING (term)), "
+            "r AS (SELECT s.*, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rn FROM s) "
+            "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
+            "CAST(score_ppm AS BIGINT) AS score_ppm FROM r WHERE rn = 1"
         ),
         "flagship_sql": _flagship_oracle_sql(),
         "flagship_salted": _flagship_oracle_sql(),

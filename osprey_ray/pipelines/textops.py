@@ -277,6 +277,37 @@ def _band_candidate_pairs(t: pa.Table) -> pa.Table:
     )
 
 
+def _pin_schema(ds, schema: pa.Schema):
+    """Drop schema-less empty blocks and normalize column order to
+    ``schema``.
+
+    Ray's hash-shuffle join emits schema-LESS empty blocks for hash
+    partitions that received no rows; a chained second join then fails
+    inside the aggregator ("No match for key field reference ... on left
+    side") because ``ArrowBlockBuilder.build()`` over only those shards
+    yields a zero-column table.  ``map_batches`` SKIPS empty blocks, so
+    they cannot be repaired in-stream — instead materialize and rebuild
+    from the non-empty block refs (metadata-only on the driver; blocks
+    stay in the object store).  Callers only use this on bounded
+    intermediate sets (candidate pairs, edge lists, label tables) that a
+    join consumes next."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = [
+        ref
+        for b in mat.iter_internal_ref_bundles()
+        for ref, meta in b.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs).map_batches(
+        lambda t: t.select(schema.names), batch_format="pyarrow"
+    )
+
+
 def _attach_text(pairs, docs_ds, key_col: str, out_col: str, num_partitions: int | None = None):
     """Attach ``documents.text`` to ``pairs[key_col]`` with Ray Data's native
     hash-shuffle join — both sides co-partitioned on the key; nothing touches
@@ -333,7 +364,10 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
         .aggregate(Count(alias_name="__nb"))
         .select_columns(["doc_a", "doc_b"])
     )
-    with_a = _attach_text(cand, ds, "doc_a", "__ta")
+    with_a = _pin_schema(
+        _attach_text(cand, ds, "doc_a", "__ta"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("__ta", pa.string())]),
+    )  # pin: the first join's empty-partition blocks would poison the second
     with_ab = _attach_text(with_a, ds, "doc_b", "__tb")
 
     def verify(t: pa.Table) -> pa.Table:
@@ -676,3 +710,282 @@ def q_doc_quality(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics / sampling / fuzzy-dedup clustering
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str, top_n: int = 100):
+    """Corpus token histogram, top-N by count.
+
+    The combiner pattern for wide aggregations: each batch emits one row per
+    DISTINCT token in that batch (Arrow ``value_counts`` — the partial
+    aggregate), so the token-keyed shuffle moves |batch-vocab| rows, not one
+    row per token occurrence; the groupby then sums partials.  Ties at the
+    top-N boundary break deterministically by token."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.flatten().value_counts()
+        values, counts = vc.field("values"), vc.field("counts")
+        keep = pc.not_equal(values, "")
+        return pa.table(
+            {
+                "token": pc.filter(values, keep),
+                "n": pc.cast(pc.filter(counts, keep), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(top_n)
+    )
+
+
+def q_stratified_sample(sf_dir: str, per_group: int = 5):
+    """Deterministic stratified sampling: ``per_group`` docs per ``lang``
+    with the smallest md5(doc_id) — reproducible across runs and engines
+    (the same md5-threshold idea as ``sample_turns``, but per-stratum
+    top-k instead of a global rate).
+
+    Scale shape: a per-batch partial top-k per stratum runs BEFORE the
+    stratum-keyed exchange, so at most k × n_strata rows per batch ever
+    shuffle; the per-stratum finalizer then merges partials.  Group count =
+    stratum count (bounded), so the per-group callback is not per-key
+    Python."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(t: pa.Table):
+        df = t.to_pandas()
+        df["__r"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]
+        ]
+        return pa.Table.from_pandas(
+            df.sort_values(["lang", "__r"]).groupby("lang").head(per_group),
+            preserve_index=False,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("__r").head(per_group)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(df["lang"], pa.string()),
+                "sample_rank": pa.array(
+                    np.arange(1, len(df) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top rarity-weighted term per document — the TF-IDF shape with a
+    deterministic integer score: ``score_ppm = tf * 1_000_000 // df``
+    (monotone in tf/df; no libm ``log`` so engine and SQL agree
+    bit-for-bit; with N fixed, tf/df ranks terms exactly like tf·(N/df)).
+
+    Distributed shape: per-doc term frequencies are computed inside each
+    batch (docs never span batches), document frequencies come from a
+    token-keyed groupby over the (doc, term) pairs, tf⋈df rides Ray's
+    hash-shuffle join on the token key, and the per-doc argmax runs
+    vectorized per hash partition (256 partitions, lexsort + boundary
+    pick) — never one Python callback per doc."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        doc = np.repeat(t["doc_id"].to_numpy(), lens)
+        df = pd.DataFrame({"doc_id": doc, "term": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["term"] != ""]
+        g = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(g["term"], pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_pairs, batch_format="pyarrow").materialize()
+    df_tbl = (
+        tf.groupby("term")
+        .aggregate(Count(alias_name="df"))
+    )
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # no pinning here: the join output feeds a sort-based groupby, which
+    # tolerates the join's schema-less empty-partition blocks (pinning
+    # would materialize a corpus-sized table)
+    joined = tf.join(
+        df_tbl, join_type="inner", num_partitions=max(2, cpus // 4), on=("term",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def part_key(t: pa.Table) -> pa.Table:
+        key = _splitmix64(t["doc_id"].to_numpy().astype(np.uint64))
+        return t.append_column("__dp", pa.array((key % np.uint64(256)).view(np.int64)))
+
+    def argmax_in_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64()), "df": pa.array([], pa.int64()),
+             "score_ppm": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc_id"].to_numpy()
+        tfv = t["tf"].to_numpy()
+        dfv = t["df"].to_numpy()
+        score = tfv * 1_000_000 // dfv
+        term = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
+        # per-doc argmax by (score desc, term asc): lexsort then first row
+        # of each doc run
+        order = np.lexsort((term, -score, doc))
+        doc_s = doc[order]
+        first = np.empty(len(doc_s), dtype=bool)
+        first[0] = True
+        first[1:] = doc_s[1:] != doc_s[:-1]
+        pick = order[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[pick], pa.int64()),
+                "term": pa.array(term[pick], pa.string()),
+                "tf": pa.array(tfv[pick], pa.int64()),
+                "df": pa.array(dfv[pick], pa.int64()),
+                "score_ppm": pa.array(score[pick], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(part_key, batch_format="pyarrow")
+        .groupby("__dp")
+        .map_groups(argmax_in_part, batch_format="pyarrow")
+    )
+
+
+def q_neardup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 50):
+    """Fuzzy-dedup clustering: connected components over the MinHash
+    near-dup pairs, then one canonical survivor per cluster — the shape a
+    training-data pipeline actually deduplicates with (pairs alone don't
+    say which doc to keep when A~B~C).
+
+    Distributed CC by iterative min-label propagation: each round is one
+    edge⋈label hash join plus a min-groupby, and the round count is the
+    component diameter (near-dup clusters are shallow).  Labels converge to
+    the component-minimum doc_id; convergence is detected by the monotone
+    non-increasing label sum.  Every document appears in the output;
+    singletons are their own cluster; ``keep`` marks the survivor."""
+    from ray.data.aggregate import Min
+
+    pairs = q_minhash_neardup(sf_dir, threshold)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    lbl_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+    # _pin_schema also materializes (edges/labels are consumed every round
+    # and feed joins, which choke on schema-less empty-partition blocks)
+    edges = _pin_schema(pairs.map_batches(sym, batch_format="pyarrow"), edge_schema)
+
+    def init_lbl(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["src"],
+                "lbl": pc.min_element_wise(t["src"], t["lbl"]),
+            }
+        )
+
+    lbl = _pin_schema(
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="lbl"))
+        .map_batches(init_lbl, batch_format="pyarrow"),
+        lbl_schema,
+    )
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, cpus // 4)
+    prev_sum = lbl.sum("lbl") if lbl.count() else 0
+    for _ in range(max_rounds):
+        as_src = lbl.map_batches(
+            lambda t: pa.table({"src": t["node"], "lbl": t["lbl"]}),
+            batch_format="pyarrow",
+        )
+        msgs = _pin_schema(
+            edges.join(
+                as_src, join_type="inner", num_partitions=nparts, on=("src",),
+                aggregator_ray_remote_args={"num_cpus": 0},
+            ),
+            pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("lbl", pa.int64())]),
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "lbl": t["lbl"]}),
+            batch_format="pyarrow",
+        )
+        lbl = _pin_schema(
+            msgs.union(lbl).groupby("node").aggregate(Min("lbl", alias_name="lbl")),
+            lbl_schema,
+        )
+        cur = lbl.sum("lbl") if lbl.count() else 0
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        print(f"[neardup-clusters] label propagation hit max_rounds={max_rounds}")
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+    out = _pin_schema(
+        docs.join(
+            lbl.map_batches(
+                lambda t: pa.table({"doc_id": t["node"], "__lbl": t["lbl"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer", num_partitions=nparts, on=("doc_id",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        ),
+        pa.schema([("doc_id", pa.int64()), ("__lbl", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cluster = pc.coalesce(t["__lbl"], t["doc_id"])
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "cluster_id": pc.cast(cluster, pa.int64()),
+                "keep": pc.equal(pc.cast(t["doc_id"], pa.int64()), pc.cast(cluster, pa.int64())),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -157,3 +157,55 @@ def test_langid_vectorized_matches_scalar():
     ]
     t = pa.table({"doc_id": list(range(len(texts))), "text": texts, "lang": ["x"] * len(texts)})
     assert li(t)["lang_guess"].to_pylist() == [li._guess(x) for x in texts]
+
+
+def test_neardup_clusters_chain_transitivity(ray_session, tmp_path):
+    """A~B, B~C but A<~>C only via B: label propagation must take >1 round
+    and still converge the whole chain onto min(doc_id); the unrelated doc
+    stays a singleton survivor."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_neardup_clusters
+
+    toks = [f"w{i:02d}" for i in range(40)]               # 40 distinct tokens
+    a_text = " ".join(toks)
+    b_text = " ".join(toks[:-2] + ["x0", "x1"])           # tail edit: ~ A (0.90)
+    # head edit on B: ~ B (0.73) but NOT ~ A (0.65) — a true chain
+    c_text = " ".join([f"y{i}" for i in range(6)] + toks[6:-2] + ["x0", "x1"])
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30, 99], pa.int64()),
+            "text": [a_text, b_text, c_text, "totally different content here now"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": pa.array([len(a_text), len(b_text), len(c_text), 33], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        q_neardup_clusters(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    by_doc = {r.doc_id: (r.cluster_id, r.keep) for r in out.itertuples(index=False)}
+    # the pair graph must actually be a chain for this test to mean anything
+    from osprey_ray.pipelines.textops import ngram_jaccard
+
+    assert ngram_jaccard(a_text, b_text) >= 0.7
+    assert ngram_jaccard(b_text, c_text) >= 0.7
+    assert ngram_jaccard(a_text, c_text) < 0.7
+    assert by_doc[10] == (10, True)
+    assert by_doc[20] == (10, False)
+    assert by_doc[99] == (99, True)
+
+
+def test_token_counts_and_tfidf_shapes(ray_session):
+    from osprey_ray.pipelines.textops import q_tfidf_top_terms, q_token_counts
+
+    tc = q_token_counts("/root/testdata/sf0.001", top_n=10).to_pandas()
+    assert len(tc) <= 10
+    assert (tc["n"].to_numpy()[:-1] >= tc["n"].to_numpy()[1:]).all()  # sorted desc
+    tf = q_tfidf_top_terms("/root/testdata/sf0.001").to_pandas()
+    assert tf["doc_id"].is_unique
+    assert (tf["score_ppm"] == tf["tf"] * 1_000_000 // tf["df"]).all()

@@ -505,6 +505,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": T.q_token_counts,
         "stratified_sample": T.q_stratified_sample,
         "tfidf_top_terms": T.q_tfidf_top_terms,
+        # decontamination / packing / mixing
+        "decontaminate": T.q_decontaminate,
+        "pack_sequences": T.q_pack_sequences,
+        "dataset_mix": T.q_dataset_mix,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -960,6 +964,48 @@ def oracle_sql() -> dict[str, str]:
             "dec AS (SELECT user_id, CAST((h % 10000) // 1000 AS BIGINT) AS decile FROM mm) "
             "SELECT d.decile, COUNT(*) AS n FROM events e JOIN dec d USING (user_id) "
             "GROUP BY d.decile"
+        ),
+        # benchmark-overlap decontamination: the deterministic blocklist
+        # (first 8 tokens of every 97th doc) is itself derivable in SQL, so
+        # the whole query is self-contained and hash-verified
+        "decontaminate": (
+            "WITH g AS (SELECT DISTINCT "
+            "array_to_string(string_split(lower(text), ' ')[1:8], ' ') AS gram "
+            "FROM documents WHERE doc_id % 97 = 0 "
+            "AND len(string_split(text, ' ')) >= 8) "
+            "SELECT d.doc_id, CAST(COUNT(g.gram) AS BIGINT) AS n_hits, "
+            "COUNT(g.gram) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN g ON contains(lower(d.text), g.gram) "
+            "GROUP BY d.doc_id"
+        ),
+        # next-fit sequence packing per doc_id-range partition; the
+        # sequential fold is a recursive CTE stepping row-number order
+        "pack_sequences": (
+            "WITH RECURSIVE d AS ("
+            " SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+            " doc_id // 128 AS part,"
+            " ROW_NUMBER() OVER (PARTITION BY doc_id // 128 ORDER BY doc_id) AS rn"
+            " FROM documents"
+            "), f AS ("
+            " SELECT part, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,"
+            " n_tokens AS used FROM d WHERE rn = 1"
+            " UNION ALL"
+            " SELECT d.part, d.rn, d.doc_id, d.n_tokens,"
+            " CASE WHEN f.used + d.n_tokens > 256 THEN f.bin + 1 ELSE f.bin END,"
+            " CASE WHEN f.used + d.n_tokens > 256 THEN d.n_tokens"
+            " ELSE f.used + d.n_tokens END"
+            " FROM f JOIN d ON d.part = f.part AND d.rn = f.rn + 1"
+            ") SELECT doc_id, n_tokens, CAST(part * 128 + bin AS BIGINT) AS bin_id FROM f"
+        ),
+        # weighted source mixing: per-source quota of smallest-md5 doc_ids
+        "dataset_mix": (
+            "WITH w(source, quota) AS (VALUES "
+            "('src0', 40), ('src1', 20), ('src2', 10), ('src3', 5)), "
+            "r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn "
+            "FROM documents) "
+            "SELECT doc_id, source, CAST(rn AS BIGINT) AS mix_rank "
+            "FROM r JOIN w USING (source) WHERE rn <= quota"
         ),
         # winnowing fingerprints reproduced in SQL (_winnow_sql: hi/lo-split
         # wrapping 64-bit arithmetic through HUGEINT, window minima via a

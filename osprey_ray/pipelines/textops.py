@@ -989,3 +989,144 @@ def q_neardup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 50
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# decontamination / sequence packing / dataset mixing
+# ---------------------------------------------------------------------------
+
+
+def benchmark_grams(sf_dir: str, k: int = 8, every: int = 97) -> list[str]:
+    """Deterministic stand-in for an eval-benchmark n-gram blocklist: the
+    first ``k`` tokens of every ``every``-th document.  A real deployment
+    loads the blocklist from the benchmark suites; the pipeline shape
+    (tiny broadcast set, per-batch vectorized substring scan) is identical."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = []
+    for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if i % every == 0:
+            toks = x.lower().split()
+            if len(toks) >= k:
+                grams.append(" ".join(toks[:k]))
+    return sorted(set(grams))
+
+
+def q_decontaminate(sf_dir: str, k: int = 8, every: int = 97):
+    """Benchmark decontamination: flag documents containing any blocklist
+    n-gram.  The blocklist is a SMALL side — shipped once by closure
+    capture (``ray.put`` under the hood) and scanned per batch with
+    vectorized Arrow ``match_substring``, one pass per gram — never a
+    shuffle join.  Output: (doc_id, n_hits, contaminated) for every doc."""
+    grams = benchmark_grams(sf_dir, k, every)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        for g in grams:
+            hits += pc.match_substring(low, g).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def q_pack_sequences(sf_dir: str, capacity: int = 256, part_rows: int = 128):
+    """Sequence packing for pretraining: assign docs to fixed-capacity
+    token bins with the deterministic NEXT-FIT rule (docs in doc_id order;
+    a doc that would overflow the open bin closes it; over-capacity docs
+    get a bin alone).
+
+    Packing is inherently sequential, so it runs per PARTITION
+    (``doc_id // part_rows`` — the same contract a sharded corpus gives
+    you for free) and bin ids are globally unique as
+    ``partition * part_rows + local_bin``.  Inside a partition the
+    next-fit scan is a short numpy loop over docs (not tokens).
+    Output: (doc_id, n_tokens, bin_id) for every doc."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                "__part": pc.cast(
+                    pc.divide(pc.cast(t["doc_id"], pa.int64()), part_rows), pa.int64()
+                ),
+            }
+        )
+
+    def pack(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        ntok = t["n_tokens"].to_numpy()
+        part_id = int(t["__part"][0].as_py())
+        order = np.argsort(doc, kind="stable")
+        doc_s, ntok_s = doc[order], ntok[order]
+        bins = np.empty(len(doc_s), dtype=np.int64)
+        b, used = 0, 0
+        for i, nt in enumerate(ntok_s):
+            if used > 0 and used + nt > capacity:
+                b += 1
+                used = 0
+            bins[i] = b
+            used += nt
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_s, pa.int64()),
+                "n_tokens": pa.array(ntok_s, pa.int64()),
+                "bin_id": pa.array(part_id * part_rows + bins, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
+def q_dataset_mix(sf_dir: str, weights: dict[str, int] | None = None):
+    """Weighted dataset mixing: draw a deterministic sample of
+    ``weights[source]`` docs per source (smallest md5(doc_id) first — the
+    same reproducible-rank trick as ``q_stratified_sample``, so re-runs
+    and engines agree).  The per-batch partial top-k bounds the shuffle at
+    k × n_sources rows per batch."""
+    weights = weights or {"src0": 40, "src1": 20, "src2": 10, "src3": 5}
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    wmax = max(weights.values())
+
+    def partial(t: pa.Table):
+        df = t.to_pandas()
+        df = df[df["source"].isin(weights)]
+        df["__r"] = [hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+        return pa.Table.from_pandas(
+            df.sort_values(["source", "__r"]).groupby("source").head(wmax),
+            preserve_index=False,
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("__r")
+        df = df.head(weights.get(df["source"].iloc[0], 0) if len(df) else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(df["source"], pa.string()),
+                "mix_rank": pa.array(
+                    np.arange(1, len(df) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -512,6 +512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
+        "ann_ivf": N.q_ann_ivf,
+        "embedding_centroids": N.q_embedding_centroids,
         "embed_neardup": N.q_embed_neardup,
         "embed_neardup_lsh": N.q_embed_neardup_lsh,
         # multimodal plumbing (decode stubbed)
@@ -1011,6 +1013,21 @@ def oracle_sql() -> dict[str, str]:
         # wrapping 64-bit arithmetic through HUGEINT, window minima via a
         # window function) — hash-verified, not rows-only
         "fingerprint": _winnow_sql(),
-        # rows-only (non-SQL-expressible): hll_distinct, ann_lsh,
+        # per-label quantized centroids: components quantized to exact
+        # int64 milli-units BEFORE aggregation (float summation is
+        # order-dependent; integer sums are not), so engine == SQL exactly;
+        # centroid_milli uses truncating division (DuckDB // truncates,
+        # numpy // floors — the engine matches via the sign trick)
+        "embedding_centroids": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT label, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+            "FROM embeddings, dims) "
+            "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, "
+            "CAST(SUM(q) AS BIGINT) AS q_sum, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS BIGINT) AS centroid_milli "
+            "FROM u GROUP BY label, dim"
+        ),
+        # rows-only (non-SQL-expressible): hll_distinct, ann_lsh, ann_ivf,
         # flagship_verdicts, streaming_verdicts
     }

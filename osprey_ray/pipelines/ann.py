@@ -444,3 +444,223 @@ def q_embed_neardup(
     if not parts:
         return schema.empty_table()
     return pa.concat_tables([p.select(["vec_a", "vec_b"]) for p in parts])
+
+
+# ---------------------------------------------------------------------------
+# vector aggregation / IVF
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_centroids(sf_dir: str, scale: int = 1000):
+    """Per-label centroid of the embedding vectors, integer-exact: each
+    component is quantized to milli-units (``floor(x*1000 + 0.5)`` — same
+    expression in numpy and SQL) BEFORE aggregation, so sums are exact
+    int64 and independent of addition order (float summation is
+    order-dependent; an engine shuffle and DuckDB would disagree in ULPs).
+
+    Combiner pattern for vector aggregation: each batch emits per-(label,
+    dim) partial sums/counts — at most |labels| × dim rows per batch —
+    so the shuffle never moves raw vectors.  ``centroid_milli`` uses
+    TRUNCATING integer division (DuckDB ``//`` truncates toward zero;
+    numpy ``//`` floors — the engine matches DuckDB via the sign trick)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_emb(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids, m = _to_matrix(t)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, dim = q.shape
+        df = pd.DataFrame(
+            {
+                "label": np.repeat(labels, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+                "q_sum": q.reshape(-1),
+            }
+        )
+        g = df.groupby(["label", "dim"], sort=False).agg(
+            q_sum=("q_sum", "sum"), n=("q_sum", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "label": pa.array(g["label"].to_numpy(), pa.int64()),
+                "dim": pa.array(g["dim"].to_numpy(), pa.int64()),
+                "q_sum": pa.array(g["q_sum"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("q_sum", alias_name="q_sum"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["q_sum"].to_numpy()
+        n = t["n"].to_numpy()
+        cm = np.sign(s) * (np.abs(s) // n)  # truncating division (= DuckDB //)
+        return pa.table(
+            {
+                "label": pc_cast_i64(t["label"]),
+                "dim": pc_cast_i64(t["dim"]),
+                "q_sum": pc_cast_i64(t["q_sum"]),
+                "n": pc_cast_i64(t["n"]),
+                "centroid_milli": pa.array(cm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pc_cast_i64(arr):
+    import pyarrow.compute as _pc
+
+    return _pc.cast(arr, pa.int64())
+
+
+def q_ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
+              iters: int = 5, nprobe: int = 4):
+    """IVF ANN: a coarse k-means quantizer partitions the corpus into
+    cells; a query probes its ``nprobe`` nearest cells and reranks exactly
+    inside them.  The classic big-corpus scale path (candidate count ~
+    nprobe/n_cells of the corpus).
+
+    Distributed Lloyd iterations: assignment is a per-batch matmul against
+    the broadcast centroid matrix; the update emits per-(cell, dim)
+    partial sums (combiner — never raw vectors) through a groupby; the
+    driver only ever holds the tiny n_cells × dim centroid matrix.
+    Deterministic: centroids init from the first n_cells vectors by
+    vec_id.  Output: per-query top-k ranks + candidate count + recall vs
+    the exact brute force (approximate method — rows-only oracle, like
+    ``ann_lsh``)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    q_ids, q_m = _query_set(sf_dir, n_queries)
+    qn = _normalize(q_m)
+
+    # deterministic init: first n_cells vectors
+    init_ids, init_m = _query_set(sf_dir, n_cells)
+    cent = _normalize(init_m).copy()
+
+    ds = _read_emb(sf_dir).materialize()  # consumed iters+1 times
+
+    for _ in range(iters):
+        cmat = cent  # closure-broadcast (ray.put under the hood)
+
+        def assign_partial(t: pa.Table, cmat=cmat) -> pa.Table:
+            ids, m = _to_matrix(t)
+            mn = _normalize(m)
+            cell = np.argmax(mn @ cmat.T, axis=1).astype(np.int64)
+            n, dim = mn.shape
+            df = pd.DataFrame(
+                {
+                    "cell": np.repeat(cell, dim),
+                    "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+                    "v": mn.reshape(-1),
+                }
+            )
+            g = df.groupby(["cell", "dim"], sort=False).agg(
+                v_sum=("v", "sum"), n=("v", "size")
+            ).reset_index()
+            return pa.table(
+                {
+                    "cell": pa.array(g["cell"].to_numpy(), pa.int64()),
+                    "dim": pa.array(g["dim"].to_numpy(), pa.int64()),
+                    "v_sum": pa.array(g["v_sum"].to_numpy(), pa.float64()),
+                    "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                }
+            )
+
+        upd = (
+            ds.map_batches(assign_partial, batch_format="pyarrow")
+            .groupby(["cell", "dim"])
+            .aggregate(Sum("v_sum", alias_name="v_sum"), Sum("n", alias_name="n"))
+            .to_pandas()  # tiny: n_cells × dim rows
+        )
+        new = cent.copy()
+        for c, g in upd.groupby("cell"):
+            vec = np.zeros(cent.shape[1])
+            vec[g["dim"].to_numpy()] = g["v_sum"].to_numpy() / np.maximum(g["n"].to_numpy(), 1)
+            nrm = np.linalg.norm(vec)
+            if nrm > 0:
+                new[int(c)] = vec / nrm
+        cent = new
+
+    # probe: queries pick their nprobe nearest cells
+    probe_cells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probed = {int(q_ids[i]): set(probe_cells[i].tolist()) for i in range(len(q_ids))}
+    cmat = cent
+
+    def search(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        mn = _normalize(m)
+        cell = np.argmax(mn @ cmat.T, axis=1)
+        sims = mn @ qn.T  # (batch, nq)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = np.isin(cell, list(probed[int(qid)])) & (ids != qid)
+            if not mask.any():
+                continue
+            cand = np.flatnonzero(mask)
+            s = sims[cand, qi]
+            top = cand[np.lexsort((ids[cand], -s))[: k]]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(sims[top, qi])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def count_cand(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        cell = np.argmax(_normalize(m) @ cmat.T, axis=1)
+        qs, ns = [], []
+        for qid, cells in probed.items():
+            qs.append(qid)
+            ns.append(int((np.isin(cell, list(cells)) & (ids != qid)).sum()))
+        return pa.table(
+            {"query_id": pa.array(qs, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    counts = (
+        ds.map_batches(count_cand, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(_Sum("n", alias_name="n_candidates"))
+        .to_pandas()
+    )
+    n_by_q = dict(zip(counts.get("query_id", []), counts.get("n_candidates", [])))
+    small = ds.map_batches(search, batch_format="pyarrow").to_pandas()
+    brute = q_ann_bruteforce(sf_dir, k, n_queries).to_pandas()
+    rows = []
+    for qid in q_ids:
+        qid = int(qid)
+        g = small[small["query_id"] == qid]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        got = set(g["vec_id"].tolist())
+        want = set(brute[brute["query_id"] == qid]["neighbor_id"].tolist())
+        recall = int(round(100 * len(got & want) / max(1, len(want))))
+        rows.append((qid, int(n_by_q.get(qid, 0)), recall))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_candidates": pa.array([r[1] for r in rows], pa.int64()),
+            "recall_pct": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

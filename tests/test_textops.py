@@ -209,3 +209,14 @@ def test_token_counts_and_tfidf_shapes(ray_session):
     tf = q_tfidf_top_terms("/root/testdata/sf0.001").to_pandas()
     assert tf["doc_id"].is_unique
     assert (tf["score_ppm"] == tf["tf"] * 1_000_000 // tf["df"]).all()
+
+
+def test_ann_ivf_recall_and_candidate_bound(ray_session):
+    """IVF must beat random probing: decent recall while scanning only the
+    probed fraction of the corpus (nprobe/n_cells = 1/4 here)."""
+    from osprey_ray.pipelines.ann import q_ann_ivf
+
+    out = q_ann_ivf("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 10
+    assert out["recall_pct"].mean() >= 60
+    assert (out["n_candidates"] < 500).all()  # never the whole corpus

@@ -1,0 +1,42 @@
+"""CLI runner (`python -m osprey_ray`) drives a ruleset over parquet."""
+
+import glob
+
+import pyarrow.parquet as pq
+
+
+def test_cli_batch_run(ray_session, tmp_path):
+    from osprey_ray.__main__ import main
+    from osprey_ray.datagen import ensure_dataset
+
+    d = ensure_dataset(2_000, seed=11, root=str(tmp_path / "data"))
+    rc = main(
+        [
+            "--rules", "examples/rules/main.sml",
+            "--input", d + "/batch",
+            "--labels", d + "/label_events.parquet",
+            "--output", str(tmp_path / "out"),
+            "--num-partitions", "8",
+        ]
+    )
+    assert rc == 0
+    res_files = glob.glob(str(tmp_path / "out" / "results" / "*.parquet"))
+    v_files = glob.glob(str(tmp_path / "out" / "verdicts" / "*.parquet"))
+    assert res_files and v_files
+    res = pq.read_table(res_files[0])
+    assert {"conv_id", "turn_idx", "__verdicts"} <= set(res.schema.names)
+    v = pq.ParquetDataset(str(tmp_path / "out" / "verdicts")).read()
+    assert {"conv_id", "turn_idx", "__verdicts"} <= set(v.schema.names)
+    assert all(len(x) > 0 for x in v["__verdicts"].to_pylist())  # fired only
+
+
+def test_cli_rejects_bad_ruleset(ray_session, tmp_path, capsys):
+    from osprey_ray.__main__ import main
+
+    bad = tmp_path / "bad.sml"
+    bad.write_text("X = Rule(when_all=[Unknown], description='x')\n")
+    rc = main(
+        ["--rules", str(bad), "--input", "/nonexistent", "--output", str(tmp_path / "o")]
+    )
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err

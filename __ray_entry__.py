@@ -514,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": N.q_ann_lsh,
         "ann_ivf": N.q_ann_ivf,
         "embedding_centroids": N.q_embedding_centroids,
+        "embedding_quantize": N.q_embedding_quantize,
         "embed_neardup": N.q_embed_neardup,
         "embed_neardup_lsh": N.q_embed_neardup_lsh,
         # multimodal plumbing (decode stubbed)
@@ -1027,6 +1028,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(q) AS BIGINT) AS q_sum, CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS BIGINT) AS centroid_milli "
             "FROM u GROUP BY label, dim"
+        ),
+        # uint8 scalar quantization: every op is exactly-specified IEEE
+        # double arithmetic (no libm), so numpy and DuckDB codes are
+        # bit-identical
+        "embedding_quantize": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, dim, "
+            "CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) AS v "
+            "FROM embeddings, dims), "
+            "st AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM u GROUP BY dim) "
+            "SELECT CAST(u.vec_id AS BIGINT) AS vec_id, CAST(u.dim AS BIGINT) AS dim, "
+            "CAST(floor((u.v - st.lo) / "
+            "(CASE WHEN st.hi - st.lo = 0 THEN 1.0 ELSE st.hi - st.lo END) "
+            "* 255.0 + 0.5) AS BIGINT) AS q "
+            "FROM u JOIN st USING (dim)"
         ),
         # rows-only (non-SQL-expressible): hll_distinct, ann_lsh, ann_ivf,
         # flagship_verdicts, streaming_verdicts

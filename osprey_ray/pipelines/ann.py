@@ -664,3 +664,55 @@ def q_ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
             "recall_pct": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Scalar uint8 quantization of the embedding column — the standard
+    storage/ANN compression step, and the canonical TWO-PASS shape: pass 1
+    computes per-dimension global min/max with a per-batch combiner (≤ dim
+    rows per batch cross the shuffle), the tiny dim-stats table is
+    broadcast back, and pass 2 quantizes each vector component.
+
+    Every arithmetic op is exactly-specified IEEE double (subtract, divide,
+    multiply, floor — no libm transcendentals), so numpy and DuckDB produce
+    bit-identical codes.  Output: (vec_id, dim, q) long-form."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read_emb(sf_dir)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        dim = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+                "lo": pa.array(m.min(axis=0), pa.float64()),
+                "hi": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    lo = stats["lo"].to_numpy()
+    hi = stats["hi"].to_numpy()
+    span = hi - lo
+    span[span == 0] = 1.0
+
+    def quantize(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        n, dim = m.shape
+        q = np.floor((m - lo[None, :]) / span[None, :] * 255.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids.astype(np.int64), dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n), pa.int64()),
+                "q": pa.array(q.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

@@ -40,3 +40,24 @@ def test_cli_rejects_bad_ruleset(ray_session, tmp_path, capsys):
     )
     assert rc == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_streaming_run(ray_session, tmp_path):
+    from osprey_ray.__main__ import main
+    from osprey_ray.datagen import ensure_dataset
+
+    d = ensure_dataset(2_000, seed=11, root=str(tmp_path / "data"))
+    rc = main(
+        [
+            "--rules", "examples/rules/main.sml",
+            "--input", d + "/stream",
+            "--labels", d + "/label_events.parquet",
+            "--output", str(tmp_path / "sout"),
+            "--streaming",
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    assert glob.glob(str(tmp_path / "sout" / "manifest" / "*"))
+    assert glob.glob(str(tmp_path / "sout" / "data" / "**" / "*.parquet"), recursive=True)

@@ -336,8 +336,13 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
     """MinHash+LSH near-duplicate pairs, distributed end-to-end (VERDICT r1
     item #2): shingle→minhash→band rows → per-partition vectorized bucket
     pair generation (capped per bucket) → pair dedup via groupby aggregate →
-    texts attached by two co-partitioned hash joins → n-gram Jaccard
-    verified inside map_batches.  The driver only ever sees the final
+    each pair exploded into two (pair, side, doc_id) rows → texts attached
+    by ONE co-partitioned hash join → pairs reassembled per hash partition
+    (lexsort) with n-gram Jaccard verified in place.  A single join (not
+    two chained ones) halves the fixed shuffle/aggregator cost AND
+    sidesteps the schema-less-empty-block join-chain hazard (_pin_schema)
+    entirely — the join output feeds a sort-based groupby, which tolerates
+    those blocks.  The driver only ever sees the final
     (doc_a, doc_b, jaccard_pct) rows."""
     from ray.data.aggregate import Count
 
@@ -364,31 +369,72 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
         .aggregate(Count(alias_name="__nb"))
         .select_columns(["doc_a", "doc_b"])
     )
-    with_a = _pin_schema(
-        _attach_text(cand, ds, "doc_a", "__ta"),
-        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("__ta", pa.string())]),
-    )  # pin: the first join's empty-partition blocks would poison the second
-    with_ab = _attach_text(with_a, ds, "doc_b", "__tb")
 
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                             "jaccard_pct": pa.array([], pa.int64())})
+    def explode_sides(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.repeat(a, 2), pa.int64()),
+                "doc_b": pa.array(np.repeat(b, 2), pa.int64()),
+                "side": pa.array(np.tile(np.array([0, 1], dtype=np.int64), len(a)), pa.int64()),
+                "doc_id": pa.array(np.stack([a, b], axis=1).reshape(-1), pa.int64()),
+            }
+        )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()), "__t": t["text"]})
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = cand.map_batches(explode_sides, batch_format="pyarrow").join(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        join_type="inner", num_partitions=max(2, cpus // 4), on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        key = _splitmix64(
+            t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            ^ _splitmix64(t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        )
+        return t.append_column("__pp", pa.array((key % np.uint64(256)).view(np.int64)))
+
+    def verify_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard_pct": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = t["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((side, b, a))
+        texts = np.asarray(t["__t"].to_numpy(zero_copy_only=False), dtype=object)[order]
+        a, b, side = a[order], b[order], side[order]
+        # rows now come in (side 0, side 1) adjacent pairs
+        assert len(a) % 2 == 0 and (side[0::2] == 0).all() and (side[1::2] == 1).all()
+        pa_ids, pb_ids = a[0::2], b[0::2]
         j = np.array(
-            [ngram_jaccard(x, y) for x, y in zip(t["__ta"].to_pylist(), t["__tb"].to_pylist())]
+            [ngram_jaccard(x, y) for x, y in zip(texts[0::2], texts[1::2])]
         )
         keep = j >= threshold
         return pa.table(
             {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
+                "doc_a": pa.array(pa_ids[keep], pa.int64()),
+                "doc_b": pa.array(pb_ids[keep], pa.int64()),
                 "jaccard_pct": pa.array(np.rint(j[keep] * 100).astype(np.int64), pa.int64()),
             }
         )
 
-    return with_ab.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+    return (
+        joined.map_batches(pair_part, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(verify_part, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
+    )
 
 
 # ---------------------------------------------------------------------------

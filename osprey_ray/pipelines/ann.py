@@ -355,34 +355,60 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.95):
     if cand.count() == 0:
         return schema.empty_table()
 
-    def emb_side(key: str):
-        return _read_emb(sf_dir).map_batches(
-            lambda t, k=key: _pack_embeddings(t, k, f"__e_{k}"), batch_format="pyarrow"
+    # single-join attach (same restructure as q_minhash_neardup): explode
+    # each pair into two (pair, side, vec_id) rows, join the packed
+    # embeddings once, reassemble per hash partition — halves the fixed
+    # join cost and never chains joins (no schema-less-empty-block hazard)
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_a": pa.array(np.repeat(a, 2), pa.int64()),
+                "vec_b": pa.array(np.repeat(b, 2), pa.int64()),
+                "side": pa.array(np.tile(np.array([0, 1], dtype=np.int64), len(a)), pa.int64()),
+                "vec_id": pa.array(np.stack([a, b], axis=1).reshape(-1), pa.int64()),
+            }
         )
 
-    P = _join_partitions()
-    with_a = cand.join(emb_side("vec_a"), join_type="inner", num_partitions=P, on=("vec_a",),
-                       aggregator_ray_remote_args={"num_cpus": 0})
-    with_ab = with_a.join(emb_side("vec_b"), join_type="inner", num_partitions=P, on=("vec_b",),
-                          aggregator_ray_remote_args={"num_cpus": 0})
+    emb = _read_emb(sf_dir).map_batches(
+        lambda t: _pack_embeddings(t, "vec_id", "__e"), batch_format="pyarrow"
+    )
+    joined = cand.map_batches(explode_sides, batch_format="pyarrow").join(
+        emb, join_type="inner", num_partitions=_join_partitions(), on=("vec_id",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
 
-    def verify(t: pa.Table) -> pa.Table:
+    def pair_part(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(256)
+        return t.append_column("__pp", pa.array(key.view(np.int64)))
+
+    def verify_part(t: pa.Table) -> pa.Table:
         empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        a = t["vec_a"].to_numpy().astype(np.int64)
-        b = t["vec_b"].to_numpy().astype(np.int64)
-        sims = np.einsum(
-            "ij,ij->i",
-            _normalize(_unpack_embeddings(t["__e_vec_a"])),
-            _normalize(_unpack_embeddings(t["__e_vec_b"])),
-        )
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = t["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((side, b, a))
+        m = _normalize(_unpack_embeddings(t["__e"]))[order]
+        a, b, side = a[order], b[order], side[order]
+        assert len(a) % 2 == 0 and (side[0::2] == 0).all() and (side[1::2] == 1).all()
+        sims = np.einsum("ij,ij->i", m[0::2], m[1::2])
         keep = sims >= threshold
-        lo = np.minimum(a[keep], b[keep])
-        hi = np.maximum(a[keep], b[keep])
+        pa_ids, pb_ids = a[0::2][keep], b[0::2][keep]
+        lo = np.minimum(pa_ids, pb_ids)
+        hi = np.maximum(pa_ids, pb_ids)
         return pa.table({"vec_a": pa.array(lo, pa.int64()), "vec_b": pa.array(hi, pa.int64())})
 
-    out = with_ab.map_batches(verify, batch_format="pyarrow").sort(["vec_a", "vec_b"])
+    out = (
+        joined.map_batches(pair_part, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(verify_part, batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
+    )
     # schema-stable result: an empty Dataset loses its schema via to_pandas
     import ray
 

@@ -150,7 +150,9 @@ def _unpack_embeddings(col) -> np.ndarray:
 
 def _join_partitions() -> int:
     """Hash-join partition count sized so concurrent joins' aggregator
-    actors never starve the node (see textops._attach_text)."""
+    actors never starve the node (two chained 32-partition joins deadlock
+    an 8-CPU node: 64 aggregator actors wait on CPUs the map tasks hold).
+    Default cpus // 4 per join."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -308,30 +308,6 @@ def _pin_schema(ds, schema: pa.Schema):
     )
 
 
-def _attach_text(pairs, docs_ds, key_col: str, out_col: str, num_partitions: int | None = None):
-    """Attach ``documents.text`` to ``pairs[key_col]`` with Ray Data's native
-    hash-shuffle join — both sides co-partitioned on the key; nothing touches
-    the driver.
-
-    ``num_partitions`` must be sized so that ALL concurrent joins' aggregator
-    actors fit in the cluster's CPUs — two chained joins at 32 partitions each
-    deadlock an 8-CPU node (64 actors waiting on CPUs that map tasks hold).
-    Default: cpus // 4 per join, so a 2-join pipeline uses at most half the
-    CPUs for aggregators."""
-    if num_partitions is None:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 4)
-
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.table({key_col: pc.cast(t["doc_id"], pa.int64()), out_col: t["text"]})
-
-    docs = docs_ds.map_batches(proj, batch_format="pyarrow")
-    return pairs.join(docs, join_type="inner", num_partitions=num_partitions, on=(key_col,),
-                      aggregator_ray_remote_args={"num_cpus": 0})
-
-
 def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
     """MinHash+LSH near-duplicate pairs, distributed end-to-end (VERDICT r1
     item #2): shingle→minhash→band rows → per-partition vectorized bucket

@@ -347,3 +347,32 @@ def test_bulk_label_guards(results_table, ray_session):
         ),
     )
     assert sliced.equals(base)
+
+
+def test_murmur3_sql_generator_property():
+    """The recursive-CTE murmur3 SQL (used by the experiment_buckets
+    oracle) matches the Python kernel for arbitrary ASCII keys — all tail
+    lengths (0-3) and multi-word bodies."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osprey_ray.kernels.misc import murmur3_32
+    import __ray_entry__ as entrymod
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                            min_size=0, max_size=23), min_size=1, max_size=8, unique=True))
+    def check(keys):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events AS SELECT unnest(?) AS user_id", [keys])
+        sql = (
+            "WITH RECURSIVE base AS (SELECT user_id, 'exp1/' || user_id AS s FROM events), "
+            + entrymod._murmur3_sql(seed=42)
+            + " SELECT user_id, h FROM mm"
+        )
+        got = dict(con.execute(sql).fetchall())
+        for kk in keys:
+            assert got[kk] == murmur3_32(f"exp1/{kk}".encode(), 42), kk
+
+    check()

@@ -200,12 +200,16 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10):
             }
         )
 
-    cand = (
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    # pinned (not just materialized): consumed twice (counts + rerank) and
+    # feeds a join, which chokes on the aggregate's schema-less empty blocks
+    cand = _pin_schema(
         buckets.map_batches(match, batch_format="pyarrow")
         .groupby(["query_id", "vec_id"])
         .aggregate(Count(alias_name="__nt"))
-        .select_columns(["query_id", "vec_id"])
-        .materialize()  # consumed twice (counts + rerank); stays in object store
+        .select_columns(["query_id", "vec_id"]),
+        pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64())]),
     )
     counts = (
         cand.groupby("query_id").aggregate(Count(alias_name="n_candidates")).to_pandas()
@@ -344,16 +348,21 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.95):
             }
         )
 
-    cand = (
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    # _pin_schema materializes the tiny candidate set (zero-candidate early
+    # exit) AND drops the aggregate's schema-less empty blocks, which the
+    # join below would otherwise choke on
+    cand = _pin_schema(
         buckets.map_batches(part_key, batch_format="pyarrow")
         .groupby("__bp")
         .map_groups(pairs_in_part, batch_format="pyarrow")
         .groupby(["vec_a", "vec_b"])
         .aggregate(Count(alias_name="__nt"))
-        .select_columns(["vec_a", "vec_b"])
-        .materialize()  # tiny; also enables the zero-candidate early exit
+        .select_columns(["vec_a", "vec_b"]),
+        schema,
     )
-    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
     if cand.count() == 0:
         return schema.empty_table()
 

@@ -339,12 +339,23 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
         .groupby("__bp")
         .map_groups(_band_candidate_pairs, batch_format="pyarrow")
     )
-    # a pair found by several bands must be verified once: vectorized dedup
-    cand = (
+    # a pair found by several bands must be verified once: vectorized dedup.
+    # _pin_schema materializes the (tiny, capped) candidate set: the join
+    # below needs schema-carrying blocks, and an empty candidate set can
+    # skip the whole join DAG
+    cand = _pin_schema(
         cand.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="__nb"))
-        .select_columns(["doc_a", "doc_b"])
+        .select_columns(["doc_a", "doc_b"]),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
+    result_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())]
+    )
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(result_schema.empty_table())
 
     def explode_sides(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -949,17 +960,29 @@ def q_neardup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 50
             }
         )
 
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, cpus // 4)
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+    if edges.count() == 0:
+        # no near-dup pairs at all: every doc is its own singleton cluster
+        def singleton(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            return pa.table(
+                {"doc_id": ids, "cluster_id": ids,
+                 "keep": pa.array(np.ones(t.num_rows, dtype=bool), pa.bool_())}
+            )
+
+        return docs.map_batches(singleton, batch_format="pyarrow")
+
     lbl = _pin_schema(
         edges.groupby("src")
         .aggregate(Min("dst", alias_name="lbl"))
         .map_batches(init_lbl, batch_format="pyarrow"),
         lbl_schema,
     )
-
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    nparts = max(2, cpus // 4)
     prev_sum = lbl.sum("lbl") if lbl.count() else 0
     for _ in range(max_rounds):
         as_src = lbl.map_batches(
@@ -987,7 +1010,6 @@ def q_neardup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 50
     else:
         print(f"[neardup-clusters] label propagation hit max_rounds={max_rounds}")
 
-    docs = _read_docs(sf_dir, ["doc_id"])
     out = _pin_schema(
         docs.join(
             lbl.map_batches(

@@ -220,3 +220,23 @@ def test_ann_ivf_recall_and_candidate_bound(ray_session):
     assert len(out) == 10
     assert out["recall_pct"].mean() >= 60
     assert (out["n_candidates"] < 500).all()  # never the whole corpus
+
+
+def test_neardup_clusters_no_pairs_all_singletons(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_neardup_clusters
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["aa bb cc dd ee", "ff gg hh ii jj", "kk ll mm nn oo"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([14, 14, 14], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_neardup_clusters(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert out["cluster_id"].tolist() == [1, 2, 3]
+    assert out["keep"].all()

@@ -288,11 +288,22 @@ class StreamingJob:
                 watermark = int(manifest["watermark"])
                 snap_epoch = manifest.get("last_snapshot_epoch", -1)
                 if snap_epoch >= 0:
-                    snap_paths = json.load(open(self._manifest_path(snap_epoch)))["snapshots"]
-                    ray.get(
-                        [s.restore.remote(p) for s, p in zip(self.shards, snap_paths)]
-                    )
                     snap_manifest = json.load(open(self._manifest_path(snap_epoch)))
+                    snap_paths = snap_manifest["snapshots"]
+                    old_P = snap_manifest.get("num_shards", len(snap_paths))
+                    if old_P == self.P:
+                        ray.get(
+                            [s.restore.remote(p) for s, p in zip(self.shards, snap_paths)]
+                        )
+                    else:
+                        # cluster rescale: re-deal the crc32 ring — every new
+                        # shard reads every old snapshot and keeps its keys
+                        ray.get(
+                            [
+                                s.restore_resharded.remote(snap_paths, self.P)
+                                for s in self.shards
+                            ]
+                        )
                     watermark = int(snap_manifest["watermark"])
                     hs = snap_manifest.get("hot_state")
                     if hs:
@@ -543,6 +554,7 @@ class StreamingJob:
                 gc_spills=consumed,
                 last_snapshot_epoch=last_snap,
                 ruleset_hash=ruleset_hash or self._cur_hash,
+                num_shards=self.P,
             )
             _atomic_write_json(self._manifest_path(e), manifest)
             # the manifest naming these snapshots is now the committed

@@ -526,6 +526,75 @@ class StateShard:
         consumed, self._consumed_spills = self._consumed_spills, []
         return {"path": path, "consumed_spills": consumed}
 
+    def restore_resharded(self, paths: list[str], new_P: int) -> bool:
+        """Rebuild this shard's slice of the state from a checkpoint taken
+        with a DIFFERENT shard count — cluster rescale on resume (the
+        reference rescales workers through its coordinator ring,
+        worker/lib/etcd/ring.py; here the ring is crc32(conv_id) % P, so a
+        new P just re-deals the keys).
+
+        Every new shard reads EVERY old snapshot and keeps the
+        conversations whose crc32 routes here under ``new_P``; spilled
+        pending rows are absorbed inline (they re-spill past the threshold
+        on the next process call).  The watermark is the MIN across old
+        shards — conservative: rows the faster old shards already released
+        are in their carried state, and the merged watermark only delays
+        future releases until new data advances it."""
+        import zlib
+
+        self.states, self.open_windows = {}, {}
+        lab_entries: list = []
+        pend: list[pa.Table] = []
+        wm = None
+        for path in paths:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+
+            def mine(key: str) -> bool:
+                return zlib.crc32(key.encode()) % new_P == self.part
+
+            self.states.update(
+                {c: s for c, s in payload["states"].items() if mine(c)}
+            )
+            # open_windows keys are (window_name, conv_id, ...) tuples
+            self.open_windows.update(
+                {k: w for k, w in payload.get("open_windows", {}).items() if mine(k[1])}
+            )
+            lab_entries.extend(e for e in payload["labels"] if mine(e[0]))
+            schema = payload["pending_schema"]
+            tables = [
+                pa.Table.from_pydict(d, schema=schema) for d in payload["pending"]
+            ]
+            # old spill files are absorbed here and intentionally NOT
+            # referenced by the new shard (the old manifests still name
+            # them; they become garbage once the first rescaled manifest
+            # commits)
+            tables += [pq.read_table(f["path"]) for f in payload.get("spilled", [])]
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                col = t["conv_id"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                enc = col.dictionary_encode()
+                keep_dict = np.array(
+                    [mine(c) for c in enc.dictionary.to_pylist()], dtype=bool
+                )
+                kept = t.filter(
+                    pa.array(keep_dict[enc.indices.to_numpy(zero_copy_only=False)])
+                )
+                if kept.num_rows:
+                    pend.append(kept)
+            w = payload["watermark"]
+            wm = w if wm is None else min(wm, w)
+        self.labels = LabelStore.restore(lab_entries)
+        self.pending = pend
+        self.watermark = wm if wm is not None else np.iinfo(np.int64).min
+        self.spilled = []
+        self._spill_seq = 0
+        self._consumed_spills = []
+        return True
+
     def restore(self, path: str) -> bool:
         with open(path, "rb") as f:
             payload = pickle.load(f)

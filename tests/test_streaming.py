@@ -589,3 +589,36 @@ def test_hot_routing_kill_resume(stream_data, tmp_path):
     for k in want.columns:
         assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
     assert j2.window_stream_table().equals(want_w)
+
+
+def test_resume_with_different_shard_count(stream_data, tmp_path):
+    """Cluster rescale on resume: a run checkpointed at 4 shards resumes at
+    8 (scale up) and at 2 (scale down) and produces bit-identical results —
+    the crc32 ring is just re-dealt across the new shard set
+    (restore_resharded merges every old snapshot's keys/pending/labels)."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+
+    ref_job = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=2
+    )
+    ref_job.run()
+    ref_job.finalize()
+    ref = _df(ref_job.results_table())
+
+    for new_p, tag in [(8, "up"), (2, "down")]:
+        out = str(tmp_path / f"rescale_{tag}")
+        j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+        j1.run(stop_after_epoch=3)
+        assert j1.last_committed_epoch() == 3
+        del j1
+
+        j2 = StreamingJob(spec, segs, out, lmap, num_shards=new_p, files_per_epoch=2)
+        j2.run(resume=True)
+        j2.finalize()
+        got = _df(j2.results_table())
+        assert len(got) == len(ref), f"rescale {tag}: row count differs"
+        for k in ref.columns:
+            assert [_norm(x) for x in got[k]] == [_norm(x) for x in ref[k]], (
+                f"rescale {tag}: column {k} differs"
+            )

@@ -185,6 +185,95 @@ def _flagship_verdict_sql(sf_dir: str):
     return res.map_batches(proj, batch_format="pyarrow")
 
 
+def _verdict_spec_b():
+    """The 'candidate' ruleset for the A/B backtest: greet retired,
+    escalate narrowed to RuleVelocity alone — a realistic rule-review
+    change whose blast radius the diff quantifies."""
+    from osprey_ray.pipelines.flagship import flagship_sql_spec
+    from osprey_ray.rules import DeclareVerdict, WhenRules
+
+    spec = flagship_sql_spec()
+    spec.triggers = [
+        WhenRules(["RuleSpam"], [DeclareVerdict("flag_spam")]),
+        WhenRules(["RuleVelocity"], [DeclareVerdict("escalate")]),
+    ]
+    spec.validate()
+    return spec
+
+
+def _rules_ab_diff(sf_dir: str):
+    """Ruleset backtest (the reference's rule-review workflow: run the
+    candidate ruleset beside production and diff the verdicts before
+    shipping).  TWO full engine runs — baseline spec A and candidate
+    spec B — joined on (conv_id, turn_idx); output is the changed turns
+    only, with both CSV-joined verdict sets.  At scale this is honestly 2×
+    the compute of one run, exactly like a production backtest."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import run_batch
+
+    d = _transcript_dataset(sf_dir)
+    files = sorted(glob.glob(f"{d}/batch/*.parquet"))
+
+    def run(spec, col):
+        res = run_batch(rd.read_parquet(files), spec, {}, num_partitions=32)
+
+        def proj(t: pa.Table, col=col) -> pa.Table:
+            return pa.table(
+                {
+                    "conv_id": t["conv_id"],
+                    "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                    col: pc.binary_join(t["__verdicts"], ","),
+                }
+            )
+
+        return res.map_batches(proj, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = run(_verdict_spec(), "verdicts_a").join(
+        run(_verdict_spec_b(), "verdicts_b"),
+        join_type="inner", num_partitions=max(2, cpus // 4),
+        on=("conv_id", "turn_idx"),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def changed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["verdicts_a"], t["verdicts_b"])).select(
+            ["conv_id", "turn_idx", "verdicts_a", "verdicts_b"]
+        )
+
+    return joined.map_batches(changed, batch_format="pyarrow")
+
+
+_VERDICTS_A_CSV = (
+    "COALESCE(array_to_string(list_sort(list_distinct("
+    "(CASE WHEN RuleVelocity OR RuleToolAbuse THEN ['escalate'] ELSE []::VARCHAR[] END) || "
+    "(CASE WHEN RuleSpam THEN ['flag_spam'] ELSE []::VARCHAR[] END) || "
+    "(CASE WHEN RuleHello THEN ['greet'] ELSE []::VARCHAR[] END)"
+    ")), ','), '')"
+)
+_VERDICTS_B_CSV = (
+    "COALESCE(array_to_string(list_sort(list_distinct("
+    "(CASE WHEN RuleVelocity THEN ['escalate'] ELSE []::VARCHAR[] END) || "
+    "(CASE WHEN RuleSpam THEN ['flag_spam'] ELSE []::VARCHAR[] END)"
+    ")), ','), '')"
+)
+
+
+def _rules_ab_diff_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    core = _flagship_oracle_sql(sf_dir)
+    return (
+        f"WITH core AS ({core}), d AS (SELECT conv_id, turn_idx, "
+        f"{_VERDICTS_A_CSV} AS verdicts_a, {_VERDICTS_B_CSV} AS verdicts_b "
+        "FROM core) SELECT * FROM d WHERE verdicts_a <> verdicts_b"
+    )
+
+
 def _flagship_verdict_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     core = _flagship_oracle_sql(sf_dir)
     return f"""
@@ -527,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_filter": _query_filter,
         "flagship_verdict_sql": _flagship_verdict_sql,
         "streaming_verdict_sql": _streaming_verdict_sql,
+        "rules_ab_diff": _rules_ab_diff,
         "sample_turns": _sample_turns,
         "streaming_windows": _streaming_windows,
         "flagship_verdicts": _flagship_verdicts,
@@ -791,6 +881,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windows": _streaming_windows_oracle_sql(),
         "flagship_verdict_sql": _flagship_verdict_oracle_sql(),
         "streaming_verdict_sql": _flagship_verdict_oracle_sql(),
+        # ruleset backtest: two engine runs diffed; same flagship core SQL
+        "rules_ab_diff": _rules_ab_diff_oracle_sql(),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"

@@ -67,6 +67,7 @@ ORACLES["query_filter"] = entrymod._query_filter_oracle_sql(SF_DIR)
 ORACLES["streaming_windows"] = entrymod._streaming_windows_oracle_sql(SF_DIR)
 ORACLES["flagship_verdict_sql"] = entrymod._flagship_verdict_oracle_sql(SF_DIR)
 ORACLES["streaming_verdict_sql"] = entrymod._flagship_verdict_oracle_sql(SF_DIR)
+ORACLES["rules_ab_diff"] = entrymod._rules_ab_diff_oracle_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": A.q_broadcast_join,
         "hash_join": A.q_hash_join,
         "hll_distinct": A.q_hll_distinct,
+        "event_quantiles": A.q_event_quantiles,
         "asof_join": A.q_asof_join,
         "topn_compare": A.q_topn_compare,
         "experiment_buckets": A.q_experiment_buckets,
@@ -1135,6 +1136,13 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN st.hi - st.lo = 0 THEN 1.0 ELSE st.hi - st.lo END) "
             "* 255.0 + 0.5) AS BIGINT) AS q "
             "FROM u JOIN st USING (dim)"
+        ),
+        # exact discrete quantiles (quantile_disc rank rule: ceil(n*q), so
+        # values are exact elements — float-safe)
+        "event_quantiles": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "quantile_disc(value, 0.5) AS p50, quantile_disc(value, 0.9) AS p90, "
+            "quantile_disc(value, 0.99) AS p99 FROM events GROUP BY event_type"
         ),
         # rows-only (non-SQL-expressible): hll_distinct, ann_lsh, ann_ivf,
         # flagship_verdicts, streaming_verdicts

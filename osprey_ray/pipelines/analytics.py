@@ -710,3 +710,39 @@ def q_experiment_buckets(sf_dir: str):
         .groupby("decile")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def q_event_quantiles(sf_dir: str):
+    """Exact per-type latency-style quantiles of ``value`` (p50/p90/p99,
+    discrete: sorted ascending, element at 1-based rank ceil(n·q) — the
+    same rule DuckDB's ``quantile_disc`` uses, so the values are
+    bit-identical, no interpolation).
+
+    Exact group quantiles need each group's values co-located; the group
+    key is ``event_type`` (a BOUNDED enum), so one vectorized numpy sort
+    per group is the right shape — this is per-bounded-group, not the
+    per-key-callback anti-pattern.  For unbounded keys you'd switch to a
+    mergeable sketch (see ``HyperLogLog`` for the pattern)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def qs(t: pa.Table) -> pa.Table:
+        v = np.sort(t["value"].to_numpy(zero_copy_only=False).astype(np.float64))
+        n = len(v)
+
+        def pick(q: float) -> float:
+            return float(v[max(int(np.ceil(n * q)) - 1, 0)])
+
+        return pa.table(
+            {
+                "event_type": pa.array([t["event_type"][0].as_py()], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "p50": pa.array([pick(0.5)], pa.float64()),
+                "p90": pa.array([pick(0.9)], pa.float64()),
+                "p99": pa.array([pick(0.99)], pa.float64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(qs, batch_format="pyarrow")

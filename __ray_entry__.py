@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": A.q_hash_join,
         "hll_distinct": A.q_hll_distinct,
         "event_quantiles": A.q_event_quantiles,
+        "event_lag": A.q_event_lag,
         "asof_join": A.q_asof_join,
         "topn_compare": A.q_topn_compare,
         "experiment_buckets": A.q_experiment_buckets,
@@ -1143,6 +1144,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
             "quantile_disc(value, 0.5) AS p50, quantile_disc(value, 0.9) AS p90, "
             "quantile_disc(value, 0.99) AS p99 FROM events GROUP BY event_type"
+        ),
+        # LAG/rank window functions per user; NULL lag → -1 sentinel so
+        # the int column hash-compares
+        "event_lag": (
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, "
+            "CAST(COALESCE(CAST(floor(epoch(ts)*1000000) AS BIGINT) "
+            "- LAG(CAST(floor(epoch(ts)*1000000) AS BIGINT)) OVER w, -1) AS BIGINT) AS gap_us "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         # rows-only (non-SQL-expressible): hll_distinct, ann_lsh, ann_ivf,
         # flagship_verdicts, streaming_verdicts

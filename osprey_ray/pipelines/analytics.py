@@ -746,3 +746,47 @@ def q_event_quantiles(sf_dir: str):
         )
 
     return ds.groupby("event_type").map_groups(qs, batch_format="pyarrow")
+
+
+def q_event_lag(sf_dir: str):
+    """Window-function parity: per-user event rank and gap to the previous
+    event (LAG) — the standard sessionization precursor.  Hash-partition
+    by user (256 partitions via ``_by_user_partition``), then ONE lexsort
+    per partition computes every user's rank and lag vectorized — the
+    partition-level pattern, never a Python callback per user key."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lag_in_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+             "rnk": pa.array([], pa.int64()), "gap_us": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()  # timestamp[us] → µs
+        # deterministic rank: (ts, event_id) within user
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, ts_s = uid[order], eid[order], ts[order]
+        new = np.empty(len(uid_s), dtype=bool)
+        new[0] = True
+        new[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(new)
+        rnk = np.arange(len(uid_s), dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, len(uid_s)))) + 1
+        gap = np.empty(len(ts_s), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        gap[new] = -1  # first event per user: no predecessor (NULL → -1 sentinel)
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(lag_in_part, batch_format="pyarrow")

@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": A.q_hll_distinct,
         "event_quantiles": A.q_event_quantiles,
         "event_lag": A.q_event_lag,
+        "value_histogram": A.q_value_histogram,
         "asof_join": A.q_asof_join,
         "topn_compare": A.q_topn_compare,
         "experiment_buckets": A.q_experiment_buckets,
@@ -1153,6 +1154,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(CAST(floor(epoch(ts)*1000000) AS BIGINT) "
             "- LAG(CAST(floor(epoch(ts)*1000000) AS BIGINT)) OVER w, -1) AS BIGINT) AS gap_us "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # two-pass fixed-bin histogram: bin index is IEEE-exact, global
+        # min/max as scalar subqueries
+        "value_histogram": (
+            "WITH r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events), "
+            "b AS (SELECT event_type, LEAST(CAST(floor((value - r.lo) / "
+            "(CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / 32 ELSE 1.0 END)) AS BIGINT), 31) AS bin "
+            "FROM events, r) "
+            "SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM b GROUP BY event_type, bin"
         ),
         # rows-only (non-SQL-expressible): hll_distinct, ann_lsh, ann_ivf,
         # flagship_verdicts, streaming_verdicts

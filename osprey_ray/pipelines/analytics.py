@@ -790,3 +790,46 @@ def q_event_lag(sf_dir: str):
         )
 
     return _by_user_partition(ds).map_groups(lag_in_part, batch_format="pyarrow")
+
+
+def q_value_histogram(sf_dir: str, n_bins: int = 32):
+    """Fixed-bin value histogram per event type — the mergeable shape that
+    replaces exact quantiles when the group key is unbounded: per-batch
+    partial bin counts (a combiner: ≤ types × bins rows cross the
+    shuffle) summed by a groupby.  Bin edges come from the GLOBAL value
+    range (pass 1, a tiny min/max aggregate broadcast back), and the bin
+    index is exactly-specified IEEE arithmetic, so DuckDB reproduces it
+    bit-for-bit."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    rng = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = rng["min(value)"], rng["max(value)"]
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(np.floor((v - lo) / width).astype(np.int64), n_bins - 1)
+        g = (
+            pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False), "bin": b})
+            .groupby(["event_type", "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

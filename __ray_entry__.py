@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup_lsh": N.q_embed_neardup_lsh,
         # multimodal plumbing (decode stubbed)
         "multimodal_decode": M.q_multimodal_decode,
+        "frame_sample": M.q_frame_sample,
         # model-scorer actor pool (deterministic fake model)
         "model_scoring": _model_scoring,
         # the flagship engine itself (transcripts synthesized — no SQL views)
@@ -1164,6 +1165,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events, r) "
             "SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM b GROUP BY event_type, bin"
+        ),
+        # decode -> frame-sample ladder: strided frame indices over the
+        # md5-derived fake n_frames, i*stride < n_frames, at most 8
+        "frame_sample": (
+            "WITH m AS (SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 "
+            "ELSE 1 + ('0x' || substr(md5(text), 5, 2))::UBIGINT % 120 END AS BIGINT) AS n_frames "
+            "FROM documents), "
+            "v AS (SELECT doc_id, n_frames, GREATEST(n_frames // 8, 1) AS stride FROM m) "
+            "SELECT doc_id, CAST(i.i * stride AS BIGINT) AS frame_idx "
+            "FROM v, (SELECT unnest(range(8)) AS i) i WHERE i.i * stride < n_frames"
         ),
         # rows-only (non-SQL-expressible): hll_distinct, ann_lsh, ann_ivf,
         # flagship_verdicts, streaming_verdicts

@@ -83,6 +83,50 @@ def q_multimodal_decode(sf_dir: str):
     kept small (512) because payload rows are wide (SURVEY guidance on
     binary columns)."""
     media = synthesize_media(sf_dir)
+    # autoscaling pool (min 1): a fixed pool reserves its full CPU count up
+    # front, and two chained fixed pools + the read task can exceed a small
+    # node's CPUs and deadlock the stream (observed at num_cpus=4)
     return media.map_batches(
-        FakeImageDecoder, batch_format="pyarrow", batch_size=512, concurrency=2
+        FakeImageDecoder, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
+
+
+class FrameSampler:
+    """Frame-sampling stage (actor pool): pick ≤ ``max_frames`` evenly
+    strided frame indices per media row — the decode→sample→embed ladder's
+    middle rung.  A real deployment extracts the frames here (ffmpeg handle
+    opened once in ``__init__``); the index arithmetic below IS the real
+    logic and is DuckDB-reproducible, so the stage is hash-verified."""
+
+    def __init__(self, max_frames: int = 8):
+        self.max_frames = max_frames
+        self.codec = "fake-v1"  # real path: libav handle opened once
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        nf = t["n_frames"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        stride = np.maximum(nf // self.max_frames, 1)
+        k = np.minimum(
+            self.max_frames, (nf + stride - 1) // stride
+        )  # frames actually emitted: i*stride < n_frames, i < max_frames
+        doc = np.repeat(ids, k)
+        st = np.repeat(stride, k)
+        # per-row ramp 0..k-1 via global arange minus segment starts
+        off = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(k)[:-1]]), k
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "frame_idx": pa.array(off * st, pa.int64()),
+            }
+        )
+
+
+def q_frame_sample(sf_dir: str):
+    """Decode → frame-sample pipeline: typed metadata from the decode
+    actor pool feeds the sampler actor pool; output is one row per
+    (doc, sampled frame index)."""
+    return q_multimodal_decode(sf_dir).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     )

@@ -601,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": T.q_decontaminate,
         "pack_sequences": T.q_pack_sequences,
         "dataset_mix": T.q_dataset_mix,
+        "pii_redact": T.q_pii_redact,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -823,6 +824,33 @@ _SIMHASH_SQL = (
     " SELECT d.doc_id, COALESCE(sh.simhash, CAST(0 AS UBIGINT)) AS simhash"
     " FROM documents d LEFT JOIN sh USING (doc_id)"
 )
+
+
+def _pii_redact_sql() -> str:
+    """DuckDB twin of textops.q_pii_redact: same injection expression, same
+    RE2 pattern strings (shared verbatim via PII_PATTERNS), same replace
+    order; counts taken on the pre-redaction string."""
+    from osprey_ray.pipelines.textops import PII_PATTERNS
+
+    pats = {kind: pat for kind, pat, _ in PII_PATTERNS}
+    red = "s"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+      || '.com ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' tel 555-867-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS s
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(s, '{pats["email"]}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(s, '{pats["ip"]}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(s, '{pats["phone"]}')) AS BIGINT) AS n_phones,
+  md5({red}) AS redacted_md5
+FROM inj
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1106,6 +1134,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CAST(rn AS BIGINT) AS mix_rank "
             "FROM r JOIN w USING (source) WHERE rn <= quota"
         ),
+        # PII redaction: deterministic doc_id-derived PII injected in-query
+        # on BOTH sides (the synthetic corpus has none), then counted and
+        # scrubbed with the same RE2 pattern strings (pyarrow and DuckDB
+        # both use RE2); md5 of the redacted text is the verified surface
+        "pii_redact": _pii_redact_sql(),
         # winnowing fingerprints reproduced in SQL (_winnow_sql: hi/lo-split
         # wrapping 64-bit arithmetic through HUGEINT, window minima via a
         # window function) — hash-verified, not rows-only

@@ -1174,3 +1174,76 @@ def q_dataset_mix(sf_dir: str, weights: dict[str, int] | None = None):
         .groupby("source")
         .map_groups(final, batch_format="pyarrow")
     )
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow and DuckDB both use RE2, so the engine
+# and the SQL twin share these strings verbatim).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(arr: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, dict[str, pa.Array]]:
+    """Vectorized PII scrub: count then replace each pattern in order.
+
+    Returns (redacted, {kind: per-row match count}).  Counts are taken on
+    the ORIGINAL string (before any replacement) so they are independent of
+    pattern order; replacements are applied in ``PII_PATTERNS`` order.
+    Reference analogue: the engine stdlib's regex/string-hygiene kernels
+    (SURVEY §2.2 RegexMatch / StringClean family) — redaction is the
+    training-data-pipeline counterpart.
+    """
+    counts = {
+        kind: pc.cast(pc.count_substring_regex(arr, pattern=pat), pa.int64())
+        for kind, pat, _ in PII_PATTERNS
+    }
+    red = arr
+    for _, pat, repl in PII_PATTERNS:
+        red = pc.replace_substring_regex(red, pattern=pat, replacement=repl)
+    if isinstance(red, pa.ChunkedArray):
+        red = red.combine_chunks()
+    return red, counts
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over documents, hash-verified end-to-end.
+
+    The synthetic corpus contains no natural PII, so the query first
+    injects a deterministic doc_id-derived suffix (email + IPv4 + phone)
+    — the injection is part of the query on BOTH sides (engine and SQL
+    twin), so every row genuinely exercises all three patterns.  Output
+    carries md5(redacted) rather than the full text to keep the verified
+    surface small."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+
+        def s(v: np.ndarray) -> pa.Array:
+            return pa.array(v.astype("U"), pa.string())
+
+        inj = pc.binary_join_element_wise(
+            t["text"],
+            " contact user", s(ids), "@mail", s(ids % 7),
+            ".com ip 10.", s(ids % 256), ".0.", s(ids % 100),
+            " tel 555-867-", s(1000 + ids % 9000),
+            "",
+        )
+        red, counts = redact_pii(inj)
+        dig = [hashlib.md5(x.encode()).hexdigest() for x in red.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_emails": counts["email"],
+                "n_ips": counts["ip"],
+                "n_phones": counts["phone"],
+                "redacted_md5": pa.array(dig, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -240,3 +240,28 @@ def test_neardup_clusters_no_pairs_all_singletons(ray_session, tmp_path):
     out = q_neardup_clusters(str(tmp_path)).to_pandas().sort_values("doc_id")
     assert out["cluster_id"].tolist() == [1, 2, 3]
     assert out["keep"].all()
+
+
+def test_redact_pii_real_strings():
+    """Redaction on realistic PII (not the injected fixtures): every
+    pattern kind fires, counts match, non-PII text is untouched."""
+    from osprey_ray.pipelines.textops import redact_pii
+
+    arr = pa.array(
+        [
+            "mail john.doe+spam@corp.example.io for details",
+            "server at 192.168.0.1 and 10.0.0.255, call 555-123-4567",
+            "no pii here, just 1.5 and v2.0.1 version strings",
+            "two mails: a@b.co x@y.org and ip 8.8.8.8",
+        ]
+    )
+    red, counts = redact_pii(arr)
+    assert red.to_pylist() == [
+        "mail <EMAIL> for details",
+        "server at <IP> and <IP>, call <PHONE>",
+        "no pii here, just 1.5 and v2.0.1 version strings",
+        "two mails: <EMAIL> <EMAIL> and ip <IP>",
+    ]
+    assert counts["email"].to_pylist() == [1, 0, 0, 2]
+    assert counts["ip"].to_pylist() == [0, 2, 0, 1]
+    assert counts["phone"].to_pylist() == [0, 1, 0, 0]

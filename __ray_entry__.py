@@ -602,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": T.q_pack_sequences,
         "dataset_mix": T.q_dataset_mix,
         "pii_redact": T.q_pii_redact,
+        "doc_repetition": T.q_doc_repetition,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -1139,6 +1140,22 @@ def oracle_sql() -> dict[str, str]:
         # scrubbed with the same RE2 pattern strings (pyarrow and DuckDB
         # both use RE2); md5 of the redacted text is the verified surface
         "pii_redact": _pii_redact_sql(),
+        # Gopher-style repetition filters: integer metrics + integer
+        # thresholds so the SQL twin is exact (no float ratios)
+        "doc_repetition": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "tok AS (SELECT doc_id, unnest(l) AS tok FROM d), "
+            "tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok), "
+            "per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_token_n "
+            "FROM tc GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bgs FROM d), "
+            "bs AS (SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams, "
+            "CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct_bigrams FROM bg) "
+            "SELECT p.doc_id, n_tokens, n_distinct, top_token_n, n_bigrams, n_distinct_bigrams, "
+            "(top_token_n * 5 <= n_tokens AND (n_bigrams - n_distinct_bigrams) * 4 <= n_bigrams) AS keep "
+            "FROM per p JOIN bs b ON p.doc_id = b.doc_id"
+        ),
         # winnowing fingerprints reproduced in SQL (_winnow_sql: hi/lo-split
         # wrapping 64-bit arithmetic through HUGEINT, window minima via a
         # window function) — hash-verified, not rows-only

@@ -1247,3 +1247,70 @@ def q_pii_redact(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# repetition quality metrics (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_repetition(sf_dir: str):
+    """Per-doc repetition signals used by corpus quality filters
+    (Gopher-style: most-frequent-token share, duplicate-bigram share).
+
+    Fully vectorized per batch: tokens are factorized once, per-(doc,token)
+    counts come from one np.unique over composite keys, per-doc maxima via
+    maximum.reduceat over the sorted segment ids, bigrams via shifted token
+    ids with doc-boundary masking.  No Python loop over rows or groups.
+    Integer metrics + an integer-threshold keep flag so the DuckDB twin is
+    exact."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        n_tok = np.diff(offsets)  # split(' ') always yields >= 1 token
+        n = len(t)
+        seg = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+
+        _, tok_id = np.unique(flat, return_inverse=True)
+        k = np.int64(max(int(tok_id.max()) + 1, 1)) if len(tok_id) else np.int64(1)
+        assert n * k * k < np.iinfo(np.int64).max, "composite key overflow"
+
+        # per-(doc, token) counts -> distinct + top count per doc
+        key = seg * k + tok_id
+        ukey, cnt = np.unique(key, return_counts=True)
+        useg = ukey // k
+        n_distinct = np.bincount(useg, minlength=n).astype(np.int64)
+        bounds = np.searchsorted(useg, np.arange(n))
+        top = np.maximum.reduceat(cnt, bounds).astype(np.int64) if len(ukey) else np.zeros(n, np.int64)
+
+        # bigrams: start positions exclude each doc's last token
+        mask = np.ones(len(flat), dtype=bool)
+        mask[offsets[1:] - 1] = False
+        starts = np.nonzero(mask)[0]
+        n_big = (n_tok - 1).astype(np.int64)
+        if len(starts):
+            bkey = (seg[starts] * k + tok_id[starts]) * k + tok_id[starts + 1]
+            ubkey = np.unique(bkey)
+            n_dbig = np.bincount(ubkey // (k * k), minlength=n).astype(np.int64)
+        else:
+            n_dbig = np.zeros(n, np.int64)
+
+        keep = (top * 5 <= n_tok) & ((n_big - n_dbig) * 4 <= n_big)
+        return pa.table(
+            {
+                "doc_id": pa.array(t["doc_id"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "top_token_n": pa.array(top, pa.int64()),
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "n_distinct_bigrams": pa.array(n_dbig, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -265,3 +265,31 @@ def test_redact_pii_real_strings():
     assert counts["email"].to_pylist() == [1, 0, 0, 2]
     assert counts["ip"].to_pylist() == [0, 2, 0, 1]
     assert counts["phone"].to_pylist() == [0, 1, 0, 0]
+
+
+def test_doc_repetition_flags_pathological_docs(ray_session, tmp_path):
+    """A doc that is one token repeated, and a doc that is one bigram
+    repeated, must both be dropped; a diverse doc is kept."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_doc_repetition
+
+    texts = [
+        "spam " * 29 + "spam",                      # top token = all tokens
+        "buy now " * 14 + "buy now",                # one bigram repeated
+        " ".join(f"w{i}" for i in range(30)),       # fully diverse
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_doc_repetition(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert out["keep"].tolist() == [False, False, True]
+    assert out["top_token_n"].tolist()[0] == 30
+    assert out["n_distinct_bigrams"].tolist()[1] == 2  # 'buy now', 'now buy'

@@ -603,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_mix": T.q_dataset_mix,
         "pii_redact": T.q_pii_redact,
         "doc_repetition": T.q_doc_repetition,
+        "line_dedup": T.q_line_dedup,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -1155,6 +1156,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.doc_id, n_tokens, n_distinct, top_token_n, n_bigrams, n_distinct_bigrams, "
             "(top_token_n * 5 <= n_tokens AND (n_bigrams - n_distinct_bigrams) * 4 <= n_bigrams) AS keep "
             "FROM per p JOIN bs b ON p.doc_id = b.doc_id"
+        ),
+        # line-level boilerplate dedup: docs re-chunked into 10-token
+        # "lines" (corpus has no newlines), global keep-first per distinct
+        # line by (doc_id, line_idx), docs reassembled from survivors
+        "line_dedup": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), "
+            "d2 AS (SELECT doc_id, l, CAST(ceil(len(l)/10.0) AS BIGINT) AS nc FROM d), "
+            "lines AS (SELECT doc_id, unnest(range(0, nc)) AS line_idx, "
+            "unnest(list_transform(range(0, nc), g -> array_to_string("
+            "l[CAST(g*10+1 AS BIGINT):CAST((g+1)*10 AS BIGINT)], ' '))) AS line FROM d2), "
+            "win AS (SELECT line, MIN(doc_id * 1048576 + line_idx) AS w FROM lines GROUP BY line), "
+            "j AS (SELECT l.doc_id, l.line_idx, l.line, "
+            "(l.doc_id*1048576 + l.line_idx = w.w) AS kept "
+            "FROM lines l JOIN win w ON l.line = w.line) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "md5(coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_idx), '')) AS kept_md5 "
+            "FROM j GROUP BY doc_id"
         ),
         # winnowing fingerprints reproduced in SQL (_winnow_sql: hi/lo-split
         # wrapping 64-bit arithmetic through HUGEINT, window minima via a

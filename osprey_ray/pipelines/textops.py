@@ -1314,3 +1314,121 @@ def q_doc_repetition(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (CCNet/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(sf_dir: str, line_tokens: int = 10):
+    """Corpus-wide line-level dedup: keep only the FIRST occurrence
+    (ordered by ``(doc_id, line_idx)``) of every distinct line, then
+    reassemble each doc from its surviving lines — the boilerplate-removal
+    step of web-corpus pipelines.  The synthetic corpus has no newlines,
+    so a doc's "lines" are fixed 10-token chunks; with real data the
+    chunker would split on newline instead (one-line change).
+
+    Scale shape: explode (vectorized ListArray re-chunk + binary_join) →
+    groupby(line).min(packed) winner per distinct line → hash-shuffle join
+    back on the line → per-doc-partition vectorized reassembly.  Nothing
+    materializes on the driver; both wide steps shuffle small
+    (line, packed) rows."""
+    from ray.data.aggregate import Min
+
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    L = line_tokens
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        n_tok = np.diff(offsets)
+        n_chunks = -(-n_tok // L)  # ceil; split(' ') yields >= 1 token
+        total = int(n_chunks.sum())
+        doc_rep = np.repeat(t["doc_id"].to_numpy(), n_chunks)
+        cum = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, n_chunks)
+        assert total == 0 or within.max() < (1 << 20), "line_idx overflows pack"
+        starts = np.repeat(offsets[:-1], n_chunks) + within * L
+        new_offsets = np.append(starts, offsets[-1] if len(offsets) else 0)
+        la = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), vals)
+        lines = pc.binary_join(la, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "line_idx": pa.array(within, pa.int64()),
+                "line": lines,
+                "packed": pa.array(doc_rep * (1 << 20) + within, pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    winners = (
+        exploded.select_columns(["line", "packed"])
+        .groupby("line")
+        .aggregate(Min("packed", alias_name="w"))
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = exploded.join(
+        winners,
+        join_type="inner",
+        num_partitions=max(2, cpus // 4),
+        on=("line",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "kept_md5": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("doc_id", "ascending"), ("line_idx", "ascending")])
+        doc = t["doc_id"].to_numpy()
+        kept = t["packed"].to_numpy() == t["w"].to_numpy()
+        starts = np.concatenate([[0], np.nonzero(np.diff(doc))[0] + 1])
+        ends = np.append(starts[1:], len(doc))
+        csum = np.concatenate([[0], np.cumsum(kept.astype(np.int64))])
+        n_kept = csum[ends] - csum[starts]
+        lines = t["line"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        kept_lines = lines.filter(pa.array(kept))
+        offs = np.concatenate([[0], np.cumsum(n_kept)])
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_lines)
+        joined_txt = pc.binary_join(la, " ")
+        dig = [hashlib.md5(x.encode()).hexdigest() for x in joined_txt.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "n_lines": pa.array(ends - starts, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "kept_md5": pa.array(dig, pa.string()),
+            }
+        )
+
+    # sort-based groupby tolerates the join's schema-less empty blocks
+    # (same reasoning as q_tfidf_top_terms — no pinning materialization)
+    return _by_key_partition_docs(joined).map_groups(
+        reassemble, batch_format="pyarrow"
+    )
+
+
+def _by_key_partition_docs(ds, P: int = 64):
+    """Shuffle by hash(doc_id) % P; one vectorized callback per partition."""
+
+    def part(t: pa.Table) -> pa.Table:
+        key = _splitmix64(t["doc_id"].to_numpy().astype(np.uint64))
+        return t.append_column("__dp", pa.array((key % np.uint64(P)).view(np.int64)))
+
+    return ds.map_batches(part, batch_format="pyarrow").groupby("__dp")

@@ -293,3 +293,37 @@ def test_doc_repetition_flags_pathological_docs(ray_session, tmp_path):
     assert out["keep"].tolist() == [False, False, True]
     assert out["top_token_n"].tolist()[0] == 30
     assert out["n_distinct_bigrams"].tolist()[1] == 2  # 'buy now', 'now buy'
+
+
+def test_line_dedup_removes_shared_boilerplate(ray_session, tmp_path):
+    """A 10-token boilerplate line shared by every doc survives only in
+    the lowest-doc_id doc; unique lines all survive."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_line_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    texts = [
+        boiler + " " + " ".join(f"a{i}" for i in range(10)),
+        boiler + " " + " ".join(f"c{i}" for i in range(10)),
+        " ".join(f"d{i}" for i in range(10)) + " " + boiler,
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([5, 6, 7], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        q_line_dedup(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_lines"].tolist() == [2, 2, 2]
+    # doc 5 keeps both lines; docs 6 and 7 lose the boilerplate line
+    assert out["n_kept"].tolist() == [2, 1, 1]
+    import hashlib
+
+    assert out["kept_md5"][1] == hashlib.md5(texts[1][len(boiler) + 1 :].encode()).hexdigest()

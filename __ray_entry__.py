@@ -604,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": T.q_pii_redact,
         "doc_repetition": T.q_doc_repetition,
         "line_dedup": T.q_line_dedup,
+        "dup_ngrams": T.q_dup_ngrams,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -1174,6 +1175,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
             "md5(coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_idx), '')) AS kept_md5 "
             "FROM j GROUP BY doc_id"
+        ),
+        # duplicated 5-gram positions per doc (corpus-wide occurrence > 1)
+        "dup_ngrams": (
+            "WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(l)-3), "
+            "i -> array_to_string(l[i:i+4], ' '))) AS gram FROM d WHERE len(l) >= 5), "
+            "tot AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams "
+            "FROM g JOIN tot USING (gram) GROUP BY doc_id"
         ),
         # winnowing fingerprints reproduced in SQL (_winnow_sql: hi/lo-split
         # wrapping 64-bit arithmetic through HUGEINT, window minima via a

@@ -1432,3 +1432,84 @@ def _by_key_partition_docs(ds, P: int = 64):
         return t.append_column("__dp", pa.array((key % np.uint64(P)).view(np.int64)))
 
     return ds.map_batches(part, batch_format="pyarrow").groupby("__dp")
+
+# ---------------------------------------------------------------------------
+# duplicated-n-gram contamination signal
+# ---------------------------------------------------------------------------
+
+
+def q_dup_ngrams(sf_dir: str, k: int = 5):
+    """Per-doc duplicated-n-gram signal: how many of a doc's word 5-gram
+    positions carry a gram that occurs more than once in the WHOLE corpus
+    (within-doc repeats included) — the repetition/contamination metric
+    web-corpus pipelines threshold on before training.
+
+    Scale shape: vectorized gram explode (shifted takes + one
+    binary_join_element_wise) → per-batch (gram, doc, c) combiner (one
+    np.unique, shrinks the shuffle) → groupby(gram) totals →
+    hash-shuffle join back → per-doc Sum aggregates.  Docs shorter than
+    k tokens are excluded on both engine and SQL sides."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        n_tok = np.diff(offsets)
+        seg_doc = np.repeat(t["doc_id"].to_numpy(), n_tok)
+        pos = np.arange(len(vals), dtype=np.int64)
+        within = pos - np.repeat(offsets[:-1], n_tok)
+        valid = within <= np.repeat(n_tok - k, n_tok)
+        idx = np.nonzero(valid)[0]
+        parts = [vals.take(pa.array(idx + j, pa.int64())) for j in range(k)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        doc = seg_doc[idx]
+        # per-batch combiner: collapse to (gram, doc, c)
+        gid = pc.dictionary_encode(gram)
+        codes = np.asarray(gid.indices, dtype=np.int64)
+        width = np.int64(len(gid.dictionary))
+        assert len(doc) == 0 or int(doc.max()) < (1 << 42), "key overflow"
+        key = doc * max(width, 1) + codes
+        ukey, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "gram": gid.dictionary.take(pa.array(ukey % max(width, 1), pa.int64())),
+                "doc_id": pa.array(ukey // max(width, 1), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    gdc = ds.map_batches(explode, batch_format="pyarrow")
+    totals = gdc.groupby("gram").aggregate(Sum("c", alias_name="tot"))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = gdc.join(
+        totals,
+        join_type="inner",
+        num_partitions=max(2, cpus // 4),
+        on=("gram",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy()
+        dup = np.where(t["tot"].to_numpy() > 1, c, 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n": pa.array(c, pa.int64()),
+                "dup": pa.array(dup.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_grams"), Sum("dup", alias_name="n_dup_grams"))
+    )

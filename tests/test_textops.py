@@ -327,3 +327,32 @@ def test_line_dedup_removes_shared_boilerplate(ray_session, tmp_path):
     import hashlib
 
     assert out["kept_md5"][1] == hashlib.md5(texts[1][len(boiler) + 1 :].encode()).hexdigest()
+
+
+def test_dup_ngrams_planted_shared_passage(ray_session, tmp_path):
+    """A 6-token passage shared between two docs marks exactly its two
+    5-gram positions in each; a fully unique doc reports zero."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_dup_ngrams
+
+    shared = "p q r s t u"
+    texts = [
+        shared + " a1 a2 a3 a4",
+        "c1 c2 c3 c4 " + shared,
+        " ".join(f"z{i}" for i in range(10)),
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_dup_ngrams(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_grams"].tolist() == [6, 6, 6]
+    # the shared 6-token passage contributes exactly 2 duplicated 5-grams
+    assert out["n_dup_grams"].tolist() == [2, 2, 0]

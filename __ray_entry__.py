@@ -605,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": T.q_doc_repetition,
         "line_dedup": T.q_line_dedup,
         "dup_ngrams": T.q_dup_ngrams,
+        "adaptive_filter": T.q_adaptive_filter,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -1185,6 +1186,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
             "CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams "
             "FROM g JOIN tot USING (gram) GROUP BY doc_id"
+        ),
+        # two-pass adaptive length filter: exact corpus p10/p90 token-count
+        # thresholds (quantile_disc rule: 1-based rank ceil(n*q)) broadcast
+        # into a per-source keep aggregate
+        "adaptive_filter": (
+            "WITH tokc AS (SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "q AS (SELECT CAST(quantile_disc(n_tokens, 0.1) AS BIGINT) AS p10, "
+            "CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS p90 FROM tokc) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN n_tokens BETWEEN (SELECT p10 FROM q) AND (SELECT p90 FROM q) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "CAST(SUM(CASE WHEN n_tokens BETWEEN (SELECT p10 FROM q) AND (SELECT p90 FROM q) "
+            "THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept, "
+            "(SELECT p10 FROM q) AS p10, (SELECT p90 FROM q) AS p90 "
+            "FROM tokc GROUP BY source"
         ),
         # winnowing fingerprints reproduced in SQL (_winnow_sql: hi/lo-split
         # wrapping 64-bit arithmetic through HUGEINT, window minima via a

@@ -1513,3 +1513,81 @@ def q_dup_ngrams(sf_dir: str, k: int = 5):
         .groupby("doc_id")
         .aggregate(Sum("n", alias_name="n_grams"), Sum("dup", alias_name="n_dup_grams"))
     )
+
+# ---------------------------------------------------------------------------
+# adaptive (percentile-threshold) quality filter — two-pass broadcast
+# ---------------------------------------------------------------------------
+
+
+def q_adaptive_filter(sf_dir: str, lo: float = 0.1, hi: float = 0.9):
+    """Two-pass adaptive length filter: pass 1 computes EXACT corpus
+    p10/p90 of per-doc token counts (per-batch value_counts combiner →
+    tiny global histogram groupby → thresholds from cumulative counts:
+    1-based rank ceil(n·q), DuckDB's ``quantile_disc`` rule); pass 2
+    broadcasts the two scalars into a filter and aggregates kept docs per
+    source.  The driver only ever sees the histogram (bounded by distinct
+    token counts, not corpus size) — the same two-pass broadcast shape as
+    ``ann.q_embedding_quantize``."""
+    from ray.data.aggregate import Sum
+
+    def tokc(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(pc.split_pattern(t["text"], pattern=" ")), pa.int64())
+        return pa.table({"source": t["source"], "n_tokens": n})
+
+    def hist(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], pattern=" ")), pa.int64()
+        ).to_numpy()
+        v, c = np.unique(ntok, return_counts=True)
+        return pa.table(
+            {"n_tokens": pa.array(v, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    h = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # tiny: one row per distinct token count
+        .sort_values("n_tokens")
+    )
+    n = int(h["c"].sum())
+    cum = h["c"].cumsum().to_numpy()
+    vals = h["n_tokens"].to_numpy()
+
+    def pick(q: float) -> int:
+        r = max(int(np.ceil(n * q)), 1)
+        return int(vals[np.searchsorted(cum, r)])
+
+    p10, p90 = pick(lo), pick(hi)
+
+    def keep_agg(t: pa.Table) -> pa.Table:
+        t = tokc(t)
+        ntok = t["n_tokens"].to_numpy()
+        kept = (ntok >= p10) & (ntok <= p90)
+        return pa.table(
+            {
+                "source": t["source"],
+                "one": pa.array(np.ones(len(ntok), np.int64), pa.int64()),
+                "kept": pa.array(kept.astype(np.int64), pa.int64()),
+                "kept_tokens": pa.array(np.where(kept, ntok, 0), pa.int64()),
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(keep_agg, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("kept", alias_name="n_kept"),
+            Sum("kept_tokens", alias_name="tokens_kept"),
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        return t.append_column("p10", pa.array([p10] * t.num_rows, pa.int64())).append_column(
+            "p90", pa.array([p90] * t.num_rows, pa.int64())
+        )
+
+    return out.map_batches(attach, batch_format="pyarrow")

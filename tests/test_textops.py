@@ -356,3 +356,30 @@ def test_dup_ngrams_planted_shared_passage(ray_session, tmp_path):
     assert out["n_grams"].tolist() == [6, 6, 6]
     # the shared 6-token passage contributes exactly 2 duplicated 5-grams
     assert out["n_dup_grams"].tolist() == [2, 2, 0]
+
+
+def test_adaptive_filter_quantile_rule(ray_session, tmp_path):
+    """p10/p90 follow the quantile_disc rule (1-based rank ceil(n*q)) and
+    the filter keeps exactly the in-range docs."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_adaptive_filter
+
+    # token counts 1..10, one doc each -> p10 = 1 (rank ceil(10*.1)=1),
+    # p90 = 9 (rank 9); kept = counts 1..9
+    texts = [" ".join(["w"] * k) for k in range(1, 11)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 10,
+            "source": ["s"] * 10,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_adaptive_filter(str(tmp_path)).to_pandas()
+    assert out["p10"].tolist() == [1] and out["p90"].tolist() == [9]
+    assert out["n_docs"].tolist() == [10]
+    assert out["n_kept"].tolist() == [9]
+    assert out["tokens_kept"].tolist() == [sum(range(1, 10))]

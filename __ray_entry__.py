@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": A.q_asof_join,
         "topn_compare": A.q_topn_compare,
         "experiment_buckets": A.q_experiment_buckets,
+        "range_join": A.q_range_join,
         # text / training-data ops over documents
         "exact_dedup": T.q_exact_dedup,
         "doc_tokens": T.q_doc_tokens,
@@ -1142,6 +1143,17 @@ def oracle_sql() -> dict[str, str]:
         # on BOTH sides (the synthetic corpus has none), then counted and
         # scrubbed with the same RE2 pattern strings (pyarrow and DuckDB
         # both use RE2); md5 of the redacted text is the verified surface
+        # key+range interval join: per-user [ts, ts+1h) windows around
+        # purchase anchors; co-partitioned searchsorted in the engine
+        "range_join": (
+            "WITH a AS (SELECT event_id AS anchor_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT a.anchor_id, a.user_id, CAST(COUNT(*) AS BIGINT) AS n_in_window, "
+            "CAST(SUM(CAST(floor(e.value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_in_window "
+            "FROM a JOIN events e ON e.user_id = a.user_id "
+            "AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
+            "GROUP BY a.anchor_id, a.user_id"
+        ),
         "pii_redact": _pii_redact_sql(),
         # Gopher-style repetition filters: integer metrics + integer
         # thresholds so the SQL twin is exact (no float ratios)

@@ -833,3 +833,80 @@ def q_value_histogram(sf_dir: str, n_bins: int = 32):
         .groupby(["event_type", "bin"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def q_range_join(sf_dir: str, anchor_type: str = "purchase", window_us: int = 3_600_000_000):
+    """Key + range interval join: every ``anchor_type`` event opens a
+    per-user window ``[ts, ts + 1h)``; the join counts and sums (integer
+    cents) the SAME user's events inside the window — the
+    interval/band-join shape Ray Data lacks natively (SURVEY §2.5 joins
+    addendum; reference joins are equi-only, so this is a beyond-reference
+    operator).
+
+    Scale shape: both join sides are co-partitioned by hashing the equi
+    key (user) — ``_by_user_partition`` — so each partition resolves its
+    intervals with ONE composite-offset searchsorted over the sorted
+    partition timeline (the ``q_sliding_window_counts`` trick, same
+    int64-overflow chunk guard) plus prefix sums for the windowed SUM.
+    Partitioning assumption: a window never crosses users, so co-locating
+    a user's rows suffices — arbitrary window lengths, no replication.
+    For a keyless interval join you would instead bucket time and
+    replicate intervals to overlapping buckets."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    W = np.int64(window_us)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "anchor_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "n_in_window": pa.array([], pa.int64()),
+                "cents_in_window": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        eid = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s, et_s, c_s = (
+            uid[order], ts[order], eid[order], etype[order], cents[order]
+        )
+        n = len(uid_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid_s[1:] != uid_s[:-1]
+        gidx = np.cumsum(change) - 1
+        anchors = et_s == anchor_type
+        if not anchors.any():
+            return empty
+        pref = np.concatenate([[0], np.cumsum(c_s)])
+        span = np.int64(ts_s.max() - ts_s.min() + W + 2)
+        base = ts_s - ts_s.min()
+        n_groups = int(gidx[-1]) + 1
+        max_g = max(1, int(np.iinfo(np.int64).max // int(span)) - 1)
+        amask_idx = np.nonzero(anchors)[0]
+        lo = np.empty(len(amask_idx), dtype=np.int64)
+        hi = np.empty(len(amask_idx), dtype=np.int64)
+        for g0 in range(0, n_groups, max_g):
+            i0 = np.searchsorted(gidx, g0, side="left")
+            i1 = np.searchsorted(gidx, g0 + max_g, side="left")
+            shifted = base[i0:i1] + (gidx[i0:i1] - g0) * span
+            a0 = np.searchsorted(amask_idx, i0, side="left")
+            a1 = np.searchsorted(amask_idx, i1, side="left")
+            a_sh = shifted[amask_idx[a0:a1] - i0]
+            lo[a0:a1] = i0 + np.searchsorted(shifted, a_sh, side="left")
+            hi[a0:a1] = i0 + np.searchsorted(shifted, a_sh + W, side="left")
+        return pa.table(
+            {
+                "anchor_id": pa.array(eid_s[amask_idx], pa.int64()),
+                "user_id": pa.array(uid_s[amask_idx], pa.int64()),
+                "n_in_window": pa.array(hi - lo, pa.int64()),
+                "cents_in_window": pa.array(pref[hi] - pref[lo], pa.int64()),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")

@@ -54,3 +54,43 @@ def test_segmented_range_counts_would_overflow_case():
     # sanity: auto max_g really is below n_groups here (the guard engaged)
     span = int(ts.max() - ts.min() + W + 2)
     assert (np.iinfo(np.int64).max // span) - 1 < n_groups
+
+
+def test_range_join_boundaries_and_cross_user_isolation(ray_session, tmp_path):
+    """Window is [ts, ts+1h): the anchor itself counts, an event at
+    exactly +1h does not, and another user's events never leak in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_range_join
+
+    us = 1_000_000
+    h = 3600 * us
+    base = 1_700_000_000 * us
+    rows = [
+        # user 1: anchor at t0; events at +30min (in), +1h (out), -1s (out)
+        (1, 1, base, "purchase", 1.0),
+        (2, 1, base + 30 * 60 * us, "click", 2.0),
+        (3, 1, base + h, "click", 4.0),
+        (4, 1, base - us, "view", 8.0),
+        # user 2: event inside user 1's window must not leak
+        (5, 2, base + 10 * 60 * us, "click", 16.0),
+        # user 2's own anchor, alone
+        (6, 2, base + 2 * h, "purchase", 32.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        q_range_join(str(tmp_path)).to_pandas().sort_values("anchor_id").reset_index(drop=True)
+    )
+    assert out["anchor_id"].tolist() == [1, 6]
+    assert out["n_in_window"].tolist() == [2, 1]  # anchor + the +30min click
+    assert out["cents_in_window"].tolist() == [300, 3200]

@@ -607,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": T.q_line_dedup,
         "dup_ngrams": T.q_dup_ngrams,
         "adaptive_filter": T.q_adaptive_filter,
+        "top_tokens_per_source": T.q_top_tokens_per_source,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -1214,6 +1215,15 @@ def oracle_sql() -> dict[str, str]:
             "THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept, "
             "(SELECT p10 FROM q) AS p10, (SELECT p90 FROM q) AS p90 "
             "FROM tokc GROUP BY source"
+        ),
+        # grouped top-k (ROW_NUMBER window parity): 5 most frequent tokens
+        # per source, ties broken by token ascending
+        "top_tokens_per_source": (
+            "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents), "
+            "c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY source, token), "
+            "r AS (SELECT source, token, n, "
+            "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS rnk FROM c) "
+            "SELECT source, token, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
         ),
         # winnowing fingerprints reproduced in SQL (_winnow_sql: hi/lo-split
         # wrapping 64-bit arithmetic through HUGEINT, window minima via a

@@ -134,6 +134,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "minhash_neardup",
         "ann_bruteforce",
         "exact_dedup",
+        "line_dedup",
+        "dup_ngrams",
+        "range_join",
     ):
         t0 = time.perf_counter()
         r = Q[name](sf_dir)

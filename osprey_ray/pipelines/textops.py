@@ -1591,3 +1591,94 @@ def q_adaptive_filter(sf_dir: str, lo: float = 0.1, hi: float = 0.9):
         )
 
     return out.map_batches(attach, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# grouped top-k (window-function parity)
+# ---------------------------------------------------------------------------
+
+
+def q_top_tokens_per_source(sf_dir: str, k: int = 5):
+    """Grouped top-k: the k most frequent tokens per source (ties broken
+    by token ascending) — ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+    n DESC, token) <= k in SQL terms.
+
+    Scale shape: per-batch (source, token, n) combiner (one composite-key
+    np.unique) shrinks the token shuffle; global groupby sums; then ONE
+    vectorized lexsort per source-hash partition ranks every source in
+    the partition at once — no per-group Python."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), n_tok)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        # separator " " cannot collide: tokens are space-split and source
+        # names are space-free (numpy U-dtype would strip a "\x00" sep)
+        pair = np.char.add(np.char.add(src.astype("U"), " "), flat.astype("U"))
+        upair, c = np.unique(pair, return_counts=True)
+        sp = np.char.partition(upair, " ")
+        return pa.table(
+            {
+                "source": pa.array(sp[:, 0], pa.string()),
+                "token": pa.array(sp[:, 2], pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk_in_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        src = t["source"].to_numpy(zero_copy_only=False)
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy()
+        order = np.lexsort((tok, -n, src))
+        src_s, tok_s, n_s = src[order], tok[order], n[order]
+        change = np.empty(len(src_s), dtype=bool)
+        change[0] = True
+        change[1:] = src_s[1:] != src_s[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(len(src_s)), 0))
+        rnk = np.arange(len(src_s)) - gstart + 1
+        m = rnk <= k
+        return pa.table(
+            {
+                "source": pa.array(src_s[m], pa.string()),
+                "token": pa.array(tok_s[m], pa.string()),
+                "n": pa.array(n_s[m], pa.int64()),
+                "rnk": pa.array(rnk[m], pa.int64()),
+            }
+        )
+
+    def part(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(src, return_inverse=True)
+        # md5 per UNIQUE source (bounded), broadcast via the inverse index
+        h = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 64 for s in u],
+            dtype=np.int64,
+        )
+        return t.append_column("__sp", pa.array(h[inv]))
+
+    return (
+        counts.map_batches(part, batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(topk_in_part, batch_format="pyarrow")
+    )

@@ -1444,15 +1444,24 @@ def q_dup_ngrams(sf_dir: str, k: int = 5):
     (within-doc repeats included) — the repetition/contamination metric
     web-corpus pipelines threshold on before training.
 
-    Scale shape: vectorized gram explode (shifted takes + one
-    binary_join_element_wise) → per-batch (gram, doc, c) combiner (one
-    np.unique, shrinks the shuffle) → groupby(gram) totals →
-    hash-shuffle join back → per-doc Sum aggregates.  Docs shorter than
-    k tokens are excluded on both engine and SQL sides."""
-    from ray.data.aggregate import Sum
+    Scale shape — exactly TWO shuffles, no join: vectorized gram explode
+    (shifted takes + one binary_join_element_wise) → per-batch
+    (gram_h, doc, c) combiner (one np.unique, shrinks the shuffle) →
+    partition by hash(gram_h) so every occurrence of a gram co-locates,
+    ONE vectorized callback per partition computes corpus totals
+    (bincount over the inverse index) and flags dup rows in place —
+    replacing a groupby+join pair whose sort-shuffle fixed costs
+    dominated at sf0.1 (45 s of remote wall for 250k rows) → partition
+    by hash(doc) and segment-sum per doc.  Docs shorter than k tokens
+    are excluded on both engine and SQL sides.
 
-    import ray
-
+    The wide steps key on ``gram_h`` — the first 8 bytes of blake2b of
+    the gram — not the gram string itself (int64 shuffle keys, not
+    ~40-char strings).  A 64-bit collision would merge two distinct
+    grams (inflating their counts); at n grams the chance any collision
+    exists is ~n²/2⁶⁵ — irrelevant for a duplicate-FRACTION quality
+    signal even at 10¹² grams, but this op must not be repurposed as an
+    exact-dedup key."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1471,35 +1480,46 @@ def q_dup_ngrams(sf_dir: str, k: int = 5):
         parts = [vals.take(pa.array(idx + j, pa.int64())) for j in range(k)]
         gram = pc.binary_join_element_wise(*parts, " ")
         doc = seg_doc[idx]
-        # per-batch combiner: collapse to (gram, doc, c)
+        # per-batch combiner: collapse to (gram_h, doc, c); hash once per
+        # UNIQUE gram (dictionary), then broadcast via the codes
         gid = pc.dictionary_encode(gram)
         codes = np.asarray(gid.indices, dtype=np.int64)
         width = np.int64(len(gid.dictionary))
+        dict_h = np.array(
+            [
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                for s in gid.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        ).view(np.int64)
         assert len(doc) == 0 or int(doc.max()) < (1 << 42), "key overflow"
         key = doc * max(width, 1) + codes
         ukey, c = np.unique(key, return_counts=True)
         return pa.table(
             {
-                "gram": gid.dictionary.take(pa.array(ukey % max(width, 1), pa.int64())),
+                "gram_h": pa.array(dict_h[(ukey % max(width, 1))], pa.int64()),
                 "doc_id": pa.array(ukey // max(width, 1), pa.int64()),
                 "c": pa.array(c.astype(np.int64), pa.int64()),
             }
         )
 
     gdc = ds.map_batches(explode, batch_format="pyarrow")
-    totals = gdc.groupby("gram").aggregate(Sum("c", alias_name="tot"))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    joined = gdc.join(
-        totals,
-        join_type="inner",
-        num_partitions=max(2, cpus // 4),
-        on=("gram",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
 
-    def flag(t: pa.Table) -> pa.Table:
+    def flag_in_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "dup": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        gh = t["gram_h"].to_numpy()
         c = t["c"].to_numpy()
-        dup = np.where(t["tot"].to_numpy() > 1, c, 0)
+        _, inv = np.unique(gh, return_inverse=True)
+        tot = np.bincount(inv, weights=c)  # corpus total per gram (co-located)
+        dup = np.where(tot[inv] > 1, c, 0)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -1508,11 +1528,48 @@ def q_dup_ngrams(sf_dir: str, k: int = 5):
             }
         )
 
-    return (
-        joined.map_batches(flag, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n_grams"), Sum("dup", alias_name="n_dup_grams"))
+    flagged = _by_key_partition_col(gdc, "gram_h").map_groups(
+        flag_in_part, batch_format="pyarrow"
     )
+
+    def sum_in_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_dup_grams": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc_id"].to_numpy()
+        udoc, inv = np.unique(doc, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_grams": pa.array(
+                    np.bincount(inv, weights=t["n"].to_numpy()).astype(np.int64), pa.int64()
+                ),
+                "n_dup_grams": pa.array(
+                    np.bincount(inv, weights=t["dup"].to_numpy()).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _by_key_partition_col(flagged, "doc_id").map_groups(
+        sum_in_part, batch_format="pyarrow"
+    )
+
+
+def _by_key_partition_col(ds, col: str, P: int = 64):
+    """Shuffle by splitmix64(col) % P; one vectorized callback per
+    partition (the ``analytics._by_key_partition`` pattern for textops)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        key = _splitmix64(t[col].to_numpy().astype(np.uint64))
+        return t.append_column("__kp", pa.array((key % np.uint64(P)).view(np.int64)))
+
+    return ds.map_batches(part, batch_format="pyarrow").groupby("__kp")
 
 # ---------------------------------------------------------------------------
 # adaptive (percentile-threshold) quality filter — two-pass broadcast

@@ -1328,15 +1328,16 @@ def q_line_dedup(sf_dir: str, line_tokens: int = 10):
     so a doc's "lines" are fixed 10-token chunks; with real data the
     chunker would split on newline instead (one-line change).
 
-    Scale shape: explode (vectorized ListArray re-chunk + binary_join) →
-    groupby(line).min(packed) winner per distinct line → hash-shuffle join
-    back on the line → per-doc-partition vectorized reassembly.  Nothing
+    Scale shape — two shuffles, no join: explode (vectorized ListArray
+    re-chunk + binary_join) → partition by a 64-bit routing hash of the
+    line so every occurrence co-locates, then ONE vectorized callback per
+    partition picks each line's min-packed winner (comparing TRUE line
+    strings — a hash collision only co-locates, never merges) →
+    partition by hash(doc) and reassemble vectorized.  Nothing
     materializes on the driver; both wide steps shuffle small
-    (line, packed) rows."""
-    from ray.data.aggregate import Min
-
-    import ray
-
+    (line, packed) rows.  (The previous groupby+join formulation spent
+    its wall time in sort-shuffle fixed costs — same finding as
+    ``q_dup_ngrams``.)"""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     L = line_tokens
 
@@ -1364,22 +1365,60 @@ def q_line_dedup(sf_dir: str, line_tokens: int = 10):
                 "line_idx": pa.array(within, pa.int64()),
                 "line": lines,
                 "packed": pa.array(doc_rep * (1 << 20) + within, pa.int64()),
+                # 64-bit ROUTING hash only: winner selection below compares
+                # the actual line strings, so a collision merely co-locates
+                # two distinct lines (harmless), never merges them
+                "line_h": pa.array(
+                    np.array(
+                        [
+                            int.from_bytes(
+                                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                            )
+                            for s in lines.to_pylist()
+                        ],
+                        dtype=np.uint64,
+                    ).view(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    winners = (
-        exploded.select_columns(["line", "packed"])
-        .groupby("line")
-        .aggregate(Min("packed", alias_name="w"))
-    )
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    joined = exploded.join(
-        winners,
-        join_type="inner",
-        num_partitions=max(2, cpus // 4),
-        on=("line",),
-        aggregator_ray_remote_args={"num_cpus": 0},
+
+    def mark_winners(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "line_idx": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+                "kept": pa.array([], pa.bool_()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        line = t["line"].to_numpy(zero_copy_only=False)
+        packed = t["packed"].to_numpy()
+        # group by the TRUE line string (not the routing hash): min packed
+        # per distinct line, vectorized via one lexsort
+        _, inv = np.unique(line, return_inverse=True)
+        order = np.lexsort((packed, inv))
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = inv[order][1:] != inv[order][:-1]
+        wmin = np.zeros(inv.max() + 1, dtype=np.int64)
+        wmin[inv[order][first]] = packed[order][first]
+        kept = packed == wmin[inv]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "line_idx": t["line_idx"],
+                "line": t["line"],
+                "kept": pa.array(kept, pa.bool_()),
+            }
+        )
+
+    joined = _by_key_partition_col(exploded, "line_h").map_groups(
+        mark_winners, batch_format="pyarrow"
     )
 
     def reassemble(t: pa.Table) -> pa.Table:
@@ -1395,7 +1434,7 @@ def q_line_dedup(sf_dir: str, line_tokens: int = 10):
             return empty
         t = t.sort_by([("doc_id", "ascending"), ("line_idx", "ascending")])
         doc = t["doc_id"].to_numpy()
-        kept = t["packed"].to_numpy() == t["w"].to_numpy()
+        kept = t["kept"].to_numpy(zero_copy_only=False)
         starts = np.concatenate([[0], np.nonzero(np.diff(doc))[0] + 1])
         ends = np.append(starts[1:], len(doc))
         csum = np.concatenate([[0], np.cumsum(kept.astype(np.int64))])

@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": T.q_dup_ngrams,
         "adaptive_filter": T.q_adaptive_filter,
         "top_tokens_per_source": T.q_top_tokens_per_source,
+        "corpus_curate": T.q_corpus_curate,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -1215,6 +1216,27 @@ def oracle_sql() -> dict[str, str]:
             "THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept, "
             "(SELECT p10 FROM q) AS p10, (SELECT p90 FROM q) AS p90 "
             "FROM tokc GROUP BY source"
+        ),
+        # composed curation pipeline: Gopher-style quality rule -> exact
+        # dedup among survivors (md5 keep-min) -> per-source accounting
+        "corpus_curate": (
+            "WITH d AS (SELECT doc_id, source, text, string_split(text,' ') AS l FROM documents), "
+            "tok AS (SELECT doc_id, unnest(l) AS tok FROM d), "
+            "tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok), "
+            "per AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_token_n FROM tc GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bgs FROM d), "
+            "bs AS (SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct_bigrams FROM bg), "
+            "q AS (SELECT d.doc_id, d.source, d.text, per.n_tokens, "
+            "(per.top_token_n * 5 <= per.n_tokens AND "
+            "(bs.n_bigrams - bs.n_distinct_bigrams) * 4 <= bs.n_bigrams) AS quality "
+            "FROM d JOIN per USING (doc_id) JOIN bs USING (doc_id)), "
+            "w AS (SELECT md5(text) AS h, MIN(doc_id) AS wdoc FROM q WHERE quality GROUP BY md5(text)) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input, "
+            "CAST(SUM(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, "
+            "CAST(SUM(CASE WHEN wdoc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, "
+            "CAST(SUM(CASE WHEN wdoc IS NOT NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final "
+            "FROM q LEFT JOIN w ON md5(q.text) = w.h AND q.doc_id = w.wdoc "
+            "GROUP BY source"
         ),
         # grouped top-k (ROW_NUMBER window parity): 5 most frequent tokens
         # per source, ties broken by token ascending

@@ -1253,6 +1253,54 @@ def q_pii_redact(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _repetition_arrays(texts) -> tuple[np.ndarray, ...]:
+    """Vectorized per-doc repetition metrics over a string column:
+    (n_tokens, n_distinct, top_token_n, n_bigrams, n_distinct_bigrams).
+    One token factorization per batch; per-(doc,token) counts via a
+    composite-key np.unique; per-doc maxima via maximum.reduceat; bigrams
+    via shifted token ids with doc-boundary masking."""
+    toks = pc.split_pattern(texts, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    n_tok = np.diff(offsets)  # split(' ') always yields >= 1 token
+    n = len(toks)
+    seg = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+
+    _, tok_id = np.unique(flat, return_inverse=True)
+    k = np.int64(max(int(tok_id.max()) + 1, 1)) if len(tok_id) else np.int64(1)
+    assert n * k * k < np.iinfo(np.int64).max, "composite key overflow"
+
+    # per-(doc, token) counts -> distinct + top count per doc
+    key = seg * k + tok_id
+    ukey, cnt = np.unique(key, return_counts=True)
+    useg = ukey // k
+    n_distinct = np.bincount(useg, minlength=n).astype(np.int64)
+    bounds = np.searchsorted(useg, np.arange(n))
+    top = np.maximum.reduceat(cnt, bounds).astype(np.int64) if len(ukey) else np.zeros(n, np.int64)
+
+    # bigrams: start positions exclude each doc's last token
+    mask = np.ones(len(flat), dtype=bool)
+    mask[offsets[1:] - 1] = False
+    starts = np.nonzero(mask)[0]
+    n_big = (n_tok - 1).astype(np.int64)
+    if len(starts):
+        bkey = (seg[starts] * k + tok_id[starts]) * k + tok_id[starts + 1]
+        ubkey = np.unique(bkey)
+        n_dbig = np.bincount(ubkey // (k * k), minlength=n).astype(np.int64)
+    else:
+        n_dbig = np.zeros(n, np.int64)
+    return n_tok.astype(np.int64), n_distinct, top, n_big, n_dbig
+
+
+def _quality_rule(n_tok, top, n_big, n_dbig) -> np.ndarray:
+    """The integer-threshold Gopher-style keep rule shared by
+    q_doc_repetition, q_corpus_curate and their SQL twins."""
+    return (top * 5 <= n_tok) & ((n_big - n_dbig) * 4 <= n_big)
+
+
 def q_doc_repetition(sf_dir: str):
     """Per-doc repetition signals used by corpus quality filters
     (Gopher-style: most-frequent-token share, duplicate-bigram share).
@@ -1266,41 +1314,8 @@ def q_doc_repetition(sf_dir: str):
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], pattern=" ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        offsets = np.asarray(toks.offsets, dtype=np.int64)
-        offsets = offsets - offsets[0]
-        n_tok = np.diff(offsets)  # split(' ') always yields >= 1 token
-        n = len(t)
-        seg = np.repeat(np.arange(n, dtype=np.int64), n_tok)
-
-        _, tok_id = np.unique(flat, return_inverse=True)
-        k = np.int64(max(int(tok_id.max()) + 1, 1)) if len(tok_id) else np.int64(1)
-        assert n * k * k < np.iinfo(np.int64).max, "composite key overflow"
-
-        # per-(doc, token) counts -> distinct + top count per doc
-        key = seg * k + tok_id
-        ukey, cnt = np.unique(key, return_counts=True)
-        useg = ukey // k
-        n_distinct = np.bincount(useg, minlength=n).astype(np.int64)
-        bounds = np.searchsorted(useg, np.arange(n))
-        top = np.maximum.reduceat(cnt, bounds).astype(np.int64) if len(ukey) else np.zeros(n, np.int64)
-
-        # bigrams: start positions exclude each doc's last token
-        mask = np.ones(len(flat), dtype=bool)
-        mask[offsets[1:] - 1] = False
-        starts = np.nonzero(mask)[0]
-        n_big = (n_tok - 1).astype(np.int64)
-        if len(starts):
-            bkey = (seg[starts] * k + tok_id[starts]) * k + tok_id[starts + 1]
-            ubkey = np.unique(bkey)
-            n_dbig = np.bincount(ubkey // (k * k), minlength=n).astype(np.int64)
-        else:
-            n_dbig = np.zeros(n, np.int64)
-
-        keep = (top * 5 <= n_tok) & ((n_big - n_dbig) * 4 <= n_big)
+        n_tok, n_distinct, top, n_big, n_dbig = _repetition_arrays(t["text"])
+        keep = _quality_rule(n_tok, top, n_big, n_dbig)
         return pa.table(
             {
                 "doc_id": pa.array(t["doc_id"].to_numpy(), pa.int64()),
@@ -1777,4 +1792,89 @@ def q_top_tokens_per_source(sf_dir: str, k: int = 5):
         counts.map_batches(part, batch_format="pyarrow")
         .groupby("__sp")
         .map_groups(topk_in_part, batch_format="pyarrow")
+    )
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline: quality filter -> exact dedup -> accounting
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_curate(sf_dir: str):
+    """End-to-end corpus curation (the composed pipeline a training-data
+    user actually runs): Gopher-style quality filter → exact dedup among
+    survivors (md5 keep-min) → per-source accounting of what made it
+    through (docs in, quality-kept, unique-kept, final token budget).
+
+    Scale shape: one metrics+hash pass per batch, one shuffle by an
+    md5-derived routing key to mark each content group's winner in place
+    (the no-join pattern from ``q_dup_ngrams``/``q_line_dedup``), one tiny
+    per-source aggregate.  Composes the shared ``_repetition_arrays`` /
+    ``_quality_rule`` kernels so engine and SQL twins stay aligned by
+    construction."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def stage1(t: pa.Table) -> pa.Table:
+        n_tok, _, top, n_big, n_dbig = _repetition_arrays(t["text"])
+        quality = _quality_rule(n_tok, top, n_big, n_dbig)
+        digs = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        route = np.array(
+            [int(d[:15], 16) for d in digs], dtype=np.int64
+        )  # routing only; grouping below compares full digests
+        return pa.table(
+            {
+                "doc_id": pa.array(t["doc_id"].to_numpy(), pa.int64()),
+                "source": t["source"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "quality": pa.array(quality, pa.bool_()),
+                "text_md5": pa.array(digs, pa.string()),
+                "route": pa.array(route, pa.int64()),
+            }
+        )
+
+    s1 = ds.map_batches(stage1, batch_format="pyarrow")
+
+    def mark(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "one": pa.array([], pa.int64()),
+                "q": pa.array([], pa.int64()),
+                "u": pa.array([], pa.int64()),
+                "utok": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc_id"].to_numpy()
+        quality = t["quality"].to_numpy(zero_copy_only=False)
+        # winner per full digest among quality docs: min doc_id (non-quality
+        # rows get +inf so an all-filtered group has no winner)
+        _, inv = np.unique(t["text_md5"].to_numpy(zero_copy_only=False), return_inverse=True)
+        cand = np.where(quality, doc, np.iinfo(np.int64).max)
+        order = np.lexsort((cand, inv))
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = inv[order][1:] != inv[order][:-1]
+        wmin = np.zeros(inv.max() + 1, dtype=np.int64)
+        wmin[inv[order][first]] = cand[order][first]
+        unique = quality & (doc == wmin[inv])
+        ntok = t["n_tokens"].to_numpy()
+        return pa.table(
+            {
+                "source": t["source"],
+                "one": pa.array(np.ones(len(doc), np.int64), pa.int64()),
+                "q": pa.array(quality.astype(np.int64), pa.int64()),
+                "u": pa.array(unique.astype(np.int64), pa.int64()),
+                "utok": pa.array(np.where(unique, ntok, 0), pa.int64()),
+            }
+        )
+
+    marked = _by_key_partition_col(s1, "route").map_groups(mark, batch_format="pyarrow")
+    return marked.groupby("source").aggregate(
+        Sum("one", alias_name="n_input"),
+        Sum("q", alias_name="n_quality"),
+        Sum("u", alias_name="n_unique"),
+        Sum("utok", alias_name="tokens_final"),
     )

@@ -383,3 +383,36 @@ def test_adaptive_filter_quantile_rule(ray_session, tmp_path):
     assert out["n_docs"].tolist() == [10]
     assert out["n_kept"].tolist() == [9]
     assert out["tokens_kept"].tolist() == [sum(range(1, 10))]
+
+
+def test_corpus_curate_accounting(ray_session, tmp_path):
+    """Quality drop, dedup keep-min and token accounting compose: a spam
+    doc is quality-dropped, a duplicate survives only at the lowest
+    doc_id, and tokens_final counts only unique quality survivors."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_corpus_curate
+
+    diverse = " ".join(f"w{i}" for i in range(30))
+    texts = [
+        diverse,                       # doc 1: kept, winner of the dup pair
+        diverse,                       # doc 2: kept by quality, loses dedup
+        "spam " * 29 + "spam",         # doc 3: quality-dropped
+        " ".join(f"z{i}" for i in range(20)),  # doc 4: kept, unique
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["a", "a", "a", "b"],
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_corpus_curate(str(tmp_path)).to_pandas().sort_values("source").reset_index(drop=True)
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_input"].tolist() == [3, 1]
+    assert out["n_quality"].tolist() == [2, 1]
+    assert out["n_unique"].tolist() == [1, 1]
+    assert out["tokens_final"].tolist() == [30, 20]

@@ -416,3 +416,23 @@ def test_corpus_curate_accounting(ray_session, tmp_path):
     assert out["n_quality"].tolist() == [2, 1]
     assert out["n_unique"].tolist() == [1, 1]
     assert out["tokens_final"].tolist() == [30, 20]
+
+
+def test_partition_count_invariance_line_dedup_curate(ray_session):
+    """The partition-callback ops must be byte-identical under different
+    routing partition counts (the aggregate is computed per co-located
+    key group, so P is a pure performance knob)."""
+    from unittest import mock
+
+    from osprey_ray.pipelines import textops
+
+    SF = "/root/testdata/sf0.001"
+
+    for fn, key in ((textops.q_line_dedup, "doc_id"), (textops.q_dup_ngrams, "doc_id")):
+        a = fn(SF).to_pandas().sort_values(key).reset_index(drop=True)
+        orig = textops._by_key_partition_col
+        with mock.patch.object(
+            textops, "_by_key_partition_col", lambda ds, col, P=64: orig(ds, col, 4)
+        ):
+            b = fn(SF).to_pandas().sort_values(key).reset_index(drop=True)
+        assert a.equals(b), f"{fn.__name__} differs between P=64 and P=4"

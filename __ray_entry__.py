@@ -609,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_filter": T.q_adaptive_filter,
         "top_tokens_per_source": T.q_top_tokens_per_source,
         "corpus_curate": T.q_corpus_curate,
+        "source_overlap": T.q_source_overlap,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -1216,6 +1217,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept, "
             "(SELECT p10 FROM q) AS p10, (SELECT p90 FROM q) AS p90 "
             "FROM tokc GROUP BY source"
+        ),
+        # cross-source overlap matrix: distinct 5-grams shared per source pair
+        "source_overlap": (
+            "WITH d AS (SELECT source, string_split(text,' ') AS l FROM documents), "
+            "e AS (SELECT source, unnest(list_transform(range(1, len(l)-3), "
+            "i -> array_to_string(l[i:i+4], ' '))) AS gram FROM d WHERE len(l) >= 5), "
+            "g AS (SELECT DISTINCT source, gram FROM e) "
+            "SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_grams "
+            "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source "
+            "GROUP BY a.source, b.source"
         ),
         # composed curation pipeline: Gopher-style quality rule -> exact
         # dedup among survivors (md5 keep-min) -> per-source accounting

@@ -1878,3 +1878,114 @@ def q_corpus_curate(sf_dir: str):
         Sum("u", alias_name="n_unique"),
         Sum("utok", alias_name="tokens_final"),
     )
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix (corpus contamination analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_source_overlap(sf_dir: str, k: int = 5):
+    """Pairwise source-overlap matrix: for every pair of sources, how many
+    DISTINCT word 5-grams appear in both — the cross-dataset contamination
+    sweep run before mixing corpora.
+
+    Scale shape: gram explode → per-batch distinct (gram_h, source)
+    combiner → partition by hash(gram_h) so each gram's source set
+    co-locates → per partition, source membership becomes a BITMASK per
+    gram (bitwise_or.reduceat over ≤64 source codes), unique masks expand
+    to pairs once each (Python touches unique masks, never grams) →
+    tiny (src_a, src_b) groupby sum.  Same 64-bit gram-hash caveat as
+    ``q_dup_ngrams`` (routing + identity for a count signal, not a dedup
+    key).  Assumes ≤ 64 distinct sources (asserted); beyond that the mask
+    becomes a bit ARRAY, same algorithm."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        n_tok = np.diff(offsets)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), n_tok)
+        pos = np.arange(len(vals), dtype=np.int64)
+        within = pos - np.repeat(offsets[:-1], n_tok)
+        valid = within <= np.repeat(n_tok - k, n_tok)
+        idx = np.nonzero(valid)[0]
+        parts = [vals.take(pa.array(idx + j, pa.int64())) for j in range(k)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        gid = pc.dictionary_encode(gram)
+        codes = np.asarray(gid.indices, dtype=np.int64)
+        gram_h = np.array(
+            [
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                for s in gid.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        ).view(np.int64)
+        # distinct (gram, source) within the batch
+        usrc, sinv = np.unique(src[idx], return_inverse=True)
+        key = codes * max(len(usrc), 1) + sinv
+        ukey = np.unique(key)
+        return pa.table(
+            {
+                "gram_h": pa.array(gram_h[ukey // max(len(usrc), 1)], pa.int64()),
+                "source": pa.array(usrc[ukey % max(len(usrc), 1)], pa.string()),
+            }
+        )
+
+    gs = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        gh = t["gram_h"].to_numpy()
+        src = t["source"].to_numpy(zero_copy_only=False)
+        usrc, scode = np.unique(src, return_inverse=True)
+        assert len(usrc) <= 64, "bitmask source-overlap supports <= 64 sources"
+        # global distinct (gram, source): batches may repeat the pair
+        order = np.lexsort((scode, gh))
+        gh_s, sc_s = gh[order], scode[order]
+        keep = np.empty(len(gh_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (gh_s[1:] != gh_s[:-1]) | (sc_s[1:] != sc_s[:-1])
+        gh_s, sc_s = gh_s[keep], sc_s[keep]
+        # one bitmask per gram
+        new = np.empty(len(gh_s), dtype=bool)
+        new[0] = True
+        new[1:] = gh_s[1:] != gh_s[:-1]
+        starts = np.flatnonzero(new)
+        masks = np.bitwise_or.reduceat(np.uint64(1) << sc_s.astype(np.uint64), starts)
+        umask, mcount = np.unique(masks, return_counts=True)
+        a_out, b_out, n_out = [], [], []
+        for m, cnt in zip(umask, mcount):  # unique masks only, never grams
+            bits = [i for i in range(len(usrc)) if (int(m) >> i) & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    a_out.append(usrc[bits[x]])
+                    b_out.append(usrc[bits[y]])
+                    n_out.append(int(cnt))
+        return pa.table(
+            {
+                "src_a": pa.array(a_out, pa.string()),
+                "src_b": pa.array(b_out, pa.string()),
+                "n": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return (
+        _by_key_partition_col(gs, "gram_h")
+        .map_groups(pairs_in_part, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("n", alias_name="shared_grams"))
+    )

@@ -436,3 +436,31 @@ def test_partition_count_invariance_line_dedup_curate(ray_session):
         ):
             b = fn(SF).to_pandas().sort_values(key).reset_index(drop=True)
         assert a.equals(b), f"{fn.__name__} differs between P=64 and P=4"
+
+
+def test_source_overlap_planted(ray_session, tmp_path):
+    """Two sources sharing exactly one 6-token passage overlap in exactly
+    2 distinct 5-grams; a disjoint source never appears."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_source_overlap
+
+    shared = "p q r s t u"
+    texts = [
+        shared + " a1 a2 a3 a4",
+        "c1 c2 c3 c4 " + shared,
+        " ".join(f"z{i}" for i in range(10)),
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["alpha", "beta", "gamma"],
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_source_overlap(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].tolist() == ["alpha", "beta", 2]

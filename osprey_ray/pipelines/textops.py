@@ -1660,17 +1660,21 @@ def q_adaptive_filter(sf_dir: str, lo: float = 0.1, hi: float = 0.9):
         .groupby("n_tokens")
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()  # tiny: one row per distinct token count
-        .sort_values("n_tokens")
     )
-    n = int(h["c"].sum())
-    cum = h["c"].cumsum().to_numpy()
-    vals = h["n_tokens"].to_numpy()
+    # an empty corpus yields a schema-less empty frame — skip the sort
+    h = h.sort_values("n_tokens") if len(h) else h
+    n = int(h["c"].sum()) if len(h) else 0
+    cum = h["c"].cumsum().to_numpy() if len(h) else np.array([], np.int64)
+    vals = h["n_tokens"].to_numpy() if len(h) else np.array([], np.int64)
 
     def pick(q: float) -> int:
         r = max(int(np.ceil(n * q)), 1)
         return int(vals[np.searchsorted(cum, r)])
 
-    p10, p90 = pick(lo), pick(hi)
+    # empty corpus: no thresholds to derive — emit the (empty) per-source
+    # aggregate with degenerate [0, 0] bounds instead of indexing into an
+    # empty histogram
+    p10, p90 = (pick(lo), pick(hi)) if n else (0, 0)
 
     def keep_agg(t: pa.Table) -> pa.Table:
         t = tokc(t)

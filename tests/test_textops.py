@@ -464,3 +464,22 @@ def test_source_overlap_planted(ray_session, tmp_path):
     out = q_source_overlap(str(tmp_path)).to_pandas()
     assert len(out) == 1
     assert out.iloc[0].tolist() == ["alpha", "beta", 2]
+
+
+def test_adaptive_filter_empty_corpus(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_adaptive_filter
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_adaptive_filter(str(tmp_path)).to_pandas()
+    assert len(out) == 0

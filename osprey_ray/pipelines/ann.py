@@ -753,3 +753,140 @@ def q_embedding_quantize(sf_dir: str):
         )
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
+             ks: int = 32, iters: int = 5):
+    """Product-quantization ANN with asymmetric distance computation —
+    the memory-compression scale path for 100 TB embedding search
+    (Jégou et al., TPAMI 2011): vectors live as ``m_sub`` 1-byte codes
+    (here 8 codes ≈ 32× smaller than 64 float32 dims), queries scan the
+    compressed corpus via per-subspace lookup tables.
+
+    Distributed training: per-subspace k-means runs ALL subspaces in one
+    Lloyd pass per iteration — assignment is a per-batch distance argmin
+    against the broadcast codebook, the update emits per-(sub, code, dim)
+    partial sums through a groupby (m_sub × ks × sub_dim rows per batch,
+    never raw vectors); the driver only holds the codebook.  Scoring:
+    each batch encodes itself and accumulates sim ≈ Σ_j lut_q[j, code_j]
+    (one fancy-index add per subspace), partial top-k per batch, tiny
+    driver merge.  Approximate → rows-only oracle; reports recall vs the
+    exact brute force plus the compression ratio."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    q_ids, q_m = _query_set(sf_dir, n_queries)
+    qn = _normalize(q_m)
+    dim = qn.shape[1]
+    assert dim % m_sub == 0
+    sd = dim // m_sub
+
+    init_ids, init_m = _query_set(sf_dir, ks)
+    init_n = _normalize(init_m)
+    # codebook[j]: ks × sd, init from the first ks vectors' j-th subvector
+    book = np.stack([init_n[:, j * sd:(j + 1) * sd].copy() for j in range(m_sub)])
+
+    ds = _read_emb(sf_dir).materialize()  # consumed iters+2 times
+
+    def _encode(mn: np.ndarray, book: np.ndarray) -> np.ndarray:
+        codes = np.empty((len(mn), m_sub), dtype=np.int64)
+        for j in range(m_sub):
+            sub = mn[:, j * sd:(j + 1) * sd]
+            # argmin ||x - c||² = argmax (x·c - ||c||²/2)
+            score = sub @ book[j].T - 0.5 * (book[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmax(score, axis=1)
+        return codes
+
+    for _ in range(iters):
+        bk = book
+
+        def assign_partial(t: pa.Table, bk=bk) -> pa.Table:
+            ids, m = _to_matrix(t)
+            mn = _normalize(m)
+            codes = _encode(mn, bk)
+            n = len(mn)
+            sub_i = np.repeat(np.arange(m_sub, dtype=np.int64), n * sd)
+            code_i = np.repeat(codes.T.reshape(-1), sd)
+            dim_i = np.tile(np.arange(sd, dtype=np.int64), n * m_sub)
+            vals = np.concatenate(
+                [mn[:, j * sd:(j + 1) * sd].reshape(-1) for j in range(m_sub)]
+            )
+            df = pd.DataFrame({"sub": sub_i, "code": code_i, "dim": dim_i, "v": vals})
+            g = df.groupby(["sub", "code", "dim"], sort=False).agg(
+                v_sum=("v", "sum"), n=("v", "size")
+            ).reset_index()
+            return pa.table(
+                {
+                    "sub": pa.array(g["sub"].to_numpy(), pa.int64()),
+                    "code": pa.array(g["code"].to_numpy(), pa.int64()),
+                    "dim": pa.array(g["dim"].to_numpy(), pa.int64()),
+                    "v_sum": pa.array(g["v_sum"].to_numpy(), pa.float64()),
+                    "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                }
+            )
+
+        upd = (
+            ds.map_batches(assign_partial, batch_format="pyarrow")
+            .groupby(["sub", "code", "dim"])
+            .aggregate(Sum("v_sum", alias_name="v_sum"), Sum("n", alias_name="n"))
+            .to_pandas()  # tiny: m_sub × ks × sd rows
+        )
+        new = book.copy()
+        for (j, c), g in upd.groupby(["sub", "code"]):
+            vec = new[int(j), int(c)].copy()
+            nn = g["n"].to_numpy()
+            vec[g["dim"].to_numpy()] = g["v_sum"].to_numpy() / np.maximum(nn, 1)
+            new[int(j), int(c)] = vec
+        book = new
+
+    bk = book
+    # per-query ADC lookup tables: lut[q][j, c] = <q_j, book[j][c]>
+    lut = np.stack(
+        [np.stack([qn[qi, j * sd:(j + 1) * sd] @ bk[j].T for j in range(m_sub)])
+         for qi in range(len(q_ids))]
+    )  # (nq, m_sub, ks)
+
+    def search(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        mn = _normalize(m)
+        codes = _encode(mn, bk)
+        sims = np.zeros((len(mn), len(q_ids)))
+        for j in range(m_sub):
+            sims += lut[:, j, :][:, codes[:, j]].T  # (n, nq)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = ids != qid
+            cand = np.flatnonzero(mask)
+            s = sims[cand, qi]
+            top = cand[np.lexsort((ids[cand], -s))[:k]]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(sims[top, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    small = ds.map_batches(search, batch_format="pyarrow").to_pandas()
+    brute = q_ann_bruteforce(sf_dir, k, n_queries).to_pandas()
+    rows = []
+    for qid in q_ids:
+        qid = int(qid)
+        g = small[small["query_id"] == qid]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        got = set(g["vec_id"].tolist())
+        want = set(brute[brute["query_id"] == qid]["neighbor_id"].tolist())
+        recall = int(round(100 * len(got & want) / max(1, len(want))))
+        rows.append((qid, recall))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "recall_pct": pa.array([r[1] for r in rows], pa.int64()),
+            "code_bytes": pa.array([m_sub] * len(rows), pa.int64()),
+            "raw_bytes": pa.array([dim * 4] * len(rows), pa.int64()),
+        }
+    )

@@ -483,3 +483,14 @@ def test_adaptive_filter_empty_corpus(ray_session, tmp_path):
     pq.write_table(docs, str(tmp_path / "documents.parquet"))
     out = q_adaptive_filter(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_ann_pq_recall_above_chance(ray_session):
+    """PQ at 32x compression on structureless random vectors must still
+    recall far above the ~1% chance baseline for top-5 of ~500."""
+    from osprey_ray.pipelines.ann import q_ann_pq
+
+    out = q_ann_pq("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 10
+    assert (out["code_bytes"] == 8).all() and (out["raw_bytes"] == 256).all()
+    assert out["recall_pct"].mean() >= 10  # chance is ~1

@@ -756,7 +756,7 @@ def q_embedding_quantize(sf_dir: str):
 
 
 def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
-             ks: int = 32, iters: int = 5):
+             ks: int = 32, iters: int = 3):
     """Product-quantization ANN with asymmetric distance computation —
     the memory-compression scale path for 100 TB embedding search
     (Jégou et al., TPAMI 2011): vectors live as ``m_sub`` 1-byte codes
@@ -826,12 +826,48 @@ def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
                 }
             )
 
+        # partition-callback sum instead of a 3-key Aggregate: the key
+        # domain is tiny (m_sub × ks × sd ≤ 4096) and the sort-shuffle
+        # fixed cost of Aggregate dominated each Lloyd iteration at sf0.1
+        # (BASELINE §l)
+        from osprey_ray.pipelines.textops import _by_key_partition_col
+
+        def comp_key(t: pa.Table) -> pa.Table:
+            key = (t["sub"].to_numpy() * ks + t["code"].to_numpy()) * sd + t["dim"].to_numpy()
+            return t.append_column("ckey", pa.array(key, pa.int64()))
+
+        def sum_part(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"ckey": pa.array([], pa.int64()), "v_sum": pa.array([], pa.float64()),
+                 "n": pa.array([], pa.int64())}
+            )
+            if t.num_rows == 0:
+                return empty
+            ck = t["ckey"].to_numpy()
+            uk, inv = np.unique(ck, return_inverse=True)
+            return pa.table(
+                {
+                    "ckey": pa.array(uk, pa.int64()),
+                    "v_sum": pa.array(np.bincount(inv, weights=t["v_sum"].to_numpy()), pa.float64()),
+                    "n": pa.array(
+                        np.bincount(inv, weights=t["n"].to_numpy()).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
         upd = (
-            ds.map_batches(assign_partial, batch_format="pyarrow")
-            .groupby(["sub", "code", "dim"])
-            .aggregate(Sum("v_sum", alias_name="v_sum"), Sum("n", alias_name="n"))
+            _by_key_partition_col(
+                ds.map_batches(assign_partial, batch_format="pyarrow").map_batches(
+                    comp_key, batch_format="pyarrow"
+                ),
+                "ckey",
+            )
+            .map_groups(sum_part, batch_format="pyarrow")
             .to_pandas()  # tiny: m_sub × ks × sd rows
         )
+        upd["sub"] = upd["ckey"] // (ks * sd)
+        upd["code"] = (upd["ckey"] // sd) % ks
+        upd["dim"] = upd["ckey"] % sd
         new = book.copy()
         for (j, c), g in upd.groupby(["sub", "code"]):
             vec = new[int(j), int(c)].copy()

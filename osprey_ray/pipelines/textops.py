@@ -1717,11 +1717,16 @@ def q_top_tokens_per_source(sf_dir: str, k: int = 5):
     by token ascending) — ROW_NUMBER() OVER (PARTITION BY source ORDER BY
     n DESC, token) <= k in SQL terms.
 
-    Scale shape: per-batch (source, token, n) combiner (one composite-key
-    np.unique) shrinks the token shuffle; global groupby sums; then ONE
-    vectorized lexsort per source-hash partition ranks every source in
-    the partition at once — no per-group Python."""
-    from ray.data.aggregate import Sum
+    Scale shape — ONE shuffle: per-batch (source, token, n) combiner (one
+    composite-key np.unique) shrinks the rows, then a single source-hash
+    partition pass both sums the per-(source, token) counts AND ranks
+    every source in the partition with one lexsort — ranking needs a
+    source's counts co-located anyway, so a separate global groupby was a
+    second all-to-all paying pure sort-shuffle fixed cost (BASELINE §l).
+    No per-group Python.  Note the partition key cardinality is the
+    source count — fine for dataset mixing (dozens of sources); for
+    unbounded keys use the two-shuffle form."""
+    from ray.data.aggregate import Sum  # noqa: F401  (kept for API parity)
 
     ds = _read_docs(sf_dir, ["source", "text"])
 
@@ -1745,12 +1750,6 @@ def q_top_tokens_per_source(sf_dir: str, k: int = 5):
             }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["source", "token"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
     def topk_in_part(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -1762,11 +1761,18 @@ def q_top_tokens_per_source(sf_dir: str, k: int = 5):
         )
         if t.num_rows == 0:
             return empty
+        # sum the per-batch partials for each (source, token) — all of a
+        # source's rows are co-located here, so the global count is local
         src = t["source"].to_numpy(zero_copy_only=False)
         tok = t["token"].to_numpy(zero_copy_only=False)
-        n = t["n"].to_numpy()
-        order = np.lexsort((tok, -n, src))
-        src_s, tok_s, n_s = src[order], tok[order], n[order]
+        cn = t["n"].to_numpy()
+        pair = np.char.add(np.char.add(src.astype("U"), " "), tok.astype("U"))
+        upair, inv = np.unique(pair, return_inverse=True)
+        n = np.bincount(inv, weights=cn).astype(np.int64)
+        sp = np.char.partition(upair, " ")
+        src_u, tok_u = sp[:, 0], sp[:, 2]
+        order = np.lexsort((tok_u, -n, src_u))
+        src_s, tok_s, n_s = src_u[order], tok_u[order], n[order]
         change = np.empty(len(src_s), dtype=bool)
         change[0] = True
         change[1:] = src_s[1:] != src_s[:-1]
@@ -1793,7 +1799,8 @@ def q_top_tokens_per_source(sf_dir: str, k: int = 5):
         return t.append_column("__sp", pa.array(h[inv]))
 
     return (
-        counts.map_batches(part, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(part, batch_format="pyarrow")
         .groupby("__sp")
         .map_groups(topk_in_part, batch_format="pyarrow")
     )

@@ -25,9 +25,14 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m osprey_ray", description=__doc__)
-    p.add_argument("--rules", required=True, help="path to the ruleset entry .sml file")
-    p.add_argument("--input", required=True, help="parquet file or directory of transcript turns")
-    p.add_argument("--output", required=True, help="output directory (results/ + verdicts/)")
+    p.add_argument("--rules", help="path to the ruleset entry .sml file")
+    p.add_argument("--input", help="parquet file or directory of transcript turns")
+    p.add_argument("--output", help="output directory (results/ + verdicts/)")
+    p.add_argument("--query", default=None, metavar="NAME",
+                   help="instead of a ruleset run, execute one registered analytics/"
+                        "corpus query (see --query list) over --sf-dir")
+    p.add_argument("--sf-dir", default=None,
+                   help="directory of testdata-shaped parquet tables for --query")
     p.add_argument("--labels", default=None, help="optional label-events parquet")
     p.add_argument("--num-partitions", type=int, default=64)
     p.add_argument("--streaming", action="store_true",
@@ -37,11 +42,37 @@ def main(argv: list[str] | None = None) -> int:
                    help="ray.init(num_cpus=...) when this script owns the session")
     args = p.parse_args(argv)
 
+    if args.query is None and not (args.rules and args.input and args.output):
+        p.error("--rules, --input and --output are required (or use --query)")
+
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
+
+    if args.query is not None:
+        from osprey_ray.pipelines import registry
+
+        q = registry()
+        if args.query == "list":
+            for name in sorted(q):
+                print(name)
+            return 0
+        if args.query not in q:
+            print(f"error: unknown query {args.query!r} (try --query list)", file=sys.stderr)
+            return 1
+        if not args.sf_dir:
+            p.error("--sf-dir is required with --query")
+        res = q[args.query](args.sf_dir)
+        if args.output:
+            res.write_parquet(f"{args.output}/{args.query}")
+            print(f"query {args.query} complete: {args.output}/{args.query}")
+        else:
+            pdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+            print(pdf.head(20).to_string())
+            print(f"[{len(pdf)} rows]")
+        return 0
 
     import pyarrow.parquet as pq
     import ray.data as rd

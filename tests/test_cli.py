@@ -61,3 +61,30 @@ def test_cli_streaming_run(ray_session, tmp_path):
 
     assert glob.glob(str(tmp_path / "sout" / "manifest" / "*"))
     assert glob.glob(str(tmp_path / "sout" / "data" / "**" / "*.parquet"), recursive=True)
+
+
+def test_cli_query_runner(ray_session, capsys):
+    from osprey_ray.__main__ import main
+
+    assert main(["--query", "list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "lineitem_agg" in names and "line_dedup" in names
+
+    assert main(["--query", "lineitem_agg", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "[6 rows]" in out
+
+    assert main(["--query", "nope", "--sf-dir", "x"]) == 1
+
+
+def test_cli_query_writes_parquet(ray_session, tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from osprey_ray.__main__ import main
+
+    assert main(
+        ["--query", "doc_tokens", "--sf-dir", "/root/testdata/sf0.001",
+         "--output", str(tmp_path)]
+    ) == 0
+    t = pq.read_table(str(tmp_path / "doc_tokens"))
+    assert t.num_rows == 500

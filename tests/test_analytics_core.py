@@ -94,3 +94,49 @@ def test_range_join_boundaries_and_cross_user_isolation(ray_session, tmp_path):
     assert out["anchor_id"].tolist() == [1, 6]
     assert out["n_in_window"].tolist() == [2, 1]  # anchor + the +30min click
     assert out["cents_in_window"].tolist() == [300, 3200]
+
+
+def test_range_join_vs_bruteforce_random(ray_session, tmp_path):
+    """Randomized (fixed-seed) cross-check: co-partitioned searchsorted
+    must equal the O(n²) python brute force on a dense multi-user input
+    with duplicate timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_range_join
+
+    rng = np.random.default_rng(123)
+    n = 2000
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    uid = rng.integers(0, 40, n)
+    ts = base + rng.integers(0, 3 * 3600, n) * us  # 3h span -> dense windows
+    etype = rng.choice(["purchase", "click", "view"], n, p=[0.2, 0.5, 0.3])
+    val = rng.random(n) * 10
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        q_range_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("anchor_id")
+        .reset_index(drop=True)
+    )
+    W = 3_600_000_000
+    cents = np.floor(val * 100 + 0.5).astype(np.int64)
+    want = {}
+    for i in range(n):
+        if etype[i] != "purchase":
+            continue
+        m = (uid == uid[i]) & (ts >= ts[i]) & (ts < ts[i] + W)
+        want[i] = (int(m.sum()), int(cents[m].sum()))
+    assert got["anchor_id"].tolist() == sorted(want)
+    for _, r in got.iterrows():
+        assert (r["n_in_window"], r["cents_in_window"]) == want[r["anchor_id"]]

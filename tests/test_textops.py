@@ -494,3 +494,51 @@ def test_ann_pq_recall_above_chance(ray_session):
     assert len(out) == 10
     assert (out["code_bytes"] == 8).all() and (out["raw_bytes"] == 256).all()
     assert out["recall_pct"].mean() >= 10  # chance is ~1
+
+
+def test_line_dedup_vs_bruteforce_random(ray_session, tmp_path):
+    """Randomized (fixed-seed) cross-check of the routed winner selection
+    against a sequential python keep-first over a corpus with many
+    colliding 10-token lines."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_line_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> many dup lines
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 35)))
+        for _ in range(120)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(120)), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 120,
+            "source": ["t"] * 120,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        q_line_dedup(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    seen, want = set(), {}
+    for did, txt in enumerate(texts):
+        toks = txt.split(" ")
+        lines = [" ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)]
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want[did] = (
+            len(lines),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    for _, r in got.iterrows():
+        assert (r["n_lines"], r["n_kept"], r["kept_md5"]) == want[r["doc_id"]]
+    assert len(got) == 120

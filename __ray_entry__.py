@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": N.q_ann_lsh,
         "ann_ivf": N.q_ann_ivf,
         "ann_pq": N.q_ann_pq,
+        "ann_ivfpq": N.q_ann_ivfpq,
         "embedding_centroids": N.q_embedding_centroids,
         "embedding_quantize": N.q_embedding_quantize,
         "embed_neardup": N.q_embed_neardup,

@@ -926,3 +926,215 @@ def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
             "raw_bytes": pa.array([dim * 4] * len(rows), pa.int64()),
         }
     )
+
+
+def q_ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
+                nprobe: int = 4, m_sub: int = 8, ks: int = 32, iters: int = 3):
+    """IVFPQ — the canonical billion-scale ANN recipe (faiss's IndexIVFPQ,
+    Jégou et al.): an IVF coarse quantizer prunes the corpus to ``nprobe``
+    cells, and PQ codes of the RESIDUAL (x − c_cell) compress what's left;
+    a query scans only probed cells via ADC lookup tables plus the
+    per-cell inner-product constant ⟨q, c_cell⟩.
+
+    Both training loops are distributed Lloyd passes whose updates ride
+    the composite-key partition-callback sum (never Ray's high-cardinality
+    Aggregate — BASELINE §l): coarse centroids first, then per-subspace
+    residual codebooks.  The driver holds only n_cells×dim +
+    m_sub×ks×(dim/m_sub) floats.  Approximate → rows-only oracle; reports
+    per-query recall vs exact brute force and the scanned candidate
+    count."""
+    from osprey_ray.pipelines.textops import _by_key_partition_col
+
+    q_ids, q_m = _query_set(sf_dir, n_queries)
+    qn = _normalize(q_m)
+    dim = qn.shape[1]
+    assert dim % m_sub == 0
+    sd = dim // m_sub
+
+    ds = _read_emb(sf_dir).materialize()  # consumed 2*iters+2 times
+
+    def _psum(partials, key_col: str, val_cols: list[str]):
+        """groupby(key).sum via routing-hash partition callback."""
+
+        def sum_part(t: pa.Table) -> pa.Table:
+            cols = {key_col: pa.array([], pa.int64())}
+            cols.update({v: pa.array([], pa.float64()) for v in val_cols})
+            if t.num_rows == 0:
+                return pa.table(cols)
+            kk = t[key_col].to_numpy()
+            uk, inv = np.unique(kk, return_inverse=True)
+            out = {key_col: pa.array(uk, pa.int64())}
+            for v in val_cols:
+                out[v] = pa.array(np.bincount(inv, weights=t[v].to_numpy()), pa.float64())
+            return pa.table(out)
+
+        return (
+            _by_key_partition_col(partials, key_col)
+            .map_groups(sum_part, batch_format="pyarrow")
+            .to_pandas()
+        )
+
+    # ---- stage 1: coarse centroids (Lloyd on unit vectors) ----
+    _, init_m = _query_set(sf_dir, n_cells)
+    cent = _normalize(init_m).copy()
+    for _ in range(iters):
+        cmat = cent
+
+        def coarse_partial(t: pa.Table, cmat=cmat) -> pa.Table:
+            ids, m = _to_matrix(t)
+            mn = _normalize(m)
+            cell = np.argmax(mn @ cmat.T, axis=1).astype(np.int64)
+            n = len(mn)
+            key = np.repeat(cell * dim, dim) + np.tile(np.arange(dim, dtype=np.int64), n)
+            uk, inv = np.unique(key, return_inverse=True)
+            v = np.bincount(inv, weights=mn.reshape(-1))
+            cnt = np.bincount(inv)
+            return pa.table(
+                {"ck": pa.array(uk, pa.int64()), "v": pa.array(v, pa.float64()),
+                 "n": pa.array(cnt.astype(np.float64), pa.float64())}
+            )
+
+        upd = _psum(ds.map_batches(coarse_partial, batch_format="pyarrow"), "ck", ["v", "n"])
+        new = cent.copy()
+        cells = (upd["ck"] // dim).to_numpy()
+        dims = (upd["ck"] % dim).to_numpy()
+        means = upd["v"].to_numpy() / np.maximum(upd["n"].to_numpy(), 1)
+        for c in np.unique(cells):
+            vec = new[int(c)].copy()
+            mask = cells == c
+            vec[dims[mask]] = means[mask]
+            nrm = np.linalg.norm(vec)
+            if nrm > 0:
+                new[int(c)] = vec / nrm
+        cent = new
+
+    # ---- stage 2: residual PQ codebooks ----
+    _, init_m2 = _query_set(sf_dir, ks)
+    init_n2 = _normalize(init_m2)
+    r0 = init_n2 - cent[np.argmax(init_n2 @ cent.T, axis=1)]
+    book = np.stack([r0[:, j * sd:(j + 1) * sd].copy() for j in range(m_sub)])
+
+    def _encode(res: np.ndarray, book: np.ndarray) -> np.ndarray:
+        codes = np.empty((len(res), m_sub), dtype=np.int64)
+        for j in range(m_sub):
+            sub = res[:, j * sd:(j + 1) * sd]
+            score = sub @ book[j].T - 0.5 * (book[j] ** 2).sum(axis=1)
+            codes[:, j] = np.argmax(score, axis=1)
+        return codes
+
+    cmat = cent
+    for _ in range(iters):
+        bk = book
+
+        def pq_partial(t: pa.Table, bk=bk) -> pa.Table:
+            ids, m = _to_matrix(t)
+            mn = _normalize(m)
+            res = mn - cmat[np.argmax(mn @ cmat.T, axis=1)]
+            codes = _encode(res, bk)
+            n = len(res)
+            # key = ((sub*ks + code) * sd) + dim
+            sub_i = np.repeat(np.arange(m_sub, dtype=np.int64), n * sd)
+            code_i = np.repeat(codes.T.reshape(-1), sd)
+            dim_i = np.tile(np.arange(sd, dtype=np.int64), n * m_sub)
+            key = (sub_i * ks + code_i) * sd + dim_i
+            vals = np.concatenate(
+                [res[:, j * sd:(j + 1) * sd].reshape(-1) for j in range(m_sub)]
+            )
+            uk, inv = np.unique(key, return_inverse=True)
+            return pa.table(
+                {"ck": pa.array(uk, pa.int64()),
+                 "v": pa.array(np.bincount(inv, weights=vals), pa.float64()),
+                 "n": pa.array(np.bincount(inv).astype(np.float64), pa.float64())}
+            )
+
+        upd = _psum(ds.map_batches(pq_partial, batch_format="pyarrow"), "ck", ["v", "n"])
+        new = book.copy()
+        subs = (upd["ck"] // (ks * sd)).to_numpy()
+        codes_u = ((upd["ck"] // sd) % ks).to_numpy()
+        dims = (upd["ck"] % sd).to_numpy()
+        means = upd["v"].to_numpy() / np.maximum(upd["n"].to_numpy(), 1)
+        for j in range(m_sub):
+            mask = subs == j
+            new[j][codes_u[mask], dims[mask]] = means[mask]
+        book = new
+
+    bk = book
+    probe_cells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probed = {int(q_ids[i]): set(probe_cells[i].tolist()) for i in range(len(q_ids))}
+    # ADC tables on the residual codebook + per-cell constants
+    lut = np.stack(
+        [np.stack([qn[qi, j * sd:(j + 1) * sd] @ bk[j].T for j in range(m_sub)])
+         for qi in range(len(q_ids))]
+    )  # (nq, m_sub, ks)
+    qc = qn @ cent.T  # (nq, n_cells): <q, c_cell>
+
+    def search(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        mn = _normalize(m)
+        cell = np.argmax(mn @ cmat.T, axis=1)
+        res = mn - cmat[cell]
+        codes = _encode(res, bk)
+        sims = np.zeros((len(mn), len(q_ids)))
+        for j in range(m_sub):
+            sims += lut[:, j, :][:, codes[:, j]].T
+        sims += qc[:, cell].T  # add <q, c_cell>
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = np.isin(cell, list(probed[int(qid)])) & (ids != qid)
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            s = sims[cand, qi]
+            top = cand[np.lexsort((ids[cand], -s))[:k]]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(sims[top, qi])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def count_cand(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        cell = np.argmax(_normalize(m) @ cmat.T, axis=1)
+        qs, ns = [], []
+        for qid, cells in probed.items():
+            qs.append(qid)
+            ns.append(int((np.isin(cell, list(cells)) & (ids != qid)).sum()))
+        return pa.table(
+            {"query_id": pa.array(qs, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    counts = _psum(ds.map_batches(count_cand, batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"ck": t["query_id"],
+                            "v": pa.array(t["n"].to_numpy().astype(np.float64), pa.float64())}),
+        batch_format="pyarrow"), "ck", ["v"])
+    n_by_q = dict(zip(counts["ck"].astype(int), counts["v"].astype(int)))
+
+    small = ds.map_batches(search, batch_format="pyarrow").to_pandas()
+    brute = q_ann_bruteforce(sf_dir, k, n_queries).to_pandas()
+    rows = []
+    for qid in q_ids:
+        qid = int(qid)
+        g = small[small["query_id"] == qid]
+        n_cand = int(n_by_q.get(qid, 0))
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        got = set(g["vec_id"].tolist())
+        want = set(brute[brute["query_id"] == qid]["neighbor_id"].tolist())
+        recall = int(round(100 * len(got & want) / max(1, len(want))))
+        rows.append((qid, recall, n_cand))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "recall_pct": pa.array([r[1] for r in rows], pa.int64()),
+            "n_candidates": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

@@ -542,3 +542,14 @@ def test_line_dedup_vs_bruteforce_random(ray_session, tmp_path):
     for _, r in got.iterrows():
         assert (r["n_lines"], r["n_kept"], r["kept_md5"]) == want[r["doc_id"]]
     assert len(got) == 120
+
+
+def test_ann_ivfpq_beats_pq_per_candidate(ray_session):
+    """IVFPQ must prune (scan well under the corpus) while keeping recall
+    at least in plain-PQ territory — the compose-both-quantizers check."""
+    from osprey_ray.pipelines.ann import q_ann_ivfpq
+
+    out = q_ann_ivfpq("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 10
+    assert (out["n_candidates"] < 300).all()  # never the whole 499-corpus
+    assert out["recall_pct"].mean() >= 15     # chance is ~1 at this prune rate

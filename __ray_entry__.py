@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_source": T.q_top_tokens_per_source,
         "corpus_curate": T.q_corpus_curate,
         "source_overlap": T.q_source_overlap,
+        "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
         "ann_lsh": N.q_ann_lsh,
@@ -1219,6 +1220,17 @@ def oracle_sql() -> dict[str, str]:
             "THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept, "
             "(SELECT p10 FROM q) AS p10, (SELECT p90 FROM q) AS p90 "
             "FROM tokc GROUP BY source"
+        ),
+        # unigram-LM surprisal (CCNet-style perplexity-proxy, integer math)
+        "doc_surprisal": (
+            "WITH d AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents), "
+            "N AS (SELECT COUNT(*) AS n FROM d), "
+            "tc AS (SELECT tok, COUNT(*) AS tot FROM d GROUP BY tok), "
+            "per AS (SELECT doc_id, tok, COUNT(*) AS c FROM d GROUP BY doc_id, tok) "
+            "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(c * (((SELECT n FROM N) * 1000000) // tot)) AS BIGINT) AS surprisal_sum, "
+            "CAST(SUM(c * (((SELECT n FROM N) * 1000000) // tot)) // SUM(c) AS BIGINT) AS surprisal_mean "
+            "FROM per JOIN tc USING (tok) GROUP BY doc_id"
         ),
         # cross-source overlap matrix: distinct 5-grams shared per source pair
         "source_overlap": (

@@ -2000,3 +2000,123 @@ def q_source_overlap(sf_dir: str, k: int = 5):
         .groupby(["src_a", "src_b"])
         .aggregate(Sum("n", alias_name="shared_grams"))
     )
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_surprisal(sf_dir: str):
+    """Perplexity-proxy quality signal (the CCNet-style LM filter, with a
+    corpus unigram model standing in for KenLM): per doc, the sum over
+    token positions of an integer surprisal proxy
+    ``(N * 1_000_000) // count(token)`` where N is the corpus token count
+    — rare tokens contribute large values, so a high mean flags
+    gibberish and a very low mean flags boilerplate.  Integer arithmetic
+    end-to-end (no libm log), so the DuckDB twin is exact.
+
+    Scale shape — two shuffles, no join (the ``q_dup_ngrams`` pattern):
+    per-batch (token, doc, c) combiner → co-locate by token, corpus
+    counts via bincount over the co-located rows, surprisal applied in
+    place (N broadcast as a closure scalar from a first tiny histogram
+    pass) → per-doc segment sums."""
+    from ray.data.aggregate import Sum  # noqa: F401
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    # pass 0: corpus token count N (single tiny aggregate)
+    def count_batch(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        return pa.table({"n": pa.array([int(pc.sum(n).as_py() or 0)], pa.int64())})
+
+    N = int(
+        sum(
+            r["n"]
+            for r in ds.map_batches(count_batch, batch_format="pyarrow").take_all()
+        )
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(), n_tok)
+        flat = toks.flatten()
+        gid = pc.dictionary_encode(flat)
+        codes = np.asarray(gid.indices, dtype=np.int64)
+        width = np.int64(max(len(gid.dictionary), 1))
+        dict_h = np.array(
+            [
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+                for s in gid.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        ).view(np.int64)
+        key = doc * width + codes
+        ukey, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "tok_h": pa.array(dict_h[(ukey % width)], pa.int64()),
+                "doc_id": pa.array(ukey // width, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tdc = ds.map_batches(explode, batch_format="pyarrow")
+
+    def surprise_in_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        th = t["tok_h"].to_numpy()
+        c = t["c"].to_numpy()
+        _, inv = np.unique(th, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)  # corpus count per token
+        proxy = (np.int64(N) * np.int64(1_000_000)) // tot[inv]
+        assert N < (1 << 42), "N * 1e6 must fit int64"
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n": pa.array(c, pa.int64()),
+                "s": pa.array(c * proxy, pa.int64()),
+            }
+        )
+
+    flagged = _by_key_partition_col(tdc, "tok_h").map_groups(
+        surprise_in_part, batch_format="pyarrow"
+    )
+
+    def sum_in_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "surprisal_sum": pa.array([], pa.int64()),
+                "surprisal_mean": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc_id"].to_numpy()
+        udoc, inv = np.unique(doc, return_inverse=True)
+        n = np.bincount(inv, weights=t["n"].to_numpy()).astype(np.int64)
+        s = np.bincount(inv, weights=t["s"].to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "surprisal_sum": pa.array(s, pa.int64()),
+                "surprisal_mean": pa.array(s // np.maximum(n, 1), pa.int64()),
+            }
+        )
+
+    return _by_key_partition_col(flagged, "doc_id").map_groups(
+        sum_in_part, batch_format="pyarrow"
+    )

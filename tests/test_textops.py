@@ -553,3 +553,30 @@ def test_ann_ivfpq_beats_pq_per_candidate(ray_session):
     assert len(out) == 10
     assert (out["n_candidates"] < 300).all()  # never the whole 499-corpus
     assert out["recall_pct"].mean() >= 15     # chance is ~1 at this prune rate
+
+
+def test_doc_surprisal_orders_rarity(ray_session, tmp_path):
+    """A doc of corpus-unique tokens must score a strictly higher mean
+    surprisal than a doc made of the corpus's most common token."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_doc_surprisal
+
+    common = "the " * 19 + "the"                      # 20x the commonest token
+    rare = " ".join(f"hapax{i}" for i in range(20))   # 20 singletons
+    filler = " ".join(["the"] * 40)                   # makes 'the' dominate
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [common, rare, filler],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": pa.array([len(common), len(rare), len(filler)], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_doc_surprisal(str(tmp_path)).to_pandas().set_index("doc_id")
+    n = 80  # corpus tokens
+    assert out.loc[2, "surprisal_mean"] == n * 1_000_000  # singletons: N/1
+    assert out.loc[1, "surprisal_mean"] == (n * 1_000_000) // 60  # 'the' count 60
+    assert out.loc[2, "surprisal_mean"] > out.loc[1, "surprisal_mean"]

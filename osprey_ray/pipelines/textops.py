@@ -1726,7 +1726,6 @@ def q_top_tokens_per_source(sf_dir: str, k: int = 5):
     No per-group Python.  Note the partition key cardinality is the
     source count — fine for dataset mixing (dozens of sources); for
     unbounded keys use the two-shuffle form."""
-    from ray.data.aggregate import Sum  # noqa: F401  (kept for API parity)
 
     ds = _read_docs(sf_dir, ["source", "text"])
 
@@ -2020,7 +2019,6 @@ def q_doc_surprisal(sf_dir: str):
     counts via bincount over the co-located rows, surprisal applied in
     place (N broadcast as a closure scalar from a first tiny histogram
     pass) → per-doc segment sums."""
-    from ray.data.aggregate import Sum  # noqa: F401
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 

@@ -683,11 +683,20 @@ class LangId:
         )
 
 
+def _lang_pool() -> int:
+    """Actor-pool size for the LangId stage, sized from the cluster rather
+    than a fixed 2 (same rationale as ann._pool_size)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus // 2)
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID accuracy matrix: (true lang, guessed lang, count)."""
     ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=_lang_pool())
         .groupby(["lang", "lang_guess"])
         .aggregate(Count(alias_name="n"))
     )
@@ -1546,7 +1555,12 @@ def q_dup_ngrams(sf_dir: str, k: int = 5):
             ],
             dtype=np.uint64,
         ).view(np.int64)
-        assert len(doc) == 0 or int(doc.max()) < (1 << 42), "key overflow"
+        # guard the ACTUAL product bound: numpy int64 wraps silently, which
+        # would merge unrelated (doc, gram) counts (ADVICE r3)
+        assert (
+            len(doc) == 0
+            or int(doc.max()) * int(max(width, 1)) + int(max(width, 1)) < 2**63
+        ), "composite key overflow: doc_id * n_unique_grams exceeds int64"
         key = doc * max(width, 1) + codes
         ukey, c = np.unique(key, return_counts=True)
         return pa.table(
@@ -2051,6 +2065,10 @@ def q_doc_surprisal(sf_dir: str):
             ],
             dtype=np.uint64,
         ).view(np.int64)
+        # same silent-int64-wrap guard as q_dup_ngrams' explode (ADVICE r3)
+        assert (
+            len(doc) == 0 or int(doc.max()) * int(width) + int(width) < 2**63
+        ), "composite key overflow: doc_id * n_unique_tokens exceeds int64"
         key = doc * width + codes
         ukey, c = np.unique(key, return_counts=True)
         return pa.table(

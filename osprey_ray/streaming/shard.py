@@ -591,9 +591,31 @@ class StateShard:
         self.pending = pend
         self.watermark = wm if wm is not None else np.iinfo(np.int64).min
         self.spilled = []
-        self._spill_seq = 0
+        # Seed the spill sequence PAST any file already on disk for this
+        # part number: starting at 0 would reuse spill-pNNNN-000000.parquet
+        # and os.replace would overwrite a spill file still referenced by
+        # the prior committed manifest's snapshot — a crash before the
+        # first post-rescale manifest commit would then resume from
+        # corrupted spill data (ADVICE r3, medium).
+        self._spill_seq = self._next_free_spill_seq()
         self._consumed_spills = []
         return True
+
+    def _next_free_spill_seq(self) -> int:
+        """Max sequence of any on-disk spill file for this part, plus one
+        (0 when the spill dir is empty/absent)."""
+        import glob
+        import re
+
+        pat = os.path.join(
+            self.out_dir, "spill", f"spill-p{self.part:04d}-*.parquet"
+        )
+        seqs = []
+        for p in glob.glob(pat):
+            m = re.search(r"-(\d{6})\.parquet$", p)
+            if m:
+                seqs.append(int(m.group(1)))
+        return (max(seqs) + 1) if seqs else 0
 
     def restore(self, path: str) -> bool:
         with open(path, "rb") as f:

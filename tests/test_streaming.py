@@ -622,3 +622,33 @@ def test_resume_with_different_shard_count(stream_data, tmp_path):
             assert [_norm(x) for x in got[k]] == [_norm(x) for x in ref[k]], (
                 f"rescale {tag}: column {k} differs"
             )
+
+
+def test_rescale_spill_seq_seeded_past_existing_files(tmp_path):
+    """After restore_resharded the spill sequence must start PAST any
+    spill file already on disk for this part: starting at 0 would
+    os.replace a file still referenced by the prior committed manifest's
+    snapshot, corrupting a resume that crashes before the first
+    post-rescale manifest commit (ADVICE r3, medium)."""
+    import os
+
+    from osprey_ray.streaming.shard import StateShard
+
+    out = tmp_path / "out"
+    spill = out / "spill"
+    spill.mkdir(parents=True)
+    for seq in (0, 3, 17):
+        (spill / f"spill-p0002-{seq:06d}.parquet").write_bytes(b"x")
+    (spill / "spill-p0001-000099.parquet").write_bytes(b"x")  # other part
+
+    cls = StateShard.__ray_metadata__.modified_class  # undecorated class
+    sh = cls.__new__(cls)
+    sh.out_dir = str(out)
+    sh.part = 2
+    assert sh._next_free_spill_seq() == 18
+    sh.part = 1
+    assert sh._next_free_spill_seq() == 100
+    sh.part = 0  # no files for this part
+    assert sh._next_free_spill_seq() == 0
+    sh.out_dir = str(tmp_path / "absent")  # no spill dir at all
+    assert sh._next_free_spill_seq() == 0

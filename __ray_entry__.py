@@ -493,30 +493,23 @@ def _streaming_verdicts(sf_dir: str):
 def _sample_turns(sf_dir: str):
     """ActionSampler analogue (worker/sinks/sink/rules_sink.py:47-70):
     deterministic hash-based 25% sampling so replays match (SURVEY §2.7).
-    The sampling hash is the first 8 hex chars of md5(str(event_id)) —
-    DuckDB-computable, so this query is hash-verified against a SQL twin
-    (round-1 verdict item #7: it was rows-only)."""
-    import hashlib
-
+    The sampling hash is splitmix64(event_id) — vectorized numpy in the
+    engine (VERDICT r3 item #3: this was a per-row Python md5 loop) and
+    reproduced in the DuckDB twin via HUGEINT wrapping arithmetic, so the
+    query stays hash-verified."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
     from ray.data.aggregate import Count
 
     from osprey_ray.io import read_parquet_clean
+    from osprey_ray.pipelines.textops import _splitmix64
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
-    threshold = (1 << 32) // 4  # 25%
+    threshold = np.uint64((1 << 64) // 4)  # 25%
 
     def samp(t: pa.Table) -> pa.Table:
-        ids = t["event_id"].to_numpy()
-        h = np.array(
-            [
-                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
-                for i in ids
-            ],
-            dtype=np.uint64,
-        )
+        h = _splitmix64(t["event_id"].to_numpy().astype(np.uint64))
         return t.filter(pa.array(h < threshold)).select(["event_type"])
 
     return ds.map_batches(samp, batch_format="pyarrow").groupby("event_type").aggregate(
@@ -738,6 +731,34 @@ def _murmur3_sql(seed: int = 42) -> str:
     )
 
 
+def _splitmix64_ctes(src: str, cols: str, idexpr: str, out: str = "r") -> str:
+    """CTE chain reproducing ``textops._splitmix64(idexpr)`` in DuckDB:
+    exposes columns ``cols`` plus ``out`` (UBIGINT hash) in a final CTE
+    named ``smh``.  Wrapping 64-bit multiply-by-constant is split hi/lo
+    through HUGEINT exactly like ``_winnow_sql``; ``idexpr`` must be a
+    non-negative BIGINT (doc_id/event_id), whose HUGEINT widening equals
+    the engine's int64→uint64 bit reinterpretation."""
+    TWO64 = 1 << 64
+
+    def mul64(a: str, C: int) -> str:
+        clo, chi = C & 0xFFFFFFFF, C >> 32
+        A = f"CAST({a} AS HUGEINT)"
+        t1 = f"(({A} * {clo}) % {TWO64})"
+        t2 = f"((({A} * {chi}) % 4294967296) * 4294967296)"
+        return f"CAST((({t1} + {t2}) % {TWO64}) AS UBIGINT)"
+
+    def xshift(z: str, r: int) -> str:
+        return f"xor({z}, ({z}) >> {r})"
+
+    z0 = f"CAST((CAST({idexpr} AS HUGEINT) + 11400714819323198485) % {TWO64} AS UBIGINT)"
+    return (
+        f"sm0 AS (SELECT {cols}, {z0} AS z FROM {src}), "
+        f"sm1 AS (SELECT {cols}, {mul64(xshift('z', 30), 0xBF58476D1CE4E5B9)} AS z FROM sm0), "
+        f"sm2 AS (SELECT {cols}, {mul64(xshift('z', 27), 0x94D049BB133111EB)} AS z FROM sm1), "
+        f"smh AS (SELECT {cols}, {xshift('z', 31)} AS {out} FROM sm2)"
+    )
+
+
 def _winnow_sql(k: int = 8, w: int = 16) -> str:
     """Generate the DuckDB twin of ``textops.winnow_fingerprints``
     (Schleimer/Wilkerson/Aiken winnowing, SIGMOD'03): FNV-prime polynomial
@@ -866,10 +887,11 @@ FROM inj
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # 25% sampling threshold = 2^62 over the splitmix64(event_id) rank
         "sample_turns": (
-            "SELECT event_type, COUNT(*) AS n_sampled FROM events "
-            "WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT < 1073741824 "
-            "GROUP BY event_type"
+            "WITH " + _splitmix64_ctes("events", "event_type", "event_id")
+            + " SELECT event_type, COUNT(*) AS n_sampled FROM smh "
+            f"WHERE r < {1 << 62} GROUP BY event_type"
         ),
         "lang_id": _lang_id_sql(),
         # exhaustive O(n²) Jaccard twin for the LSH path (16 bands × 4 rows
@@ -898,10 +920,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 100"
         ),
         "stratified_sample": (
-            "SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM ("
-            "SELECT doc_id, lang, ROW_NUMBER() OVER ("
-            "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn "
-            "FROM documents) WHERE rn <= 5"
+            "WITH " + _splitmix64_ctes("documents", "doc_id, lang", "doc_id")
+            + ", rnk AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY r) AS rn FROM smh) "
+            "SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank "
+            "FROM rnk WHERE rn <= 5"
         ),
         # integer idf-proxy (tf * 1e6 // df): no libm log, so the engine's
         # numpy arithmetic and DuckDB agree exactly
@@ -1139,11 +1162,11 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mix": (
             "WITH w(source, quota) AS (VALUES "
             "('src0', 40), ('src1', 20), ('src2', 10), ('src3', 5)), "
-            "r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
-            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn "
-            "FROM documents) "
+            + _splitmix64_ctes("documents", "doc_id, source", "doc_id")
+            + ", rnk AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY r) AS rn FROM smh) "
             "SELECT doc_id, source, CAST(rn AS BIGINT) AS mix_rank "
-            "FROM r JOIN w USING (source) WHERE rn <= quota"
+            "FROM rnk JOIN w USING (source) WHERE rn <= quota"
         ),
         # PII redaction: deterministic doc_id-derived PII injected in-query
         # on BOTH sides (the synthetic corpus has none), then counted and

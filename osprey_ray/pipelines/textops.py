@@ -796,9 +796,12 @@ def q_token_counts(sf_dir: str, top_n: int = 100):
 
 def q_stratified_sample(sf_dir: str, per_group: int = 5):
     """Deterministic stratified sampling: ``per_group`` docs per ``lang``
-    with the smallest md5(doc_id) — reproducible across runs and engines
-    (the same md5-threshold idea as ``sample_turns``, but per-stratum
-    top-k instead of a global rate).
+    with the smallest splitmix64(doc_id) — reproducible across runs and
+    engines (the same hash-rank idea as ``sample_turns``, but per-stratum
+    top-k instead of a global rate).  The rank hash is vectorized numpy
+    (VERDICT r3 item #3: this was a per-row Python md5 loop — ~1 µs/row ×
+    10^11 docs is 10^5 s of pure hashing CPU); the DuckDB twin reproduces
+    splitmix64 with the same HUGEINT wrapping arithmetic as _winnow_sql.
 
     Scale shape: a per-batch partial top-k per stratum runs BEFORE the
     stratum-keyed exchange, so at most k × n_strata rows per batch ever
@@ -809,9 +812,7 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5):
 
     def partial(t: pa.Table):
         df = t.to_pandas()
-        df["__r"] = [
-            hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]
-        ]
+        df["__r"] = _splitmix64(df["doc_id"].to_numpy().astype(np.uint64))
         return pa.Table.from_pandas(
             df.sort_values(["lang", "__r"]).groupby("lang").head(per_group),
             preserve_index=False,
@@ -1148,10 +1149,10 @@ def q_pack_sequences(sf_dir: str, capacity: int = 256, part_rows: int = 128):
 
 def q_dataset_mix(sf_dir: str, weights: dict[str, int] | None = None):
     """Weighted dataset mixing: draw a deterministic sample of
-    ``weights[source]`` docs per source (smallest md5(doc_id) first — the
-    same reproducible-rank trick as ``q_stratified_sample``, so re-runs
-    and engines agree).  The per-batch partial top-k bounds the shuffle at
-    k × n_sources rows per batch."""
+    ``weights[source]`` docs per source (smallest splitmix64(doc_id) first
+    — the same vectorized reproducible-rank trick as
+    ``q_stratified_sample``, so re-runs and engines agree).  The per-batch
+    partial top-k bounds the shuffle at k × n_sources rows per batch."""
     weights = weights or {"src0": 40, "src1": 20, "src2": 10, "src3": 5}
     ds = _read_docs(sf_dir, ["doc_id", "source"])
     wmax = max(weights.values())
@@ -1159,7 +1160,7 @@ def q_dataset_mix(sf_dir: str, weights: dict[str, int] | None = None):
     def partial(t: pa.Table):
         df = t.to_pandas()
         df = df[df["source"].isin(weights)]
-        df["__r"] = [hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+        df["__r"] = _splitmix64(df["doc_id"].to_numpy().astype(np.uint64))
         return pa.Table.from_pandas(
             df.sort_values(["source", "__r"]).groupby("source").head(wmax),
             preserve_index=False,

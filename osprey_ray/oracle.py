@@ -17,6 +17,7 @@ separately); everything else here is a second implementation.
 from __future__ import annotations
 
 import bisect
+import heapq
 from typing import Any
 
 import pyarrow as pa
@@ -63,6 +64,13 @@ class OracleEngine:
             self.labels.apply(cid, lbl, status, evs[ei][0], exp)
             ei += 1
         st["lev"] = ei
+        # delayed self-mutations whose effective instant has arrived —
+        # applied after external events at the same observing turn, matching
+        # the engine walk's branch order (ev → delayed)
+        dl = st.get("delayed")
+        while dl and dl[0][0] <= ts_us:
+            tsf, _, lbl, status, exp, _reason = heapq.heappop(dl)
+            self.labels.apply(cid, lbl, status, tsf, exp)
 
         for sf in spec.stateful:
             if isinstance(sf, IncrementWindow):
@@ -199,15 +207,35 @@ class OracleEngine:
                 for ef in trg.then:
                     if isinstance(ef, DeclareVerdict):
                         verdicts.add(ef.verdict)
-                    elif isinstance(ef, LabelAdd):
+                        continue
+                    if not isinstance(ef, (LabelAdd, LabelRemove)):
+                        continue
+                    if ef.suppressed:
+                        continue  # computed but never applied
+                    dep = ef.dependent_rule
+                    if dep is not None and not rule_vals.get(dep):
+                        continue  # dependent rule gate
+                    if isinstance(ef, LabelAdd):
+                        status = "added"
                         exp = (
                             ts_us + int(ef.expires_after * 1e6)
                             if ef.expires_after is not None
                             else None
                         )
-                        muts.append((ef.label, "added", exp))
-                    elif isinstance(ef, LabelRemove):
-                        muts.append((ef.label, "removed", None))
+                    else:
+                        status, exp = "removed", None
+                    delay = ef.delay_action_by
+                    if delay is not None and delay > 0:
+                        st = self.conv_state.setdefault(cid, {})
+                        dlq = st.setdefault("delayed", [])
+                        seq = st.get("dseq", 0)
+                        st["dseq"] = seq + 1
+                        reason = ",".join(sorted(set(passing) | ({dep} if dep else set())))
+                        heapq.heappush(
+                            dlq, (ts_us + int(delay * 1e6), seq, ef.label, status, exp, reason)
+                        )
+                    else:
+                        muts.append((ef.label, status, exp))
             if muts:
                 self.labels.apply_conflicting(cid, muts, ts_us)
 

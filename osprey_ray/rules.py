@@ -34,15 +34,36 @@ class DeclareVerdict:
 
 @dataclass(frozen=True)
 class LabelAdd:
+    """Label-mutation effect (reference LabelEffect,
+    engine/language_types/labels.py:17-66):
+
+    - ``expires_after``: timed expiry of the reason, seconds of event time;
+    - ``delay_action_by``: the mutation takes effect at ``turn ts + delay``
+      (event-time offset, labels.py:35-36) — invisible to turns before
+      that instant, applied like an external label event when the stream
+      reaches it;
+    - ``dependent_rule``: applied only if the named rule evaluated true on
+      the firing turn (labels.py:38-39, output_sink.py:135-137); the rule
+      name is recorded in the mutation-stream ``reason``;
+    - ``suppressed``: computed but never applied — the rule author's
+      dry-run escape hatch (labels.py:41-42, output_sink.py:129-131).
+    """
+
     label: str
     entity: str = "conv_id"  # column holding the entity key
     expires_after: float | None = None  # seconds, event-time
+    delay_action_by: float | None = None  # seconds, event-time offset
+    dependent_rule: str | None = None
+    suppressed: bool = False
 
 
 @dataclass(frozen=True)
 class LabelRemove:
     label: str
     entity: str = "conv_id"
+    delay_action_by: float | None = None  # seconds, event-time offset
+    dependent_rule: str | None = None
+    suppressed: bool = False
 
 
 Effect = DeclareVerdict | LabelAdd | LabelRemove
@@ -287,6 +308,13 @@ class RuleSpec:
             for rn in t.rules_any:
                 if rn not in rules:
                     raise ValueError(f"trigger references unknown rule {rn}")
+            for e in t.then:
+                dep = getattr(e, "dependent_rule", None)
+                if dep is not None and dep not in rules:
+                    raise ValueError(
+                        f"label effect on {t.rules_any} references unknown "
+                        f"dependent_rule {dep}"
+                    )
 
     def merge(self, *others: "RuleSpec") -> "RuleSpec":
         """Compile-time plan merge — the ``Import`` analogue

@@ -513,8 +513,12 @@ def eval_released(
             ei = st.get("lev", 0)
             has_events = evs is not None and ei < len(evs)
             has_state = cid in label_store.data
+            # pending delayed self-mutations (delay_action_by) behave like
+            # external label events scheduled at ts_eff; they live in the
+            # per-conversation state so streaming checkpoints carry them
+            dl = st.get("delayed")
             cand = np.flatnonzero(trig_pre[s:e])
-            if not has_events and not has_state and len(cand) == 0:
+            if not has_events and not has_state and len(cand) == 0 and not dl:
                 continue
             t_slice = ts[s:e]
             m = e - s
@@ -547,9 +551,16 @@ def eval_released(
                         ev_pos = INF  # belongs to a future epoch's rows
                 else:
                     ev_pos = INF
+                dl = st.get("delayed")
+                if dl:
+                    dl_pos = int(np.searchsorted(t_slice, dl[0][0], side="left"))
+                    if dl_pos >= m:
+                        dl_pos = INF  # takes effect past this slice's rows
+                else:
+                    dl_pos = INF
                 exp_pos = expiry_heap[0] if expiry_heap else INF
                 cand_pos = int(cand[ci]) if ci < len(cand) else INF
-                nxt = min(ev_pos, exp_pos, cand_pos)
+                nxt = min(ev_pos, exp_pos, dl_pos, cand_pos)
                 if nxt == INF:
                     break
                 if ev_pos == nxt:
@@ -563,62 +574,106 @@ def eval_released(
                     heapq.heappop(expiry_heap)
                     changes.append((exp_pos, hl_tuple(int(t_slice[exp_pos]))))
                     continue
+                if dl_pos == nxt:
+                    # delayed self-mutation reaches its effective instant
+                    tsf, _, lbl, status, exp, reason = heapq.heappop(dl)
+                    if label_store.apply(cid, lbl, status, tsf, exp):
+                        mutations.append((cid, tsf, lbl, status, reason))
+                        note_expiry(exp)
+                    changes.append((dl_pos, hl_tuple(int(t_slice[dl_pos]))))
+                    continue
                 # candidate row: evaluate label-gated conjuncts + fire effects
                 i_loc = cand_pos
                 ci += 1
                 i = s + i_loc
                 t_i = int(t_slice[i_loc])
                 hl_now = {h.name: v for h, v in zip(hl_feats, hl_tuple(t_i))}
+                row_rule_memo: dict[str, bool] = {}
+
+                def rule_true_at(rn: str) -> bool:
+                    """This rule's value on row i, label conjuncts included —
+                    full augmented row, so a conjunct mixing a HasLabel
+                    feature with ordinary columns/features resolves instead
+                    of failing; HasLabel values override with the walk's
+                    current (not vectorized-default) state.  Memoized per
+                    row (dependent_rule may re-check a trigger rule)."""
+                    got = row_rule_memo.get(rn)
+                    if got is not None:
+                        return got
+                    ok = bool(rule_vals[rn][i])
+                    rp = plan_map[rn]
+                    if ok and rp.label:
+                        rctx = RowContext(row=_LazyRow(aug, i), features=hl_now)
+                        for conj in rp.label:
+                            try:
+                                v = conj.eval_row(rctx)
+                            except ExprError:
+                                v = None
+                            if not v:
+                                ok = False
+                                break
+                    row_rule_memo[rn] = ok
+                    return ok
+
                 muts: list[tuple] = []
                 for trg in label_triggers:
-                    fire = False
-                    for rn in trg.rules_any:
-                        if not rule_vals[rn][i]:
+                    fired = [rn for rn in trg.rules_any if rule_true_at(rn)]
+                    if not fired:
+                        continue
+                    for ef in trg.then:
+                        if not isinstance(ef, (LabelAdd, LabelRemove)):
                             continue
-                        rp = plan_map[rn]
-                        if rp.label:
-                            # full augmented row, so a conjunct mixing a
-                            # HasLabel feature with ordinary columns/features
-                            # (or_(col('X'), col('HasSpam'))) resolves instead
-                            # of failing; HasLabel values override with the
-                            # walk's current (not vectorized-default) state
-                            rctx = RowContext(
-                                row=_LazyRow(aug, i), features=hl_now
+                        # suppressed: computed but never applied — the
+                        # dry-run escape hatch (output_sink.py:129-131)
+                        if ef.suppressed:
+                            continue
+                        # dependent_rule gate (output_sink.py:135-137); the
+                        # dependent rule joins the recorded reason set
+                        dep = ef.dependent_rule
+                        if dep is not None and not rule_true_at(dep):
+                            continue
+                        reason = ",".join(
+                            sorted(set(fired) | ({dep} if dep else set()))
+                        )
+                        if isinstance(ef, LabelAdd):
+                            status = "added"
+                            exp = (
+                                t_i + int(ef.expires_after * 1e6)
+                                if ef.expires_after is not None
+                                else None
                             )
-                            ok = True
-                            for conj in rp.label:
-                                try:
-                                    v = conj.eval_row(rctx)
-                                except ExprError:
-                                    v = None
-                                if not v:
-                                    ok = False
-                                    break
-                            if not ok:
-                                continue
-                        fire = True
-                        break
-                    if fire:
-                        for ef in trg.then:
-                            if isinstance(ef, LabelAdd):
-                                exp = (
-                                    t_i + int(ef.expires_after * 1e6)
-                                    if ef.expires_after is not None
-                                    else None
-                                )
-                                muts.append((ef.label, "added", exp))
-                            elif isinstance(ef, LabelRemove):
-                                muts.append((ef.label, "removed", None))
+                        else:
+                            status, exp = "removed", None
+                        delay = ef.delay_action_by
+                        if delay is not None and delay > 0:
+                            # takes effect at ts_eff, like an external label
+                            # event — queued in per-conversation state (so
+                            # checkpoints carry it), applied when the walk
+                            # reaches the first turn at/after ts_eff
+                            dlq = st.setdefault("delayed", [])
+                            seq = st.get("dseq", 0)
+                            st["dseq"] = seq + 1
+                            heapq.heappush(
+                                dlq,
+                                (t_i + int(delay * 1e6), seq, ef.label, status, exp, reason),
+                            )
+                        else:
+                            muts.append((ef.label, status, exp, reason))
                 if muts:
-                    applied = label_store.apply_conflicting(cid, muts, t_i)
+                    applied = label_store.apply_conflicting(
+                        cid, [(l, s, x) for l, s, x, _ in muts], t_i
+                    )
                     for lbl, status in applied:
-                        mutations.append((cid, t_i, lbl, status))
+                        reason = next(
+                            r for l, s, _, r in muts if l == lbl and s == status
+                        )
+                        mutations.append((cid, t_i, lbl, status, reason))
                         # expiry of the mutation that actually won — keyed by
                         # (label, status), not label alone, so a losing
                         # conflicting mutation's expiry is never picked up
                         note_expiry(
                             next(
-                                (x for l, s, x in muts if l == lbl and s == status),
+                                (x for l, s, x, _ in muts if l == lbl and s == status),
                                 None,
                             )
                         )

@@ -266,6 +266,10 @@ class StateShard:
                         "ts": pa.array([m[1] for m in muts], pa.timestamp("us")),
                         "label": pa.array([m[2] for m in muts], pa.string()),
                         "status": pa.array([m[3] for m in muts], pa.string()),
+                        # CSV of the fired rules (plus dependent_rule when
+                        # set) — the reference's mutation reason_name
+                        # (output_sink.py:107-118)
+                        "reason": pa.array([m[4] for m in muts], pa.string()),
                     }
                 )
                 labels_path = self._write_atomic(epoch, mt, prefix="labels")

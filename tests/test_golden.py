@@ -416,3 +416,141 @@ def test_salted_rejects_label_specs(small_data):
 
     with pytest.raises(ValueError, match="label"):
         run_batch_salted([], flagship_spec())
+
+
+def _label_fields_spec():
+    """Spec exercising all three LabelEffect fields
+    (engine/language_types/labels.py:35-42): a seed rule adds a delayed
+    label, a suppressed effect that must never land, and a
+    dependent_rule-gated effect."""
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import (
+        DeclareVerdict,
+        Feature,
+        HasLabel,
+        LabelAdd,
+        Rule,
+        RuleSpec,
+        WhenRules,
+    )
+
+    return RuleSpec(
+        features=[
+            Feature("IsSpamText", fn("CheckCensorized", target=col("text"), words=("free money",))),
+            Feature("IsExec", col("tool") == "exec"),
+        ],
+        stateful=[
+            HasLabel("HasDelayed", label="delayed_mark", status="added"),
+            HasLabel("HasSuppressed", label="ghost_mark", status="added"),
+            HasLabel("HasGated", label="gated_mark", status="added"),
+        ],
+        rules=[
+            Rule("RuleSeed", [col("IsSpamText")]),
+            Rule("RuleGate", [col("IsExec")]),
+            Rule("RuleSawDelayed", [col("HasDelayed")]),
+        ],
+        triggers=[
+            WhenRules(
+                ["RuleSeed"],
+                [
+                    LabelAdd("delayed_mark", delay_action_by=600.0, expires_after=7200),
+                    LabelAdd("ghost_mark", suppressed=True),
+                    LabelAdd("gated_mark", dependent_rule="RuleGate"),
+                ],
+            ),
+            WhenRules(["RuleSawDelayed"], [DeclareVerdict("saw_delayed")]),
+        ],
+    )
+
+
+def test_label_effect_fields_match_oracle(small_data):
+    """suppressed / dependent_rule / delay_action_by: vectorized engine ≡
+    row-at-a-time oracle on the full corpus, and the suppressed label is
+    never observed anywhere."""
+    clean, lmap = small_data
+    spec = _label_fields_spec()
+    spec.validate()
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, lmap)(t1)
+    got = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = pd.DataFrame(oracle_results(clean, spec, lmap))
+    assert_frames_equal(got, want)
+    assert not got["HasSuppressed"].any(), "suppressed effect leaked into state"
+    # the corpus plants 'free money' text, so the delayed label must land
+    assert got["HasDelayed"].any()
+
+
+def test_label_delay_visibility_boundary():
+    """A delayed LabelAdd is invisible strictly before ts_eff = fire ts +
+    delay and visible from the first turn at/after it; the mutation stream
+    records the EFFECTIVE timestamp and the firing-rule reason."""
+    import pyarrow as pa
+
+    from osprey_ray.stages.stateful import eval_released
+    from osprey_ray.stages.stateless import compile_stateless as _cs
+    from osprey_ray.state.labels import LabelStore
+    from osprey_ray.stages.stateless import split_rules
+
+    spec = _label_fields_spec()
+    spec.validate()
+    base_us = 1_600_000_000_000_000
+    tbl = pa.table(
+        {
+            "conv_id": ["c1"] * 4,
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "role": ["user"] * 4,
+            "text": ["free money now", "hi", "hi", "hi"],
+            "tool": ["none", "none", "none", "none"],
+            "ts": pa.array(
+                [base_us, base_us + 300_000_000, base_us + 600_000_000, base_us + 900_000_000],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    t1 = _cs(spec)(tbl)
+    store = LabelStore()
+    out, muts = eval_released(t1, spec, split_rules(spec), {}, store, {})
+    has = out["HasDelayed"].to_pylist()
+    # delay 600s: fired at t0, effective at t0+600s == turn 2's ts
+    assert has == [False, False, True, True]
+    assert out["HasSuppressed"].to_pylist() == [False] * 4
+    assert out["HasGated"].to_pylist() == [False] * 4  # gate rule never true
+    assert len(muts) == 1
+    cid, ts_eff, lbl, status, reason = muts[0]
+    assert (cid, lbl, status) == ("c1", "delayed_mark", "added")
+    assert ts_eff == base_us + 600_000_000
+    assert reason == "RuleSeed"
+    # verdict trigger reading the delayed label fires only from turn 2
+    v = out["__verdicts"].to_pylist()
+    assert v == [[], [], ["saw_delayed"], ["saw_delayed"]]
+
+
+def test_label_dependent_rule_applies_and_records_reason():
+    """dependent_rule true → effect applied, dependent rule recorded in the
+    mutation reason (output_sink.py:143-146)."""
+    import pyarrow as pa
+
+    from osprey_ray.stages.stateful import eval_released
+    from osprey_ray.stages.stateless import compile_stateless as _cs
+    from osprey_ray.state.labels import LabelStore
+    from osprey_ray.stages.stateless import split_rules
+
+    spec = _label_fields_spec()
+    spec.validate()
+    base_us = 1_600_000_000_000_000
+    tbl = pa.table(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": ["user"] * 2,
+            "text": ["free money now", "hi"],
+            "tool": ["exec", "none"],  # gate true on the firing turn
+            "ts": pa.array([base_us, base_us + 60_000_000], pa.timestamp("us")),
+        }
+    )
+    t1 = _cs(spec)(tbl)
+    out, muts = eval_released(t1, spec, split_rules(spec), {}, LabelStore(), {})
+    assert out["HasGated"].to_pylist() == [False, True]
+    gated = [m for m in muts if m[2] == "gated_mark"]
+    assert len(gated) == 1
+    assert gated[0][4] == "RuleGate,RuleSeed"  # sorted CSV incl. dependent rule

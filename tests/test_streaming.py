@@ -652,3 +652,84 @@ def test_rescale_spill_seq_seeded_past_existing_files(tmp_path):
     assert sh._next_free_spill_seq() == 0
     sh.out_dir = str(tmp_path / "absent")  # no spill dir at all
     assert sh._next_free_spill_seq() == 0
+
+
+def test_delayed_label_streaming_kill_resume(stream_data, tmp_path):
+    """delay_action_by across epoch boundaries: delayed mutations queued in
+    per-conversation state must be carried by checkpoints — a crash between
+    epochs resumes bit-identically (results AND the label-mutation stream),
+    and the streaming output matches the batch oracle."""
+    from osprey_ray.expr import col, fn
+    from osprey_ray.oracle import oracle_results
+    from osprey_ray.rules import (
+        DeclareVerdict,
+        Feature,
+        HasLabel,
+        LabelAdd,
+        Rule,
+        RuleSpec,
+        WhenRules,
+    )
+
+    spec = RuleSpec(
+        features=[
+            Feature("IsSpamText", fn("CheckCensorized", target=col("text"), words=("free money",))),
+        ],
+        stateful=[HasLabel("HasDelayed", label="delayed_mark", status="added")],
+        rules=[
+            Rule("RuleSeed", [col("IsSpamText")]),
+            Rule("RuleSaw", [col("HasDelayed")]),
+        ],
+        triggers=[
+            # long delay so ts_eff routinely lands in a later epoch
+            WhenRules(["RuleSeed"], [LabelAdd("delayed_mark", delay_action_by=1800.0)]),
+            WhenRules(["RuleSaw"], [DeclareVerdict("saw_delayed")]),
+        ],
+    )
+    spec.validate()
+    segs, _, full = stream_data
+
+    ref = StreamingJob(spec, segs, str(tmp_path / "ref"), {}, num_shards=4, files_per_epoch=2)
+    ref.run(); ref.finalize()
+    want = _df(ref.results_table())
+    assert want["HasDelayed"].any(), "fixture never crossed the delay boundary"
+
+    out = str(tmp_path / "crash")
+    j1 = StreamingJob(spec, segs, out, {}, num_shards=4, files_per_epoch=2)
+    j1.run(stop_after_epoch=2)
+    del j1
+    j2 = StreamingJob(spec, segs, out, {}, num_shards=4, files_per_epoch=2)
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+
+    # label-mutation streams byte-equal too (ts = effective instant);
+    # committed files only, via the manifests (exactly-once read path)
+    def lab_df(root):
+        import json
+
+        import pyarrow as pa
+
+        files = []
+        for p in sorted(glob.glob(os.path.join(root, "manifest", "epoch-*.json"))):
+            for f in json.load(open(p)).get("label_outputs", []):
+                if f:
+                    files.append(os.path.join(root, "data", f))
+        if not files:
+            return pd.DataFrame()
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.to_pandas().sort_values(["conv_id", "ts", "label"]).reset_index(drop=True)
+
+    lw, lg = lab_df(str(tmp_path / "ref")), lab_df(out)
+    assert len(lw) > 0 and lw.equals(lg)
+    assert set(lw["reason"]) == {"RuleSeed"}
+
+    # and the whole streaming run matches the batch oracle
+    clean = full
+    want_o = pd.DataFrame(oracle_results(clean, spec, {}))
+    got_s = got[list(want_o.columns)]
+    for k in want_o.columns:
+        assert [_norm(x) for x in got_s[k]] == [_norm(x) for x in want_o[k]], f"oracle column {k} differs"

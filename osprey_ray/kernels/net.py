@@ -161,13 +161,205 @@ def _extract_cookie(rctx, header, name):
     raise ExprError("cookie not found")
 
 
-register_rowwise("EmailDomain", _email_domain, pa.string())
-register_rowwise("EmailSubdomain", _email_subdomain, pa.string())
-register_rowwise("EmailLocalPart", _email_local, pa.string())
-register_rowwise("DomainTld", _domain_tld, pa.string())
-register_rowwise("RootDomain", _root_domain, pa.string())
+# ---------------------------------------------------------------------------
+# Vectorized batch duals (VERDICT r3 item #5: these were rowwise_batch
+# Python loops; EmailDomain/DomainTld are plausible hot-spec members).
+# The row functions above stay as the oracle duals — the parity tests hold
+# both sides equal.  All regexes are RE2 (pyarrow.compute).
+# ---------------------------------------------------------------------------
+
+import pyarrow.compute as pc  # noqa: E402
+
+_NULL_STR = pa.scalar(None, pa.string())
+_MULTI_SET = pa.array(sorted(_MULTI_SUFFIXES), pa.string())
+
+
+def _x(arr, pattern: str):
+    """extract_regex → the single named group ``x``; null where no match."""
+    return pc.struct_field(pc.extract_regex(arr, pattern=pattern), "x")
+
+
+def _registered_domain_vec(host):
+    """Vector twin of ``_registered_domain``: lower, trim dots, last-2
+    labels unless they form a public multi-suffix (then last-3); ≤1 dot →
+    whole host.  ``[^.]*`` (not ``+``) so empty labels behave exactly like
+    the row's ``split('.')``."""
+    h = pc.utf8_trim(pc.utf8_lower(host), characters=".")
+    last2 = _x(h, r"(?P<x>[^.]*\.[^.]*)$")
+    last3 = _x(h, r"(?P<x>[^.]*\.[^.]*\.[^.]*)$")
+    ndots = pc.count_substring(h, ".")
+    is_multi = pc.is_in(last2, value_set=_MULTI_SET)
+    return pc.if_else(
+        pc.less_equal(ndots, 1), h, pc.if_else(is_multi, last3, last2)
+    )
+
+
+def _per_unique(arr, f):
+    """Dictionary-encode, apply ``f`` to the (usually tiny) unique set,
+    broadcast back via take — domains repeat heavily in real traffic, so
+    the per-string work runs once per UNIQUE value, not once per row."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    return f(enc.dictionary).take(enc.indices)
+
+
+def _str_off(arr: pa.Array):
+    """Offset vector of a string array, slice-aware: values are absolute
+    byte positions into ``arr.buffers()[2]``."""
+    import numpy as np
+
+    return np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+
+
+def _email_dom_vec(target):
+    """Domain after the LAST '@' (rpartition semantics) + validity mask
+    (local and domain both non-empty).  split_pattern + offset arithmetic:
+    ~5× cheaper than an anchored extract_regex over every row."""
+    import numpy as np
+
+    if isinstance(target, pa.ChunkedArray):
+        target = target.combine_chunks()
+    parts = pc.split_pattern(target, pattern="@")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    off = np.asarray(parts.offsets)  # absolute into parts.values
+    cnt = off[1:] - off[:-1]
+    if target.null_count:
+        valid = pc.is_valid(target).to_numpy(zero_copy_only=False)
+    else:
+        valid = np.ones(len(target), dtype=bool)
+    ok = valid & (cnt >= 2)
+    last = np.where(ok, off[1:] - 1, 0)
+    dom = parts.values.take(pa.array(last, pa.int64()))
+    voff = _str_off(parts.values)
+    dlen = voff[last + 1] - voff[last]  # domain bytes
+    toff = _str_off(target)
+    elen = toff[1:] - toff[:-1]
+    llen = elen - dlen - 1  # local-part bytes before the last '@'
+    ok &= (dlen > 0) & (llen > 0)
+    return target, dom, ok, llen, toff
+
+
+def _email_domain_batch(ctx, target):
+    _, dom, ok, _, _ = _email_dom_vec(target)
+    return pc.if_else(pa.array(ok), _per_unique(dom, _registered_domain_vec), _NULL_STR)
+
+
+def _email_subdomain_batch(ctx, target):
+    _, dom, ok, _, _ = _email_dom_vec(target)
+    return pc.if_else(pa.array(ok), pc.utf8_lower(dom), _NULL_STR)
+
+
+def _email_local_batch(ctx, target):
+    import numpy as np
+
+    target, _, ok, llen, toff = _email_dom_vec(target)
+    # gather local-part bytes [row_start, row_start + llen) into a fresh
+    # string buffer ('@' is ASCII, so byte slicing is UTF-8 safe)
+    lens = np.where(ok, llen, 0).astype(np.int64)
+    starts = toff[:-1].astype(np.int64)
+    new_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    total = int(new_off[-1])
+    # concat of ranges [starts_i, starts_i+lens_i) without a per-segment
+    # np.repeat (which is ~10× slower than this cumsum-delta construction)
+    idx = np.ones(total, dtype=np.int64)
+    nz = lens > 0
+    pos = new_off[:-1][nz]
+    seg_starts = starts[nz]
+    if len(pos):
+        seg_lens = lens[nz]
+        idx[pos[0]] = seg_starts[0]
+        idx[pos[1:]] = seg_starts[1:] - (seg_starts[:-1] + seg_lens[:-1]) + 1
+        np.cumsum(idx, out=idx)
+    data = np.frombuffer(target.buffers()[2], dtype=np.uint8)
+    local = pa.Array.from_buffers(
+        pa.string(),
+        len(lens),
+        [
+            None,
+            pa.py_buffer(new_off.astype(np.int32).tobytes()),
+            pa.py_buffer(data[idx].tobytes()),
+        ],
+    )
+    return pc.if_else(pa.array(ok), local, _NULL_STR)
+
+
+def _domain_tld_uniq(h_raw):
+    h = pc.utf8_trim(pc.utf8_lower(h_raw), characters=".")
+    last2 = _x(h, r"(?P<x>[^.]*\.[^.]*)$")
+    last1 = _x(h, r"(?P<x>[^.]*)$")
+    ndots = pc.count_substring(h, ".")
+    tld = pc.if_else(pc.is_in(last2, value_set=_MULTI_SET), last2, last1)
+    return pc.if_else(pc.greater_equal(ndots, 1), tld, _NULL_STR)
+
+
+def _domain_tld_batch(ctx, target):
+    return _per_unique(target, _domain_tld_uniq)
+
+
+def _root_domain_batch(ctx, target):
+    return _per_unique(target, _registered_domain_vec)
+
+
+# strict dotted-quad v4 (no leading zeros, octets 0-255 — what
+# ipaddress.ip_address accepts); everything else falls back to the row fn
+_V4_OCT = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_V4_RE = rf"^{_V4_OCT}\.{_V4_OCT}\.{_V4_OCT}\.{_V4_OCT}$"
+
+
+def _ip_network_batch(ctx, target):
+    if isinstance(target, pa.ChunkedArray):
+        target = target.combine_chunks()
+    s = pc.utf8_trim_whitespace(target)
+    v4 = pc.match_substring_regex(s, pattern=_V4_RE)
+    out4 = pc.replace_substring_regex(s, pattern=r"\.[0-9]{1,3}$", replacement=".0")
+    # rare path: v6 / invalid strings through the exact row logic
+    mask = pc.fill_null(v4, False).to_numpy(zero_copy_only=False)
+    fb = [None] * len(target)
+    if not mask.all():
+        vals = s.to_pylist()
+        for i in (~mask).nonzero()[0]:
+            if vals[i] is None:
+                continue
+            try:
+                fb[i] = _ip_network(None, vals[i])
+            except ExprError:
+                pass
+    return pc.if_else(v4, out4, pa.array(fb, pa.string()))
+
+
+def _extract_cookie_batch(ctx, header, name):
+    import re as _re
+
+    esc = _re.escape(name)
+    # leftmost part whose stripped key equals name; '=' form captures the
+    # value (trailing whitespace of the part stripped), bare form means ""
+    pat = rf"(?:^|;)\s*{esc}(?:=(?P<v>[^;]*?)\s*(?:;|$)|\s*(?:;|$))"
+    ex = pc.extract_regex(header, pattern=pat)
+    v = pc.struct_field(ex, "v")
+    return pc.if_else(pc.is_valid(ex), pc.fill_null(v, ""), _NULL_STR)
+
+
+def _register_vector(name: str, batch_fn, row_fn):
+    from osprey_ray.kernels import _REGISTRY, Kernel
+
+    _REGISTRY[name] = Kernel(name, batch_fn, row_fn)
+
+
+_register_vector("EmailDomain", _email_domain_batch, _email_domain)
+_register_vector("EmailSubdomain", _email_subdomain_batch, _email_subdomain)
+_register_vector("EmailLocalPart", _email_local_batch, _email_local)
+_register_vector("DomainTld", _domain_tld_batch, _domain_tld)
+_register_vector("RootDomain", _root_domain_batch, _root_domain)
+_register_vector("IpNetwork", _ip_network_batch, _ip_network)
+_register_vector("ExtractCookie", _extract_cookie_batch, _extract_cookie)
+# cold kernels stay auto-vectorized: DomainChopper is list-typed; the phone
+# pair's Python str.isdigit() accepts Unicode digits RE2's [0-9] doesn't,
+# so a regex rewrite would silently diverge from the row/oracle dual
 register_rowwise("DomainChopper", _domain_chopper, pa.list_(pa.string()))
-register_rowwise("IpNetwork", _ip_network, pa.string())
 register_rowwise("PhonePrefix", _phone_prefix, pa.string())
 register_rowwise("PhoneCountry", _phone_country, pa.string())
-register_rowwise("ExtractCookie", _extract_cookie, pa.string())

@@ -98,6 +98,14 @@ CASES = [
     ("ExtractListDomains", {"target": [["https://A.com/x", "http://b.co/y"], [], None]}, {}),
     ("Experiment", {"entity": ["u1", "u2", None]},
      {"name": "exp", "buckets": ("control", "treatment"), "bucket_sizes": (50.0, 50.0)}),
+    # adversarial vectorized-kernel parity (r4: net family vectorized)
+    ("EmailDomain", {"target": ["a@b@c.co.uk", "@x.com", "a@", "a@B.Example.ORG.", "a\nb@x.com", ""]}, {}),
+    ("EmailSubdomain", {"target": ["a@b@Sub.X.COM", "@", "weird@a..b", ""]}, {}),
+    ("EmailLocalPart", {"target": ["UP.per@x.com", "a@b@c.d", "@x", "a@"]}, {}),
+    ("DomainTld", {"target": ["a..b", "..", ".", "", "x.CO.UK.", "single"]}, {}),
+    ("RootDomain", {"target": ["a..b.c", "..x..", "Deep.Sub.co.uk", "", "."]}, {}),
+    ("IpNetwork", {"target": ["10.0.0.255", " 1.2.3.4 ", "256.1.1.1", "01.2.3.4", "::1", "2001:DB8:0:0:0:0:0:1", "1.2.3", ""]}, {}),
+    ("ExtractCookie", {"header": ["b", "b=", "b ; b=2", " b = 1; c=2", "a=1;b=x=y", "xb=1; b=2 ", "b=v ;c=1"]}, {"name": "b"}),
 ]
 
 

@@ -142,6 +142,9 @@ class StreamingJob:
         spec_updates: dict[int, RuleSpec] | None = None,
         hot_convs: set | None = None,
         hot_block_turns: int = 512,
+        stream_write_timeout_s: float = 30.0,
+        stream_write_retries: int = 1,
+        fault_injection: dict[str, list[float]] | None = None,
     ):
         self.spec = spec
         self.segment_files = list(segment_files)
@@ -182,6 +185,9 @@ class StreamingJob:
         self.lateness_us = int(allowed_lateness_s * 1e6)
         self.checkpoint_interval = checkpoint_interval
         self.pending_spill_rows = pending_spill_rows
+        self.stream_write_timeout_s = stream_write_timeout_s
+        self.stream_write_retries = stream_write_retries
+        self.fault_injection = fault_injection  # chaos hook, tests only
         self.stage1 = compile_stateless(spec)
         # ruleset hot-reload schedule (the reference's etcd-watch live swap,
         # worker/lib/osprey_engine.py:127-149, made deterministic/replayable:
@@ -251,6 +257,9 @@ class StreamingJob:
                 salt_block_rows=self.salt_block_rows,
                 hot_convs=self.hot_convs or None,
                 hot_block_turns=self.hot_block_turns,
+                stream_write_timeout_s=self.stream_write_timeout_s,
+                stream_write_retries=self.stream_write_retries,
+                fault_injection=self.fault_injection,
             )
             for p in range(self.P)
         ]

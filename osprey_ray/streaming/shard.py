@@ -90,6 +90,15 @@ def emit_closed_windows(
     )
 
 
+class StreamWriteError(RuntimeError):
+    """One or more of the epoch's output streams (results/labels/windows)
+    failed its isolated write after retries; the others still wrote."""
+
+    def __init__(self, failures: dict[str, str]):
+        self.failures = failures
+        super().__init__(f"epoch stream writes failed: {failures}")
+
+
 @ray.remote
 class StateShard:
     def __init__(
@@ -102,6 +111,9 @@ class StateShard:
         salt_block_rows: int | None = None,
         hot_convs: frozenset | None = None,
         hot_block_turns: int = 512,
+        stream_write_timeout_s: float = 30.0,
+        stream_write_retries: int = 1,
+        fault_injection: dict[str, list[float]] | None = None,
     ):
         from osprey_ray.rules import SessionWindow, TumblingCount
 
@@ -139,6 +151,10 @@ class StateShard:
         self.salt_block_rows = (
             salt_block_rows if (salt_block_rows and not spec.uses_labels()) else None
         )
+        # per-stream write isolation (ref output_sink.py:46-89)
+        self.stream_write_timeout_s = stream_write_timeout_s
+        self.stream_write_retries = stream_write_retries
+        self.fault_injection = fault_injection
         self.spilled: list[dict] = []  # {"path", "min_ts", "rows"}
         self._spill_seq = 0
         self._consumed_spills: list[str] = []
@@ -233,6 +249,7 @@ class StateShard:
         out_path = None
         labels_path = None
         hot_summaries: list = []
+        failures: dict[str, str] = {}
         if released is not None and released.num_rows:
             released = sort_and_dedup(released, self.states)
             if self.hot_convs:
@@ -255,7 +272,9 @@ class StateShard:
                     or 0
                 )
             if write and out_rows:
-                out_path = self._write_atomic(epoch, out)
+                out_path = self._guarded_write(
+                    "results", lambda: self._write_atomic(epoch, out), failures
+                )
             self._accumulate_windows(out)
             if write and muts:
                 # externalized label-mutation stream (the Label output sink,
@@ -272,12 +291,25 @@ class StateShard:
                         "reason": pa.array([m[4] for m in muts], pa.string()),
                     }
                 )
-                labels_path = self._write_atomic(epoch, mt, prefix="labels")
+                labels_path = self._guarded_write(
+                    "labels",
+                    lambda: self._write_atomic(epoch, mt, prefix="labels"),
+                    failures,
+                )
         windows_path = None
         if self.tumbling or self.sessions:
             win_tbl = self._emit_closed_windows(watermark_us)
             if write and win_tbl is not None:
-                windows_path = self._write_atomic(epoch, win_tbl, prefix="windows")
+                windows_path = self._guarded_write(
+                    "windows",
+                    lambda: self._write_atomic(epoch, win_tbl, prefix="windows"),
+                    failures,
+                )
+        if failures:
+            # every healthy stream has written its (invisible) file; the
+            # driver sees this error, skips the manifest, and the epoch
+            # fails cleanly — resume re-runs it from the last checkpoint
+            raise StreamWriteError(failures)
         return {
             "part": self.part,
             "epoch": epoch,
@@ -492,12 +524,57 @@ class StateShard:
         self.pending = []
 
     def _write_atomic(self, epoch: int, out: pa.Table, prefix: str = "part") -> str:
+        if self.fault_injection:
+            # chaos hook (tests only): per-stream sleep schedule, one entry
+            # consumed per attempt — simulates a wedged filesystem on ONE
+            # output stream (ref output_sink.py per-sink timeout rationale)
+            sched = self.fault_injection.get(prefix)
+            if sched:
+                import time as _time
+
+                _time.sleep(sched.pop(0))
+        import uuid
+
         name = f"{prefix}-e{epoch:05d}-p{self.part:04d}.parquet"
         final = os.path.join(self.out_dir, name)
-        tmp = final + f".tmp.{os.getpid()}"
+        # tmp unique per ATTEMPT (not just per pid): a timed-out first write
+        # may still be running in its abandoned thread when the retry
+        # starts; both os.replace the same deterministic content, so last
+        # writer wins harmlessly, but they must not share a tmp file
+        tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         pq.write_table(out, tmp)
         os.replace(tmp, final)  # atomic on POSIX
         return name
+
+    def _guarded_write(self, stream: str, fn, failures: dict):
+        """Per-stream write isolation (reference MultiOutputSink,
+        output_sink.py:46-89: each sink push bounded by its own timeout so
+        one slow sink can't stall the rest).  Runs ``fn`` in a worker
+        thread with a timeout and one retry round; on persistent failure
+        the error is RECORDED (not raised), so the remaining streams still
+        write their files — the caller raises after all streams have had
+        their chance, the driver then skips the manifest commit, and the
+        epoch fails cleanly/resumably (data files are invisible until the
+        manifest names them)."""
+        import concurrent.futures
+
+        last: Exception | None = None
+        for attempt in range(self.stream_write_retries + 1):
+            ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            fut = ex.submit(fn)
+            try:
+                return fut.result(timeout=self.stream_write_timeout_s)
+            except concurrent.futures.TimeoutError:
+                last = TimeoutError(
+                    f"{stream} stream write exceeded "
+                    f"{self.stream_write_timeout_s}s (attempt {attempt + 1})"
+                )
+            except Exception as e:  # noqa: BLE001 — isolate any sink error
+                last = e
+            finally:
+                ex.shutdown(wait=False)
+        failures[stream] = repr(last)
+        return None
 
     # -- checkpointing -----------------------------------------------------
 

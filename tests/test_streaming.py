@@ -733,3 +733,66 @@ def test_delayed_label_streaming_kill_resume(stream_data, tmp_path):
     got_s = got[list(want_o.columns)]
     for k in want_o.columns:
         assert [_norm(x) for x in got_s[k]] == [_norm(x) for x in want_o[k]], f"oracle column {k} differs"
+
+
+def test_slow_stream_retry_transparent(stream_data, tmp_path):
+    """Per-stream write isolation (ref output_sink.py:46-89): a transiently
+    wedged labels stream times out, the retry succeeds, and the run
+    completes with output identical to a fault-free run."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    ref = StreamingJob(spec, segs, str(tmp_path / "ref"), lmap, num_shards=2, files_per_epoch=3)
+    ref.run(); ref.finalize()
+    want = _df(ref.results_table())
+
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "slow"), lmap, num_shards=2, files_per_epoch=3,
+        stream_write_timeout_s=0.3, stream_write_retries=1,
+        fault_injection={"labels": [2.0]},  # first labels write per shard hangs once
+    )
+    job.run(); job.finalize()
+    got = _df(job.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+
+
+def test_wedged_stream_fails_epoch_cleanly(stream_data, tmp_path):
+    """A persistently wedged labels stream must NOT stall or corrupt the
+    epoch: the other streams' files still land (invisible), no manifest is
+    written for the failed epoch, and a fault-free resume completes with
+    bit-identical output."""
+    import json
+
+    from osprey_ray.streaming.shard import StreamWriteError  # noqa: F401
+
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    ref = StreamingJob(spec, segs, str(tmp_path / "ref"), lmap, num_shards=2, files_per_epoch=3)
+    ref.run(); ref.finalize()
+    want = _df(ref.results_table())
+
+    out = str(tmp_path / "wedge")
+    j1 = StreamingJob(
+        spec, segs, out, lmap, num_shards=2, files_per_epoch=3,
+        stream_write_timeout_s=0.2, stream_write_retries=1,
+        fault_injection={"labels": [3.0] * 50},  # every attempt hangs
+    )
+    with pytest.raises(Exception) as exc:
+        j1.run()
+    assert "StreamWriteError" in str(exc.value) or "labels" in str(exc.value)
+    failed_epoch = j1.last_committed_epoch() + 1
+    del j1
+    # no partial manifest for the failed epoch…
+    assert not os.path.exists(os.path.join(out, "manifest", f"epoch-{failed_epoch:05d}.json"))
+    # …but the healthy results stream already wrote its (invisible) files
+    part_files = glob.glob(os.path.join(out, "data", f"part-e{failed_epoch:05d}-*.parquet"))
+    assert part_files, "healthy stream should have written despite the wedged one"
+
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=2, files_per_epoch=3)
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"

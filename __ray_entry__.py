@@ -185,6 +185,108 @@ def _flagship_verdict_sql(sf_dir: str):
     return res.map_batches(proj, batch_format="pyarrow")
 
 
+def _label_loop_spec():
+    """Reduced label-feedback spec whose HasLabel loop IS SQL-expressible
+    (r3 verdict item #7: the last headline output without an oracle):
+    a stateless seed rule adds an expiring label; a shadow rule reads it
+    back.  Single label, automatic adds only, fixed expiry — so label
+    presence at turn t is exactly `max(seed ts among EARLIER turns) +
+    expiry > ts(t)` (write-after-classify = strict 1-PRECEDING window),
+    replayable in DuckDB with one window function."""
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import (
+        DeclareVerdict,
+        Feature,
+        HasLabel,
+        LabelAdd,
+        Rule,
+        RuleSpec,
+        WhenRules,
+    )
+
+    spec = RuleSpec(
+        features=[
+            Feature("FreeMoneyText", fn("StringContains", target=col("text"), substring="free money")),
+        ],
+        stateful=[HasLabel("HasSpam", label="spam_suspect", status="added")],
+        rules=[
+            Rule("RuleSeed", [col("FreeMoneyText")]),
+            Rule("RuleShadow", [col("HasSpam")]),
+        ],
+        triggers=[
+            WhenRules(["RuleSeed"], [LabelAdd("spam_suspect", expires_after=3600)]),
+            WhenRules(["RuleShadow"], [DeclareVerdict("shadow")]),
+        ],
+    )
+    spec.validate()
+    return spec
+
+
+def _flagship_label_sql(sf_dir: str):
+    """The label subsystem hash-verified end-to-end: run_batch with the
+    label-feedback spec (sparse label walk, LabelStore expiry,
+    write-after-classify, trigger machinery) projected to SQL-comparable
+    columns.  Reference anchor: HasLabel expiry logic stdlib/udfs/
+    labels.py:176-224 + write-after-classify rules_sink.py:157-166."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from osprey_ray.pipelines.flagship import run_batch
+
+    d = _transcript_dataset(sf_dir)
+    ds = rd.read_parquet(sorted(glob.glob(f"{d}/batch/*.parquet")))
+    res = run_batch(ds, _label_loop_spec(), {}, num_partitions=32)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "HasSpam": t["HasSpam"],
+                "RuleSeed": t["RuleSeed"],
+                "RuleShadow": t["RuleShadow"],
+                "verdicts_csv": pc.binary_join(t["__verdicts"], ","),
+            }
+        )
+
+    return res.map_batches(proj, batch_format="pyarrow")
+
+
+def _flagship_label_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of the label loop: replay the mutation log with a window
+    function — the label is present at turn t iff some EARLIER turn seeded
+    it and its reason hasn't expired; with a single fixed expiry the latest
+    seed dominates, so `max(seed ts) OVER (... 1 PRECEDING)` suffices."""
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, text, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, epoch_us(ts) AS tus,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         contains(lower(text), 'free money') AS seed
+  FROM raw WHERE dup_rn = 1
+), h AS (
+  SELECT *, MAX(CASE WHEN seed THEN tus END) OVER (
+      PARTITION BY conv_id ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_seed
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       COALESCE(last_seed + 3600000000 > tus, FALSE) AS HasSpam,
+       seed AS RuleSeed,
+       COALESCE(last_seed + 3600000000 > tus, FALSE) AS RuleShadow,
+       CASE WHEN COALESCE(last_seed + 3600000000 > tus, FALSE)
+            THEN 'shadow' ELSE '' END AS verdicts_csv
+FROM h
+"""
+
+
 def _verdict_spec_b():
     """The 'candidate' ruleset for the A/B backtest: greet retired,
     escalate narrowed to RuleVelocity alone — a realistic rule-review
@@ -562,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
         "streaming_verdict_sql": _streaming_verdict_sql,
         "rules_ab_diff": _rules_ab_diff,
+        "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
         "embedding_quantize": N.q_embedding_quantize,
         "frame_sample": M.q_frame_sample,
@@ -952,6 +1055,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_verdict_sql": _flagship_verdict_oracle_sql(),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),
+        # label loop (HasLabel + write-after-classify) replayed in SQL
+        "flagship_label_sql": _flagship_label_oracle_sql(),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"

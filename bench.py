@@ -394,6 +394,40 @@ def run_skew_stream() -> None:
     ray.shutdown()
 
 
+def run_suite_min_of_n(num_cpus: int, sf_dir: str) -> None:
+    """Noise-robust suite (VERDICT r3 item #5/#8): the sandbox host shows
+    3–5× run-to-run variance on identical code (BASELINE.md §k), so the
+    official artifact is the per-query MIN over N fresh-process runs —
+    min, not mean, because external contention only ever ADDS time.  The
+    per-run headline list rides along so the spread itself is recorded."""
+    import subprocess
+
+    n_runs = int(os.environ.get("BENCH_SUITE_RUNS", "3"))
+    results = []
+    for i in range(n_runs):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--suite-once"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    best = min(results, key=lambda r: r["value"])
+    merged = dict(best)
+    merged["queries"] = {
+        k: round(min(r["queries"][k] for r in results), 3)
+        for k in best["queries"]
+    }
+    headline = merged["queries"]["flagship_batch"]
+    merged["value"] = headline
+    merged["turns_per_sec"] = round(merged["turns"] / headline, 1)
+    merged["streaming_turns_per_sec"] = round(
+        merged["turns"] / merged["queries"]["flagship_streaming"], 1
+    )
+    merged["runs"] = n_runs
+    merged["headline_per_run"] = [r["queries"]["flagship_batch"] for r in results]
+    print(json.dumps(merged))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
@@ -405,7 +439,11 @@ if __name__ == "__main__":
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         turns = int(os.environ.get("BENCH_TURNS", "2000000"))
         print(json.dumps(run_headline_only(num_cpus, turns)))
-    else:
+    elif "--suite-once" in sys.argv:
         sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(num_cpus, sf_dir)))
+    else:
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        run_suite_min_of_n(num_cpus, sf_dir)

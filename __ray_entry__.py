@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": A.q_filter_project,
         "rule_engine_events": A.q_rule_engine_events,
         "tumbling_hourly": A.q_tumbling_hourly,
+        "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
         "sliding_window_counts": A.q_sliding_window_counts,
         "session_counts": A.q_session_counts,
         "cep_sequence": A.q_cep_sequence,
@@ -1072,6 +1073,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tumbling_hourly": (
             "SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s, "
+            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # the Druid granularity ladder's finest step (druid.py:147-166)
+        "timeseries_minute": (
+            "SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS bucket_s, "
             "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
             "FROM events GROUP BY 1, 2"
         ),

@@ -117,6 +117,43 @@ def q_tumbling_hourly(sf_dir: str):
     return out
 
 
+# Druid TimeseriesQuery granularity ladder (reference
+# worker/ui_api/osprey/lib/druid.py:147-166: the UI queries these four)
+_GRANULARITY_S = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+_WEEK_OFFSET_S = 345_600  # 1970-01-01 was a Thursday; ISO weeks start Monday
+
+
+def q_timeseries(sf_dir: str, granularity: str = "minute"):
+    """Timeseries aggregate at any reference granularity — the same
+    partial-aggregate-before-shuffle shape as :func:`q_tumbling_hourly`,
+    parameterized over the Druid ladder.  Week buckets align to ISO Monday
+    (matching Druid and DuckDB ``date_trunc('week', …)``); buckets are
+    epoch seconds so the engine and SQL twin agree bit-for-bit."""
+    sec = _GRANULARITY_S[granularity]
+    off = _WEEK_OFFSET_S if granularity == "week" else 0
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.divide(t["ts"].cast(pa.int64()), 1_000_000)
+        if off:
+            bucket = pc.add(
+                pc.multiply(pc.divide(pc.subtract(s, off), sec), sec), off
+            )
+        else:
+            bucket = pc.multiply(pc.divide(s, sec), sec)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        g = pa.table(
+            {"event_type": t["event_type"], "bucket_s": bucket, "cents": cents}
+        ).group_by(["event_type", "bucket_s"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["event_type", "bucket_s", "cents_sum", "n_partial"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket_s"])
+        .aggregate(Sum("cents_sum", alias_name="value_cents"), Sum("n_partial", alias_name="n"))
+    )
+
+
 _KEY_PARTS = 64
 
 

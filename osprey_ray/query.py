@@ -42,6 +42,7 @@ import ast
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from osprey_ray.expr import EvalContext, Expr, lit
 from osprey_ray.rules import LabelAdd, LabelRemove, RuleSpec
@@ -604,3 +605,78 @@ def filter_results(ds, query: CompiledQuery):
     if isinstance(ds, pa.Table):
         return f(ds)
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Paginated scan + capped export (reference UI scan surface:
+# worker/ui_api/osprey/views/events.py — paginated event scan with offset
+# manifests and a MAX_CSV_ROWS=100_000 export cap, views/events.py:38)
+# ---------------------------------------------------------------------------
+
+MAX_EXPORT_ROWS = 100_000  # the reference's MAX_CSV_ROWS
+
+
+def scan_page(
+    ds,
+    page_size: int = 1000,
+    after: tuple[int, int] | None = None,
+    query: "CompiledQuery | None" = None,
+):
+    """One page of a stable-ordered scan over an events-shaped Dataset
+    (``ts``, ``event_id`` columns), ordered by ``(ts, event_id)``.
+
+    The reference paginates with row offsets; at 100 TB an OFFSET scan
+    re-reads every page before the one requested, so this is the keyset
+    re-expression: ``after`` is the (ts_us, event_id) of the previous
+    page's last row, each batch keeps only rows past it (and at most
+    ``page_size`` of them — a per-batch partial top-k), and the driver
+    merges the ≤ page_size × n_batches survivors.  Returns
+    ``(page_table, next_after)`` where ``next_after`` is ``None`` on the
+    final page.
+    """
+
+    def part(t: pa.Table) -> pa.Table:
+        if query is not None:
+            t = t.filter(query.mask(t))
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.append_column("__ts_us", ts)
+        if after is not None:
+            a_ts, a_id = after
+            keep = pc.or_(
+                pc.greater(ts, a_ts),
+                pc.and_(pc.equal(ts, a_ts), pc.greater(t["event_id"], a_id)),
+            )
+            t = t.filter(keep)
+        return t.sort_by([("__ts_us", "ascending"), ("event_id", "ascending")]).slice(
+            0, page_size
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_arrow_refs()
+    import pyarrow as _pa
+    import ray as _ray
+
+    merged = _pa.concat_tables([t for t in _ray.get(parts)], promote_options="default")
+    merged = merged.sort_by(
+        [("__ts_us", "ascending"), ("event_id", "ascending")]
+    ).slice(0, page_size)
+    nxt = None
+    if merged.num_rows == page_size:
+        nxt = (
+            merged["__ts_us"][-1].as_py(),
+            merged["event_id"][-1].as_py(),
+        )
+    return merged.drop_columns(["__ts_us"]), nxt
+
+
+def export_rows(ds, path: str, max_rows: int = MAX_EXPORT_ROWS) -> int:
+    """Bounded export — refuses (like the reference's MAX_CSV_ROWS cap)
+    rather than silently truncating or OOMing the driver.  Counts first
+    (streaming), then writes Parquet.  Returns the row count."""
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"export of {n} rows exceeds the {max_rows}-row cap; "
+            "narrow the query or page with scan_page()"
+        )
+    ds.write_parquet(path)
+    return n

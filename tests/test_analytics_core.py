@@ -1,6 +1,7 @@
 """Pure-numpy core tests for analytics helpers (no Ray session needed)."""
 
 import numpy as np
+import pytest
 
 from osprey_ray.pipelines.analytics import _segmented_range_counts
 
@@ -140,3 +141,92 @@ def test_range_join_vs_bruteforce_random(ray_session, tmp_path):
     assert got["anchor_id"].tolist() == sorted(want)
     for _, r in got.iterrows():
         assert (r["n_in_window"], r["cents_in_window"]) == want[r["anchor_id"]]
+
+
+def test_timeseries_week_buckets_align_to_iso_monday(ray_session, tmp_path):
+    """The granularity ladder's week step must agree with DuckDB
+    date_trunc('week') (ISO Monday), like Druid's week granularity."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_timeseries
+
+    rng = np.random.default_rng(11)
+    base = 1_690_000_000  # 2023-07-22, a Saturday
+    ts = (base + rng.integers(0, 120 * 86_400, 500)) * 1_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(500), pa.int64()),
+            "user_id": pa.array(np.zeros(500, np.int64), pa.int64()),
+            "event_type": pa.array(["a"] * 250 + ["b"] * 250),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(rng.uniform(0, 10, 500).round(2)),
+            "props": pa.array(["{}"] * 500),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = (
+        q_timeseries(str(tmp_path), "week")
+        .to_pandas()
+        .sort_values(["event_type", "bucket_s"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = con.execute(
+        "SELECT event_type, CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS bucket_s, "
+        "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    assert got["bucket_s"].tolist() == want["bucket_s"].tolist()
+    assert got["value_cents"].tolist() == want["value_cents"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    # minute/day steps subdivide consistently: same grand totals
+    for g in ("minute", "day"):
+        d = q_timeseries(str(tmp_path), g).to_pandas()
+        assert int(d["n"].sum()) == 500
+        assert int(d["value_cents"].sum()) == int(got["value_cents"].sum())
+
+
+def test_scan_page_keyset_pagination(ray_session):
+    """Pages concatenate to the full (ts, event_id)-ordered table: no
+    gaps, no duplicates, page size respected, final page short."""
+    import pandas as pd
+    import ray.data as rd
+
+    from osprey_ray.io import read_parquet_clean
+    from osprey_ray.query import scan_page
+
+    sf = "/root/testdata/sf0.001"
+    full = (
+        read_parquet_clean(f"{sf}/events.parquet", columns=["event_id", "event_type", "ts", "value"])
+        .to_pandas()
+    )
+    full["__ts_us"] = full["ts"].astype("int64") // 1000
+    full = full.sort_values(["__ts_us", "event_id"]).reset_index(drop=True)
+
+    pages = []
+    after = None
+    while True:
+        ds = read_parquet_clean(f"{sf}/events.parquet", columns=["event_id", "event_type", "ts", "value"])
+        page, after = scan_page(ds, page_size=700, after=after)
+        pages.append(page.to_pandas())
+        if after is None:
+            break
+    got = pd.concat(pages, ignore_index=True)
+    assert len(got) == len(full)
+    assert got["event_id"].tolist() == full["event_id"].tolist()
+    assert all(len(p) == 700 for p in pages[:-1]) and len(pages[-1]) <= 700
+
+
+def test_export_rows_cap(ray_session, tmp_path):
+    from osprey_ray.io import read_parquet_clean
+    from osprey_ray.query import export_rows
+
+    ds = read_parquet_clean("/root/testdata/sf0.001/events.parquet", columns=["event_id"])
+    n = ds.count()
+    with pytest.raises(ValueError, match="cap"):
+        export_rows(ds, str(tmp_path / "out"), max_rows=n - 1)
+    assert export_rows(ds, str(tmp_path / "out"), max_rows=n) == n

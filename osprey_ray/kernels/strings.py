@@ -389,7 +389,79 @@ def _b64d(rctx, target):
         raise ExprError("invalid base64")
 
 
-register_rowwise("Base64Encode", _b64e, pa.string())
+_B64_ALPHABET = np.frombuffer(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/",
+    dtype=np.uint8,
+)
+
+
+def _concat_ranges(starts: np.ndarray, lens: np.ndarray, total: int) -> np.ndarray:
+    """Index vector = concat of ranges [starts_i, starts_i+lens_i) without a
+    per-segment np.repeat (same cumsum-delta trick as kernels/net.py)."""
+    idx = np.ones(total, dtype=np.int64)
+    nz = lens > 0
+    pos = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=pos[1:])
+    p = pos[:-1][nz]
+    s = starts[nz]
+    if len(p):
+        ln = lens[nz]
+        idx[p[0]] = s[0]
+        idx[p[1:]] = s[1:] - (s[:-1] + ln[:-1]) + 1
+        np.cumsum(idx, out=idx)
+    return idx
+
+
+def _b64e_batch(ctx, target):
+    """Vectorized base64: rows' UTF-8 bytes are scattered into a per-row
+    3-padded buffer, all 3-byte groups encode at once via sextet table
+    lookups, '=' padding patched per row — byte-identical to
+    ``base64.b64encode`` (the row/oracle dual)."""
+    if isinstance(target, pa.ChunkedArray):
+        target = target.combine_chunks()
+    n = len(target)
+    toff = np.frombuffer(target.buffers()[1], dtype=np.int32)[
+        target.offset : target.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(target.buffers()[2], dtype=np.uint8)
+    lens = toff[1:] - toff[:-1]
+    if target.null_count:
+        valid = pc.is_valid(target).to_numpy(zero_copy_only=False)
+        lens = np.where(valid, lens, 0)
+    rem = lens % 3
+    plens = lens + (3 - rem) % 3  # padded to a multiple of 3
+    padded = np.zeros(int(plens.sum()), dtype=np.uint8)
+    poff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(plens, out=poff[1:])
+    src = _concat_ranges(toff[:-1], lens, int(lens.sum()))
+    dst = _concat_ranges(poff[:-1], lens, int(lens.sum()))
+    padded[dst] = data[src]
+    b0, b1, b2 = padded[0::3], padded[1::3], padded[2::3]
+    chars = np.empty((len(padded) // 3) * 4, dtype=np.uint8)
+    chars[0::4] = _B64_ALPHABET[b0 >> 2]
+    chars[1::4] = _B64_ALPHABET[((b0 & 3) << 4) | (b1 >> 4)]
+    chars[2::4] = _B64_ALPHABET[((b1 & 15) << 2) | (b2 >> 6)]
+    chars[3::4] = _B64_ALPHABET[b2 & 63]
+    out_off = (poff // 3) * 4  # each row's output span is contiguous
+    ends = out_off[1:]
+    chars[ends[rem == 1] - 1] = ord("=")
+    chars[ends[rem == 1] - 2] = ord("=")
+    chars[ends[rem == 2] - 1] = ord("=")
+    arr = pa.Array.from_buffers(
+        pa.string(),
+        n,
+        [None, pa.py_buffer(out_off.astype(np.int32).tobytes()), pa.py_buffer(chars.tobytes())],
+    )
+    if target.null_count:
+        return pc.if_else(pc.is_valid(target), arr, pa.scalar(None, pa.string()))
+    return arr
+
+
+from osprey_ray.kernels import _REGISTRY, Kernel  # noqa: E402
+
+_REGISTRY["Base64Encode"] = Kernel("Base64Encode", _b64e_batch, _b64e)
+# Decode stays rowwise: validate=True error semantics (quiet null on any
+# invalid alphabet/padding/UTF-8) don't decompose into array kernels
 register_rowwise("Base64Decode", _b64d, pa.string())
 
 

@@ -245,6 +245,18 @@ class StreamingJob:
 
     # -- shard lifecycle ---------------------------------------------------
 
+    def warm(self) -> None:
+        """Start the shard actor pool and block until every actor is up.
+
+        Pool spin-up is a one-time cost amortized over the job's lifetime
+        (hours of epochs at scale); calling this before timing ``run()``
+        separates it from per-epoch processing. ``run()`` works without it —
+        the first epoch's calls simply queue until the actors come up.
+        """
+        if self.shards is None:
+            self._start_shards()
+        ray.get([s.__ray_ready__.remote() for s in self.shards])
+
     def _start_shards(self) -> None:
         # pre-partition the label-event side input the same way as the turns
         per_shard: list[dict] = [{} for _ in range(self.P)]

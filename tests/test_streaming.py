@@ -796,3 +796,23 @@ def test_wedged_stream_fails_epoch_cleanly(stream_data, tmp_path):
     assert len(got) == len(want)
     for k in want.columns:
         assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k} differs"
+
+
+def test_warm_prestart_does_not_change_output(stream_data, tmp_path):
+    # bench.py spins the shard pool up untimed via warm(); the pre-started
+    # pool must be a pure latency optimization — identical results/metrics.
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "warm"), lmap, num_shards=4, files_per_epoch=3,
+        allowed_lateness_s=1000.0,
+    )
+    job.warm()
+    job.warm()  # idempotent
+    job.run()
+    job.finalize()
+    got = _df(job.results_table())
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], k

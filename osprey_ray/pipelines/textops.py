@@ -930,18 +930,36 @@ def q_tfidf_top_terms(sf_dir: str):
     )
 
 
-def q_neardup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 50):
+def q_neardup_clusters(
+    sf_dir: str,
+    threshold: float = 0.7,
+    max_rounds: int = 50,
+    driver_edge_cap: int = 4_000_000,
+):
     """Fuzzy-dedup clustering: connected components over the MinHash
     near-dup pairs, then one canonical survivor per cluster — the shape a
     training-data pipeline actually deduplicates with (pairs alone don't
     say which doc to keep when A~B~C).
 
-    Distributed CC by iterative min-label propagation: each round is one
-    edge⋈label hash join plus a min-groupby, and the round count is the
-    component diameter (near-dup clusters are shallow).  Labels converge to
-    the component-minimum doc_id; convergence is detected by the monotone
-    non-increasing label sum.  Every document appears in the output;
-    singletons are their own cluster; ``keep`` marks the survivor."""
+    Two regimes, picked by the (already materialized, capped) edge count:
+
+    * ``n_edges <= driver_edge_cap``: near-dup edges are SPARSE relative to
+      the corpus (a 4M-edge list is 64 MB), so the components are solved on
+      the driver with vectorized numpy min-label propagation + pointer
+      jumping, and the node→cluster map is broadcast (closure capture =
+      one ``ray.put``) into a streaming ``map_batches`` over the documents
+      table.  The big side is never shuffled — at 100 TB the docs table
+      streams through a stateless lookup while only the tiny edge list
+      ever lands on the driver.
+    * above the cap: distributed CC by iterative min-label propagation —
+      each round is one edge⋈label hash join plus a min-groupby, and the
+      round count is the component diameter (near-dup clusters are
+      shallow).  Convergence is detected by the monotone non-increasing
+      label sum.
+
+    Both regimes produce identical output (same min-doc_id cluster labels):
+    every document appears, singletons are their own cluster, ``keep``
+    marks the survivor."""
     from ray.data.aggregate import Min
 
     pairs = q_minhash_neardup(sf_dir, threshold)
@@ -976,7 +994,8 @@ def q_neardup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 50
     nparts = max(2, cpus // 4)
 
     docs = _read_docs(sf_dir, ["doc_id"])
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         # no near-dup pairs at all: every doc is its own singleton cluster
         def singleton(t: pa.Table) -> pa.Table:
             ids = pc.cast(t["doc_id"], pa.int64())
@@ -986,6 +1005,55 @@ def q_neardup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 50
             )
 
         return docs.map_batches(singleton, batch_format="pyarrow")
+
+    if n_edges <= driver_edge_cap:
+        # Sparse-edge fast path: solve CC on the driver, broadcast the map.
+        et = pa.concat_tables(
+            ray.get(
+                [
+                    ref
+                    for b in edges.materialize().iter_internal_ref_bundles()
+                    for ref, meta in b.blocks
+                    if meta.num_rows
+                ]
+            )
+        )
+        src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # compress node ids to indices; np.unique sorts ascending, so the
+        # minimum index IS the minimum doc_id — labels-as-indices preserve
+        # the min-doc_id cluster-label semantics of the distributed path.
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        e_src, e_dst = inv[: len(src)], inv[len(src):]
+        lbl_ix = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(max_rounds):
+            new = lbl_ix.copy()
+            np.minimum.at(new, e_dst, lbl_ix[e_src])
+            while True:  # pointer jumping: lbl[i] -> lbl[lbl[i]] to fixpoint
+                hop = new[new]
+                if np.array_equal(hop, new):
+                    break
+                new = hop
+            if np.array_equal(new, lbl_ix):
+                break
+            lbl_ix = new
+        cluster_of = nodes[lbl_ix]
+
+        def attach(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nodes, ids)
+            pos_c = np.minimum(pos, len(nodes) - 1)
+            hit = (pos < len(nodes)) & (nodes[pos_c] == ids)
+            cl = np.where(hit, cluster_of[pos_c], ids)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "cluster_id": pa.array(cl, pa.int64()),
+                    "keep": pa.array(ids == cl, pa.bool_()),
+                }
+            )
+
+        return docs.map_batches(attach, batch_format="pyarrow")
 
     lbl = _pin_schema(
         edges.groupby("src")

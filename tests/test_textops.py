@@ -199,6 +199,16 @@ def test_neardup_clusters_chain_transitivity(ray_session, tmp_path):
     assert by_doc[20] == (10, False)
     assert by_doc[99] == (99, True)
 
+    # the distributed fallback (edge count above driver_edge_cap) must
+    # produce byte-identical clusters to the driver fast path
+    dist = (
+        q_neardup_clusters(str(tmp_path), driver_edge_cap=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dist.equals(out)
+
 
 def test_token_counts_and_tfidf_shapes(ray_session):
     from osprey_ray.pipelines.textops import q_tfidf_top_terms, q_token_counts

@@ -13,6 +13,8 @@ All in float64 so ranking ties match DuckDB's double math.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 
@@ -105,8 +107,15 @@ def q_ann_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 10):
 
 
 class LshHasher:
-    """Random-hyperplane LSH (actor stage; planes drawn once per actor from
-    a fixed seed so every actor agrees)."""
+    """Random-hyperplane LSH (planes drawn once from a fixed seed so every
+    worker agrees).
+
+    Deployed as a TASK-based ``map_batches`` stage via :func:`_lsh_signature_fn`
+    rather than an actor pool: the only state is a (n_tables × n_bits × dim)
+    plane matrix — microseconds to draw, cached per worker process with
+    ``lru_cache`` — so an actor pool would pay seconds of spin-up to save
+    nothing.  Actor pools are reserved for genuinely expensive setup
+    (LangId marker tables, model weights)."""
 
     def __init__(self, dim: int = 64, n_tables: int = 16, n_bits: int = 6, seed: int = 42):
         rng = np.random.default_rng(seed)
@@ -132,6 +141,22 @@ class LshHasher:
                 "bucket": pa.array(sig.reshape(-1), pa.int64()),
             }
         )
+
+
+
+@lru_cache(maxsize=8)
+def _cached_hasher(dim: int, n_tables: int = 16, n_bits: int = 6, seed: int = 42) -> LshHasher:
+    return LshHasher(dim, n_tables, n_bits, seed)
+
+
+def _lsh_signature_fn(dim: int):
+    """Batch fn computing LSH bucket rows; the hasher (tiny deterministic
+    plane matrix) is built once per worker process via ``lru_cache``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _cached_hasher(dim)(t)
+
+    return fn
 
 
 def _pack_embeddings(t: pa.Table, key_name: str, payload_name: str) -> pa.Table:
@@ -208,8 +233,7 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10):
     )
 
     buckets = _read_emb(sf_dir).map_batches(
-        LshHasher, batch_format="pyarrow", concurrency=_pool_size(),
-        fn_constructor_kwargs={"dim": q_m.shape[1]},
+        _lsh_signature_fn(q_m.shape[1]), batch_format="pyarrow"
     )
 
     def match(t: pa.Table) -> pa.Table:
@@ -302,9 +326,15 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10):
 
 
 MAX_NEARDUP_BUCKET = 128
+# candidate-pair count below which the LSH near-dup verify gathers the
+# referenced vectors via one broadcast-filter scan instead of a shuffle join
+# (250k pairs → ≤500k vectors ≈ 128 MB of f32 at dim 64 on the driver)
+BROADCAST_VERIFY_CAP = 250_000
 
 
-def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.95):
+def q_embed_neardup_lsh(
+    sf_dir: str, threshold: float = 0.95, broadcast_cap: int | None = None
+):
     """Embedding-cosine near-dup pairs via LSH buckets — the scale path
     (VERDICT r1: the exact variant broadcasts the full matrix, O(n²)).
     Hyperplane signatures → within-(table,bucket) candidate pairs generated
@@ -321,8 +351,7 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.95):
         "embedding"][0])
 
     buckets = _read_emb(sf_dir).map_batches(
-        LshHasher, batch_format="pyarrow", concurrency=_pool_size(),
-        fn_constructor_kwargs={"dim": dim},
+        _lsh_signature_fn(dim), batch_format="pyarrow"
     )
 
     def part_key(t: pa.Table) -> pa.Table:
@@ -385,8 +414,56 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.95):
         .select_columns(["vec_a", "vec_b"]),
         schema,
     )
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return schema.empty_table()
+
+    if n_cand <= (BROADCAST_VERIFY_CAP if broadcast_cap is None else broadcast_cap):
+        # Sparse-candidate fast path (the common near-dup regime): the pair
+        # list is two int64 columns — collect it, stream-scan the embeddings
+        # table ONCE with a broadcast is_in filter to gather only the ≤2·n
+        # vectors the pairs reference, and verify cosine vectorized on the
+        # driver.  Replaces a hash-shuffle join + pair-keyed exchange with
+        # one stateless filter pass over the big side.  Above the cap the
+        # single-join distributed verify below is unchanged.
+        import ray
+
+        ct = pa.concat_tables(
+            [p for p in ray.get(cand.to_arrow_refs()) if p.num_rows]
+        )
+        a = ct["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ct["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        needed = np.unique(np.concatenate([a, b]))
+        need_set = pa.array(needed, pa.int64())
+
+        def gather(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            m = _pc.is_in(_pc.cast(t["vec_id"], pa.int64()), value_set=need_set)
+            return _pack_embeddings(t.filter(m), "vec_id", "__e")
+
+        gt = pa.concat_tables(
+            [
+                p
+                for p in ray.get(
+                    _read_emb(sf_dir)
+                    .map_batches(gather, batch_format="pyarrow")
+                    .to_arrow_refs()
+                )
+                if p.num_rows
+            ]
+        )
+        ids = gt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # same f32 pack → f64 normalize arithmetic as the distributed verify
+        m = _normalize(_unpack_embeddings(gt["__e"]))
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]  # vec_ids sparse int64: searchsorted, not a dense table
+        sims = np.einsum("ij,ij->i", m[np.searchsorted(ids, a)], m[np.searchsorted(ids, b)])
+        keep = sims >= threshold
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        tbl = pa.table({"vec_a": pa.array(lo, pa.int64()), "vec_b": pa.array(hi, pa.int64())})
+        return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
     # single-join attach (same restructure as q_minhash_neardup): explode
     # each pair into two (pair, side, vec_id) rows, join the packed
@@ -440,16 +517,19 @@ def q_embed_neardup_lsh(sf_dir: str, threshold: float = 0.95):
         joined.map_batches(pair_part, batch_format="pyarrow")
         .groupby("__pp")
         .map_groups(verify_part, batch_format="pyarrow")
-        .sort(["vec_a", "vec_b"])
     )
-    # schema-stable result: an empty Dataset loses its schema via to_pandas
+    # schema-stable result: an empty Dataset loses its schema via to_pandas.
+    # The verified pair set is tiny (near-dups are sparse) and returned as a
+    # driver pa.Table anyway, so the final ordering is a driver-side sort_by
+    # — NOT a distributed .sort(), whose all-to-all fixed cost bought nothing.
     import ray
 
     parts = [p for p in ray.get(out.to_arrow_refs()) if p.num_rows]
     schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
     if not parts:
         return schema.empty_table()
-    return pa.concat_tables([p.select(["vec_a", "vec_b"]) for p in parts])
+    tbl = pa.concat_tables([p.select(["vec_a", "vec_b"]) for p in parts])
+    return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
 EXACT_NEARDUP_MAX_ROWS = 1_000_000

@@ -63,6 +63,81 @@ def _query_set(sf_dir: str, n_queries: int = 10) -> tuple[np.ndarray, np.ndarray
     return ids[:n_queries], m[:n_queries]
 
 
+TRAIN_SAMPLE_CAP = 65_536
+
+
+def _train_sample(sf_dir: str, cap: int = TRAIN_SAMPLE_CAP) -> np.ndarray:
+    """Deterministic bounded training sample for quantizer training — the
+    published billion-scale recipe (faiss trains coarse centroids and PQ
+    codebooks on a ~10⁵-vector subsample regardless of corpus size; Jégou
+    et al. 2011).  One streaming filter pass keeps vectors whose
+    splitmix64(vec_id) falls under cap/n_rows of the hash space, so the
+    driver gathers ≈cap normalized vectors and never the table.  Returns
+    the sample matrix sorted by vec_id (deterministic across runs and
+    partitionings)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from osprey_ray.pipelines.textops import _splitmix64
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_rows <= cap:
+        thr = np.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        thr = np.uint64(int(cap / n_rows * 2**63) * 2)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = _pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = _splitmix64(ids.view(np.uint64)) <= thr
+        return t.filter(pa.array(m))
+
+    parts = [
+        p
+        for p in ray.get(
+            _read_emb(sf_dir).map_batches(keep, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    ids, m = _to_matrix(pa.concat_tables(parts))
+    return _normalize(m[np.argsort(ids)])
+
+
+def _lloyd_coarse(sample_n: np.ndarray, cent: np.ndarray, iters: int) -> np.ndarray:
+    """Spherical Lloyd on the training sample (driver-side, vectorized):
+    assign by max inner product, update = renormalized mean of assigned;
+    empty cells keep their previous centroid — the same update rule as the
+    distributed per-(cell,dim) combiner path."""
+    for _ in range(iters):
+        cell = np.argmax(sample_n @ cent.T, axis=1)
+        new = cent.copy()
+        for c in np.unique(cell):
+            v = sample_n[cell == c].mean(axis=0)
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                new[int(c)] = v / nrm
+        cent = new
+    return cent
+
+
+def _lloyd_pq(train: np.ndarray, book: np.ndarray, iters: int, m_sub: int,
+              sd: int, ks: int) -> np.ndarray:
+    """Per-subspace Lloyd on the training sample (driver-side): assign by
+    argmax(x·c − ‖c‖²/2), update = mean of assigned; empty codes keep
+    their previous codeword — same rule as the distributed path."""
+    for _ in range(iters):
+        new = book.copy()
+        for j in range(m_sub):
+            sub = train[:, j * sd:(j + 1) * sd]
+            score = sub @ book[j].T - 0.5 * (book[j] ** 2).sum(axis=1)
+            code = np.argmax(score, axis=1)
+            for c in np.unique(code):
+                new[j, int(c)] = sub[code == c].mean(axis=0)
+        book = new
+    return book
+
+
 def q_ann_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 10):
     """Exact cosine top-k: per-batch partial top-k against the broadcast
     query matrix, final merge on the driver (tiny: n_queries × k rows).
@@ -662,16 +737,22 @@ def pc_cast_i64(arr):
 
 
 def q_ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
-              iters: int = 5, nprobe: int = 4):
+              iters: int = 5, nprobe: int = 4,
+              train_sample_cap: int | None = TRAIN_SAMPLE_CAP):
     """IVF ANN: a coarse k-means quantizer partitions the corpus into
     cells; a query probes its ``nprobe`` nearest cells and reranks exactly
     inside them.  The classic big-corpus scale path (candidate count ~
     nprobe/n_cells of the corpus).
 
-    Distributed Lloyd iterations: assignment is a per-batch matmul against
-    the broadcast centroid matrix; the update emits per-(cell, dim)
-    partial sums (combiner — never raw vectors) through a groupby; the
-    driver only ever holds the tiny n_cells × dim centroid matrix.
+    Training (default): faiss-style sampled Lloyd — one streaming pass
+    gathers a ≤train_sample_cap deterministic hash-sample and the tiny
+    k-means runs vectorized on the driver (the published billion-scale
+    recipe; a quantizer never needs the whole corpus).  Above-cap /
+    forced (train_sample_cap=0): distributed Lloyd iterations — assignment
+    is a per-batch matmul against the broadcast centroid matrix; the
+    update emits per-(cell, dim) partial sums (combiner — never raw
+    vectors) through a groupby; the driver only ever holds the tiny
+    n_cells × dim centroid matrix.
     Deterministic: centroids init from the first n_cells vectors by
     vec_id.  Output: per-query top-k ranks + candidate count + recall vs
     the exact brute force (approximate method — rows-only oracle, like
@@ -689,7 +770,14 @@ def q_ann_ivf(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
 
     ds = _read_emb(sf_dir).materialize()  # consumed iters+1 times
 
-    for _ in range(iters):
+    if train_sample_cap:
+        # faiss-style sampled training: one streaming pass gathers ≤cap
+        # vectors, Lloyd runs vectorized on the driver — no per-iteration
+        # cluster exchange.  train_sample_cap=0 forces the distributed
+        # per-(cell,dim) combiner loop below (the no-driver-sample path).
+        cent = _lloyd_coarse(_train_sample(sf_dir, train_sample_cap), cent, iters)
+
+    for _ in range(iters if not train_sample_cap else 0):
         cmat = cent  # closure-broadcast (ray.put under the hood)
 
         def assign_partial(t: pa.Table, cmat=cmat) -> pa.Table:
@@ -858,14 +946,16 @@ def q_embedding_quantize(sf_dir: str):
 
 
 def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
-             ks: int = 32, iters: int = 3):
+             ks: int = 32, iters: int = 3,
+             train_sample_cap: int | None = TRAIN_SAMPLE_CAP):
     """Product-quantization ANN with asymmetric distance computation —
     the memory-compression scale path for 100 TB embedding search
     (Jégou et al., TPAMI 2011): vectors live as ``m_sub`` 1-byte codes
     (here 8 codes ≈ 32× smaller than 64 float32 dims), queries scan the
     compressed corpus via per-subspace lookup tables.
 
-    Distributed training: per-subspace k-means runs ALL subspaces in one
+    Training defaults to the same faiss-style driver sample as q_ann_ivf.
+    Distributed training (train_sample_cap=0): per-subspace k-means runs ALL subspaces in one
     Lloyd pass per iteration — assignment is a per-batch distance argmin
     against the broadcast codebook, the update emits per-(sub, code, dim)
     partial sums through a groupby (m_sub × ks × sub_dim rows per batch,
@@ -891,6 +981,14 @@ def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
 
     ds = _read_emb(sf_dir).materialize()  # consumed iters+2 times
 
+    if train_sample_cap:
+        # faiss-style sampled training (see q_ann_ivf): codebooks train on
+        # a ≤cap driver sample; train_sample_cap=0 forces the distributed
+        # partition-callback-sum Lloyd loop below
+        book = _lloyd_pq(
+            _train_sample(sf_dir, train_sample_cap), book, iters, m_sub, sd, ks
+        )
+
     def _encode(mn: np.ndarray, book: np.ndarray) -> np.ndarray:
         codes = np.empty((len(mn), m_sub), dtype=np.int64)
         for j in range(m_sub):
@@ -900,7 +998,7 @@ def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
             codes[:, j] = np.argmax(score, axis=1)
         return codes
 
-    for _ in range(iters):
+    for _ in range(iters if not train_sample_cap else 0):
         bk = book
 
         def assign_partial(t: pa.Table, bk=bk) -> pa.Table:
@@ -1031,14 +1129,16 @@ def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
 
 
 def q_ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
-                nprobe: int = 4, m_sub: int = 8, ks: int = 32, iters: int = 3):
+                nprobe: int = 4, m_sub: int = 8, ks: int = 32, iters: int = 3,
+                train_sample_cap: int | None = TRAIN_SAMPLE_CAP):
     """IVFPQ — the canonical billion-scale ANN recipe (faiss's IndexIVFPQ,
     Jégou et al.): an IVF coarse quantizer prunes the corpus to ``nprobe``
     cells, and PQ codes of the RESIDUAL (x − c_cell) compress what's left;
     a query scans only probed cells via ADC lookup tables plus the
     per-cell inner-product constant ⟨q, c_cell⟩.
 
-    Both training loops are distributed Lloyd passes whose updates ride
+    Training defaults to the faiss-style driver sample (see q_ann_ivf).
+    With train_sample_cap=0 both training loops are distributed Lloyd passes whose updates ride
     the composite-key partition-callback sum (never Ray's high-cardinality
     Aggregate — BASELINE §l): coarse centroids first, then per-subspace
     residual codebooks.  The driver holds only n_cells×dim +
@@ -1079,7 +1179,14 @@ def q_ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
     # ---- stage 1: coarse centroids (Lloyd on unit vectors) ----
     _, init_m = _query_set(sf_dir, n_cells)
     cent = _normalize(init_m).copy()
-    for _ in range(iters):
+    sample_n = None
+    if train_sample_cap:
+        # faiss-style sampled training (see q_ann_ivf): both Lloyd loops
+        # run on a ≤cap driver sample gathered in one streaming pass;
+        # train_sample_cap=0 forces the distributed combiner loops
+        sample_n = _train_sample(sf_dir, train_sample_cap)
+        cent = _lloyd_coarse(sample_n, cent, iters)
+    for _ in range(iters if not train_sample_cap else 0):
         cmat = cent
 
         def coarse_partial(t: pa.Table, cmat=cmat) -> pa.Table:
@@ -1125,7 +1232,10 @@ def q_ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
         return codes
 
     cmat = cent
-    for _ in range(iters):
+    if train_sample_cap:
+        res_sample = sample_n - cent[np.argmax(sample_n @ cent.T, axis=1)]
+        book = _lloyd_pq(res_sample, book, iters, m_sub, sd, ks)
+    for _ in range(iters if not train_sample_cap else 0):
         bk = book
 
         def pq_partial(t: pa.Table, bk=bk) -> pa.Table:

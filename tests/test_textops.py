@@ -236,6 +236,13 @@ def test_ann_ivf_recall_and_candidate_bound(ray_session):
     assert out["recall_pct"].mean() >= 60
     assert (out["n_candidates"] < 500).all()  # never the whole corpus
 
+    # the distributed per-(cell,dim) combiner Lloyd (train_sample_cap=0,
+    # the above-cap fallback) must build an equally usable index
+    dist = q_ann_ivf("/root/testdata/sf0.001", train_sample_cap=0).to_pandas()
+    assert len(dist) == 10
+    assert dist["recall_pct"].mean() >= 60
+    assert (dist["n_candidates"] < 500).all()
+
 
 def test_neardup_clusters_no_pairs_all_singletons(ray_session, tmp_path):
     import pyarrow.parquet as pq

@@ -232,6 +232,11 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 # (e.g. an all-identical corpus) would otherwise emit O(n²) pairs.  Truncation
 # is counted and surfaced in the task log.
 MAX_BUCKET_DOCS = 64
+# raw candidate-pair count below which the minhash verify dedups + gathers
+# texts via one broadcast is_in filter scan and verifies on the driver;
+# above it the Jaccard loop itself needs cluster parallelism, so the
+# distributed join + pair-keyed verify path runs instead
+MINHASH_BROADCAST_CAP = 50_000
 
 
 def _band_candidate_pairs(t: pa.Table) -> pa.Table:
@@ -308,18 +313,26 @@ def _pin_schema(ds, schema: pa.Schema):
     )
 
 
-def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
-    """MinHash+LSH near-duplicate pairs, distributed end-to-end (VERDICT r1
-    item #2): shingle→minhash→band rows → per-partition vectorized bucket
-    pair generation (capped per bucket) → pair dedup via groupby aggregate →
-    each pair exploded into two (pair, side, doc_id) rows → texts attached
-    by ONE co-partitioned hash join → pairs reassembled per hash partition
-    (lexsort) with n-gram Jaccard verified in place.  A single join (not
-    two chained ones) halves the fixed shuffle/aggregator cost AND
-    sidesteps the schema-less-empty-block join-chain hazard (_pin_schema)
-    entirely — the join output feeds a sort-based groupby, which tolerates
-    those blocks.  The driver only ever sees the final
-    (doc_a, doc_b, jaccard_pct) rows."""
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.7,
+                      broadcast_cap: int | None = None):
+    """MinHash+LSH near-duplicate pairs: shingle→minhash→band rows →
+    per-partition vectorized bucket pair generation (capped per bucket),
+    then one of two verify regimes picked by the raw candidate count:
+
+    * ``≤ MINHASH_BROADCAST_CAP``: pairs are deduped on the driver and the
+      referenced texts gathered with ONE broadcast ``is_in`` filter scan
+      over the documents table; Jaccard verifies on the driver.  The big
+      side streams through a stateless filter — no join, no pair-keyed
+      exchange, no distributed sort.
+    * above the cap: pair dedup via groupby aggregate → each pair exploded
+      into two (pair, side, doc_id) rows → texts attached by ONE
+      co-partitioned hash join → pairs reassembled per hash partition
+      (lexsort) with n-gram Jaccard verified in place (VERDICT r1 item #2 /
+      r3 single-join restructure).  This is the path that parallelizes the
+      verify loop when candidates number in the millions.
+
+    Both regimes emit identical (doc_a, doc_b, jaccard_pct) rows
+    (forced-fallback parity test)."""
     from ray.data.aggregate import Count
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -334,28 +347,102 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7):
         )
         return t.append_column("__bp", pa.array((key % np.uint64(256)).view(np.int64)))
 
-    cand = (
+    import ray
+    import ray.data as rd
+
+    # raw (per-band, capped) candidate pairs, pinned: schema-carrying
+    # blocks for everything downstream + a cheap count for the early exit
+    # and the fast-path decision
+    raw_cand = _pin_schema(
         bands.map_batches(bucket_part, batch_format="pyarrow")
         .groupby("__bp")
-        .map_groups(_band_candidate_pairs, batch_format="pyarrow")
-    )
-    # a pair found by several bands must be verified once: vectorized dedup.
-    # _pin_schema materializes the (tiny, capped) candidate set: the join
-    # below needs schema-carrying blocks, and an empty candidate set can
-    # skip the whole join DAG
-    cand = _pin_schema(
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="__nb"))
-        .select_columns(["doc_a", "doc_b"]),
+        .map_groups(_band_candidate_pairs, batch_format="pyarrow"),
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
     result_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())]
     )
-    if cand.count() == 0:
-        import ray.data as rd
-
+    n_raw = raw_cand.count()
+    if n_raw == 0:
         return rd.from_arrow(result_schema.empty_table())
+
+    if n_raw <= (MINHASH_BROADCAST_CAP if broadcast_cap is None else broadcast_cap):
+        # Sparse-candidate fast path (same pattern as embed_neardup_lsh's
+        # broadcast-gather verify): the capped pair list is two int64
+        # columns — collect it, dedup with np.unique on the driver, gather
+        # only the referenced texts with ONE broadcast is_in filter scan
+        # over the documents table, and verify n-gram Jaccard on the
+        # driver.  Replaces the pair-dedup groupby + hash-shuffle join +
+        # pair-keyed verify exchange + distributed sort with one stateless
+        # filter pass over the big side.  Above the cap (where the verify
+        # loop itself needs cluster parallelism) the distributed path
+        # below is unchanged.
+        ct = pa.concat_tables(
+            [p for p in ray.get(raw_cand.to_arrow_refs()) if p.num_rows]
+        )
+        ab = np.stack(
+            [
+                ct["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ct["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ],
+            axis=1,
+        )
+        ab = np.unique(ab, axis=0)
+        a, b = ab[:, 0], ab[:, 1]
+        need_set = pa.array(np.unique(ab.reshape(-1)), pa.int64())
+
+        def gather(t: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=need_set)
+            t = t.filter(m)
+            return pa.table(
+                {"doc_id": pc.cast(t["doc_id"], pa.int64()), "__t": t["text"]}
+            )
+
+        gt = pa.concat_tables(
+            [
+                p
+                for p in ray.get(
+                    ds.map_batches(gather, batch_format="pyarrow").to_arrow_refs()
+                )
+                if p.num_rows
+            ]
+        )
+        gids = gt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(gids)
+        gids = gids[order]
+        gtexts = np.asarray(gt["__t"].to_numpy(zero_copy_only=False), dtype=object)[order]
+        # one shingle set per unique doc, then set ops per pair
+        sets = [set(_shingle_hashes(x).tolist()) for x in gtexts]
+        ia, ib = np.searchsorted(gids, a), np.searchsorted(gids, b)
+        j = np.array(
+            [
+                (len(sets[x] & sets[y]) / len(sets[x] | sets[y]))
+                if (sets[x] or sets[y])
+                else 1.0
+                for x, y in zip(ia, ib)
+            ]
+        )
+        keep = j >= threshold
+        tbl = pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "jaccard_pct": pa.array(
+                    np.rint(j[keep] * 100).astype(np.int64), pa.int64()
+                ),
+            }
+        ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+        return rd.from_arrow(tbl)
+
+    # a pair found by several bands must be verified once: vectorized dedup.
+    # _pin_schema materializes the candidate set: the join below needs
+    # schema-carrying blocks
+    cand = _pin_schema(
+        raw_cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__nb"))
+        .select_columns(["doc_a", "doc_b"]),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
 
     def explode_sides(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -214,6 +214,18 @@ def test_neardup_clusters_chain_transitivity(ray_session, tmp_path):
     )
     assert dist.equals(out)
 
+    # minhash pair mining: the distributed join-verify fallback must emit
+    # identical pairs to the broadcast-gather fast path
+    from osprey_ray.pipelines.textops import q_minhash_neardup
+
+    fast = q_minhash_neardup(str(tmp_path)).to_pandas().reset_index(drop=True)
+    slow = (
+        q_minhash_neardup(str(tmp_path), broadcast_cap=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow) and len(fast) >= 2
+
 
 def test_token_counts_and_tfidf_shapes(ray_session):
     from osprey_ray.pipelines.textops import q_tfidf_top_terms, q_token_counts

@@ -677,21 +677,54 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
             }
         )
 
-    out = (
+    import ray
+
+    schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
+    raw = _pin_schema(
         sh.map_batches(explode, batch_format="pyarrow")
         .groupby("__bp")
-        .map_groups(pairs_in_part, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
+        .map_groups(pairs_in_part, batch_format="pyarrow"),
+        schema,
+    )
+    n_raw = raw.count()
+    if n_raw <= MINHASH_BROADCAST_CAP:
+        # verified pairs are already capped per bucket and Hamming-checked
+        # inline; the only remaining work is cross-segment dedup + ordering
+        # on a tiny two-int64-column set — do it on the driver instead of
+        # paying a pair-keyed groupby plus a distributed sort.  A pair found
+        # by several segments always carries the same hamming, so first-of
+        # -group IS the Min aggregate.
+        if n_raw == 0:
+            return schema.empty_table()
+        ct = pa.concat_tables(
+            [p for p in ray.get(raw.to_arrow_refs()) if p.num_rows]
+        )
+        abh = np.stack(
+            [
+                ct["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ct["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ct["hamming"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ],
+            axis=1,
+        )
+        abh = np.unique(abh, axis=0)  # sorts by (a, b, hamming); dedups
+        return pa.table(
+            {
+                "doc_a": pa.array(abh[:, 0], pa.int64()),
+                "doc_b": pa.array(abh[:, 1], pa.int64()),
+                "hamming": pa.array(abh[:, 2], pa.int64()),
+            }
+        )
+
+    out = (
+        raw.groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
         .sort(["doc_a", "doc_b"])
     )
     # schema-stable tiny result (empty Datasets lose schema via to_pandas)
-    import ray
-
     parts = [p for p in ray.get(out.to_arrow_refs()) if p.num_rows]
-    schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
-    )
     if not parts:
         return schema.empty_table()
     return pa.concat_tables([p.select(["doc_a", "doc_b", "hamming"]) for p in parts])

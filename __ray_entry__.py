@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": T.q_doc_quality,
         "lang_id": T.q_lang_id,
         "minhash_neardup": T.q_minhash_neardup,
+        "jaccard_neardup": T.q_jaccard_neardup,
         "neardup_clusters": T.q_neardup_clusters,
         "simhash": T.q_simhash,
         "simhash_pairs": T.q_simhash_pairs,
@@ -1005,6 +1006,8 @@ def oracle_sql() -> dict[str, str]:
         # give ~99% per-pair detection at τ=0.7; on this deterministic corpus
         # recall is exactly 100% — verified engine==SQL at sf0.01 and sf0.001)
         "minhash_neardup": _MINHASH_PAIRS_SQL,
+        # the exact variant computes the same exhaustive all-pairs answer
+        "jaccard_neardup": _MINHASH_PAIRS_SQL,
         # connected components over the same exhaustive pair set via a
         # recursive reachability CTE; min reachable id = cluster id,
         # singletons cluster to themselves

@@ -83,6 +83,111 @@ def winnow_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
     return [int(x) for x in np.unique(wins)]
 
 
+JACCARD_EXACT_MAX_ROWS = 20_000
+
+
+def q_jaccard_neardup(sf_dir: str, threshold: float = 0.7,
+                      max_rows: int = JACCARD_EXACT_MAX_ROWS):
+    """EXACT n-gram Jaccard near-duplicate pairs (doc_a < doc_b,
+    jaccard_pct) — the brief's fourth dedup mode as its own entry, and the
+    exact small-scale twin of :func:`q_minhash_neardup` (which is LSH-
+    candidate-generated and therefore approximate in principle).
+
+    Shape: one distributed shingle pass builds the per-doc 3-gram hash
+    sets; under the ``max_rows`` gate the (id, grams) table is collected
+    and closure-broadcast, and each batch computes its docs' intersection
+    counts against the WHOLE corpus in two vectorized ops (``np.isin``
+    over the concatenated gram array + ``np.add.reduceat`` per doc) — no
+    per-pair Python, no shuffle.  Exact all-pairs similarity is O(n²) by
+    nature, so above the gate this refuses with a pointer to
+    ``q_minhash_neardup`` (the banded-LSH scale path) rather than silently
+    running a quadratic job at corpus scale — same contract as
+    ``q_embed_neardup``."""
+    import pyarrow.parquet as pqt
+    import ray
+
+    n_rows = pqt.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"q_jaccard_neardup is the exact O(n²) variant, gated at "
+            f"{max_rows} rows (got {n_rows}); use q_minhash_neardup — the "
+            f"MinHash+LSH scale path — for large corpora"
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    if n_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                 ("jaccard_pct", pa.int64())]
+            ).empty_table()
+        )
+
+    def sh_batch(t: pa.Table) -> pa.Table:
+        hs = [_shingle_hashes(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "grams": pa.array([h.tolist() for h in hs], pa.list_(pa.uint64())),
+                "n_grams": pa.array([len(h) for h in hs], pa.int64()),
+            }
+        )
+
+    gt = pa.concat_tables(
+        [
+            p
+            for p in ray.get(
+                ds.map_batches(sh_batch, batch_format="pyarrow").to_arrow_refs()
+            )
+            if p.num_rows
+        ]
+    )
+    gids = gt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(gids)
+    grams_col = gt["grams"].combine_chunks() if isinstance(gt["grams"], pa.ChunkedArray) else gt["grams"]
+    flat = grams_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    goff = np.asarray(grams_col.offsets)
+    goff = goff - goff[0]
+    sizes = np.diff(goff)
+    # reorder the concatenated gram array by sorted doc_id
+    starts = goff[:-1][order]
+    lens = sizes[order]
+    allh = np.concatenate([flat[s:s + l] for s, l in zip(starts, lens)]) if len(order) else flat
+    gids, sizes = gids[order], lens
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
+        pos = np.searchsorted(gids, ids)
+        for i, did in zip(pos, ids):
+            hs = allh[offsets[i]:offsets[i + 1]]
+            inter = np.add.reduceat(np.isin(allh, hs), offsets[:-1])
+            inter[sizes == 0] = 0
+            union = sizes + sizes[i] - inter
+            jac = inter / np.maximum(union, 1)
+            keep = (jac >= threshold) & (gids > did)
+            out_a.append(np.full(int(keep.sum()), did, dtype=np.int64))
+            out_b.append(gids[keep])
+            out_j.append(np.rint(jac[keep] * 100).astype(np.int64))
+        if not out_a:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "jaccard_pct": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "jaccard_pct": pa.array(np.concatenate(out_j), pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id"]).map_batches(pairs, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     """Per-doc winnowing fingerprint count + min fingerprint (rows-only)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])

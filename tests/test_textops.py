@@ -227,6 +227,41 @@ def test_neardup_clusters_chain_transitivity(ray_session, tmp_path):
     assert fast.equals(slow) and len(fast) >= 2
 
 
+def test_jaccard_neardup_exact_and_gated(ray_session, tmp_path):
+    """The exact n-gram Jaccard entry matches per-pair ngram_jaccard on a
+    chain fixture (finds the A~B and B~C edges, NOT A~C), and refuses above
+    its O(n²) gate with a pointer to the LSH scale path."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from osprey_ray.pipelines.textops import ngram_jaccard, q_jaccard_neardup
+
+    toks = [f"w{i:02d}" for i in range(40)]
+    a_text = " ".join(toks)
+    b_text = " ".join(toks[:-2] + ["x0", "x1"])
+    c_text = " ".join([f"y{i}" for i in range(6)] + toks[6:-2] + ["x0", "x1"])
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30, 99], pa.int64()),
+            "text": [a_text, b_text, c_text, "totally different content here now"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": pa.array([len(a_text), len(b_text), len(c_text), 33], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_jaccard_neardup(str(tmp_path)).to_pandas()
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_pct for r in out.itertuples(index=False)
+    }
+    assert set(got) == {(10, 20), (20, 30)}
+    assert got[(10, 20)] == round(ngram_jaccard(a_text, b_text) * 100)
+    assert got[(20, 30)] == round(ngram_jaccard(b_text, c_text) * 100)
+
+    with pytest.raises(ValueError, match="q_minhash_neardup"):
+        q_jaccard_neardup(str(tmp_path), max_rows=3)
+
+
 def test_token_counts_and_tfidf_shapes(ray_session):
     from osprey_ray.pipelines.textops import q_tfidf_top_terms, q_token_counts
 

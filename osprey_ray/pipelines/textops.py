@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -850,8 +851,14 @@ _LANG_MARKERS = {
 
 
 class LangId:
-    """Heuristic n-gram/marker language ID (actor-pool stage; marker tables
-    built once per actor)."""
+    """Heuristic n-gram/marker language ID.
+
+    Deployed as a task-based ``map_batches`` stage via a per-process
+    ``lru_cache`` instance (same reasoning as ``ann.LshHasher``): the only
+    state is the tiny fixed marker table, so actor-pool spin-up would buy
+    nothing.  The class keeps the actor-pool-compatible shape — a real
+    language model (fasttext-style) WOULD load weights in ``__init__`` and
+    run as ``map_batches(LangId, concurrency=N)``."""
 
     def __init__(self):
         self.markers = {k: v for k, v in _LANG_MARKERS.items()}
@@ -908,20 +915,20 @@ class LangId:
         )
 
 
-def _lang_pool() -> int:
-    """Actor-pool size for the LangId stage, sized from the cluster rather
-    than a fixed 2 (same rationale as ann._pool_size)."""
-    import ray
+@lru_cache(maxsize=1)
+def _cached_langid() -> LangId:
+    return LangId()
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, cpus // 2)
+
+def _langid_batch(t: pa.Table) -> pa.Table:
+    return _cached_langid()(t)
 
 
 def q_lang_id(sf_dir: str):
     """Language-ID accuracy matrix: (true lang, guessed lang, count)."""
     ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=_lang_pool())
+        ds.map_batches(_langid_batch, batch_format="pyarrow")
         .groupby(["lang", "lang_guess"])
         .aggregate(Count(alias_name="n"))
     )

@@ -670,6 +670,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": M.q_frame_sample,
         "multimodal_decode": M.q_multimodal_decode,
         "model_scoring": _model_scoring,
+        "chunk_documents": T.q_chunk_documents,  # new in r4 — needs a first row
+        "jaccard_neardup": T.q_jaccard_neardup,  # new in r4 — needs a first row
+        "kmeans_assign": N.q_kmeans_assign,  # new in r4 — needs a first row
+        "kmeans_refine": N.q_kmeans_refine,  # new in r4 — needs a first row
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -710,7 +714,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": T.q_doc_quality,
         "lang_id": T.q_lang_id,
         "minhash_neardup": T.q_minhash_neardup,
-        "jaccard_neardup": T.q_jaccard_neardup,
         "neardup_clusters": T.q_neardup_clusters,
         "simhash": T.q_simhash,
         "simhash_pairs": T.q_simhash_pairs,
@@ -1276,6 +1279,19 @@ def oracle_sql() -> dict[str, str]:
             " FROM f JOIN d ON d.part = f.part AND d.rn = f.rn + 1"
             ") SELECT doc_id, n_tokens, CAST(part * 128 + bin AS BIGINT) AS bin_id FROM f"
         ),
+        # sliding-window chunking: starts 0,S,2S,… while < n (DuckDB list
+        # slice is 1-based inclusive; // truncates — all operands ≥ 0 here)
+        "chunk_documents": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),"
+            " c AS (SELECT doc_id, toks, n,"
+            " unnest(generate_series(0, (n - 1) // 48)) AS g FROM d)"
+            " SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,"
+            " least(g * 48 + 64, n) - g * 48 AS n_tokens,"
+            " array_to_string(toks[g * 48 + 1 : least(g * 48 + 64, n)], ' ')"
+            " AS chunk_text"
+            " FROM c"
+        ),
         # weighted source mixing: per-source quota of smallest-md5 doc_ids
         "dataset_mix": (
             "WITH w(source, quota) AS (VALUES "
@@ -1446,6 +1462,43 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN st.hi - st.lo = 0 THEN 1.0 ELSE st.hi - st.lo END) "
             "* 255.0 + 0.5) AS BIGINT) AS q "
             "FROM u JOIN st USING (dim)"
+        ),
+        # one exact k-means assignment step in INTEGER space (milli-unit
+        # quantization as embedding_centroids; int64 squared-L2 argmin is
+        # tie-stable across engines — ORDER BY dist, cid = numpy argmin
+        # first-occurrence)
+        "kmeans_assign": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+            "FROM embeddings, dims), "
+            "c AS (SELECT vec_id AS cid, dim, q AS cq FROM u WHERE vec_id < 8), "
+            "d AS (SELECT u.vec_id, c.cid, "
+            "CAST(SUM((u.q - c.cq) * (u.q - c.cq)) AS BIGINT) AS dist "
+            "FROM u JOIN c USING (dim) GROUP BY u.vec_id, c.cid), "
+            "r AS (SELECT vec_id, cid, dist, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(cid AS BIGINT) AS cluster_id, dist FROM r WHERE rn = 1"
+        ),
+        # one full Lloyd iteration: the assignment above + truncating
+        # integer-mean centroid update (DuckDB // truncates toward zero;
+        # the engine matches via the sign trick)
+        "kmeans_refine": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+            "FROM embeddings, dims), "
+            "c AS (SELECT vec_id AS cid, dim, q AS cq FROM u WHERE vec_id < 8), "
+            "d AS (SELECT u.vec_id, c.cid, "
+            "CAST(SUM((u.q - c.cq) * (u.q - c.cq)) AS BIGINT) AS dist "
+            "FROM u JOIN c USING (dim) GROUP BY u.vec_id, c.cid), "
+            "r AS (SELECT vec_id, cid, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
+            "SELECT CAST(r.cid AS BIGINT) AS cluster_id, "
+            "CAST(u.dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(CAST(SUM(u.q) AS BIGINT) // COUNT(*) AS BIGINT) AS centroid_milli "
+            "FROM r JOIN u USING (vec_id) WHERE r.rn = 1 GROUP BY r.cid, u.dim"
         ),
         # exact discrete quantiles (quantile_disc rank rule: ceil(n*q), so
         # values are exact elements — float-safe)

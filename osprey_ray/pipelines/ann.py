@@ -937,6 +937,141 @@ def q_embedding_quantize(sf_dir: str):
     return ds.map_batches(quantize, batch_format="pyarrow")
 
 
+def _kmeans_assign_batch(
+    t: pa.Table, cent: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Integer-exact nearest-centroid assignment for one batch: quantize
+    to milli-units (the ``embedding_centroids`` convention), then
+    ``dist = |q|² - 2 q·Cᵀ + |C|²`` as one int64 matmul (exact — every
+    operand bounded far below 2⁶³).  argmin ties break to the LOWEST
+    cluster id (numpy argmin first-occurrence = DuckDB ORDER BY dist, cid
+    LIMIT 1).  Returns (vec_ids, q_matrix, cluster_id, dist)."""
+    ids, m = _to_matrix(t)
+    q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+    dist = (
+        (q * q).sum(axis=1)[:, None]
+        - 2 * (q @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+    cid = np.argmin(dist, axis=1)
+    return ids.astype(np.int64), q, cid.astype(np.int64), dist[
+        np.arange(len(ids)), cid
+    ]
+
+
+def _kmeans_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the first ``k`` vectors by vec_id, quantized to
+    milli-units.  A tiny k×dim matrix — broadcast into every batch task."""
+    _, m = _query_set(sf_dir, k)
+    return np.floor(m * 1000.0 + 0.5).astype(np.int64)
+
+
+def q_kmeans_assign(sf_dir: str, k: int = 8):
+    """Semantic clustering — one exact k-means ASSIGNMENT step in integer
+    space.  Each embedding is quantized to milli-units and assigned to the
+    nearest of ``k`` centroids (init: first ``k`` vectors by vec_id) under
+    integer squared-L2 distance, ties to the lowest cluster id.
+
+    This hash-verifies the Lloyd assignment step that ``q_ann_ivf``'s
+    coarse quantizer runs in float space (rows-only there — float argmin
+    can tie-flip between engines; int64 cannot).  Centroids are a broadcast
+    k×dim matrix; assignment is one int64 matmul per batch — no shuffle,
+    embarrassingly parallel.  Output: (vec_id, cluster_id, dist)."""
+    cent = _kmeans_centroids(sf_dir, k)
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster_id", pa.int64()), ("dist", pa.int64())]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ids, _, cid, dist = _kmeans_assign_batch(t, cent)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cid, pa.int64()),
+                "dist": pa.array(dist.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def q_kmeans_refine(sf_dir: str, k: int = 8):
+    """One full hash-verified Lloyd ITERATION: assign (as
+    ``q_kmeans_assign``), then recompute centroids with the combiner
+    pattern — each batch emits per-(cluster, dim) partial sums/counts (at
+    most k×dim rows cross the shuffle, never raw vectors), a tiny groupby
+    reduces them, and the new centroid is the truncating integer mean
+    (DuckDB ``//`` semantics via the sign trick, as
+    ``q_embedding_centroids``).  Empty clusters simply emit no rows.
+
+    Together with ``kmeans_assign`` this verifies both halves of the
+    distributed Lloyd loop that the IVF/PQ quantizer training uses.
+    Output: (cluster_id, dim, n, centroid_milli)."""
+    from ray.data.aggregate import Sum
+
+    cent = _kmeans_centroids(sf_dir, k)
+    dim = cent.shape[1]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("cluster_id", pa.int64()),
+                    ("dim", pa.int64()),
+                    ("q_sum", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        _, q, cid, _ = _kmeans_assign_batch(t, cent)
+        n = len(cid)
+        df = pd.DataFrame(
+            {
+                "cluster_id": np.repeat(cid, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+                "q_sum": q.reshape(-1),
+            }
+        )
+        g = (
+            df.groupby(["cluster_id", "dim"], sort=False)
+            .agg(q_sum=("q_sum", "sum"), n=("q_sum", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(g["cluster_id"].to_numpy(), pa.int64()),
+                "dim": pa.array(g["dim"].to_numpy(), pa.int64()),
+                "q_sum": pa.array(g["q_sum"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cluster_id", "dim"])
+        .aggregate(Sum("q_sum", alias_name="q_sum"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["q_sum"].to_numpy()
+        n = t["n"].to_numpy()
+        cm = np.sign(s) * (np.abs(s) // n)  # truncating division (= DuckDB //)
+        return pa.table(
+            {
+                "cluster_id": pc_cast_i64(t["cluster_id"]),
+                "dim": pc_cast_i64(t["dim"]),
+                "n": pc_cast_i64(t["n"]),
+                "centroid_milli": pa.array(cm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
              ks: int = 32, iters: int = 3,
              train_sample_cap: int | None = TRAIN_SAMPLE_CAP):

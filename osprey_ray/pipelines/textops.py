@@ -1354,17 +1354,28 @@ def benchmark_grams(sf_dir: str, k: int = 8, every: int = 97) -> list[str]:
     """Deterministic stand-in for an eval-benchmark n-gram blocklist: the
     first ``k`` tokens of every ``every``-th document.  A real deployment
     loads the blocklist from the benchmark suites; the pipeline shape
-    (tiny broadcast set, per-batch vectorized substring scan) is identical."""
-    import pyarrow.parquet as pq
+    (tiny broadcast set, per-batch vectorized substring scan) is identical.
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    grams = []
-    for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        if i % every == 0:
+    Built DISTRIBUTED: each read task filters its batch to the 1/``every``
+    sampled docs and emits their deduped grams; only that small gram set is
+    gathered (same class of fix as the r3 ``ann._query_set`` driver read —
+    never pull a full text column onto the driver)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        sub = t.filter(pa.array(ids % every == 0))
+        grams = set()
+        for x in sub["text"].to_pylist():  # 1/`every` of rows — cold side
             toks = x.lower().split()
             if len(toks) >= k:
-                grams.append(" ".join(toks[:k]))
-    return sorted(set(grams))
+                grams.add(" ".join(toks[:k]))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    rows = ds.map_batches(extract, batch_format="pyarrow").take_all()
+    return sorted({r["gram"] for r in rows})
 
 
 def q_decontaminate(sf_dir: str, k: int = 8, every: int = 97):
@@ -1445,6 +1456,70 @@ def q_pack_sequences(sf_dir: str, capacity: int = 256, part_rows: int = 128):
         .groupby("__part")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def q_chunk_documents(sf_dir: str, window: int = 64, stride: int = 48):
+    """Sliding-window document chunking (context-window prep for RAG /
+    pretraining): each doc yields token windows of ``window`` tokens every
+    ``stride`` tokens — chunk starts at 0, S, 2S, … while < n_tokens, so
+    the trailing remainder is covered and chunks overlap by
+    ``window - stride``.
+
+    Fully vectorized and embarrassingly parallel (each batch chunks its own
+    docs — no shuffle): ONE ``split_pattern`` per batch, then all chunks of
+    all docs are realized with a single cumsum-delta gather over the
+    flattened token values (same O(output) index construction as
+    ``kernels.net._email_local_batch``) and one ``binary_join``.
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text) per window."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        doc = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        off = np.asarray(toks.offsets).astype(np.int64)  # absolute into .values
+        n = off[1:] - off[:-1]  # ≥1 per row: split('') → ['']
+        nch = (n - 1) // stride + 1
+        total = int(nch.sum())
+        doc_rep = np.repeat(doc, nch)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(nch) - nch, nch
+        )
+        start = np.repeat(off[:-1], nch) + cidx * stride
+        end = np.minimum(start + window, np.repeat(off[1:], nch))
+        lens = end - start  # ≥1: start < row end by construction
+        new_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(lens, out=new_off[1:])
+        # gather [start_i, start_i+lens_i) without per-segment repeat
+        idx = np.ones(int(new_off[-1]), dtype=np.int64)
+        pos = new_off[:-1]
+        idx[pos[0]] = start[0]
+        idx[pos[1:]] = start[1:] - (start[:-1] + lens[:-1]) + 1
+        np.cumsum(idx, out=idx)
+        vals = toks.values.take(pa.array(idx, pa.int64()))
+        chunks = pa.LargeListArray.from_arrays(new_off, vals)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_idx": cidx,
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_text": pc.cast(pc.binary_join(chunks, " "), pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def q_dataset_mix(sf_dir: str, weights: dict[str, int] | None = None):

@@ -690,3 +690,106 @@ def test_ann_query_set_reads_pruned(monkeypatch, tmp_path):
     assert seen.get("columns") == ["vec_id", "embedding"]
     assert seen.get("filters") == [("vec_id", "<", 10)]
     assert list(ids) == list(range(10)) and m.shape == (10, dim)
+
+
+def test_benchmark_grams_distributed_parity():
+    """benchmark_grams builds the blocklist distributed (no full-text
+    driver read); the gram set must equal the plain driver-side logic."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import benchmark_grams
+
+    sf = "/root/testdata/sf0.001"
+    got = benchmark_grams(sf)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    want = set()
+    for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if i % 97 == 0:
+            toks = x.lower().split()
+            if len(toks) >= 8:
+                want.add(" ".join(toks[:8]))
+    assert got == sorted(want) and len(got) > 0
+
+
+def test_chunk_documents_windows():
+    """Sliding-window chunking: stride-placement, overlap, trailing
+    remainder, and that stride-prefix concatenation reassembles the doc."""
+    from osprey_ray.pipelines.textops import q_chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        q_chunk_documents(sf, window=64, stride=48)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    assert set(out.doc_id) == set(texts)  # every doc chunked
+    for doc_id, g in list(out.groupby("doc_id"))[:50]:
+        toks = texts[doc_id].split(" ")
+        n = len(toks)
+        assert list(g.chunk_idx) == list(range((n - 1) // 48 + 1))
+        for _, r in g.iterrows():
+            s = int(r.chunk_idx) * 48
+            assert r.chunk_text == " ".join(toks[s : s + 64])
+            assert r.n_tokens == min(s + 64, n) - s
+        # stride-prefix reassembly: first 48 tokens of each chunk + the
+        # last chunk's tail reconstructs the document exactly
+        parts = [c.split(" ")[:48] for c in g.chunk_text.iloc[:-1]]
+        parts.append(g.chunk_text.iloc[-1].split(" "))
+        assert " ".join(x for p in parts for x in p) == texts[doc_id]
+
+
+def test_kmeans_assign_and_refine_exact(ray_session):
+    """Integer-space k-means: assignment matches driver-side brute force
+    exactly (ids, argmin, distances), init vectors self-assign, and the
+    refine step's centroid update reproduces the truncating integer mean."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.ann import q_kmeans_assign, q_kmeans_refine
+
+    sf = "/root/testdata/sf0.001"
+    out = q_kmeans_assign(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+    cent = q[ids < 8]
+    dist = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cid = dist.argmin(axis=1)
+
+    assert (out.vec_id.to_numpy() == ids).all()
+    assert (out.cluster_id.to_numpy() == cid).all()
+    assert (out.dist.to_numpy() == dist[np.arange(len(ids)), cid]).all()
+    # init vectors are their own nearest centroid (self-distance 0)
+    head = out[out.vec_id < 8]
+    assert (head.cluster_id.to_numpy() == head.vec_id.to_numpy()).all()
+
+    ref = q_kmeans_refine(sf).to_pandas()
+    dim = m.shape[1]
+    assert ref.n.sum() == len(ids) * dim  # every (vector, dim) counted once
+    want = (
+        pd.DataFrame(
+            {
+                "cluster_id": np.repeat(cid, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), len(ids)),
+                "qv": q.reshape(-1),
+            }
+        )
+        .groupby(["cluster_id", "dim"])
+        .agg(q_sum=("qv", "sum"), n_want=("qv", "size"))
+        .reset_index()
+    )
+    merged = ref.merge(want, on=["cluster_id", "dim"], how="outer")
+    assert len(merged) == len(ref) == len(want)
+    assert (merged.n.to_numpy() == merged.n_want.to_numpy()).all()
+    s = merged.q_sum.to_numpy()
+    cm = np.sign(s) * (np.abs(s) // merged.n.to_numpy())
+    assert (merged.centroid_milli.to_numpy() == cm).all()

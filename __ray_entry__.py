@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_neardup": T.q_jaccard_neardup,  # new in r4 — needs a first row
         "kmeans_assign": N.q_kmeans_assign,  # new in r4 — needs a first row
         "kmeans_refine": N.q_kmeans_refine,  # new in r4 — needs a first row
+        "bpe_tokens": T.q_bpe_tokens,  # new in r4 — needs a first row
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1167,6 +1168,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": (
             "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars_text FROM documents"
+        ),
+        # BPE-ish regex token counting — both engines compile the pattern
+        # with RE2, so non-overlapping match counts agree exactly
+        "bpe_tokens": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS n_bpe, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, "
+            "CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) * 100 "
+            "// len(string_split(text, ' ')) AS BIGINT) AS bpe_per_100ws "
+            "FROM documents"
         ),
         "doc_quality": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

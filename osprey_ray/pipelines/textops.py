@@ -954,6 +954,43 @@ def q_doc_tokens(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to RE2 (no lookahead):
+# optionally-space-prefixed letter runs / digit runs / punctuation runs,
+# plus bare space runs.  Both Arrow (`pc.count_substring_regex`) and
+# DuckDB (`regexp_extract_all`) compile this with RE2, so non-overlapping
+# match counts agree exactly — hash-verifiable tokenizer parity.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (SURVEY: "whitespace + a BPE-ish regex" —
+    `q_doc_tokens` is the whitespace half, this is the regex half).  Counts
+    non-overlapping matches of the GPT-2-style pre-tokenizer pattern per
+    document, one vectorized RE2 scan per batch — embarrassingly parallel,
+    no shuffle.  Output: (doc_id, n_bpe, n_ws, bpe_per_100ws) where the
+    ratio is an integer fan-out signal (BPE tokens per 100 whitespace
+    tokens, truncating — all operands non-negative)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        bpe = pc.cast(pc.count_substring_regex(t["text"], BPE_PATTERN), pa.int64())
+        ws = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], pattern=" ")),
+            pa.int64(),
+        )
+        ratio = pc.divide(pc.multiply(bpe, pa.scalar(100, pa.int64())), ws)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe": bpe,
+                "n_ws": ws,
+                "bpe_per_100ws": ratio,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_doc_quality(sf_dir: str):
     """Quality scoring: integer signals (token count, stopword count, mean
     token length in tenths) + a keep/drop flag — all SQL-expressible."""

@@ -793,3 +793,27 @@ def test_kmeans_assign_and_refine_exact(ray_session):
     s = merged.q_sum.to_numpy()
     cm = np.sign(s) * (np.abs(s) // merged.n.to_numpy())
     assert (merged.centroid_milli.to_numpy() == cm).all()
+
+
+def test_bpe_tokens_matches_re(ray_session):
+    """BPE-ish regex token counts match Python re on the same pattern, and
+    the fan-out ratio is the truncating integer n_bpe*100 // n_ws."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import BPE_PATTERN, q_bpe_tokens
+
+    sf = "/root/testdata/sf0.001"
+    out = q_bpe_tokens(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    assert set(out.doc_id) == set(texts)
+    pat = re.compile(BPE_PATTERN)
+    for _, r in out.head(200).iterrows():
+        toks = pat.findall(texts[r.doc_id])
+        assert r.n_bpe == len(toks)
+        assert r.n_ws == len(texts[r.doc_id].split(" "))
+        assert r.bpe_per_100ws == r.n_bpe * 100 // r.n_ws
+        # the pre-tokenizer is lossless: matches concatenate to the text
+        assert "".join(toks) == texts[r.doc_id]

@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": N.q_kmeans_assign,  # new in r4 — needs a first row
         "kmeans_refine": N.q_kmeans_refine,  # new in r4 — needs a first row
         "bpe_tokens": T.q_bpe_tokens,  # new in r4 — needs a first row
+        "semantic_dedup": N.q_semantic_dedup,  # new in r4 — needs a first row
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1510,6 +1511,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(u.dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(CAST(SUM(u.q) AS BIGINT) // COUNT(*) AS BIGINT) AS centroid_milli "
             "FROM r JOIN u USING (vec_id) WHERE r.rn = 1 GROUP BY r.cid, u.dim"
+        ),
+        # SemDeDup in integer space: k-means assignment (as kmeans_assign,
+        # k=64) + within-cluster pairwise — nn_dist = nearest lower-id
+        # cluster-mate, dup_of = smallest lower id within eps=100000
+        # (≈ cosine 0.95 for unit-norm milli vectors)
+        "semantic_dedup": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+            "FROM embeddings, dims), "
+            "c AS (SELECT vec_id AS cid, dim, q AS cq FROM u WHERE vec_id < 64), "
+            "d AS (SELECT u.vec_id, c.cid, "
+            "CAST(SUM((u.q - c.cq) * (u.q - c.cq)) AS BIGINT) AS dist "
+            "FROM u JOIN c USING (dim) GROUP BY u.vec_id, c.cid), "
+            "r AS (SELECT vec_id, cid, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d), "
+            "a AS (SELECT vec_id, cid FROM r WHERE rn = 1), "
+            "p AS (SELECT b.vec_id AS vb, a.vec_id AS va, "
+            "CAST(SUM((ua.q - ub.q) * (ua.q - ub.q)) AS BIGINT) AS pd "
+            "FROM a JOIN a b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+            "JOIN u ua ON ua.vec_id = a.vec_id "
+            "JOIN u ub ON ub.vec_id = b.vec_id AND ub.dim = ua.dim "
+            "GROUP BY b.vec_id, a.vec_id) "
+            "SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id, "
+            "COALESCE(MIN(p.pd), -1) AS nn_dist, "
+            "COALESCE(MIN(CASE WHEN p.pd <= 100000 THEN p.va END), -1) AS dup_of "
+            "FROM a LEFT JOIN p ON p.vb = a.vec_id "
+            "GROUP BY a.vec_id, a.cid"
         ),
         # exact discrete quantiles (quantile_disc rank rule: ceil(n*q), so
         # values are exact elements — float-safe)

@@ -1072,6 +1072,118 @@ def q_kmeans_refine(sf_dir: str, k: int = 8):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+# Per-cluster pairwise work is O(c²) time AND memory (the dense int64
+# distance matrix); a cluster this large means k was sized wrong for the
+# corpus (SemDeDup sizes k ∝ √n so clusters stay bounded — at the cap the
+# in-task matrix is ~800 MB).  Fail loudly rather than silently running a
+# quadratic task; a production variant would tile the pairwise step.
+SEMANTIC_CLUSTER_CAP = 10_000
+
+
+def q_semantic_dedup(sf_dir: str, k: int = 64, eps: int = 100_000):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, then mark
+    within-cluster near-duplicates under a distance threshold — the
+    standard semantic-dedup shape for web-scale corpora, where clustering
+    reduces the O(n²) pairwise step to O(n²/k) inside bounded clusters.
+
+    Exact and hash-verified in integer space: vectors quantized to
+    milli-units, assigned to the nearest of ``k`` centroids (init: first
+    ``k`` vectors by vec_id, as ``q_kmeans_assign``), then per cluster each
+    vector reports its nearest LOWER-vec_id cluster-mate (``nn_dist``, −1
+    for the cluster minimum) and ``dup_of`` = the smallest lower vec_id
+    within ``eps`` (−1 = keep; integer sentinels rather than NULL so the
+    driver's value-hash never sees NaN).  For unit-norm embeddings eps in milli²
+    relates to cosine as eps ≈ 2·(1−cos)·10⁶, so the default 100_000 is
+    the SemDeDup cos ≥ 0.95 operating point.  ``nn_dist`` keeps the hash
+    non-degenerate even on a corpus with no duplicates.
+
+    Scale shape: centroids are a broadcast k×dim matrix (assignment is one
+    int64 matmul per batch, no shuffle); vectors cross the wire exactly
+    once in the ``groupby(cluster_id)`` exchange; the pairwise step runs
+    in-task per cluster, guarded by ``SEMANTIC_CLUSTER_CAP``.
+    Output: (vec_id, cluster_id, nn_dist, dup_of)."""
+    cent = _kmeans_centroids(sf_dir, k)
+    dim = cent.shape[1]
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster_id", pa.int64()),
+            ("nn_dist", pa.int64()),
+            ("dup_of", pa.int64()),
+        ]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("cluster_id", pa.int64()),
+                    ("q", pa.large_list(pa.int64())),
+                ]
+            ).empty_table()
+        ids, q, cid, _ = _kmeans_assign_batch(t, cent)
+        n = len(ids)
+        off = np.arange(0, (n + 1) * dim, dim, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cid, pa.int64()),
+                "q": pa.LargeListArray.from_arrays(
+                    off, pa.array(q.reshape(-1), pa.int64())
+                ),
+            }
+        )
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        c = t.num_rows
+        if c == 0:
+            return schema.empty_table()
+        assert c <= SEMANTIC_CLUSTER_CAP, (
+            f"cluster of {c} rows exceeds SEMANTIC_CLUSTER_CAP "
+            f"({SEMANTIC_CLUSTER_CAP}) — increase k for this corpus size"
+        )
+        ids = np.asarray(t["vec_id"]).astype(np.int64)
+        # .flatten() (not .values) — a sliced table's list offsets need not
+        # start at 0 after the groupby exchange
+        q = np.asarray(t["q"].combine_chunks().flatten()).reshape(c, dim)
+        order = np.argsort(ids)
+        ids, q = ids[order], q[order]
+        cid = np.asarray(t["cluster_id"])[0]
+        # pairwise int64 squared L2 — exact (operands ≪ 2⁶³)
+        d2 = (
+            (q * q).sum(axis=1)[:, None]
+            - 2 * (q @ q.T)
+            + (q * q).sum(axis=1)[None, :]
+        )
+        lower = np.tril(np.ones((c, c), dtype=bool), k=-1)  # j < i by id order
+        d2m = np.where(lower, d2, np.iinfo(np.int64).max)
+        nn = d2m.min(axis=1)
+        has_lower = lower.any(axis=1)
+        dup_j = np.where(d2m <= eps, np.arange(c)[None, :], c)  # min id index
+        dj = dup_j.min(axis=1)
+        has_dup = dj < c
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(np.full(c, cid, dtype=np.int64), pa.int64()),
+                "nn_dist": pa.array(np.where(has_lower, nn, -1), pa.int64()),
+                "dup_of": pa.array(
+                    np.where(has_dup, ids[np.minimum(dj, c - 1)], -1), pa.int64()
+                ),
+            }
+        )
+
+    dedup_cluster.__name__ = "SemanticDedupCluster"
+    return (
+        _read_emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )
+
+
 def q_ann_pq(sf_dir: str, k: int = 5, n_queries: int = 10, m_sub: int = 8,
              ks: int = 32, iters: int = 3,
              train_sample_cap: int | None = TRAIN_SAMPLE_CAP):

@@ -817,3 +817,81 @@ def test_bpe_tokens_matches_re(ray_session):
         assert r.bpe_per_100ws == r.n_bpe * 100 // r.n_ws
         # the pre-tokenizer is lossless: matches concatenate to the text
         assert "".join(toks) == texts[r.doc_id]
+
+
+def test_semantic_dedup_planted(ray_session, tmp_path):
+    """SemDeDup: planted near-copies are marked dup_of their smallest
+    lower-id cluster-mate within eps; distinct vectors keep (dup_of NULL);
+    the cluster-minimum member has NULL nn_dist."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.ann import q_semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim, k = 8, 4
+    # 4 well-separated unit centroids (vec_ids 0..3), then members around
+    # them; vec 10 and 11 are near-copies of vec 5 (same cluster)
+    base = np.eye(4, dim) * 1.0
+    rows = [base[i] for i in range(4)]
+    for i in range(4, 12):
+        c = base[i % 4] + rng.normal(0, 0.05, dim)
+        rows.append(c / np.linalg.norm(c))
+    m = np.array(rows)
+    m[5] = m[1] * 0.9 + rng.normal(0, 0.01, dim)  # cluster 1 member
+    m[10] = m[5] + 0.001  # near-copy of 5 (dist ~ dim*(1e-3*1e3)^2 = 8)
+    m[11] = m[5] - 0.001
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    out = (
+        q_semantic_dedup(str(tmp_path), k=k, eps=1000)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 12
+    by = out.set_index("vec_id")
+    # init vectors are their own cluster
+    for i in range(4):
+        assert by.loc[i, "cluster_id"] == i
+    # planted near-copies point at the smallest in-range lower id
+    assert by.loc[10, "dup_of"] == 5
+    assert by.loc[11, "dup_of"] == 5
+    assert by.loc[10, "cluster_id"] == by.loc[5, "cluster_id"]
+    # everything else keeps (−1 sentinel)
+    keep = out[~out.vec_id.isin([10, 11])]
+    assert (keep.dup_of == -1).all()
+    # exactly one −1 nn_dist (the cluster minimum) per cluster
+    nn_null = out[out.nn_dist == -1]
+    assert sorted(nn_null.cluster_id) == sorted(out.cluster_id.unique())
+    assert (nn_null.groupby("cluster_id").size() == 1).all()
+    # nn_dist of vec 11 is the distance to 10 or 5 — tiny either way
+    assert 0 <= by.loc[11, "nn_dist"] <= 1000
+
+
+def test_semantic_dedup_cluster_cap(ray_session, tmp_path, monkeypatch):
+    """Oversized clusters fail loudly instead of running a quadratic task."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    import osprey_ray.pipelines.ann as annmod
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(30, 8))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    monkeypatch.setattr(annmod, "SEMANTIC_CLUSTER_CAP", 2)
+    with pytest.raises(Exception, match="SEMANTIC_CLUSTER_CAP"):
+        annmod.q_semantic_dedup(str(tmp_path), k=1, eps=1000).to_pandas()

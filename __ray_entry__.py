@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_refine": N.q_kmeans_refine,  # new in r4 — needs a first row
         "bpe_tokens": T.q_bpe_tokens,  # new in r4 — needs a first row
         "semantic_dedup": N.q_semantic_dedup,  # new in r4 — needs a first row
+        "knn_graph": N.q_knn_graph,  # new in r4 — needs a first row
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1511,6 +1512,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(u.dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(CAST(SUM(u.q) AS BIGINT) // COUNT(*) AS BIGINT) AS centroid_milli "
             "FROM r JOIN u USING (vec_id) WHERE r.rn = 1 GROUP BY r.cid, u.dim"
+        ),
+        # exact kNN graph: every vector's top-5 neighbors by integer
+        # squared-L2 (milli quantization), ties to the lowest neighbor id
+        "knn_graph": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+            "FROM embeddings, dims), "
+            "d AS (SELECT ua.vec_id AS vid, ub.vec_id AS nid, "
+            "CAST(SUM((ua.q - ub.q) * (ua.q - ub.q)) AS BIGINT) AS dist "
+            "FROM u ua JOIN u ub ON ua.dim = ub.dim AND ua.vec_id <> ub.vec_id "
+            "GROUP BY ua.vec_id, ub.vec_id), "
+            "r AS (SELECT vid, nid, dist, "
+            "ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, nid) AS rnk FROM d) "
+            "SELECT vid AS vec_id, nid AS neighbor_id, "
+            'CAST(rnk AS BIGINT) AS "rank", dist FROM r WHERE rnk <= 5'
         ),
         # SemDeDup in integer space: k-means assignment (as kmeans_assign,
         # k=64) + within-cluster pairwise — nn_dist = nearest lower-id

@@ -602,6 +602,85 @@ def q_embed_neardup_lsh(
 EXACT_NEARDUP_MAX_ROWS = 1_000_000
 
 
+def q_knn_graph(sf_dir: str, k: int = 5, max_rows: int = EXACT_NEARDUP_MAX_ROWS):
+    """Exact k-nearest-neighbor GRAPH: for EVERY vector, its top-k
+    neighbors by integer squared-L2 distance (milli-unit quantization;
+    ties break to the lowest neighbor id — numpy lexsort = DuckDB
+    ``ORDER BY dist, nid``).  This is the third standard embedding
+    primitive after query-top-k (``q_ann_bruteforce``) and
+    pairs-above-threshold (``q_embed_neardup``); near-dup clustering and
+    graph-based semantic dedup consume it.
+
+    Per-batch int64 matmul against the broadcast quantized matrix —
+    O(n²/B) per batch, so like ``q_embed_neardup`` it is GATED at
+    ``max_rows``: above that it refuses and points at the scale paths
+    (``q_ann_ivf``/``q_ann_lsh`` for approximate graphs, or
+    ``q_semantic_dedup``'s clustered within-cluster form).
+    Output: (vec_id, neighbor_id, rank, dist)."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"q_knn_graph is the exact O(n²) graph and is capped at "
+            f"{max_rows} rows (input has {n_rows}); use the ANN family or "
+            f"q_semantic_dedup's clustered form at corpus scale"
+        )
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_all, m_all = _to_matrix(t)
+    order = np.argsort(ids_all)
+    ids_all = ids_all[order].astype(np.int64)
+    q_all = np.floor(m_all[order] * 1000.0 + 0.5).astype(np.int64)
+    sq_all = (q_all * q_all).sum(axis=1)
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("neighbor_id", pa.int64()),
+                    ("rank", pa.int64()),
+                    ("dist", pa.int64()),
+                ]
+            ).empty_table()
+        ids, m = _to_matrix(t)
+        q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+        d = (q * q).sum(axis=1)[:, None] - 2 * (q @ q_all.T) + sq_all[None, :]
+        # mask self (by id, not position — the batch is a slice of the corpus)
+        self_mask = ids[:, None].astype(np.int64) == ids_all[None, :]
+        d = np.where(self_mask, np.iinfo(np.int64).max, d)
+        kk = min(k, d.shape[1] - 1)
+        # exact tie-stable top-k: take every candidate at or under the
+        # kth-smallest distance (so boundary ties are all considered),
+        # then lexsort by (dist, neighbor id) and keep kk
+        rows = []
+        for i in range(len(ids)):
+            kth = np.partition(d[i], kk - 1)[kk - 1]
+            cand = np.flatnonzero(d[i] <= kth)
+            o = np.lexsort((ids_all[cand], d[i][cand]))[:kk]
+            rows.append(cand[o])
+        nb = np.array(rows)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.repeat(ids.astype(np.int64), kk), pa.int64()
+                ),
+                "neighbor_id": pa.array(ids_all[nb].reshape(-1), pa.int64()),
+                "rank": pa.array(
+                    np.tile(np.arange(1, kk + 1, dtype=np.int64), n), pa.int64()
+                ),
+                "dist": pa.array(
+                    d[np.repeat(np.arange(n), kk), nb.reshape(-1)], pa.int64()
+                ),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(topk, batch_format="pyarrow")
+
+
 def q_embed_neardup(
     sf_dir: str, threshold: float = 0.95, max_rows: int = EXACT_NEARDUP_MAX_ROWS
 ):

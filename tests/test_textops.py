@@ -895,3 +895,38 @@ def test_semantic_dedup_cluster_cap(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(annmod, "SEMANTIC_CLUSTER_CAP", 2)
     with pytest.raises(Exception, match="SEMANTIC_CLUSTER_CAP"):
         annmod.q_semantic_dedup(str(tmp_path), k=1, eps=1000).to_pandas()
+
+
+def test_knn_graph_exact_and_gated(ray_session, monkeypatch):
+    """knn_graph: symmetric sanity (rank-1 neighbor's distance equals the
+    brute-force min), every vector appears with ranks 1..k, and the
+    over-cap refusal fires."""
+    import pyarrow.parquet as pq
+
+    import pytest
+
+    from osprey_ray.pipelines.ann import q_knn_graph
+
+    sf = "/root/testdata/sf0.001"
+    out = q_knn_graph(sf, k=5).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+    d = ((q[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.iinfo(np.int64).max)
+
+    assert len(out) == len(ids) * 5
+    g = out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    assert all(v == [1, 2, 3, 4, 5] for v in g.groupby("vec_id")["rank"].apply(list))
+    # rank-1 rows match the brute-force argmin (with lowest-id tie-break)
+    r1 = g[g["rank"] == 1].set_index("vec_id")
+    for i, vid in enumerate(ids[:100]):
+        want_dist = d[i].min()
+        assert r1.loc[vid, "dist"] == want_dist
+        want_nid = ids[np.flatnonzero(d[i] == want_dist)].min()
+        assert r1.loc[vid, "neighbor_id"] == want_nid
+    with pytest.raises(ValueError, match="capped"):
+        q_knn_graph(sf, k=5, max_rows=10)

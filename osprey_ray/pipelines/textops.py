@@ -1106,18 +1106,35 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5):
     )
 
 
-def q_tfidf_top_terms(sf_dir: str):
+# Above this vocabulary size the df map stops being a broadcastable small
+# side (2M terms ≈ tens of MB) and tf⋈df falls back to the hash-shuffle
+# join.  Web-corpus vocabularies are heavy-tailed, so the cap is real.
+TFIDF_BROADCAST_VOCAB_CAP = 2_000_000
+
+
+def q_tfidf_top_terms(
+    sf_dir: str, broadcast_vocab_cap: int = TFIDF_BROADCAST_VOCAB_CAP
+):
     """Top rarity-weighted term per document — the TF-IDF shape with a
     deterministic integer score: ``score_ppm = tf * 1_000_000 // df``
     (monotone in tf/df; no libm ``log`` so engine and SQL agree
     bit-for-bit; with N fixed, tf/df ranks terms exactly like tf·(N/df)).
 
-    Distributed shape: per-doc term frequencies are computed inside each
-    batch (docs never span batches), document frequencies come from a
-    token-keyed groupby over the (doc, term) pairs, tf⋈df rides Ray's
-    hash-shuffle join on the token key, and the per-doc argmax runs
-    vectorized per hash partition (256 partitions, lexsort + boundary
-    pick) — never one Python callback per doc."""
+    Distributed shape: document frequencies come from a per-batch
+    COMBINER (each batch emits its distinct (term, df_part) counts — only
+    vocabulary-sized rows ever cross the df shuffle, never the
+    corpus-sized (doc, term) pair set).  Then:
+
+    * vocabulary ≤ ``broadcast_vocab_cap``: the df map is gathered once
+      and shipped by closure capture, and ONE stateless pass over the
+      docs computes tf + score + per-doc argmax in-batch (docs are single
+      rows, so a doc never spans batches) — zero corpus-sized shuffles.
+    * above the cap: the (doc, term, tf) pair set materializes once and
+      tf⋈df rides Ray's hash-shuffle join on the token key, with the
+      per-doc argmax vectorized per hash partition (256 partitions,
+      lexsort + boundary pick) — never one Python callback per doc."""
+    from ray.data.aggregate import Sum
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def tf_pairs(t: pa.Table) -> pa.Table:
@@ -1140,13 +1157,74 @@ def q_tfidf_top_terms(sf_dir: str):
             }
         )
 
-    tf = ds.map_batches(tf_pairs, batch_format="pyarrow").materialize()
-    df_tbl = (
-        tf.groupby("term")
-        .aggregate(Count(alias_name="df"))
+    def df_partial(t: pa.Table) -> pa.Table:
+        p = tf_pairs(t)
+        vc = pc.value_counts(p["term"])
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "df_part": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    df_mat = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .materialize()
     )
 
     import ray
+
+    if df_mat.count() <= broadcast_vocab_cap:
+        import pandas as pd
+
+        # drop schema-less empty blocks before concat (groupby output can
+        # contain them; see the ray-join-empty-blocks gotcha)
+        parts = [t for t in ray.get(df_mat.to_arrow_refs()) if t.num_rows > 0]
+        vt = pa.concat_tables(parts) if parts else pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        lookup = pd.Series(
+            np.asarray(vt["df"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            index=pd.Index(vt["term"].to_pylist(), dtype=object),
+        )
+
+        def top_term(t: pa.Table) -> pa.Table:
+            p = tf_pairs(t)
+            if p.num_rows == 0:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "term": pa.array([], pa.string()),
+                     "tf": pa.array([], pa.int64()),
+                     "df": pa.array([], pa.int64()),
+                     "score_ppm": pa.array([], pa.int64())}
+                )
+            doc = p["doc_id"].to_numpy()
+            tfv = p["tf"].to_numpy()
+            term = np.asarray(p["term"].to_numpy(zero_copy_only=False), dtype=object)
+            dfv = lookup.reindex(term).to_numpy()  # every term is in the map
+            score = tfv * 1_000_000 // dfv
+            order = np.lexsort((term, -score, doc))
+            doc_s = doc[order]
+            first = np.empty(len(doc_s), dtype=bool)
+            first[0] = True
+            first[1:] = doc_s[1:] != doc_s[:-1]
+            pick = order[first]
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc[pick], pa.int64()),
+                    "term": pa.array(term[pick], pa.string()),
+                    "tf": pa.array(tfv[pick], pa.int64()),
+                    "df": pa.array(dfv[pick].astype(np.int64), pa.int64()),
+                    "score_ppm": pa.array(score[pick], pa.int64()),
+                }
+            )
+
+        return ds.map_batches(top_term, batch_format="pyarrow")
+
+    tf = ds.map_batches(tf_pairs, batch_format="pyarrow").materialize()
+    df_tbl = df_mat
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # no pinning here: the join output feeds a sort-based groupby, which

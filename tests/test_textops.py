@@ -930,3 +930,26 @@ def test_knn_graph_exact_and_gated(ray_session, monkeypatch):
         assert r1.loc[vid, "neighbor_id"] == want_nid
     with pytest.raises(ValueError, match="capped"):
         q_knn_graph(sf, k=5, max_rows=10)
+
+
+def test_tfidf_broadcast_vs_join_identical(ray_session):
+    """The broadcast-df fast path and the hash-join fallback (forced via
+    cap=0) produce identical top terms."""
+    from osprey_ray.pipelines.textops import q_tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    fast = (
+        q_tfidf_top_terms(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    slow = (
+        q_tfidf_top_terms(sf, broadcast_vocab_cap=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(fast) == len(slow) > 0
+    for c in ["doc_id", "term", "tf", "df", "score_ppm"]:
+        assert fast[c].tolist() == slow[c].tolist(), c

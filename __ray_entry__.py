@@ -677,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": T.q_bpe_tokens,  # new in r4 — needs a first row
         "semantic_dedup": N.q_semantic_dedup,  # new in r4 — needs a first row
         "knn_graph": N.q_knn_graph,  # new in r4 — needs a first row
+        "semantic_decontaminate": N.q_semantic_decontaminate,  # new in r4
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1512,6 +1513,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(u.dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(CAST(SUM(u.q) AS BIGINT) // COUNT(*) AS BIGINT) AS centroid_milli "
             "FROM r JOIN u USING (vec_id) WHERE r.rn = 1 GROUP BY r.cid, u.dim"
+        ),
+        # semantic eval-set decontamination: nearest eval vector (first 10
+        # vec_ids) by integer squared-L2, flagged within eps=100000
+        "semantic_decontaminate": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+            "FROM embeddings, dims), "
+            "e AS (SELECT vec_id AS eval_id, dim, q AS eq FROM u WHERE vec_id < 10), "
+            "d AS (SELECT u.vec_id, e.eval_id, "
+            "CAST(SUM((u.q - e.eq) * (u.q - e.eq)) AS BIGINT) AS dist "
+            "FROM u JOIN e USING (dim) GROUP BY u.vec_id, e.eval_id), "
+            "r AS (SELECT vec_id, eval_id, dist, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, eval_id) AS rn FROM d) "
+            "SELECT vec_id, eval_id AS nearest_eval_id, dist AS min_dist, "
+            "dist <= 100000 AS contaminated FROM r WHERE rn = 1"
         ),
         # exact kNN graph: every vector's top-5 neighbors by integer
         # squared-L2 (milli quantization), ties to the lowest neighbor id

@@ -681,6 +681,56 @@ def q_knn_graph(sf_dir: str, k: int = 5, max_rows: int = EXACT_NEARDUP_MAX_ROWS)
     return _read_emb(sf_dir).map_batches(topk, batch_format="pyarrow")
 
 
+def q_semantic_decontaminate(sf_dir: str, n_eval: int = 10, eps: int = 100_000):
+    """Semantic eval-set decontamination — the embedding counterpart of
+    the n-gram ``q_decontaminate``: flag every corpus vector whose nearest
+    EVAL vector lies within ``eps`` (integer milli² squared-L2; for
+    unit-norm embeddings eps ≈ 2·(1−cos)·10⁶, so 100_000 ≈ cos 0.95).
+    The eval set here is the first ``n_eval`` vectors by vec_id (a real
+    deployment loads benchmark embeddings; the pipeline shape is
+    identical) — those members flag themselves at distance 0, which is
+    exactly the right behavior for leaked eval rows.
+
+    Scale shape: the eval matrix is the SMALL side, shipped once by
+    closure capture; each batch does one int64 matmul against it — no
+    shuffle, embarrassingly parallel, the same broadcast pattern as
+    ``q_decontaminate``'s blocklist.  Ties break to the lowest eval id
+    (numpy argmin first-occurrence = DuckDB ``ORDER BY dist, eval_id``).
+    Output: (vec_id, nearest_eval_id, min_dist, contaminated)."""
+    ids_e, m_e = _query_set(sf_dir, n_eval)
+    order = np.argsort(ids_e)
+    ids_e = ids_e[order].astype(np.int64)
+    q_e = np.floor(m_e[order] * 1000.0 + 0.5).astype(np.int64)
+    sq_e = (q_e * q_e).sum(axis=1)
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("nearest_eval_id", pa.int64()),
+            ("min_dist", pa.int64()),
+            ("contaminated", pa.bool_()),
+        ]
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ids, m = _to_matrix(t)
+        q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+        d = (q * q).sum(axis=1)[:, None] - 2 * (q @ q_e.T) + sq_e[None, :]
+        j = d.argmin(axis=1)
+        md = d[np.arange(len(ids)), j]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "nearest_eval_id": pa.array(ids_e[j], pa.int64()),
+                "min_dist": pa.array(md, pa.int64()),
+                "contaminated": pa.array(md <= eps, pa.bool_()),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(flag, batch_format="pyarrow")
+
+
 def q_embed_neardup(
     sf_dir: str, threshold: float = 0.95, max_rows: int = EXACT_NEARDUP_MAX_ROWS
 ):

@@ -953,3 +953,36 @@ def test_tfidf_broadcast_vs_join_identical(ray_session):
     assert len(fast) == len(slow) > 0
     for c in ["doc_id", "term", "tf", "df", "score_ppm"]:
         assert fast[c].tolist() == slow[c].tolist(), c
+
+
+def test_semantic_decontaminate(ray_session):
+    """Eval members flag themselves at distance 0; non-members carry their
+    true nearest-eval distance (cross-checked by brute force)."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.ann import q_semantic_decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        q_semantic_decontaminate(sf)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    q = np.floor(m * 1000.0 + 0.5).astype(np.int64)
+    qe = q[ids < 10]
+    d = ((q[:, None, :] - qe[None, :, :]) ** 2).sum(-1)
+
+    assert len(out) == len(ids)
+    assert (out.vec_id.to_numpy() == ids).all()
+    assert (out.min_dist.to_numpy() == d.min(axis=1)).all()
+    assert (out.nearest_eval_id.to_numpy() == d.argmin(axis=1)).all()
+    ev = out[out.vec_id < 10]
+    assert (ev.min_dist == 0).all() and ev.contaminated.all()
+    assert (ev.nearest_eval_id.to_numpy() == ev.vec_id.to_numpy()).all()
+    assert (out.contaminated == (out.min_dist <= 100_000)).all()

@@ -252,6 +252,7 @@ def run_batch_exchange(
     label_events: dict[str, list] | None = None,
     num_partitions: int = 64,
     write_dir: str | None = None,
+    resume: bool = False,
 ) -> pa.Table | list:
     """Performance path: the same read → stateless → hash-exchange →
     stateful plan expressed as an explicit task graph instead of
@@ -263,7 +264,14 @@ def run_batch_exchange(
 
     Returns the concatenated execution-results Table, or per-partition
     output file paths when ``write_dir`` is given (partitioned, resumable
-    layout: one file per partition).
+    layout: one file per partition; writes are atomic tmp+rename).
+
+    ``resume=True`` (only with ``write_dir``) skips partitions whose
+    output file already exists — a killed run reruns only the missing
+    partitions.  Explicit opt-in, not the default: the caller asserts the
+    existing files came from the SAME input+spec (partition files carry no
+    lineage; the streaming engine's manifests do — use that path when
+    lineage must be machine-checked).
     """
     import ray
 
@@ -304,17 +312,36 @@ def run_batch_exchange(
         return out
 
     P = num_partitions
+    done: dict[int, str] = {}
+    if resume:
+        assert write_dir is not None, "resume requires write_dir"
+        import os as _os
+
+        for p in range(P):
+            path = _os.path.join(write_dir, f"part-{p:05d}.parquet")
+            if _os.path.exists(path):
+                done[p] = path
+        if len(done) == P:  # nothing to do — don't even schedule the reads
+            return [done[p] for p in range(P)]
     reads = [
         _read_route.options(num_returns=P + 1).remote([f], stage1, P)
         for f in parquet_files
     ]
-    parts = [
-        eval_part.remote(p, [r[p] for r in reads], spec, rule_plans, label_events, write_dir)
+    parts = {
+        p: eval_part.remote(
+            p, [r[p] for r in reads], spec, rule_plans, label_events, write_dir
+        )
         for p in range(P)
-    ]
-    outs = [o for o in ray.get(parts) if o is not None]
+        if p not in done
+    }
+    fresh = dict(zip(parts, ray.get(list(parts.values()))))
     if write_dir is not None:
-        return outs
+        return [
+            done.get(p) or fresh.get(p)
+            for p in range(P)
+            if (done.get(p) or fresh.get(p)) is not None
+        ]
+    outs = [o for o in fresh.values() if o is not None]
     return pa.concat_tables(outs, promote_options="default") if outs else pa.table({})
 
 

@@ -554,3 +554,56 @@ def test_label_dependent_rule_applies_and_records_reason():
     gated = [m for m in muts if m[2] == "gated_mark"]
     assert len(gated) == 1
     assert gated[0][4] == "RuleGate,RuleSeed"  # sorted CSV incl. dependent rule
+
+
+def test_exchange_resume_skips_finished_partitions(small_data, ray_session, tmp_path):
+    """resume=True recomputes only missing partition files: surviving files
+    are untouched (same inode+mtime), the deleted one regenerates, and the
+    resumed union is byte-identical to the fresh run."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.flagship import run_batch_exchange
+
+    clean, lmap = small_data
+    spec = flagship_spec()
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(clean.slice(i * 1000, 1000), p)
+        files.append(p)
+    outdir = str(tmp_path / "out")
+    paths = run_batch_exchange(files, spec, lmap, num_partitions=8, write_dir=outdir)
+    want = pa.concat_tables([pq.read_table(p) for p in sorted(paths)])
+
+    victim = sorted(glob.glob(outdir + "/*.parquet"))[1]
+    os.remove(victim)
+    before = {
+        p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+        for p in glob.glob(outdir + "/*.parquet")
+    }
+    paths2 = run_batch_exchange(
+        files, spec, lmap, num_partitions=8, write_dir=outdir, resume=True
+    )
+    assert os.path.exists(victim)  # regenerated
+    for p, stamp in before.items():  # survivors untouched
+        assert (os.stat(p).st_ino, os.stat(p).st_mtime_ns) == stamp
+    got = pa.concat_tables([pq.read_table(p) for p in sorted(paths2)])
+    a = want.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = got.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a["conv_id"].tolist() == b["conv_id"].tolist()
+    assert [list(x) for x in a["__verdicts"]] == [list(x) for x in b["__verdicts"]]
+
+    # fully-complete resume: nothing recomputed, paths still returned
+    before = {
+        p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+        for p in glob.glob(outdir + "/*.parquet")
+    }
+    paths3 = run_batch_exchange(
+        files, spec, lmap, num_partitions=8, write_dir=outdir, resume=True
+    )
+    assert sorted(paths3) == sorted(paths2)
+    for p, stamp in before.items():
+        assert (os.stat(p).st_ino, os.stat(p).st_mtime_ns) == stamp

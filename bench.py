@@ -153,6 +153,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "line_dedup",
         "dup_ngrams",
         "range_join",
+        "tfidf_top_terms",
+        "semantic_dedup",
+        "knn_graph",
     ):
         t0 = time.perf_counter()
         r = Q[name](sf_dir)

@@ -678,6 +678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": N.q_semantic_dedup,  # new in r4 — needs a first row
         "knn_graph": N.q_knn_graph,  # new in r4 — needs a first row
         "semantic_decontaminate": N.q_semantic_decontaminate,  # new in r4
+        "normalize_text": T.q_normalize_text,  # new in r4 — needs a first row
+        "bloom_dedup": T.q_bloom_dedup,  # new in r4 — needs a first row
+        "heavy_hitters": T.q_heavy_hitters,  # new in r4 — needs a first row
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1167,6 +1170,31 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5 "
             "FROM documents GROUP BY md5(text)"
+        ),
+        # both engines compile \s+ with RE2; trim matches because the
+        # collapsed edges are plain spaces
+        "normalize_text": (
+            "WITH n AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm "
+            "FROM documents) "
+            "SELECT doc_id, text_norm, "
+            "CAST(length(text_norm) AS BIGINT) AS n_chars_norm FROM n"
+        ),
+        # the Bloom gate is an execution shortcut, not an approximation:
+        # output equals exact dedup over the 64-bit md5 prefix
+        "bloom_dedup": (
+            "SELECT doc_id, substr(md5(text), 1, 16) AS content_hash, "
+            "doc_id > MIN(doc_id) OVER (PARTITION BY substr(md5(text), 1, 16)) "
+            "AS is_dup FROM documents"
+        ),
+        # exact heavy hitters (count * s > N, s=100); the MG sketch only
+        # prunes the candidate set, the confirm pass is exact
+        "heavy_hitters": (
+            "WITH toks AS (SELECT t AS tok FROM (SELECT "
+            "unnest(string_split(lower(text), ' ')) AS t FROM documents) "
+            "WHERE t <> ''), tot AS (SELECT COUNT(*) AS n FROM toks) "
+            "SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM toks, tot GROUP BY tok, tot.n HAVING COUNT(*) * 100 > tot.n"
         ),
         "doc_tokens": (
             "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

@@ -2627,3 +2627,253 @@ def q_doc_surprisal(sf_dir: str):
     return _by_key_partition_col(flagged, "doc_id").map_groups(
         sum_in_part, batch_format="pyarrow"
     )
+
+# ---------------------------------------------------------------------------
+# text normalization — the canonicalize step every dedup pipeline runs first
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_text(sf_dir: str):
+    """Text canonicalization (the CCNet/Dolma pre-dedup normalize step):
+    lowercase, collapse whitespace runs to a single space, trim.  Pure
+    per-row Arrow kernels (utf8_lower / replace_substring_regex /
+    utf8_trim_whitespace) — zero-copy in, no shuffle, embarrassingly
+    parallel at any scale.  Both engines compile ``\\s+`` with RE2
+    (pyarrow and DuckDB), so the twin is exact."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "text_norm": s,
+                "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated exact dedup — only bloom candidates enter the shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_dedup(sf_dir: str, m: int = 1 << 20, k: int = 4):
+    """Exact duplicate flagging with a counting-Bloom pre-filter (the
+    Dolma BFF idea made distributed): docs whose content hash cannot be a
+    duplicate — some Bloom bucket saw < 2 hits — skip the shuffle
+    entirely; only Bloom CANDIDATES (true dups + bounded false positives)
+    are exchanged by hash for exact confirmation.
+
+    Three stages, one content-hash pass:
+      1. sketch: per-batch sparse (bucket, count) partials over k
+         splitmix64-derived buckets per doc → tiny ``groupby(bucket).sum``
+         (≤ m rows ever reach the driver; m buckets = m bytes broadcast,
+         NOT corpus-sized).  A counting filter has no false negatives: a
+         real dup pair puts ≥ 2 hits in every one of its k buckets.
+      2. annotate: slim (doc_id, content_hash, h64, cand) projection,
+         materialized ONCE (≈ 40 B/row, spillable) so the unique and
+         candidate branches don't each re-read + re-hash the text.
+      3. confirm: candidates only — partition by h64, vectorized
+         min-doc_id per group in-partition; uniques pass through with
+         ``is_dup = false``.
+
+    Output is IDENTICAL to exact dedup (the Bloom is an execution
+    shortcut, not an approximation), so the DuckDB twin is a plain
+    window-min over ``substr(md5(text), 1, 16)``.  md5 stays the digest
+    for SQL parity (the ``q_exact_dedup`` precedent)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    seeds = (np.arange(k, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    mm = np.uint64(m)
+
+    def _digests(t: pa.Table) -> tuple[np.ndarray, list[str]]:
+        d8 = [hashlib.md5(x.encode()).digest()[:8] for x in t["text"].to_pylist()]
+        if not d8:
+            return np.zeros(0, np.uint64), []
+        h = np.frombuffer(b"".join(d8), dtype=">u8").astype(np.uint64)
+        return h, [b.hex() for b in d8]
+
+    def _positions(h: np.ndarray) -> np.ndarray:
+        return np.stack([_splitmix64(h ^ s) % mm for s in seeds])  # (k, n)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h, _ = _digests(t)
+        pos = _positions(h).ravel() if len(h) else np.zeros(0, np.uint64)
+        v, c = np.unique(pos, return_counts=True)
+        return pa.table(
+            {
+                "pos": pa.array(v.astype(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(sketch, batch_format="pyarrow")
+        .groupby("pos")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    hot = np.zeros(m, dtype=bool)
+    if len(counts):
+        p = counts["pos"].to_numpy()
+        hot[p[counts["c"].to_numpy() >= 2]] = True
+    hot_ref = ray.put(hot)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        h, hexes = _digests(t)
+        hotl = ray.get(hot_ref)
+        cand = hotl[_positions(h)].all(axis=0) if len(h) else np.zeros(0, bool)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "content_hash": pa.array(hexes, pa.string()),
+                "h64": pa.array(h.view(np.int64), pa.int64()),
+                "cand": pa.array(cand, pa.bool_()),
+            }
+        )
+
+    slim = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(annotate, batch_format="pyarrow")
+        .materialize()
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("content_hash", pa.string()), ("is_dup", pa.bool_())]
+    )
+
+    def pass_through(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["cand"]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "content_hash": t["content_hash"],
+                "is_dup": pa.array(np.zeros(t.num_rows, bool), pa.bool_()),
+            }
+        )
+
+    def confirm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        h = t["h64"].to_numpy()
+        doc = t["doc_id"].to_numpy()
+        _, inv = np.unique(h, return_inverse=True)
+        gmin = np.full(inv.max() + 1, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(gmin, inv, doc)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "content_hash": t["content_hash"],
+                "is_dup": pa.array(doc > gmin[inv], pa.bool_()),
+            }
+        )
+
+    uniq = slim.map_batches(pass_through, batch_format="pyarrow")
+    cands = slim.map_batches(
+        lambda t: t.filter(t["cand"]), batch_format="pyarrow"
+    )
+    confirmed = _by_key_partition_col(cands, "h64").map_groups(
+        confirm, batch_format="pyarrow"
+    )
+    return _pin_schema(uniq.union(confirmed), out_schema)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — mergeable Misra-Gries sketch + exact confirm pass
+# ---------------------------------------------------------------------------
+
+
+def q_heavy_hitters(sf_dir: str, s: int = 100, cap: int = 4096):
+    """Frequent-token detection: every token with count · s > N (N = total
+    corpus tokens), with EXACT final counts.  Two passes, neither of which
+    ever shuffles the full vocabulary:
+
+      1. sketch: per-batch Misra-Gries summary (value_counts, then
+         subtract the (cap+1)-th largest count and drop ≤ 0 — classical
+         mergeable MG, undercount ≤ batch_tokens/(cap+1), summing to
+         ≤ N/(cap+1) corpus-wide).  The reserved token ``''`` (impossible
+         after the empty-token filter) carries per-batch totals, so one
+         small ``groupby(token).sum`` yields both estimates and N.
+         Candidates = tokens whose (estimate + slack) · s > N — a proven
+         SUPERSET of the true heavy hitters for any cap.
+      2. confirm: broadcast the candidate set, per-batch ``pc.is_in``
+         filter + value_counts combiner, small groupby, exact threshold.
+
+    Output is deterministic and exact, so the DuckDB twin is a plain
+    GROUP BY ... HAVING count·s > total."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def _tokens(t: pa.Table) -> pa.Array:
+        flat = pc.list_flatten(pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        return flat.filter(pc.not_equal(flat, ""))
+
+    def mg(t: pa.Table) -> pa.Table:
+        flat = _tokens(t)
+        nb = len(flat)
+        vc = flat.value_counts()
+        v = vc.field("values")
+        c = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) > cap:
+            dec = np.partition(c, len(c) - (cap + 1))[len(c) - (cap + 1)]
+            keep = c - dec > 0
+            v, c = v.filter(pa.array(keep)), c[keep] - dec
+        return pa.table(
+            {
+                "token": pa.concat_arrays([v.cast(pa.string()), pa.array([""], pa.string())]),
+                "c": pa.array(np.concatenate([c, [nb]]), pa.int64()),
+            }
+        )
+
+    est = (
+        ds.map_batches(mg, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    out_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+    if not len(est):
+        return out_schema.empty_table()
+    total_row = est["token"] == ""
+    N = int(est.loc[total_row, "c"].sum())
+    est = est[~total_row]
+    slack = N // (cap + 1) + 1
+    cand = est.loc[(est["c"].to_numpy() + slack) * s > N, "token"]
+    if not len(cand) or N == 0:
+        return out_schema.empty_table()
+    cand_arr = pa.array(cand.to_numpy(), pa.string())
+
+    def exact(t: pa.Table) -> pa.Table:
+        flat = _tokens(t)
+        keep = flat.filter(pc.is_in(flat, value_set=cand_arr))
+        vc = keep.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values").cast(pa.string()),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(exact, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(pc.multiply(t["n"], pa.scalar(s, pa.int64())), pa.scalar(N, pa.int64())))
+        return t.select(["token", "n"])
+
+    return _pin_schema(out.map_batches(threshold, batch_format="pyarrow"), out_schema)

@@ -986,3 +986,101 @@ def test_semantic_decontaminate(ray_session):
     assert (ev.min_dist == 0).all() and ev.contaminated.all()
     assert (ev.nearest_eval_id.to_numpy() == ev.vec_id.to_numpy()).all()
     assert (out.contaminated == (out.min_dist <= 100_000)).all()
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_normalize_text_collapses_whitespace(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_normalize_text
+
+    d = _write_docs(tmp_path, ["  Hello\t\tWORLD \n", "a  b", "", "ONE"])
+    got = q_normalize_text(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["text_norm"]) == ["hello world", "a b", "", "one"]
+    assert list(got["n_chars_norm"]) == [11, 3, 0, 3]
+
+
+def test_bloom_dedup_forced_false_positives(ray_session, tmp_path):
+    """m=64 buckets over 80 docs guarantees Bloom false positives, so the
+    confirm shuffle path is exercised; planted exact dups must be the
+    only is_dup=True rows (keep-min), FPs must come back false."""
+    from osprey_ray.pipelines.textops import q_bloom_dedup
+
+    rng = np.random.default_rng(11)
+    base = [f"doc {i} body {rng.integers(1e9)}" for i in range(60)]
+    texts = base + [base[3], base[3], base[17], base[42]] + base[50:66 - 50]
+    d = _write_docs(tmp_path, texts)
+    got = q_bloom_dedup(d, m=64, k=2).to_pandas()
+    assert len(got) == len(texts)
+    assert got["doc_id"].is_unique
+    want_dup = {}
+    first = {}
+    for i, t in enumerate(texts):
+        want_dup[i] = t in first
+        first.setdefault(t, i)
+    for _, r in got.iterrows():
+        assert bool(r["is_dup"]) == want_dup[r["doc_id"]], r["doc_id"]
+
+
+def test_bloom_dedup_no_dups_all_false(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_bloom_dedup
+
+    d = _write_docs(tmp_path, [f"unique {i}" for i in range(20)])
+    got = q_bloom_dedup(d).to_pandas()
+    assert len(got) == 20 and not got["is_dup"].any()
+
+
+def test_heavy_hitters_truncated_sketch_is_exact(ray_session, tmp_path):
+    """cap=4 forces Misra-Gries truncation in every batch; the confirm
+    pass must still produce the exact brute-force heavy set."""
+    from collections import Counter
+
+    from osprey_ray.pipelines.textops import q_heavy_hitters
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    # skew: w0..w2 heavy, the rest uniform noise
+    texts = [
+        " ".join(
+            list(rng.choice(vocab[:3], 12)) + list(rng.choice(vocab, 20))
+        )
+        for _ in range(100)
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = q_heavy_hitters(d, s=20, cap=4)
+    import ray.data
+
+    if isinstance(got, ray.data.Dataset):
+        got = got.to_pandas()
+    else:
+        got = got.to_pandas()
+    cnt = Counter(tok for t in texts for tok in t.split(" ") if tok)
+    n = sum(cnt.values())
+    want = {t: c for t, c in cnt.items() if c * 20 > n}
+    assert dict(zip(got["token"], got["n"])) == want
+    assert len(want) >= 3  # the planted heavies actually qualify
+
+
+def test_heavy_hitters_empty_corpus(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_heavy_hitters
+
+    d = _write_docs(tmp_path, ["", ""])
+    got = q_heavy_hitters(d)
+    import pyarrow as _pa
+
+    tbl = got if isinstance(got, _pa.Table) else got.to_arrow()
+    assert tbl.num_rows == 0
+    assert tbl.schema.names == ["token", "n"]

@@ -2662,7 +2662,7 @@ def q_normalize_text(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_bloom_dedup(sf_dir: str, m: int = 1 << 20, k: int = 4):
+def q_bloom_dedup(sf_dir: str, m: int | None = None, k: int = 4):
     """Exact duplicate flagging with a counting-Bloom pre-filter (the
     Dolma BFF idea made distributed): docs whose content hash cannot be a
     duplicate — some Bloom bucket saw < 2 hits — skip the shuffle
@@ -2688,6 +2688,19 @@ def q_bloom_dedup(sf_dir: str, m: int = 1 << 20, k: int = 4):
     for SQL parity (the ``q_exact_dedup`` precedent)."""
     import ray
     from ray.data.aggregate import Sum
+
+    if m is None:
+        # ~8 filter buckets per doc keeps the false-positive (wasted
+        # confirm-shuffle) rate low; row count comes from parquet
+        # metadata, not a data scan.  The single-node build broadcasts a
+        # dense m-byte filter, so m is CAPPED at 2^27 (128 MB object):
+        # beyond ~16M docs the FP rate rises and more rows take the
+        # confirm shuffle — output stays exact, cost degrades gracefully.
+        # A multi-node deployment would instead shard the filter by
+        # position range across an actor pool (positions are already
+        # uniform splitmix64 values), removing the cap.
+        n_docs = _read_docs(sf_dir, ["doc_id"]).count()
+        m = 1 << min(27, max(20, int(np.ceil(np.log2(8 * max(n_docs, 1))))))
 
     seeds = (np.arange(k, dtype=np.uint64) + np.uint64(1)) * np.uint64(
         0x9E3779B97F4A7C15
@@ -2715,17 +2728,22 @@ def q_bloom_dedup(sf_dir: str, m: int = 1 << 20, k: int = 4):
             }
         )
 
+    # hot (count >= 2) buckets are filtered DISTRIBUTED before the driver
+    # collect — the driver only ever sees dup + collision buckets, never
+    # every touched bucket
     counts = (
         _read_docs(sf_dir, ["text"])
         .map_batches(sketch, batch_format="pyarrow")
         .groupby("pos")
         .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c"], 2)), batch_format="pyarrow"
+        )
         .to_pandas()
     )
     hot = np.zeros(m, dtype=bool)
     if len(counts):
-        p = counts["pos"].to_numpy()
-        hot[p[counts["c"].to_numpy() >= 2]] = True
+        hot[counts["pos"].to_numpy()] = True
     hot_ref = ray.put(hot)
 
     def annotate(t: pa.Table) -> pa.Table:
@@ -2837,23 +2855,38 @@ def q_heavy_hitters(sf_dir: str, s: int = 100, cap: int = 4096):
             }
         )
 
-    est = (
+    # cap >= 2s bounds the surviving candidate count: slack <= N/(2s), so
+    # survivors need est > N/(2s), and at most 2s tokens can have that —
+    # the driver collect below is O(s), never vocabulary-sized
+    assert cap + 1 >= 2 * s, "cap must be >= 2*s for a bounded candidate set"
+    est_ds = (
         ds.map_batches(mg, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
+        .materialize()  # bounded: distinct MG-kept tokens; reused twice below
     )
     out_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
-    if not len(est):
+
+    def total_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["token"], ""))
+
+    tot = est_ds.map_batches(total_only, batch_format="pyarrow").to_pandas()
+    N = int(tot["c"].sum()) if len(tot) else 0
+    if N == 0:
         return out_schema.empty_table()
-    total_row = est["token"] == ""
-    N = int(est.loc[total_row, "c"].sum())
-    est = est[~total_row]
     slack = N // (cap + 1) + 1
-    cand = est.loc[(est["c"].to_numpy() + slack) * s > N, "token"]
-    if not len(cand) or N == 0:
+
+    def cand_only(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(t["token"], ""),
+            pc.greater(pc.multiply(pc.add(t["c"], slack), pa.scalar(s, pa.int64())), N),
+        )
+        return t.filter(keep)
+
+    cand = est_ds.map_batches(cand_only, batch_format="pyarrow").to_pandas()
+    if not len(cand):
         return out_schema.empty_table()
-    cand_arr = pa.array(cand.to_numpy(), pa.string())
+    cand_arr = pa.array(cand["token"].to_numpy(), pa.string())
 
     def exact(t: pa.Table) -> pa.Table:
         flat = _tokens(t)

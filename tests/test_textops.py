@@ -1044,8 +1044,10 @@ def test_bloom_dedup_no_dups_all_false(ray_session, tmp_path):
 
 
 def test_heavy_hitters_truncated_sketch_is_exact(ray_session, tmp_path):
-    """cap=4 forces Misra-Gries truncation in every batch; the confirm
-    pass must still produce the exact brute-force heavy set."""
+    """cap=40 < the 53-token vocabulary forces Misra-Gries truncation in
+    every batch (and satisfies the cap >= 2s bounded-candidate-set
+    invariant); the confirm pass must still produce the exact
+    brute-force heavy set."""
     from collections import Counter
 
     from osprey_ray.pipelines.textops import q_heavy_hitters
@@ -1060,7 +1062,7 @@ def test_heavy_hitters_truncated_sketch_is_exact(ray_session, tmp_path):
         for _ in range(100)
     ]
     d = _write_docs(tmp_path, texts)
-    got = q_heavy_hitters(d, s=20, cap=4)
+    got = q_heavy_hitters(d, s=20, cap=40)
     import ray.data
 
     if isinstance(got, ray.data.Dataset):

@@ -88,3 +88,48 @@ def test_cli_query_writes_parquet(ray_session, tmp_path, capsys):
     ) == 0
     t = pq.read_table(str(tmp_path / "doc_tokens"))
     assert t.num_rows == 500
+
+
+def test_read_transcripts_jsonl_matches_parquet(ray_session, tmp_path):
+    """The JSONL ingest path yields the identical table (schema and
+    rows) as the Parquet path, and the flagship pipeline over it is
+    byte-identical."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osprey_ray.datagen import ensure_dataset
+    from osprey_ray.io import TRANSCRIPT_SCHEMA, read_parquet_clean, read_transcripts_jsonl
+    from osprey_ray.pipelines.flagship import (
+        flagship_spec,
+        label_events_map,
+        run_batch,
+    )
+
+    d = ensure_dataset(2_000, seed=7, root=str(tmp_path / "data"))
+    src = f"{d}/batch/part-0000.parquet"
+    want = pq.read_table(src).cast(TRANSCRIPT_SCHEMA)
+    jl = tmp_path / "turns.jsonl"
+    want.to_pandas().to_json(
+        jl, orient="records", lines=True, date_format="iso", date_unit="us"
+    )
+
+    got_ds = read_transcripts_jsonl(str(jl))
+    got = got_ds.to_arrow_refs()
+    import ray as _ray
+
+    got = pa.concat_tables([t for t in _ray.get(got)]).cast(TRANSCRIPT_SCHEMA)
+    key = ["conv_id", "turn_idx", "ts", "text"]
+    gp = got.to_pandas().sort_values(key).reset_index(drop=True)
+    wp = want.to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gp, wp)
+
+    lmap = label_events_map(pq.read_table(f"{d}/label_events.parquet"))
+    spec = flagship_spec()
+    a = run_batch(read_parquet_clean(src), spec, lmap, num_partitions=4).to_pandas()
+    b = run_batch(read_transcripts_jsonl(str(jl)), spec, lmap, num_partitions=4).to_pandas()
+    srt = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(srt).reset_index(drop=True),
+        b.sort_values(srt).reset_index(drop=True),
+    )

@@ -2670,11 +2670,15 @@ def q_bloom_dedup(sf_dir: str, m: int | None = None, k: int = 4):
     are exchanged by hash for exact confirmation.
 
     Three stages, one content-hash pass:
-      1. sketch: per-batch sparse (bucket, count) partials over k
-         splitmix64-derived buckets per doc → tiny ``groupby(bucket).sum``
-         (≤ m rows ever reach the driver; m buckets = m bytes broadcast,
-         NOT corpus-sized).  A counting filter has no false negatives: a
-         real dup pair puts ≥ 2 hits in every one of its k buckets.
+      1. sketch: a global TREE aggregate (``ds.aggregate(AggregateFn)``,
+         no sort shuffle — the mergeable-sketch shape): the accumulator
+         is a (seen, twice) bitmap pair; per block, positions hit twice
+         within the block set ``twice`` directly, and merge is
+         ``twice|twice'|(seen&seen')`` — exact "bucket saw >= 2 hits"
+         semantics at any tree shape.  The driver receives one m-bit
+         pair, never per-bucket rows.  A counting filter has no false
+         negatives: a real dup pair puts >= 2 hits in every one of its
+         k buckets.
       2. annotate: slim (doc_id, content_hash, h64, cand) projection,
          materialized ONCE (≈ 40 B/row, spillable) so the unique and
          candidate branches don't each re-read + re-hash the text.
@@ -2687,7 +2691,7 @@ def q_bloom_dedup(sf_dir: str, m: int | None = None, k: int = 4):
     window-min over ``substr(md5(text), 1, 16)``.  md5 stays the digest
     for SQL parity (the ``q_exact_dedup`` precedent)."""
     import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import AggregateFn
 
     if m is None:
         # ~8 filter buckets per doc keeps the false-positive (wasted
@@ -2717,33 +2721,29 @@ def q_bloom_dedup(sf_dir: str, m: int | None = None, k: int = 4):
     def _positions(h: np.ndarray) -> np.ndarray:
         return np.stack([_splitmix64(h ^ s) % mm for s in seeds])  # (k, n)
 
-    def sketch(t: pa.Table) -> pa.Table:
-        h, _ = _digests(t)
-        pos = _positions(h).ravel() if len(h) else np.zeros(0, np.uint64)
-        v, c = np.unique(pos, return_counts=True)
-        return pa.table(
-            {
-                "pos": pa.array(v.astype(np.int64), pa.int64()),
-                "c": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
+    # the accumulator must be a single flat numeric array: Ray round-trips
+    # partial accumulators through Arrow blocks between the partial and
+    # reduce tasks (tuples of arrays come back as plain lists).  A
+    # saturating count capped at 2 is all the filter needs.
+    def _acc_block(a, blk: pa.Table):
+        h, _ = _digests(blk)
+        if not len(h):
+            return a
+        v, c = np.unique(_positions(h).ravel(), return_counts=True)
+        a = np.asarray(a, dtype=np.uint8).copy()
+        idx = v.astype(np.int64)
+        a[idx] = np.minimum(a[idx] + np.minimum(c, 2).astype(np.uint8), 2)
+        return a
 
-    # hot (count >= 2) buckets are filtered DISTRIBUTED before the driver
-    # collect — the driver only ever sees dup + collision buckets, never
-    # every touched bucket
-    counts = (
-        _read_docs(sf_dir, ["text"])
-        .map_batches(sketch, batch_format="pyarrow")
-        .groupby("pos")
-        .aggregate(Sum("c", alias_name="c"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["c"], 2)), batch_format="pyarrow"
-        )
-        .to_pandas()
+    sketch_fn = AggregateFn(
+        init=lambda _k: np.zeros(m, dtype=np.uint8),
+        accumulate_block=_acc_block,
+        merge=lambda a, b: np.minimum(
+            np.asarray(a, np.uint8) + np.asarray(b, np.uint8), 2
+        ),
+        name="bloom",
     )
-    hot = np.zeros(m, dtype=bool)
-    if len(counts):
-        hot[counts["pos"].to_numpy()] = True
+    hot = np.asarray(_read_docs(sf_dir, ["text"]).aggregate(sketch_fn)["bloom"]) >= 2
     hot_ref = ray.put(hot)
 
     def annotate(t: pa.Table) -> pa.Table:
@@ -2815,20 +2815,22 @@ def q_heavy_hitters(sf_dir: str, s: int = 100, cap: int = 4096):
     corpus tokens), with EXACT final counts.  Two passes, neither of which
     ever shuffles the full vocabulary:
 
-      1. sketch: per-batch Misra-Gries summary (value_counts, then
-         subtract the (cap+1)-th largest count and drop ≤ 0 — classical
-         mergeable MG, undercount ≤ batch_tokens/(cap+1), summing to
-         ≤ N/(cap+1) corpus-wide).  The reserved token ``''`` (impossible
-         after the empty-token filter) carries per-batch totals, so one
-         small ``groupby(token).sum`` yields both estimates and N.
-         Candidates = tokens whose (estimate + slack) · s > N — a proven
-         SUPERSET of the true heavy hitters for any cap.
+      1. sketch: a global TREE aggregate (``ds.aggregate(AggregateFn)``,
+         no sort shuffle): the accumulator is a capped (tokens, counts)
+         Misra-Gries summary — each block's value_counts merges in, and
+         whenever the summary exceeds cap the (cap+1)-th largest count
+         is subtracted and ≤ 0 entries dropped.  Every compression at
+         cap with decrement d removes ≥ (cap+1)·d mass, so total
+         undercount ≤ N/(cap+1) for ANY merge-tree shape (the
+         mergeable-summaries mass argument).  Candidates = tokens whose
+         (estimate + slack) · s > N — a proven SUPERSET of the true
+         heavy hitters; the driver only ever holds ≤ cap entries.
       2. confirm: broadcast the candidate set, per-batch ``pc.is_in``
          filter + value_counts combiner, small groupby, exact threshold.
 
     Output is deterministic and exact, so the DuckDB twin is a plain
     GROUP BY ... HAVING count·s > total."""
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import AggregateFn, Sum
 
     ds = _read_docs(sf_dir, ["text"])
 
@@ -2838,55 +2840,63 @@ def q_heavy_hitters(sf_dir: str, s: int = 100, cap: int = 4096):
             flat = flat.combine_chunks()
         return flat.filter(pc.not_equal(flat, ""))
 
-    def mg(t: pa.Table) -> pa.Table:
-        flat = _tokens(t)
-        nb = len(flat)
+    def _compress(v: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if len(v) <= cap:
+            return v, c
+        dec = np.partition(c, len(c) - (cap + 1))[len(c) - (cap + 1)]
+        keep = c > dec
+        return v[keep], c[keep] - dec
+
+    def _combine(v1, c1, v2, c2):
+        uv, inv = np.unique(np.concatenate([v1, v2]), return_inverse=True)
+        uc = np.bincount(inv, weights=np.concatenate([c1, c2])).astype(np.int64)
+        return _compress(uv, uc)
+
+    # accumulator = pickled (tokens, counts, total): Ray round-trips
+    # partial accumulators through Arrow blocks, so the summary travels
+    # as one opaque bytes value (≤ cap entries, a few KB)
+    import pickle
+
+    _empty = np.array([], dtype=object)
+
+    def _load(a):
+        return pickle.loads(a if isinstance(a, bytes) else bytes(a))
+
+    def _acc_block(a, blk: pa.Table):
+        flat = _tokens(blk)
+        if len(flat) == 0:
+            return a
+        v, c, total = _load(a)
         vc = flat.value_counts()
-        v = vc.field("values")
-        c = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(c) > cap:
-            dec = np.partition(c, len(c) - (cap + 1))[len(c) - (cap + 1)]
-            keep = c - dec > 0
-            v, c = v.filter(pa.array(keep)), c[keep] - dec
-        return pa.table(
-            {
-                "token": pa.concat_arrays([v.cast(pa.string()), pa.array([""], pa.string())]),
-                "c": pa.array(np.concatenate([c, [nb]]), pa.int64()),
-            }
-        )
+        bv = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        bc = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        v, c = _combine(v, c, bv, bc)
+        return pickle.dumps((v, c, total + len(flat)))
+
+    def _merge(a, b):
+        va, ca, ta = _load(a)
+        vb, cb, tb = _load(b)
+        return pickle.dumps((*_combine(va, ca, vb, cb), ta + tb))
+
+    mg_fn = AggregateFn(
+        init=lambda _k: pickle.dumps((_empty, np.array([], np.int64), 0)),
+        accumulate_block=_acc_block,
+        merge=_merge,
+        name="mg",
+    )
 
     # cap >= 2s bounds the surviving candidate count: slack <= N/(2s), so
-    # survivors need est > N/(2s), and at most 2s tokens can have that —
-    # the driver collect below is O(s), never vocabulary-sized
+    # survivors need est > N/(2s), and at most 2s tokens can have that
     assert cap + 1 >= 2 * s, "cap must be >= 2*s for a bounded candidate set"
-    est_ds = (
-        ds.map_batches(mg, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("c", alias_name="c"))
-        .materialize()  # bounded: distinct MG-kept tokens; reused twice below
-    )
+    est_v, est_c, N = _load(ds.aggregate(mg_fn)["mg"])
     out_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
-
-    def total_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["token"], ""))
-
-    tot = est_ds.map_batches(total_only, batch_format="pyarrow").to_pandas()
-    N = int(tot["c"].sum()) if len(tot) else 0
     if N == 0:
         return out_schema.empty_table()
     slack = N // (cap + 1) + 1
-
-    def cand_only(t: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.not_equal(t["token"], ""),
-            pc.greater(pc.multiply(pc.add(t["c"], slack), pa.scalar(s, pa.int64())), N),
-        )
-        return t.filter(keep)
-
-    cand = est_ds.map_batches(cand_only, batch_format="pyarrow").to_pandas()
+    cand = est_v[(est_c + slack) * s > N]
     if not len(cand):
         return out_schema.empty_table()
-    cand_arr = pa.array(cand["token"].to_numpy(), pa.string())
+    cand_arr = pa.array(cand.astype(str), pa.string())
 
     def exact(t: pa.Table) -> pa.Table:
         flat = _tokens(t)

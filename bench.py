@@ -156,6 +156,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "tfidf_top_terms",
         "semantic_dedup",
         "knn_graph",
+        "bloom_dedup",
+        "heavy_hitters",
     ):
         t0 = time.perf_counter()
         r = Q[name](sf_dir)

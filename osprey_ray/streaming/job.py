@@ -47,6 +47,41 @@ from osprey_ray.streaming.shard import StateShard
 I64_MIN = np.iinfo(np.int64).min
 
 
+def _read_segment_chunk(path: str, rgs) -> pa.Table:
+    """Read one segment chunk.  Parquet segments support sub-file
+    row-group offsets (the Kafka per-message-offset analogue); JSONL
+    segments — the reference's queue payloads are JSON action events
+    (osprey_coordinator/src/consumer/kafka.rs) — are whole-file
+    commit units, parsed by Arrow's native JSON reader straight into
+    the transcript schema (extra fields like ``_arrival_us`` ignored,
+    the stage drops them from Parquet reads too)."""
+    import pyarrow.parquet as pq
+
+    if path.endswith((".jsonl", ".json")):
+        from pyarrow import json as pajson
+
+        from osprey_ray.io import TRANSCRIPT_SCHEMA
+
+        assert rgs is None, "JSONL segments have no sub-file offsets"
+        parse_schema = pa.schema(
+            [
+                pa.field("text", pa.string()) if f.name == "text" else f
+                for f in TRANSCRIPT_SCHEMA
+            ]
+        )
+        t = pajson.read_json(
+            path,
+            parse_options=pajson.ParseOptions(
+                explicit_schema=parse_schema, unexpected_field_behavior="ignore"
+            ),
+        )
+        i = t.schema.get_field_index("text")
+        return t.set_column(i, "text", t["text"].cast(pa.large_string()))
+    if rgs is None:
+        return pq.read_table(path)
+    return pq.ParquetFile(path).read_row_groups(list(rgs))
+
+
 @ray.remote
 def _read_route(
     chunks: list,
@@ -63,15 +98,10 @@ def _read_route(
     hot_block_turns — the sub-key exchange that spreads a whale's bytes
     across shards instead of serializing them onto one.
     Returns [table_p0, ..., table_p{P-1}, max_ts]."""
-    import pyarrow.parquet as pq
-
     tables = []
     for c in chunks:
         path, rgs = c if isinstance(c, (tuple, list)) else (c, None)
-        if rgs is None:
-            tables.append(pq.read_table(path))
-        else:
-            tables.append(pq.ParquetFile(path).read_row_groups(list(rgs)))
+        tables.append(_read_segment_chunk(path, rgs))
     tbl = pa.concat_tables(tables, promote_options="default")
     if "_arrival_us" in tbl.column_names:
         tbl = tbl.drop_columns(["_arrival_us"])
@@ -218,6 +248,11 @@ class StreamingJob:
         cur: list = []
         cur_rows = 0
         for f in fs:
+            if f.endswith((".jsonl", ".json")):
+                raise ValueError(
+                    "rows_per_epoch needs Parquet row-group metadata for "
+                    "sub-file offsets; use files_per_epoch for JSONL segments"
+                )
             md = pq.ParquetFile(f).metadata
             groups: list[int] = []
             for g in range(md.num_row_groups):

@@ -816,3 +816,43 @@ def test_warm_prestart_does_not_change_output(stream_data, tmp_path):
     assert len(got) == len(want)
     for k in want.columns:
         assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], k
+
+
+def test_streaming_jsonl_segments_match_parquet(stream_data, tmp_path):
+    """The JSONL ingest path (reference parity: queue payloads are JSON
+    action events) produces identical verdict output to the Parquet
+    segment path, epoch for epoch."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+
+    jdir = tmp_path / "jsegs"
+    jdir.mkdir()
+    jsegs = []
+    for p in segs:
+        df = pq.read_table(p).to_pandas()
+        out = jdir / (os.path.basename(p).replace(".parquet", ".jsonl"))
+        df.to_json(out, orient="records", lines=True, date_format="iso", date_unit="us")
+        jsegs.append(str(out))
+
+    ref = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=3
+    )
+    ref.run()
+    ref.finalize()
+    jj = StreamingJob(
+        spec, jsegs, str(tmp_path / "json"), lmap, num_shards=4, files_per_epoch=3
+    )
+    jj.run()
+    jj.finalize()
+    a, b = _df(ref.results_table()), _df(jj.results_table())
+    assert len(a) == len(b) > 0
+    for k in a.columns:
+        assert [_norm(x) for x in a[k]] == [_norm(x) for x in b[k]], f"column {k}"
+
+    # sub-file offsets are a Parquet row-group concept: JSONL segments in
+    # rows_per_epoch mode must refuse loudly, not mis-plan lineage
+    bad = StreamingJob(
+        spec, jsegs, str(tmp_path / "bad"), lmap, num_shards=4, rows_per_epoch=500
+    )
+    with pytest.raises(ValueError, match="files_per_epoch"):
+        bad.epochs()

@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": T.q_normalize_text,  # new in r4 — needs a first row
         "bloom_dedup": T.q_bloom_dedup,  # new in r4 — needs a first row
         "heavy_hitters": T.q_heavy_hitters,  # new in r4 — needs a first row
+        "shuffle_deterministic": T.q_shuffle_deterministic,  # new in r4
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1186,6 +1187,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, substr(md5(text), 1, 16) AS content_hash, "
             "doc_id > MIN(doc_id) OVER (PARTITION BY substr(md5(text), 1, 16)) "
             "AS is_dup FROM documents"
+        ),
+        # reproducible global shuffle: rank of splitmix64(doc_id), ties by
+        # doc_id — ROW_NUMBER over the hash CTE chain
+        "shuffle_deterministic": (
+            "WITH " + _splitmix64_ctes("documents", "doc_id", "doc_id")
+            + " SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY r, doc_id) - 1 "
+            "AS BIGINT) AS shuffle_rank FROM smh"
         ),
         # exact heavy hitters (count * s > N, s=100); the MG sketch only
         # prunes the candidate set, the confirm pass is exact

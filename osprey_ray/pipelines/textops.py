@@ -2920,3 +2920,78 @@ def q_heavy_hitters(sf_dir: str, s: int = 100, cap: int = 4096):
         return t.select(["token", "n"])
 
     return _pin_schema(out.map_batches(threshold, batch_format="pyarrow"), out_schema)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle — reproducible training-order assignment
+# ---------------------------------------------------------------------------
+
+
+def q_shuffle_deterministic(sf_dir: str, bucket_bits: int = 10):
+    """Reproducible global shuffle for training-order assignment:
+    ``shuffle_rank`` = position of ``splitmix64(doc_id)`` in ascending
+    order (ties broken by doc_id).  Unlike ``Dataset.random_shuffle``,
+    the permutation is a pure function of the ids — identical across
+    runs, cluster sizes and block layouts, which is what makes a
+    training run replayable.
+
+    Distributed-rank shape (never a full global sort of the payload):
+      1. a global TREE aggregate histograms the 2^bucket_bits high bits
+         of the hash (dense int64 bincount accumulator, merge = +);
+         exclusive-prefix-summed offsets broadcast as one small array.
+      2. one ``groupby(bucket)`` exchange co-locates each hash RANGE;
+         in-partition lexsort assigns rank = offset[bucket] + position.
+    bucket_bits sizes the per-group working set: 10 → 1024 ranges (one
+    group ≈ corpus/1024 rows); at 10^11 docs use 16+ so a group stays
+    in one worker's heap."""
+    from ray.data.aggregate import AggregateFn
+
+    ds = _read_docs(sf_dir, ["doc_id"])
+    n_buckets = 1 << bucket_bits
+    shift = np.uint64(64 - bucket_bits)
+
+    def _acc(a, blk: pa.Table):
+        h = _splitmix64(blk["doc_id"].to_numpy().astype(np.uint64))
+        return np.asarray(a, np.int64) + np.bincount(
+            (h >> shift).astype(np.int64), minlength=n_buckets
+        )
+
+    hist_fn = AggregateFn(
+        init=lambda _k: np.zeros(n_buckets, np.int64),
+        accumulate_block=_acc,
+        merge=lambda a, b: np.asarray(a, np.int64) + np.asarray(b, np.int64),
+        name="hist",
+    )
+    counts = np.asarray(ds.aggregate(hist_fn)["hist"], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = _splitmix64(t["doc_id"].to_numpy().astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "bucket": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def rank_in_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "shuffle_rank": pa.array([], pa.int64())}
+            )
+        doc = t["doc_id"].to_numpy()
+        h = t["h"].to_numpy().view(np.uint64)
+        b = int(t["bucket"][0].as_py())
+        order = np.lexsort((doc, h))
+        rank = np.empty(len(doc), np.int64)
+        rank[order] = offsets[b] + np.arange(len(doc), dtype=np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "shuffle_rank": pa.array(rank, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_in_bucket, batch_format="pyarrow")
+    )

@@ -1086,3 +1086,25 @@ def test_heavy_hitters_empty_corpus(ray_session, tmp_path):
     tbl = got if isinstance(got, _pa.Table) else got.to_arrow()
     assert tbl.num_rows == 0
     assert tbl.schema.names == ["token", "n"]
+
+
+def test_shuffle_deterministic_is_stable_permutation(ray_session, tmp_path):
+    """The rank is a permutation of 0..n-1 and is identical for any
+    bucket_bits (the partitioning knob must not change the order)."""
+    from osprey_ray.pipelines.textops import q_shuffle_deterministic
+
+    d = _write_docs(tmp_path, [f"doc {i}" for i in range(200)])
+    a = (
+        q_shuffle_deterministic(d, bucket_bits=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_shuffle_deterministic(d, bucket_bits=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(a["shuffle_rank"]) == list(range(200))
+    assert list(a["shuffle_rank"]) == list(b["shuffle_rank"])

@@ -2802,7 +2802,12 @@ def q_bloom_dedup(sf_dir: str, m: int | None = None, k: int = 4):
     confirmed = _by_key_partition_col(cands, "h64").map_groups(
         confirm, batch_format="pyarrow"
     )
-    return _pin_schema(uniq.union(confirmed), out_schema)
+    # no _pin_schema here (saves a full materialize): the hash partition
+    # can still emit schema-less EMPTY blocks, but this output is terminal
+    # (driver to_pandas / parquet sink), never a join input, and empty
+    # blocks are dropped on collection — _pin_schema is only required when
+    # a chained join would consume them (see its docstring)
+    return uniq.union(confirmed)
 
 
 # ---------------------------------------------------------------------------

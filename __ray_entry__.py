@@ -682,6 +682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup": T.q_bloom_dedup,  # new in r4 — needs a first row
         "heavy_hitters": T.q_heavy_hitters,  # new in r4 — needs a first row
         "shuffle_deterministic": T.q_shuffle_deterministic,  # new in r4
+        "bm25_topk": T.q_bm25_topk,  # new in r4 — needs a first row
+        "dsir_select": T.q_dsir_select,  # new in r4 — needs a first row
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1203,6 +1205,58 @@ def oracle_sql() -> dict[str, str]:
             "WHERE t <> ''), tot AS (SELECT COUNT(*) AS n FROM toks) "
             "SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM toks, tot GROUP BY tok, tot.n HAVING COUNT(*) * 100 > tot.n"
+        ),
+        # BM25 with the repo's integer idf proxy (N*1e6 // df) and k1=1.2,
+        # b=0.75 cleared to integers by multiplying num/den through by
+        # 10*Ltot — bit-exact vs the engine (textops.q_bm25_topk)
+        "bm25_topk": (
+            "WITH qt(query, term) AS (VALUES "
+            "('filter batch scan', 'filter'), ('filter batch scan', 'batch'), "
+            "('filter batch scan', 'scan'), ('hash join merge', 'hash'), "
+            "('hash join merge', 'join'), ('hash join merge', 'merge'), "
+            "('stream window sort', 'stream'), ('stream window sort', 'window'), "
+            "('stream window sort', 'sort')), "
+            "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), "
+            "st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS ltot FROM dl), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+            "JOIN (SELECT DISTINCT term FROM qt) USING (term) GROUP BY doc_id, term), "
+            "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "sc AS (SELECT qt.query, tf.doc_id, "
+            "SUM((((st.n_docs * 1000000) // df.df) * tf.tf * 22 * st.ltot) "
+            "// (10 * tf.tf * st.ltot + 3 * st.ltot + 9 * dl.dl * st.n_docs)) "
+            "AS score_scaled "
+            "FROM qt JOIN tf USING (term) JOIN df USING (term) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st "
+            "GROUP BY qt.query, tf.doc_id), "
+            "r AS (SELECT sc.*, ROW_NUMBER() OVER ("
+            "PARTITION BY query ORDER BY score_scaled DESC, doc_id) AS rnk FROM sc) "
+            "SELECT query, doc_id, CAST(score_scaled AS BIGINT) AS score_scaled, "
+            "CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10"
+        ),
+        # DSIR-style target-likeness: add-1-smoothed scaled target/raw
+        # unigram ratio, summed over token positions, length-normalized
+        "dsir_select": (
+            "WITH toks AS (SELECT doc_id, lang, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "raw AS (SELECT term, COUNT(*) AS c_raw FROM toks WHERE term <> '' "
+            "GROUP BY term), "
+            "tgt AS (SELECT term, COUNT(*) AS c_tgt FROM toks "
+            "WHERE term <> '' AND lang = 'en' GROUP BY term), "
+            "w AS (SELECT raw.term, "
+            "((COALESCE(tgt.c_tgt, 0) + 1) * 1000000) // (raw.c_raw + 1) AS w "
+            "FROM raw LEFT JOIN tgt ON raw.term = tgt.term), "
+            "dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), "
+            "tot AS (SELECT toks.doc_id, SUM(w.w) AS total FROM toks "
+            "JOIN w USING (term) GROUP BY toks.doc_id), "
+            "sc AS (SELECT d.doc_id, d.lang, "
+            "COALESCE(tot.total, 0) // GREATEST(dl.dl, 1) AS score_ppm "
+            "FROM documents d JOIN dl USING (doc_id) LEFT JOIN tot USING (doc_id)), "
+            "r AS (SELECT sc.*, ROW_NUMBER() OVER ("
+            "ORDER BY score_ppm DESC, doc_id) AS rnk FROM sc) "
+            "SELECT doc_id, lang, CAST(score_ppm AS BIGINT) AS score_ppm, "
+            "CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 100"
         ),
         "doc_tokens": (
             "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

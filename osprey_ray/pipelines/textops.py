@@ -3000,3 +3000,333 @@ def q_shuffle_deterministic(sf_dir: str, bucket_bits: int = 10):
         .groupby("bucket")
         .map_groups(rank_in_bucket, batch_format="pyarrow")
     )
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: rank docs against a broadcast query set (integer-exact)
+# ---------------------------------------------------------------------------
+
+BM25_QUERIES = ("filter batch scan", "hash join merge", "stream window sort")
+
+
+def q_bm25_topk(sf_dir: str, queries=BM25_QUERIES, k: int = 10):
+    """BM25 top-k retrieval of documents for a small broadcast query set
+    (the dedup/decontamination companion: "which training docs look like
+    this eval query") — k1 = 1.2, b = 0.75, integer-exact arithmetic so
+    the DuckDB twin matches bit-for-bit.
+
+    Scoring: the classic BM25 term score
+    ``idf * tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)`` with two
+    repo-convention substitutions that keep it in int64 (no libm):
+    the idf is the rarity proxy ``idf_ppm = N*1_000_000 // df`` (monotone
+    in 1/df, same family as q_tfidf_top_terms), and the rational k1/b
+    constants are cleared by multiplying num/den through by 10*Ltot
+    (avgdl = Ltot/N):
+
+        score_term = (idf_ppm * tf * 22 * Ltot)
+                     // (10*tf*Ltot + 3*Ltot + 9*dl*N)
+
+    Doc score = sum over the query's terms (int64; exact in SQL).
+
+    Scale shape — zero corpus-sized shuffles: pass A is a per-batch
+    COMBINER feeding one global tree aggregate (N, Ltot, per-query-term
+    df — an array of 2+T ints; query terms are a tiny broadcast set);
+    pass B is one stateless scan scoring every doc against every query
+    with term loops over the ≤T distinct terms (never rows), emitting
+    only matching (query, doc) rows; pass C is per-batch partial top-k
+    into a final nq-group ranking — the driver never sees more than
+    nq*k rows per batch.  At 10^11 docs the only materialized set is
+    nq*k rows."""
+    from ray.data.aggregate import AggregateFn
+
+    qlist = list(queries)
+    terms = sorted({w for q in qlist for w in q.split() if w})
+    t_idx = {w: i for i, w in enumerate(terms)}
+    T = len(terms)
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    # pass A: [n_docs, Ltot, df_0..df_{T-1}] as one flat int64 accumulator
+    def _acc(a, blk: pa.Table):
+        toks = pc.split_pattern(blk["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(n_tok)), n_tok)
+        a = np.asarray(a, np.int64).copy()
+        a[0] += len(n_tok)
+        a[1] += int(n_tok.sum())
+        for w, i in t_idx.items():
+            m = flat == w
+            if m.any():
+                a[2 + i] += len(np.unique(doc_ix[m]))
+        return a
+
+    stats_fn = AggregateFn(
+        init=lambda _k: np.zeros(2 + T, np.int64),
+        accumulate_block=_acc,
+        merge=lambda a, b: np.asarray(a, np.int64) + np.asarray(b, np.int64),
+        name="bm25stats",
+    )
+    st = np.asarray(ds.aggregate(stats_fn)["bm25stats"], np.int64)
+    N, Ltot, df = int(st[0]), int(st[1]), st[2:]
+    idf_ppm = np.where(df > 0, (N * 1_000_000) // np.maximum(df, 1), 0).astype(
+        np.int64
+    )
+    q_terms = [
+        np.array(sorted({t_idx[w] for w in q.split() if w in t_idx}), np.int64)
+        for q in qlist
+    ]
+
+    out_schema = pa.schema(
+        [
+            ("query", pa.string()),
+            ("doc_id", pa.int64()),
+            ("score_scaled", pa.int64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(n_tok)), n_tok)
+        doc_id = t["doc_id"].to_numpy()
+        dl = n_tok.astype(np.int64)
+        # per-term tf vectors: loop over the ≤T broadcast terms, not rows
+        tf = np.zeros((T, len(doc_id)), np.int64)
+        for w, i in t_idx.items():
+            m = flat == w
+            if m.any():
+                tf[i] = np.bincount(doc_ix[m], minlength=len(doc_id))
+        # int64 overflow guard for the largest intermediate product
+        tf_max = int(tf.max()) if tf.size else 0
+        assert (
+            tf_max == 0
+            or int(idf_ppm.max()) * tf_max * 22 * Ltot < 2**63
+        ), "bm25 int64 overflow: reduce the idf scale for this corpus size"
+        qs, ds_, sc = [], [], []
+        for qi, q in enumerate(qlist):
+            ti = q_terms[qi]
+            if not len(ti):
+                continue
+            num = idf_ppm[ti][:, None] * tf[ti] * 22 * Ltot
+            den = 10 * tf[ti] * Ltot + 3 * Ltot + 9 * dl[None, :] * N
+            s = np.where(tf[ti] > 0, num // np.maximum(den, 1), 0).sum(axis=0)
+            m = s > 0
+            qs.append(np.full(int(m.sum()), qi, np.int64))
+            ds_.append(doc_id[m])
+            sc.append(s[m])
+        if not qs:
+            return out_schema.empty_table()
+        qi_all = np.concatenate(qs)
+        return pa.table(
+            {
+                "query": pa.array([qlist[i] for i in qi_all], pa.string()),
+                "doc_id": pa.array(np.concatenate(ds_), pa.int64()),
+                "score_scaled": pa.array(np.concatenate(sc), pa.int64()),
+            }
+        )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        q = t["query"].to_numpy(zero_copy_only=False)
+        s = t["score_scaled"].to_numpy()
+        d = t["doc_id"].to_numpy()
+        order = np.lexsort((d, -s, q))
+        qs = q[order]
+        change = np.empty(len(qs), bool)
+        change[0] = True
+        change[1:] = qs[1:] != qs[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(len(qs)), 0))
+        keep = (np.arange(len(qs)) - gstart) < k
+        sel = order[keep]
+        return t.take(pa.array(np.sort(sel)))
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "score_scaled": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        q = t["query"].to_numpy(zero_copy_only=False)
+        s = t["score_scaled"].to_numpy()
+        d = t["doc_id"].to_numpy()
+        order = np.lexsort((d, -s, q))
+        qs, ss, dd = q[order], s[order], d[order]
+        change = np.empty(len(qs), bool)
+        change[0] = True
+        change[1:] = qs[1:] != qs[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(len(qs)), 0))
+        rnk = np.arange(len(qs)) - gstart + 1
+        m = rnk <= k
+        return pa.table(
+            {
+                "query": pa.array(qs[m], pa.string()),
+                "doc_id": pa.array(dd[m], pa.int64()),
+                "score_scaled": pa.array(ss[m], pa.int64()),
+                "rnk": pa.array(rnk[m], pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow").map_batches(
+        partial_topk, batch_format="pyarrow"
+    )
+    # nq groups — tiny final ranking co-located per query
+    return scored.groupby("query").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection: target-likeness scoring over unigrams
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_select(sf_dir: str, target_lang: str = "en", k: int = 100):
+    """Data Selection with Importance Resampling (Xie et al. 2023) shape:
+    score every raw document by how much its token distribution looks
+    like a TARGET subset (here docs with ``lang = target_lang``), then
+    keep the top-k — the standard recipe for steering a web-scale corpus
+    toward a high-quality target domain.
+
+    Deterministic integer variant (repo convention — no libm log, so the
+    DuckDB twin is exact): per-token importance
+    ``w(t) = ((cnt_target(t)+1) * 1_000_000) // (cnt_raw(t)+1)`` (the
+    add-1-smoothed target/raw frequency ratio; true DSIR sums LOG ratios
+    and gumbel-samples — at real scale you'd use float log weights and
+    hashed n-gram buckets, both noted below), doc score =
+    ``sum over token positions of w(token) // dl`` (length-normalized).
+
+    Scale shape: pass A is a per-batch (term, raw_part, tgt_part)
+    combiner → one vocab-sized groupby (never the corpus-sized position
+    set); the count map is broadcast by closure (vocab-bounded — at
+    open-vocab scale hash terms into 2^20 buckets first, which is
+    exactly DSIR's hashed-ngram reduction); pass B is one stateless
+    scoring scan; pass C per-batch partial top-k → single tiny final
+    ranking."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        is_tgt = np.repeat(
+            pc.equal(t["lang"], target_lang).to_numpy(zero_copy_only=False),
+            n_tok,
+        )
+        u, inv = np.unique(flat, return_inverse=True)
+        raw = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        tgt = np.bincount(inv, weights=is_tgt, minlength=len(u)).astype(np.int64)
+        m = u != ""
+        return pa.table(
+            {
+                "term": pa.array(u[m], pa.string()),
+                "raw_part": pa.array(raw[m], pa.int64()),
+                "tgt_part": pa.array(tgt[m], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("raw_part", alias_name="c_raw"), Sum("tgt_part", alias_name="c_tgt"))
+        .materialize()
+    )
+    import ray as _ray
+
+    parts = [t for t in _ray.get(counts.to_arrow_refs()) if t.num_rows > 0]
+    vt = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "c_raw": pa.array([], pa.int64()),
+                "c_tgt": pa.array([], pa.int64()),
+            }
+        )
+    )
+    vterms = np.asarray(vt["term"].to_numpy(zero_copy_only=False))
+    c_raw = np.asarray(vt["c_raw"].to_numpy(zero_copy_only=False), np.int64)
+    c_tgt = np.asarray(vt["c_tgt"].to_numpy(zero_copy_only=False), np.int64)
+    order = np.argsort(vterms)
+    vterms, c_raw, c_tgt = vterms[order], c_raw[order], c_tgt[order]
+    w = ((c_tgt + 1) * 1_000_000) // (c_raw + 1)
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(n_tok)), n_tok)
+        pos = np.searchsorted(vterms, flat)
+        pos = np.clip(pos, 0, max(len(vterms) - 1, 0))
+        known = len(vterms) > 0 and True
+        hit = (vterms[pos] == flat) if known else np.zeros(len(flat), bool)
+        wtok = np.where(hit, w[pos] if known else 0, 0).astype(np.int64)
+        # int64 scatter-add (bincount's float64 weights lose exactness
+        # above 2^53 — these scaled sums can reach it at corpus scale)
+        total = np.zeros(len(n_tok), np.int64)
+        np.add.at(total, doc_ix, wtok)
+        dl = np.maximum(n_tok.astype(np.int64), 1)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "score_ppm": pa.array(total // dl, pa.int64()),
+            }
+        )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        s = t["score_ppm"].to_numpy()
+        d = t["doc_id"].to_numpy()
+        order = np.lexsort((d, -s))[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "score_ppm": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        s = t["score_ppm"].to_numpy()
+        d = t["doc_id"].to_numpy()
+        order = np.lexsort((d, -s))[:k]
+        out = t.take(pa.array(order))
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64())
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow").map_batches(
+        partial_topk, batch_format="pyarrow"
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    # single-group final ranking over ≤ k rows per upstream batch
+    return (
+        scored.map_batches(tag, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(
+            lambda t: final_topk(t.drop_columns(["__g"])), batch_format="pyarrow"
+        )
+    )

@@ -1108,3 +1108,118 @@ def test_shuffle_deterministic_is_stable_permutation(ray_session, tmp_path):
     )
     assert sorted(a["shuffle_rank"]) == list(range(200))
     assert list(a["shuffle_rank"]) == list(b["shuffle_rank"])
+
+
+def _write_docs_lang(tmp_path, rows):
+    """rows: list of (text, lang) tuples."""
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+            "text": [t for t, _ in rows],
+            "lang": [l for _, l in rows],
+            "source": ["t"] * len(rows),
+            "n_chars": pa.array([len(t) for t, _ in rows], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _bm25_brute(texts, queries, k=10):
+    """Row-at-a-time reimplementation of the integer BM25 for the oracle."""
+    import collections
+
+    N = len(texts)
+    toks = [t.split(" ") for t in texts]
+    dl = [len(x) for x in toks]
+    Ltot = sum(dl)
+    out = {}
+    for q in queries:
+        terms = sorted(set(w for w in q.split() if w))
+        rows = []
+        for d in range(N):
+            tf_d = collections.Counter(toks[d])
+            s = 0
+            matched = False
+            for w in terms:
+                df = sum(1 for x in toks if w in x)
+                tf = tf_d.get(w, 0)
+                if tf == 0 or df == 0:
+                    continue
+                matched = True
+                idf = (N * 1_000_000) // df
+                s += (idf * tf * 22 * Ltot) // (10 * tf * Ltot + 3 * Ltot + 9 * dl[d] * N)
+            if matched and s > 0:
+                rows.append((s, d))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        out[q] = rows[:k]
+    return out
+
+
+def test_bm25_topk_matches_bruteforce(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_bm25_topk
+
+    texts = [
+        "filter batch scan filter filter",
+        "batch batch scan other words here",
+        "scan alone in a long document with many many filler words",
+        "nothing relevant at all",
+        "filter scan batch all three terms short",
+    ]
+    d = _write_docs(tmp_path, texts)
+    queries = ("filter batch scan", "scan")
+    got = (
+        q_bm25_topk(d, queries=queries, k=3)
+        .to_pandas()
+        .sort_values(["query", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = _bm25_brute(texts, queries, k=3)
+    for q, rows in want.items():
+        g = got[got["query"] == q]
+        assert list(g["doc_id"]) == [d_ for _, d_ in rows], q
+        assert list(g["score_scaled"]) == [s for s, _ in rows], q
+        assert list(g["rnk"]) == list(range(1, len(rows) + 1))
+
+
+def test_bm25_topk_unmatched_query_absent(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_bm25_topk
+
+    d = _write_docs(tmp_path, ["alpha beta", "beta gamma"])
+    got = q_bm25_topk(d, queries=("zzz missing", "beta"), k=5).to_pandas()
+    assert set(got["query"]) == {"beta"}
+    assert set(got["doc_id"]) == {0, 1}
+
+
+def test_dsir_select_prefers_target_like_docs(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_dsir_select
+
+    rows = (
+        [("wiki tokens clean prose", "en")] * 6
+        + [("spam casino jackpot", "de")] * 6
+        + [("wiki prose clean tokens wiki", "de"), ("casino spam spam", "en")]
+    )
+    d = _write_docs_lang(tmp_path, rows)
+    got = q_dsir_select(d, target_lang="en", k=len(rows)).to_pandas()
+    assert len(got) == len(rows)
+    score = dict(zip(got["doc_id"], got["score_ppm"]))
+    # doc 12 is de but target-like; doc 13 is en but raw-only-like
+    assert score[12] > score[13]
+    # every target-vocab doc outranks every spam-vocab doc
+    assert min(score[i] for i in range(6)) > max(score[i] for i in range(6, 12))
+    # rnk is a permutation ordered by (score desc, doc_id)
+    g = got.sort_values("rnk")
+    pairs = list(zip(-g["score_ppm"].to_numpy(), g["doc_id"].to_numpy()))
+    assert pairs == sorted(pairs)
+
+
+def test_dsir_select_topk_truncates(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_dsir_select
+
+    rows = [(f"tok{i} tok{i % 3}", "en" if i % 2 else "fr") for i in range(30)]
+    d = _write_docs_lang(tmp_path, rows)
+    got = q_dsir_select(d, target_lang="en", k=7).to_pandas()
+    assert len(got) == 7
+    assert list(got.sort_values("rnk")["rnk"]) == list(range(1, 8))

@@ -684,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_deterministic": T.q_shuffle_deterministic,  # new in r4
         "bm25_topk": T.q_bm25_topk,  # new in r4 — needs a first row
         "dsir_select": T.q_dsir_select,  # new in r4 — needs a first row
+        "substring_dedup": T.q_substring_dedup,  # new in r4 — needs a first row
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1234,6 +1235,36 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query ORDER BY score_scaled DESC, doc_id) AS rnk FROM sc) "
             "SELECT query, doc_id, CAST(score_scaled AS BIGINT) AS score_scaled, "
             "CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10"
+        ),
+        # ExactSubstr coverage: interval union of duplicated 5-gram
+        # windows via gaps-and-islands (new run when pos > lag(pos) + k)
+        "substring_dedup": (
+            "WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, "
+            "unnest(generate_series(0, len(toks) - 5)) AS pos, toks FROM base "
+            "WHERE len(toks) >= 5), "
+            "g2 AS (SELECT doc_id, pos, "
+            "array_to_string(toks[pos + 1 : pos + 5], ' ') AS gram FROM grams), "
+            "gc AS (SELECT gram, COUNT(*) AS c FROM g2 GROUP BY gram), "
+            "duppos AS (SELECT doc_id, pos FROM g2 JOIN gc USING (gram) "
+            "WHERE gc.c >= 2), "
+            "w AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(LAG(pos) OVER "
+            "(PARTITION BY doc_id ORDER BY pos), -1000000) + 5 THEN 1 ELSE 0 END "
+            "AS brk FROM duppos), "
+            "isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id "
+            "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g FROM w), "
+            "runs AS (SELECT doc_id, g, MAX(pos + 4) - MIN(pos) + 1 AS rl, "
+            "COUNT(*) AS starts FROM isl GROUP BY doc_id, g), "
+            "agg AS (SELECT doc_id, SUM(starts) AS dup_starts, "
+            "SUM(rl) AS covered_tokens, MAX(rl) AS longest_run, "
+            "COUNT(*) AS n_runs FROM runs GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(a.dup_starts, 0) AS BIGINT) AS dup_starts, "
+            "CAST(COALESCE(a.covered_tokens, 0) AS BIGINT) AS covered_tokens, "
+            "CAST(COALESCE(a.longest_run, 0) AS BIGINT) AS longest_run, "
+            "CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs "
+            "FROM base b LEFT JOIN agg a USING (doc_id)"
         ),
         # DSIR-style target-likeness: add-1-smoothed scaled target/raw
         # unigram ratio, summed over token positions, length-normalized

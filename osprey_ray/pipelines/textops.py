@@ -3330,3 +3330,168 @@ def q_dsir_select(sf_dir: str, target_lang: str = "en", k: int = 100):
             lambda t: final_topk(t.drop_columns(["__g"])), batch_format="pyarrow"
         )
     )
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-span coverage (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def q_substring_dedup(sf_dir: str, k: int = 5):
+    """Exact-substring dedup signal (the "Deduplicating Training Data
+    Makes Language Models Better" ExactSubstr shape, arXiv:2107.06499,
+    over word k-grams instead of a suffix array): for every doc, the
+    token-interval UNION of all k-gram windows whose gram occurs ≥ 2
+    times in the whole corpus — i.e. exactly the spans ExactSubstr would
+    cut.  Emits per doc: total tokens, duplicated-window start count,
+    covered token count, longest duplicated run, and run count — the
+    stats a removal policy thresholds on (remove runs ≥ L, drop docs
+    with coverage ≥ x%).
+
+    Scale shape — two keyed exchanges, no join, no suffix array: gram
+    explode keeps (gram_h, doc, pos) position rows (positions can't be
+    combined away — coverage needs them); exchange 1 co-locates by
+    hash(gram_h) and flags dup positions with one bincount per
+    partition, emitting ONLY flagged rows (the dup fraction of the
+    corpus, typically ≪ 1); per-doc sentinel rows (pos = -1, carrying
+    n_tokens) bypass exchange 1 and union in so every doc appears;
+    exchange 2 co-locates by hash(doc_id) and computes the interval
+    union per doc with one lexsort + reduceat per partition (windows
+    [pos, pos+k-1] merge when next_pos ≤ prev_pos + k).  Keys are the
+    blake2b-64 gram hash — same collision caveat as ``q_dup_ngrams``
+    (a fraction signal, not an exact-dedup key)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        n_tok = np.diff(offsets)
+        seg_doc = np.repeat(t["doc_id"].to_numpy(), n_tok)
+        posg = np.arange(len(vals), dtype=np.int64)
+        within = posg - np.repeat(offsets[:-1], n_tok)
+        valid = within <= np.repeat(n_tok - k, n_tok)
+        idx = np.nonzero(valid)[0]
+        parts = [vals.take(pa.array(idx + j, pa.int64())) for j in range(k)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        gid = pc.dictionary_encode(gram)
+        codes = np.asarray(gid.indices, dtype=np.int64)
+        dict_h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+                for s in gid.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        ).view(np.int64)
+        return pa.table(
+            {
+                "gram_h": pa.array(
+                    dict_h[codes] if len(codes) else np.zeros(0, np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(seg_doc[idx], pa.int64()),
+                "pos": pa.array(within[idx], pa.int64()),
+            }
+        )
+
+    def sentinels(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "pos": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "n_tok": pa.array(n_tok.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dup_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("n_tok", pa.int64())]
+    )
+
+    def flag_dups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return dup_schema.empty_table()
+        h = t["gram_h"].to_numpy()
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        m = cnt[inv] >= 2
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(m)),
+                "pos": t["pos"].filter(pa.array(m)),
+                "n_tok": pa.array(np.zeros(int(m.sum()), np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("dup_starts", pa.int64()),
+            ("covered_tokens", pa.int64()),
+            ("longest_run", pa.int64()),
+            ("n_runs", pa.int64()),
+        ]
+    )
+
+    def coverage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        doc = t["doc_id"].to_numpy()
+        pos = t["pos"].to_numpy()
+        ntk = t["n_tok"].to_numpy()
+        order = np.lexsort((pos, doc))
+        doc, pos, ntk = doc[order], pos[order], ntk[order]
+        udoc, starts = np.unique(doc, return_index=True)
+        # per-doc n_tokens rides the pos=-1 sentinel (first row per doc)
+        n_tokens = ntk[starts]
+        # duplicated windows only (pos >= 0)
+        segs = np.concatenate([starts, [len(doc)]])
+        dup_starts = np.zeros(len(udoc), np.int64)
+        covered = np.zeros(len(udoc), np.int64)
+        longest = np.zeros(len(udoc), np.int64)
+        n_runs = np.zeros(len(udoc), np.int64)
+        # vectorized island detection over the DUP rows only (sentinels
+        # sort first per doc with pos = -1 and must not seed a run): a
+        # new run starts on doc change or a gap past the window end
+        is_dup = pos >= 0
+        d2, p2 = doc[is_dup], pos[is_dup]
+        if len(d2):
+            new2 = np.empty(len(d2), bool)
+            new2[0] = True
+            new2[1:] = (d2[1:] != d2[:-1]) | (p2[1:] > p2[:-1] + k)
+            rid = np.cumsum(new2) - 1
+            # p2 ascends within a run, so starts are the new2 rows and
+            # ends are a running max of pos + k - 1
+            r_start = p2[new2]
+            r_end = np.zeros(int(rid[-1]) + 1, np.int64)
+            np.maximum.at(r_end, rid, p2 + k - 1)
+            r_len = r_end - r_start + 1
+            r_doc = d2[new2]
+            di = np.searchsorted(udoc, r_doc)
+            np.add.at(covered, di, r_len)
+            np.maximum.at(longest, di, r_len)
+            np.add.at(n_runs, di, 1)
+            ddi = np.searchsorted(udoc, d2)
+            np.add.at(dup_starts, ddi, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "dup_starts": pa.array(dup_starts, pa.int64()),
+                "covered_tokens": pa.array(covered, pa.int64()),
+                "longest_run": pa.array(longest, pa.int64()),
+                "n_runs": pa.array(n_runs, pa.int64()),
+            }
+        )
+
+    flagged = _by_key_partition_col(
+        ds.map_batches(explode, batch_format="pyarrow"), "gram_h"
+    ).map_groups(flag_dups, batch_format="pyarrow")
+    sent = ds.map_batches(sentinels, batch_format="pyarrow")
+    return _by_key_partition_col(sent.union(flagged), "doc_id").map_groups(
+        coverage, batch_format="pyarrow"
+    )

@@ -1223,3 +1223,60 @@ def test_dsir_select_topk_truncates(ray_session, tmp_path):
     got = q_dsir_select(d, target_lang="en", k=7).to_pandas()
     assert len(got) == 7
     assert list(got.sort_values("rnk")["rnk"]) == list(range(1, 8))
+
+
+def test_substring_dedup_coverage_and_runs(ray_session, tmp_path):
+    """Planted duplicate spans: two docs share a 7-token run (overlapping
+    5-gram windows must merge into one island of length 7), a third doc
+    is clean, a fourth repeats a 5-gram within itself."""
+    from osprey_ray.pipelines.textops import q_substring_dedup
+
+    shared = "one two three four five six seven"
+    d = _write_docs(
+        tmp_path,
+        [
+            f"aa bb {shared} cc dd",
+            f"xx {shared} yy zz ww",
+            "totally unique words here nothing repeats at all",
+            "rep rep rep rep rep rep",  # 5-gram 'rep...' duplicated within doc
+            "short doc",  # < k tokens: no grams
+        ],
+    )
+    got = (
+        q_substring_dedup(d, k=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [0, 1, 2, 3, 4]
+    assert list(got["n_tokens"]) == [11, 11, 8, 6, 2]
+    # docs 0/1: the shared 7 tokens → 3 dup window starts, one run of 7
+    assert got.loc[0, "dup_starts"] == 3 and got.loc[0, "covered_tokens"] == 7
+    assert got.loc[0, "longest_run"] == 7 and got.loc[0, "n_runs"] == 1
+    assert got.loc[1, "dup_starts"] == 3 and got.loc[1, "covered_tokens"] == 7
+    # clean doc: zeros
+    assert got.loc[2, ["dup_starts", "covered_tokens", "longest_run", "n_runs"]].sum() == 0
+    # within-doc repeat: 'rep'*6 has 2 identical 5-gram windows → run of 6
+    assert got.loc[3, "dup_starts"] == 2 and got.loc[3, "covered_tokens"] == 6
+    assert got.loc[3, "longest_run"] == 6 and got.loc[3, "n_runs"] == 1
+    # sub-k doc: zeros but present
+    assert got.loc[4, "covered_tokens"] == 0
+
+
+def test_substring_dedup_disjoint_runs(ray_session, tmp_path):
+    """Two separated duplicate spans in one doc stay two islands."""
+    from osprey_ray.pipelines.textops import q_substring_dedup
+
+    a = "p q r s t"
+    b = "v w x y z"
+    d = _write_docs(
+        tmp_path,
+        [
+            f"{a} m1 m2 m3 m4 m5 m6 {b}",
+            f"{a} n1 n2 n3 n4 n5 n6 {b}",
+        ],
+    )
+    got = q_substring_dedup(d, k=5).to_pandas().sort_values("doc_id")
+    for _, r in got.iterrows():
+        assert r["n_runs"] == 2 and r["covered_tokens"] == 10
+        assert r["longest_run"] == 5 and r["dup_starts"] == 2

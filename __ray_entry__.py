@@ -685,6 +685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": T.q_bm25_topk,  # new in r4 — needs a first row
         "dsir_select": T.q_dsir_select,  # new in r4 — needs a first row
         "substring_dedup": T.q_substring_dedup,  # new in r4 — needs a first row
+        # iterative algorithm (per-round argmax + re-tokenize): no single
+        # SQL twin exists — golden-tested vs a row-at-a-time reference
+        "bpe_train": T.q_bpe_train,
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,

@@ -3495,3 +3495,233 @@ def q_substring_dedup(sf_dir: str, k: int = 5):
     return _by_key_partition_col(sent.union(flagged), "doc_id").map_groups(
         coverage, batch_format="pyarrow"
     )
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training (iterative pair-count merges)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_train(sf_dir: str, n_merges: int = 10, local_vocab_cap: int = 65536):
+    """Train a byte-pair-encoding merge table on the corpus — the
+    classic Sennrich et al. 2016 algorithm (arXiv:1508.07909) made
+    distributed: each round counts adjacent symbol pairs over the
+    word-frequency table, merges the most frequent pair everywhere, and
+    repeats.  Returns the merge table (rank, left, right, pair_count) —
+    deterministic (ties broken by (left, right) ascending), which a
+    golden row-at-a-time reference verifies in tests; the driver row is
+    rows-only (iterative algorithm, no single-SQL twin).
+
+    Scale shape: BPE trains on the WORD HISTOGRAM, not the corpus — one
+    corpus-sized combiner pass collapses 10^12 tokens into a vocab-sized
+    (word, count) table that stays DISTRIBUTED as the working set.  Each
+    round is (a) one tree aggregate of weighted pair counts (per-block
+    np.unique combiner — only distinct-pair partials cross the wire,
+    merged associatively), (b) an argmax on the driver over the
+    vocab-bounded pair dict, (c) one map_batches applying the broadcast
+    winning merge with vectorized greedy non-overlapping replacement
+    (alternate positions within runs — the "aaaa" case).  The histogram
+    is re-materialized per round (it's vocab-sized, not corpus-sized);
+    rounds are inherently sequential, as in every BPE trainer.
+
+    Fast path: when the word histogram fits ``local_vocab_cap`` the
+    merge loop runs driver-local over the collected histogram — the
+    shape production trainers use (distributed corpus count, local
+    merge loop over the vocab); the distributed per-round path covers
+    open-vocab corpora and is exercised in tests via a forced cap."""
+    import pickle
+
+    from ray.data.aggregate import AggregateFn, Sum
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    # corpus -> distributed word histogram (the only corpus-sized pass)
+    def word_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        u, c = np.unique(flat[flat != ""], return_counts=True)
+        return pa.table(
+            {"word": pa.array(u, pa.string()), "c_part": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("c_part", alias_name="cnt"))
+        .materialize()
+    )
+
+    import ray as _ray
+    import ray.data as rd
+
+    out_schema_cols = ("rank", "left", "right", "pair_count")
+
+    if hist.count() <= local_vocab_cap:
+        # vocab fits: run the merge loop locally over the collected
+        # histogram (identical semantics + tiebreak to the distributed
+        # path; the corpus-sized work already happened in the combiner)
+        parts = [t for t in _ray.get(hist.to_arrow_refs()) if t.num_rows > 0]
+        ht = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        )
+        work_d = {}
+        for w, c in zip(ht["word"].to_pylist(), ht["cnt"].to_pylist()):
+            work_d[tuple(w)] = work_d.get(tuple(w), 0) + int(c)
+        merges = []
+        for rank in range(n_merges):
+            pairs = {}
+            for syms, c in work_d.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            if not pairs:
+                break
+            (bl, br), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, bl, br, cnt))
+            new_d = {}
+            for syms, c in work_d.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                        out.append(bl + br)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                kk = tuple(out)
+                new_d[kk] = new_d.get(kk, 0) + c
+            work_d = new_d
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "rank": pa.array([m[0] for m in merges], pa.int64()),
+                    "left": pa.array([m[1] for m in merges], pa.string()),
+                    "right": pa.array([m[2] for m in merges], pa.string()),
+                    "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+                }
+            )
+        )
+
+    # explode each word into its initial character-symbol sequence once;
+    # the working set is (word_id rows of list<string> symbols, count)
+    def to_syms(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        return pa.table(
+            {
+                "syms": pa.array([list(w) for w in words], pa.list_(pa.string())),
+                "cnt": pc.cast(t["cnt"], pa.int64()),
+            }
+        )
+
+    work = hist.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    def _pair_counts_block(a, blk: pa.Table):
+        """Accumulate weighted adjacent-pair counts into a pickled dict."""
+        d = pickle.loads(a) if isinstance(a, (bytes, bytearray)) else dict(a or {})
+        syms = blk["syms"]
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        flat = syms.flatten().to_numpy(zero_copy_only=False)
+        offs = np.asarray(syms.offsets, np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        cnt = np.repeat(blk["cnt"].to_numpy(), np.maximum(lens - 1, 0))
+        pos = np.arange(len(flat), dtype=np.int64)
+        within = pos - np.repeat(offs[:-1], lens)
+        valid = within < np.repeat(lens - 1, lens)
+        i = np.nonzero(valid)[0]
+        if len(i):
+            # join with a separator that cannot appear inside a symbol
+            # (symbols come from space-split text, so '\t' is safe)
+            left = flat[i].astype("U")
+            right = flat[i + 1].astype("U")
+            pair = np.char.add(np.char.add(left, "\t"), right)
+            up, inv = np.unique(pair, return_inverse=True)
+            wc = np.zeros(len(up), np.int64)
+            np.add.at(wc, inv, cnt)
+            for p, w in zip(up, wc):
+                d[p] = d.get(p, 0) + int(w)
+        return pickle.dumps(d)
+
+    def _merge_dicts(a, b):
+        da = pickle.loads(a) if isinstance(a, (bytes, bytearray)) else dict(a or {})
+        db = pickle.loads(b) if isinstance(b, (bytes, bytearray)) else dict(b or {})
+        for k, v in db.items():
+            da[k] = da.get(k, 0) + v
+        return pickle.dumps(da)
+
+    merges = []
+    for rank in range(n_merges):
+        fn = AggregateFn(
+            init=lambda _k: pickle.dumps({}),
+            accumulate_block=_pair_counts_block,
+            merge=_merge_dicts,
+            name="pairs",
+        )
+        raw = work.aggregate(fn)["pairs"]
+        pairs = pickle.loads(raw) if isinstance(raw, (bytes, bytearray)) else dict(raw)
+        if not pairs:
+            break
+        # deterministic winner: max count, ties by (left, right) ascending
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        bl, br = best[0].split("\t")
+        merges.append((rank, bl, br, best[1]))
+        new_sym = bl + br
+
+        def apply_merge(t: pa.Table, bl=bl, br=br, new_sym=new_sym) -> pa.Table:
+            syms = t["syms"]
+            if isinstance(syms, pa.ChunkedArray):
+                syms = syms.combine_chunks()
+            flat = syms.flatten().to_numpy(zero_copy_only=False).astype(object)
+            offs = np.asarray(syms.offsets, np.int64)
+            offs = offs - offs[0]
+            lens = np.diff(offs)
+            pos = np.arange(len(flat), dtype=np.int64)
+            within = pos - np.repeat(offs[:-1], lens)
+            valid = within < np.repeat(lens - 1, lens)
+            m = valid & (flat == bl) & (np.roll(flat, -1) == br)
+            mi = np.nonzero(m)[0]
+            if len(mi):
+                # greedy left-to-right non-overlap: inside each run of
+                # consecutive matches keep alternate positions
+                run_new = np.empty(len(mi), bool)
+                run_new[0] = True
+                run_new[1:] = mi[1:] != mi[:-1] + 1
+                run_start = np.maximum.accumulate(
+                    np.where(run_new, mi, 0)
+                )
+                keep = ((mi - run_start) % 2) == 0
+                ki = mi[keep]
+                flat[ki] = new_sym
+                drop = np.zeros(len(flat), bool)
+                drop[ki + 1] = True
+                keep_mask = ~drop
+                row_of = np.repeat(np.arange(len(lens)), lens)
+                dropped_per_row = np.bincount(
+                    row_of[drop], minlength=len(lens)
+                ).astype(np.int64)
+                new_lens = lens - dropped_per_row
+                flat = flat[keep_mask]
+                new_offs = np.concatenate([[0], np.cumsum(new_lens)])
+                out = pa.ListArray.from_arrays(
+                    pa.array(new_offs, pa.int32()),
+                    pa.array(flat.tolist(), pa.string()),
+                )
+                return pa.table({"syms": out, "cnt": t["cnt"]})
+            return pa.table({"syms": syms, "cnt": t["cnt"]})
+
+        work = work.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    out = pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+    return rd.from_arrow(out)

@@ -1280,3 +1280,67 @@ def test_substring_dedup_disjoint_runs(ray_session, tmp_path):
     for _, r in got.iterrows():
         assert r["n_runs"] == 2 and r["covered_tokens"] == 10
         assert r["longest_run"] == 5 and r["dup_starts"] == 2
+
+
+def _bpe_reference(texts, n_merges):
+    """Row-at-a-time Sennrich BPE on the word histogram (golden oracle)."""
+    import collections
+
+    hist = collections.Counter(w for t in texts for w in t.split() if w)
+    work = {tuple(w): c for w, c in hist.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = collections.Counter()
+        for syms, c in work.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (bl, br), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, bl, br, cnt))
+        new = {}
+        for syms, c in work.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + c
+        work = new
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new new newer",
+        "wider wide widest low newer",
+        "aaaa aaa aa a",  # overlapping-run greedy case
+    ]
+    d = _write_docs(tmp_path, texts)
+    want = _bpe_reference(texts, 8)
+    for cap in (65536, 0):  # broadcast fast path AND distributed per-round path
+        got = (
+            q_bpe_train(d, n_merges=8, local_vocab_cap=cap)
+            .to_pandas()
+            .sort_values("rank")
+        )
+        assert len(got) == len(want), cap
+        for (_, r), w in zip(got.iterrows(), want):
+            assert (r["rank"], r["left"], r["right"], r["pair_count"]) == w, cap
+
+
+def test_bpe_train_exhausts_pairs(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_bpe_train
+
+    d = _write_docs(tmp_path, ["ab ab ab"])
+    got = q_bpe_train(d, n_merges=10).to_pandas()
+    # 'ab' merges once, then no adjacent pairs remain
+    assert len(got) == 1
+    assert got.iloc[0]["left"] == "a" and got.iloc[0]["right"] == "b"

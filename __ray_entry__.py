@@ -688,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative algorithm (per-round argmax + re-tokenize): no single
         # SQL twin exists — golden-tested vs a row-at-a-time reference
         "bpe_train": T.q_bpe_train,
+        "bpe_encode": T.q_bpe_encode,  # new in r4 — needs a first row
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1011,6 +1012,8 @@ FROM inj
 
 
 def oracle_sql() -> dict[str, str]:
+    from osprey_ray.pipelines import textops as T
+
     return {
         # 25% sampling threshold = 2^62 over the splitmix64(event_id) rank
         "sample_turns": (
@@ -1269,6 +1272,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs "
             "FROM base b LEFT JOIN agg a USING (doc_id)"
         ),
+        # fixed-merge-table BPE encode: the boundary-marked nested-replace
+        # chain reproduces greedy BPE exactly in plain SQL (see
+        # textops.q_bpe_encode docstring for the separator-invariant proof)
+        "bpe_encode": T.bpe_encode_sql(),
         # DSIR-style target-likeness: add-1-smoothed scaled target/raw
         # unigram ratio, summed over token positions, length-normalized
         "dsir_select": (

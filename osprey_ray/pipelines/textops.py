@@ -3725,3 +3725,127 @@ def q_bpe_train(sf_dir: str, n_merges: int = 10, local_vocab_cap: int = 65536):
         }
     )
     return rd.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer application (fixed merge-table encode at corpus scale)
+# ---------------------------------------------------------------------------
+
+# A fixed demo merge table (rank order) — production tokenizers are static
+# artifacts applied to new data, so the encode op takes the table as a
+# parameter and ships with a deterministic data-independent default
+# (common English pair merges).  Training lives in `q_bpe_train`.
+DEFAULT_BPE_MERGES = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("o", "n"),
+    ("r", "e"),
+    ("e", "r"),
+    ("an", "d"),
+    ("o", "r"),
+    ("s", "t"),
+    ("a", "t"),
+    ("e", "n"),
+)
+
+
+def q_bpe_encode(sf_dir: str, merges=None):
+    """Apply a fixed BPE merge table to every document and report the
+    encoded token count — the other half of the tokenizer story next to
+    `q_bpe_train` (reference analogue: the per-event Tokenize UDF,
+    example_plugins/src/udfs/strings.py, generalized to real subword
+    encoding).  Output: (doc_id, n_words, bpe_tokens).
+
+    Semantics: per word (space-split, empties dropped), start from the
+    character symbol sequence and apply each merge in rank order as one
+    leftmost-first non-overlapping pass — canonical greedy BPE, the same
+    application order `q_bpe_train.apply_merge` uses.
+
+    Exact-twin trick: a symbol sequence is encoded as a single string
+    with SINGLE separators (chr 31) at both ends and DOUBLE separators
+    between symbols; merging (l, r) is then literal string replacement
+    of  ␟l␟␟r␟  with  ␟lr␟ .  Each match donates one separator back to
+    each neighbouring gap, so the representation is invariant under
+    replacement, whole-symbol matching is guaranteed (symbol chars never
+    contain the separator), and leftmost non-overlapping `str.replace`
+    reproduces greedy BPE exactly — including ABAB and AAAA runs.  Both
+    numpy (`np.char.replace`) and DuckDB (`replace`) implement that scan,
+    so the op is hash-verifiable in plain SQL.
+
+    Scale shape: embarrassingly parallel — one stateless `map_batches`,
+    no shuffle.  Within a batch the merge passes run over the UNIQUE
+    word array (vocab-sized, not corpus-sized; `np.unique` + inverse
+    scatter), so cost per batch is O(distinct words × merges) plus two
+    vectorized scatters."""
+    merges = tuple(DEFAULT_BPE_MERGES if merges is None else merges)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64()), ("bpe_tokens", pa.int64())]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        offs = np.asarray(toks.offsets, np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        n_words = np.bincount(doc_idx, minlength=t.num_rows).astype(np.int64)
+        bpe = np.zeros(t.num_rows, np.int64)
+        if len(flat):
+            u, inv = np.unique(flat, return_inverse=True)
+            # boundary-marked sequence: ␟c1␟␟c2␟␟…␟␟ck␟
+            seq = np.char.add(np.char.add("\x1f", np.char.join("\x1f\x1f", u)), "\x1f")
+            for left, right in merges:
+                seq = np.char.replace(
+                    seq,
+                    f"\x1f{left}\x1f\x1f{right}\x1f",
+                    f"\x1f{left}{right}\x1f",
+                )
+            u_tok = (np.char.count(seq, "\x1f") - 2) // 2 + 1
+            np.add.at(bpe, doc_idx, u_tok[inv].astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "bpe_tokens": pa.array(bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bpe_encode_sql(merges=None) -> str:
+    """DuckDB twin of `q_bpe_encode` — the identical boundary-marked
+    nested `replace` chain over chr(31)-joined character sequences."""
+    merges = tuple(DEFAULT_BPE_MERGES if merges is None else merges)
+    sep = "chr(31)"
+    expr = f"{sep} || array_to_string(str_split(w, ''), {sep}||{sep}) || {sep}"
+    for left, right in merges:
+        pat = f"{sep}||'{left}'||{sep}||{sep}||'{right}'||{sep}"
+        rep = f"{sep}||'{left}{right}'||{sep}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return (
+        "WITH wrds AS ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+        "), enc AS ("
+        f"  SELECT doc_id, {expr} AS s FROM wrds WHERE w <> ''"
+        "), per AS ("
+        "  SELECT doc_id, "
+        "    ((length(s) - length(replace(s, chr(31), ''))) - 2) // 2 + 1 AS tok"
+        "  FROM enc"
+        ") SELECT d.doc_id, "
+        "  CAST(COALESCE(COUNT(per.tok), 0) AS BIGINT) AS n_words, "
+        "  CAST(COALESCE(SUM(per.tok), 0) AS BIGINT) AS bpe_tokens "
+        "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id "
+        "GROUP BY d.doc_id"
+    )

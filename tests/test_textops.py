@@ -1344,3 +1344,100 @@ def test_bpe_train_exhausts_pairs(ray_session, tmp_path):
     # 'ab' merges once, then no adjacent pairs remain
     assert len(got) == 1
     assert got.iloc[0]["left"] == "a" and got.iloc[0]["right"] == "b"
+
+
+def _bpe_apply_ref(word, merges):
+    """Canonical greedy BPE application: per merge in rank order, one
+    leftmost-first non-overlapping pass over the symbol sequence."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_canonical_reference(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_bpe_encode
+
+    # hits ABAB (both pairs merge), AAAA (alternating run), chained
+    # merges (t+h then th+e), and a no-op word
+    merges = (("a", "b"), ("a", "a"), ("t", "h"), ("th", "e"), ("ab", "ab"))
+    texts = [
+        "abab aaaa aaa the theth xyz",
+        "ababab the a",
+        "",
+        "zzz",
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = (
+        q_bpe_encode(d, merges=merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for doc_id, text in enumerate(texts):
+        words = [w for w in text.split(" ") if w]
+        want_tok = sum(len(_bpe_apply_ref(w, merges)) for w in words)
+        row = got[got["doc_id"] == doc_id].iloc[0]
+        assert int(row["n_words"]) == len(words), (doc_id, text)
+        assert int(row["bpe_tokens"]) == want_tok, (doc_id, text)
+
+
+def test_bpe_encode_sql_twin_parity(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    from osprey_ray.pipelines.textops import bpe_encode_sql, q_bpe_encode
+
+    d = _write_docs(
+        tmp_path,
+        ["the then there and in on", "abab test rest zest", "one", ""],
+    )
+    got = (
+        q_bpe_encode(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "n_words", "bpe_tokens"]]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = (
+        con.execute(bpe_encode_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_words": "int64", "bpe_tokens": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want[["doc_id", "n_words", "bpe_tokens"]])
+
+
+def test_bpe_encode_composes_with_trained_merges(ray_session, tmp_path):
+    from osprey_ray.pipelines.textops import q_bpe_encode, q_bpe_train
+
+    d = _write_docs(tmp_path, ["low lower lowest low low", "newer newest new"])
+    mt = q_bpe_train(d, n_merges=4).to_pandas().sort_values("rank")
+    merges = list(zip(mt["left"], mt["right"]))
+    assert len(merges) == 4
+    got = (
+        q_bpe_encode(d, merges=merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    texts = ["low lower lowest low low", "newer newest new"]
+    for doc_id, text in enumerate(texts):
+        words = [w for w in text.split(" ") if w]
+        want = sum(len(_bpe_apply_ref(w, merges)) for w in words)
+        assert int(got.iloc[doc_id]["bpe_tokens"]) == want
+        # merges fired: token count strictly below character count
+        assert int(got.iloc[doc_id]["bpe_tokens"]) < sum(len(w) for w in words)

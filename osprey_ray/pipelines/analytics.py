@@ -157,11 +157,31 @@ def q_timeseries(sf_dir: str, granularity: str = "minute"):
 _KEY_PARTS = 64
 
 
-def _by_key_partition(ds, key_col: str, P: int = _KEY_PARTS):
+def _key_parts(P: int | None = None) -> int:
+    """Key-exchange partition count: explicit override, else sized from
+    the cluster (2 × total CPUs, floor 64) so the same pipeline that
+    runs 64-way on this 32-CPU host fans out proportionally on a
+    multi-node cluster.  Results are invariant to P — all rows of one
+    key land in one partition for any P — so this only affects
+    parallelism, never output."""
+    if P:
+        return int(P)
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(_KEY_PARTS, 2 * int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return _KEY_PARTS
+
+
+def _by_key_partition(ds, key_col: str, P: int | None = None):
     """Shuffle by hash(key) % P — ONE Python callback per partition
     (not per key); the callback vectorizes over every key in the
     partition (VERDICT r1 item #5: per-key map_groups is Python-per-group
     and dies at 100× key cardinality)."""
+    P = _key_parts(P)
 
     def part(t: pa.Table) -> pa.Table:
         u = t[key_col].to_numpy().astype(np.uint64)
@@ -171,7 +191,7 @@ def _by_key_partition(ds, key_col: str, P: int = _KEY_PARTS):
     return ds.map_batches(part, batch_format="pyarrow").groupby("__kp")
 
 
-def _by_user_partition(ds, P: int = _KEY_PARTS):
+def _by_user_partition(ds, P: int | None = None):
     return _by_key_partition(ds, "user_id", P)
 
 

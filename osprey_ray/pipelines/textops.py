@@ -1978,8 +1978,12 @@ def q_line_dedup(sf_dir: str, line_tokens: int = 10):
     )
 
 
-def _by_key_partition_docs(ds, P: int = 64):
-    """Shuffle by hash(doc_id) % P; one vectorized callback per partition."""
+def _by_key_partition_docs(ds, P: int | None = None):
+    """Shuffle by hash(doc_id) % P (cluster-sized; see
+    ``analytics._key_parts``); one vectorized callback per partition."""
+    from osprey_ray.pipelines.analytics import _key_parts
+
+    P = _key_parts(P)
 
     def part(t: pa.Table) -> pa.Table:
         key = _splitmix64(t["doc_id"].to_numpy().astype(np.uint64))
@@ -2120,9 +2124,13 @@ def q_dup_ngrams(sf_dir: str, k: int = 5):
     )
 
 
-def _by_key_partition_col(ds, col: str, P: int = 64):
-    """Shuffle by splitmix64(col) % P; one vectorized callback per
-    partition (the ``analytics._by_key_partition`` pattern for textops)."""
+def _by_key_partition_col(ds, col: str, P: int | None = None):
+    """Shuffle by splitmix64(col) % P (cluster-sized; see
+    ``analytics._key_parts``); one vectorized callback per partition (the
+    ``analytics._by_key_partition`` pattern for textops)."""
+    from osprey_ray.pipelines.analytics import _key_parts
+
+    P = _key_parts(P)
 
     def part(t: pa.Table) -> pa.Table:
         key = _splitmix64(t[col].to_numpy().astype(np.uint64))

@@ -230,3 +230,12 @@ def test_export_rows_cap(ray_session, tmp_path):
     with pytest.raises(ValueError, match="cap"):
         export_rows(ds, str(tmp_path / "out"), max_rows=n - 1)
     assert export_rows(ds, str(tmp_path / "out"), max_rows=n) == n
+
+
+def test_key_parts_sizes_from_cluster(ray_session):
+    from osprey_ray.pipelines.analytics import _key_parts
+
+    # explicit override wins
+    assert _key_parts(128) == 128
+    # inside the 4-CPU test session: floor of 64 holds (2*4 < 64)
+    assert _key_parts() == 64

@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osprey_ray.pipelines import analytics as A
     from osprey_ray.pipelines import ann as N
     from osprey_ray.pipelines import multimodal as M
+    from osprey_ray.pipelines import scoring as SC
     from osprey_ray.pipelines import textops as T
 
     return {
@@ -689,6 +690,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL twin exists — golden-tested vs a row-at-a-time reference
         "bpe_train": T.q_bpe_train,
         "bpe_encode": T.q_bpe_encode,  # new in r4 — needs a first row
+        # REAL trained model (distributed logistic regression distilling
+        # the doc_quality gate; bit-deterministic int64 gradient
+        # aggregation) scored through the actor-pool stage.  Iterative
+        # float training: rows-only, golden-tested for determinism +
+        # above-majority accuracy
+        "text_classifier": SC.q_text_classifier,
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,

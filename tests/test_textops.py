@@ -1441,3 +1441,108 @@ def test_bpe_encode_composes_with_trained_merges(ray_session, tmp_path):
         assert int(got.iloc[doc_id]["bpe_tokens"]) == want
         # merges fired: token count strictly below character count
         assert int(got.iloc[doc_id]["bpe_tokens"]) < sum(len(w) for w in words)
+
+
+# ---------------------------------------------------------------------------
+# trained text classifier (scoring.py)
+# ---------------------------------------------------------------------------
+
+
+def test_text_classifier_bit_deterministic_across_partitions(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from osprey_ray.pipelines.scoring import (
+        _CLS_DIM,
+        _CLS_SCALE,
+        _featurize_block,
+        _train_on_features,
+    )
+
+    texts = [
+        "the the the a a an and or of to in is short",  # stopword-heavy
+        "alpha beta gamma " * 20,
+        "short doc",
+        "signal words only carry information here " * 8,
+    ] * 6
+    d = _write_docs(tmp_path, texts)
+    base = rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])
+    outs = []
+    for P in (1, 7):
+        f = (
+            base.repartition(P)
+            .map_batches(lambda t: _featurize_block(t, _CLS_DIM), batch_format="pyarrow")
+            .materialize()
+        )
+        outs.append(_train_on_features(f, _CLS_DIM, 6, 1000.0, _CLS_SCALE))
+    (w1, b1, n1), (w2, b2, n2) = outs
+    assert n1 == n2 == len(texts)
+    assert b1 == b2
+    assert np.array_equal(w1, w2)  # BIT-identical, not allclose
+
+
+def test_text_classifier_matches_local_reference(ray_session, tmp_path):
+    """The distributed tree-aggregate must equal a single-process loop
+    over the same blocks EXACTLY (int64 gradient partials are associative
+    + commutative, momentum is a driver-side recurrence)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from osprey_ray.pipelines.scoring import (
+        _CLS_DIM,
+        _CLS_SCALE,
+        _featurize_block,
+        _grad_block,
+        _train_on_features,
+    )
+
+    texts = ["the a an of to " * 5, "data table scan " * 10, "tiny", "x " * 30]
+    d = _write_docs(tmp_path, texts)
+    full = pq.read_table(f"{d}/documents.parquet", columns=["doc_id", "text"])
+    feats_local = _featurize_block(full, _CLS_DIM)
+
+    nfeat = _CLS_DIM + 1
+    iters, lr, mu = 5, 1000.0, 0.9
+    w = np.zeros(nfeat)
+    b = 0.0
+    vw = np.zeros(nfeat)
+    vb = 0.0
+    for _ in range(iters):
+        g = _grad_block(w, b, feats_local, _CLS_SCALE)
+        n = int(g[nfeat + 1])
+        gw = g[:nfeat].astype(np.float64) / (_CLS_SCALE * n)
+        gb = float(g[nfeat]) / (_CLS_SCALE * n)
+        vw = mu * vw + gw
+        vb = mu * vb + gb
+        w = w - lr * vw
+        b = b - lr * vb
+
+    feats_ds = (
+        rd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])
+        .repartition(3)
+        .map_batches(lambda t: _featurize_block(t, _CLS_DIM), batch_format="pyarrow")
+        .materialize()
+    )
+    wd, bd, nd = _train_on_features(feats_ds, _CLS_DIM, iters, lr, _CLS_SCALE)
+    assert nd == len(texts)
+    assert np.array_equal(w, wd) and b == bd
+
+
+def test_text_classifier_learns_quality_gate(ray_session, tmp_path):
+    from osprey_ray.pipelines.scoring import q_text_classifier
+
+    # clean separable fixture: long low-stopword docs (keep) vs short or
+    # stopword-heavy docs (drop)
+    texts = (
+        ["informative tokens carrying signal words " * 8] * 12
+        + ["the a an of to in is are was be on for with as at by " * 4] * 6
+        + ["short"] * 6
+    )
+    d = _write_docs(tmp_path, texts)
+    df = q_text_classifier(d, iters=40).to_pandas()
+    acc = (df["pred"] == (df["y"] == 1)).mean()
+    pos = (df["y"] == 1).mean()
+    assert acc >= 0.95, (acc, pos)
+    assert 0.0 < pos < 1.0  # both classes present — acc beats majority

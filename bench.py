@@ -158,6 +158,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "knn_graph",
         "bloom_dedup",
         "heavy_hitters",
+        "bpe_encode",
+        "bm25_topk",
     ):
         t0 = time.perf_counter()
         r = Q[name](sf_dir)

@@ -755,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_filter": T.q_adaptive_filter,
         "top_tokens_per_source": T.q_top_tokens_per_source,
         "corpus_curate": T.q_corpus_curate,
+        "corpus_prep": T.q_corpus_prep,  # new in r4 — composed end-to-end prep
         "source_overlap": T.q_source_overlap,
         "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings
@@ -1015,6 +1016,62 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(s, '{pats["phone"]}')) AS BIGINT) AS n_phones,
   md5({red}) AS redacted_md5
 FROM inj
+"""
+
+
+def _corpus_prep_sql(capacity: int = 256, part_rows: int = 128) -> str:
+    """DuckDB twin of textops.q_corpus_prep — the composed pipeline chains
+    the already-verified per-stage twins as CTEs: corpus_curate's quality +
+    keep-min dedup, pii_redact's injection + RE2 replace chain, the
+    pack_sequences recursive next-fit (over SURVIVORS, redacted token
+    counts), and the splitmix64 shuffle key over bin_id (signed int64 view
+    to match the engine's ``.view(np.int64)``)."""
+    from osprey_ray.pipelines.textops import PII_PATTERNS
+
+    red = "s"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    inj = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.com ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' tel 555-867-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    )
+    sm = _splitmix64_ctes("b", "doc_id, source, red_md5, n_tokens, bin_id", "bin_id")
+    return f"""
+WITH RECURSIVE dd AS (SELECT doc_id, source, text, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM dd),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+per AS (SELECT doc_id, SUM(c) AS n_tok, MAX(c) AS top_token_n FROM tc GROUP BY doc_id),
+bg AS (SELECT doc_id, list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bgs FROM dd),
+bs AS (SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct_bigrams FROM bg),
+q AS (SELECT dd.doc_id, dd.source, dd.text,
+      (per.top_token_n * 5 <= per.n_tok AND
+       (bs.n_bigrams - bs.n_distinct_bigrams) * 4 <= bs.n_bigrams) AS quality
+      FROM dd JOIN per USING (doc_id) JOIN bs USING (doc_id)),
+w AS (SELECT md5(text) AS h, MIN(doc_id) AS wdoc FROM q WHERE quality GROUP BY md5(text)),
+surv AS (SELECT q.doc_id, q.source, q.text FROM q
+         JOIN w ON md5(q.text) = w.h AND q.doc_id = w.wdoc),
+inj AS (SELECT doc_id, source, {inj} AS s FROM surv),
+redc AS (SELECT doc_id, source, {red} AS rs FROM inj),
+d AS (SELECT doc_id, source, md5(rs) AS red_md5,
+      CAST(len(string_split(rs, ' ')) AS BIGINT) AS n_tokens,
+      doc_id // {part_rows} AS part,
+      ROW_NUMBER() OVER (PARTITION BY doc_id // {part_rows} ORDER BY doc_id) AS rn
+      FROM redc),
+f AS (SELECT part, rn, doc_id, source, red_md5, n_tokens,
+      CAST(0 AS BIGINT) AS bin, n_tokens AS used FROM d WHERE rn = 1
+ UNION ALL
+ SELECT d.part, d.rn, d.doc_id, d.source, d.red_md5, d.n_tokens,
+ CASE WHEN f.used + d.n_tokens > {capacity} THEN f.bin + 1 ELSE f.bin END,
+ CASE WHEN f.used + d.n_tokens > {capacity} THEN d.n_tokens ELSE f.used + d.n_tokens END
+ FROM f JOIN d ON d.part = f.part AND d.rn = f.rn + 1),
+b AS (SELECT doc_id, source, red_md5, n_tokens,
+      CAST(part * {part_rows} + bin AS BIGINT) AS bin_id FROM f),
+{sm}
+SELECT doc_id, source, n_tokens, red_md5, bin_id,
+CAST((CAST(r AS HUGEINT) - CASE WHEN CAST(r AS HUGEINT) >= 9223372036854775808
+      THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS shuffle_key
+FROM smh
 """
 
 
@@ -1572,6 +1629,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM q LEFT JOIN w ON md5(q.text) = w.h AND q.doc_id = w.wdoc "
             "GROUP BY source"
         ),
+        # composed end-to-end prep: quality → keep-min dedup → redact →
+        # next-fit pack (redacted token counts) → splitmix64 shuffle key
+        "corpus_prep": _corpus_prep_sql(),
         # grouped top-k (ROW_NUMBER window parity): 5 most frequent tokens
         # per source, ties broken by token ascending
         "top_tokens_per_source": (

@@ -2402,6 +2402,149 @@ def q_corpus_curate(sf_dir: str):
         Sum("utok", alias_name="tokens_final"),
     )
 
+def q_corpus_prep(sf_dir: str, capacity: int = 256, part_rows: int = 128):
+    """The full composed pretraining-data-prep pipeline a training-data
+    user runs end-to-end: Gopher-style quality filter → exact dedup among
+    quality survivors (md5 keep-min) → PII redaction (same deterministic
+    in-query injection convention as ``q_pii_redact`` so every row
+    exercises the scrub) → sequence packing of the REDACTED token counts
+    (next-fit per doc-range partition, ``q_pack_sequences`` rule) →
+    deterministic shuffle key per packed bin (splitmix64(bin_id)) as the
+    replayable training order (sort by (shuffle_key, bin_id) to read in
+    training order — a pure function of ids, identical across runs and
+    cluster sizes).
+
+    Scale shape: pass 1 computes every text-derived column per batch and
+    projects the text away (quality flag, dedup digest, redacted digest +
+    token count) — the TEXT never enters a shuffle; one md5-route exchange
+    marks dedup winners in place (the no-join pattern from
+    ``q_corpus_curate``); one doc-range exchange packs survivors; the
+    shuffle key needs no rank sort.  Output: one row per surviving doc —
+    (doc_id, source, n_tokens, red_md5, bin_id, shuffle_key)."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def stage1(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+
+        def s(v: np.ndarray) -> pa.Array:
+            return pa.array(v.astype("U"), pa.string())
+
+        inj = pc.binary_join_element_wise(
+            t["text"],
+            " contact user", s(ids), "@mail", s(ids % 7),
+            ".com ip 10.", s(ids % 256), ".0.", s(ids % 100),
+            " tel 555-867-", s(1000 + ids % 9000),
+            "",
+        )
+        red, _counts = redact_pii(inj)
+        n_tok, _, top, n_big, n_dbig = _repetition_arrays(t["text"])
+        quality = _quality_rule(n_tok, top, n_big, n_dbig)
+        digs = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        rdigs = [hashlib.md5(x.encode()).hexdigest() for x in red.to_pylist()]
+        n_red = pc.list_value_length(pc.split_pattern(red, pattern=" "))
+        route = np.array([int(d[:15], 16) for d in digs], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": t["source"],
+                "quality": pa.array(quality, pa.bool_()),
+                "text_md5": pa.array(digs, pa.string()),
+                "red_md5": pa.array(rdigs, pa.string()),
+                "n_tokens": pc.cast(n_red, pa.int64()),
+                "route": pa.array(route, pa.int64()),
+            }
+        )
+
+    surv_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("red_md5", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("__part", pa.int64()),
+        ]
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return surv_schema.empty_table()
+        doc = t["doc_id"].to_numpy()
+        quality = t["quality"].to_numpy(zero_copy_only=False)
+        # winner per full digest among quality docs: min doc_id (the
+        # q_corpus_curate mark rule — non-quality rows get +inf so an
+        # all-filtered group has no winner)
+        _, inv = np.unique(
+            t["text_md5"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        cand = np.where(quality, doc, np.iinfo(np.int64).max)
+        order = np.lexsort((cand, inv))
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = inv[order][1:] != inv[order][:-1]
+        wmin = np.zeros(inv.max() + 1, dtype=np.int64)
+        wmin[inv[order][first]] = cand[order][first]
+        kt = t.filter(pa.array(quality & (doc == wmin[inv])))
+        return pa.table(
+            {
+                "doc_id": pc.cast(kt["doc_id"], pa.int64()),
+                "source": kt["source"],
+                "red_md5": kt["red_md5"],
+                "n_tokens": kt["n_tokens"],
+                "__part": pc.cast(
+                    pc.divide(pc.cast(kt["doc_id"], pa.int64()), part_rows),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("red_md5", pa.string()),
+            ("bin_id", pa.int64()),
+            ("shuffle_key", pa.int64()),
+        ]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        doc = t["doc_id"].to_numpy()
+        ntok = t["n_tokens"].to_numpy()
+        part_id = int(t["__part"][0].as_py())
+        order = np.argsort(doc, kind="stable")
+        ntok_s = ntok[order]
+        bins = np.empty(len(doc), dtype=np.int64)
+        b, used = 0, 0
+        for i, nt in enumerate(ntok_s):  # short loop over docs, not tokens
+            if used > 0 and used + nt > capacity:
+                b += 1
+                used = 0
+            bins[i] = b
+            used += nt
+        bin_id = part_id * part_rows + bins
+        key = _splitmix64(bin_id.astype(np.uint64)).view(np.int64)
+        kt = t.take(pa.array(order, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": kt["doc_id"],
+                "source": kt["source"],
+                "n_tokens": kt["n_tokens"],
+                "red_md5": kt["red_md5"],
+                "bin_id": pa.array(bin_id, pa.int64()),
+                "shuffle_key": pa.array(key, pa.int64()),
+            }
+        )
+
+    s1 = ds.map_batches(stage1, batch_format="pyarrow")
+    surv = _by_key_partition_col(s1, "route").map_groups(
+        survivors, batch_format="pyarrow"
+    )
+    return surv.groupby("__part").map_groups(pack, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # cross-source overlap matrix (corpus contamination analysis)
 # ---------------------------------------------------------------------------

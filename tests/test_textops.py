@@ -1546,3 +1546,47 @@ def test_text_classifier_learns_quality_gate(ray_session, tmp_path):
     pos = (df["y"] == 1).mean()
     assert acc >= 0.95, (acc, pos)
     assert 0.0 < pos < 1.0  # both classes present — acc beats majority
+
+
+def test_corpus_prep_composition(ray_session, tmp_path):
+    """The composed prep pipeline applies every stage: the spam doc is
+    quality-dropped, the duplicate survives only at the lowest doc_id,
+    token counts reflect the REDACTED text (injected PII scrubbed to
+    fixed-width placeholders), bins respect capacity, and the shuffle key
+    is the splitmix64 of bin_id (pure function of ids)."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import _splitmix64, q_corpus_prep
+
+    diverse = " ".join(f"w{i}" for i in range(30))
+    texts = [
+        diverse,                       # doc 1: kept, winner of the dup pair
+        diverse,                       # doc 2: loses dedup to doc 1
+        "spam " * 29 + "spam",         # doc 3: quality-dropped
+        " ".join(f"z{i}" for i in range(20)),  # doc 4: kept, unique
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["a", "a", "a", "b"],
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        q_corpus_prep(str(tmp_path), capacity=40, part_rows=128)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 4]  # dedup winner + unique survivor
+    # injection appends 6 whitespace tokens (contact, user..@...com,
+    # ip, 10.A.0.B, tel, 555-867-XXXX); redaction replaces each PII token
+    # inline with one placeholder, so redacted count = original + 6
+    assert out["n_tokens"].tolist() == [36, 26]
+    # capacity 40: doc1 (37) fills bin 0; doc4 is in its own doc-range bin
+    assert out["bin_id"].nunique() == 2
+    key = _splitmix64(out["bin_id"].to_numpy().astype(np.uint64)).view(np.int64)
+    assert out["shuffle_key"].tolist() == key.tolist()

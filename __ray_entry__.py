@@ -756,6 +756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_source": T.q_top_tokens_per_source,
         "corpus_curate": T.q_corpus_curate,
         "corpus_prep": T.q_corpus_prep,  # new in r4 — composed end-to-end prep
+        "inverted_index": T.q_inverted_index,  # new in r4 — posting lists
+        "bigram_lm": T.q_bigram_lm,  # new in r4 — n-gram LM counts
         "source_overlap": T.q_source_overlap,
         "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings
@@ -1632,6 +1634,38 @@ def oracle_sql() -> dict[str, str]:
         # composed end-to-end prep: quality → keep-min dedup → redact →
         # next-fit pack (redacted token counts) → splitmix64 shuffle key
         "corpus_prep": _corpus_prep_sql(),
+        # inverted index: top-50 terms by total count (token_counts
+        # ranking), exact df + first-20 postings per term
+        "inverted_index": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term "
+            "FROM documents), "
+            "cnt AS (SELECT term, COUNT(*) AS n FROM toks WHERE term <> '' GROUP BY term), "
+            "top AS (SELECT term FROM cnt ORDER BY n DESC, term LIMIT 50), "
+            "td AS (SELECT DISTINCT term, doc_id FROM toks "
+            "WHERE term IN (SELECT term FROM top)), "
+            "dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM td GROUP BY term), "
+            "p AS (SELECT term, doc_id, ROW_NUMBER() OVER ("
+            "PARTITION BY term ORDER BY doc_id) AS posting_rank FROM td) "
+            "SELECT p.term, dft.df, CAST(p.posting_rank AS BIGINT) AS posting_rank, "
+            "p.doc_id FROM p JOIN dft USING (term) WHERE p.posting_rank <= 20"
+        ),
+        # bigram LM head: most likely next token + integer conditional ppm
+        # for the 100 tokens with the largest outgoing-bigram mass
+        "bigram_lm": (
+            "WITH d AS (SELECT string_split(lower(text), ' ') AS l FROM documents), "
+            "bg AS (SELECT unnest(list_transform(range(1, len(l)), "
+            "i -> l[i] || ' ' || l[i+1])) AS bgram FROM d), "
+            "c AS (SELECT bgram, COUNT(*) AS n FROM bg GROUP BY bgram), "
+            "s AS (SELECT string_split(bgram, ' ')[1] AS w1, "
+            "string_split(bgram, ' ')[2] AS w2, n FROM c), "
+            "tot AS (SELECT w1, SUM(n) AS total FROM s GROUP BY w1), "
+            "r AS (SELECT w1, w2, n, ROW_NUMBER() OVER ("
+            "PARTITION BY w1 ORDER BY n DESC, w2) AS rn FROM s) "
+            "SELECT r.w1 AS token, r.w2 AS next_token, CAST(r.n AS BIGINT) AS n, "
+            "CAST(r.n * 1000000 // tot.total AS BIGINT) AS cond_ppm "
+            "FROM r JOIN tot USING (w1) WHERE rn = 1 "
+            "ORDER BY tot.total DESC, token LIMIT 100"
+        ),
         # grouped top-k (ROW_NUMBER window parity): 5 most frequent tokens
         # per source, ties broken by token ascending
         "top_tokens_per_source": (

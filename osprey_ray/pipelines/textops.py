@@ -1063,6 +1063,202 @@ def q_token_counts(sf_dir: str, top_n: int = 100):
     )
 
 
+def q_inverted_index(sf_dir: str, n_terms: int = 50, max_postings: int = 20):
+    """Inverted-index build over the corpus: for the ``n_terms`` most
+    frequent tokens (total-occurrence ranking, ties by token — the
+    ``q_token_counts`` ordering), emit the first ``max_postings`` postings
+    (smallest doc_ids) plus the EXACT document frequency — the
+    index-construction step of a retrieval pipeline (the batch analogue of
+    what ``q_bm25_topk`` computes on the fly).
+
+    Scale shape: pass 1 is the token-histogram combiner + tiny top-N sort
+    (the driver sees n_terms rows, broadcast into pass 2); pass 2 emits at
+    most ``max_postings + 1`` rows per term per BATCH — a per-batch partial
+    top-k over within-batch-distinct (term, doc) pairs plus ONE df-partial
+    row (doc_id is corpus-unique, so per-batch distinct pairs are globally
+    distinct and batch df partials sum exactly); the term-keyed exchange
+    merges bounded partials, so a stop-word's group holds
+    n_batches*(k+1) rows regardless of its true df."""
+    top = q_token_counts(sf_dir, top_n=n_terms).to_pandas()["token"].tolist()
+    term_set = pa.array(sorted(top), pa.string())
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    part_schema = pa.schema(
+        [("term", pa.string()), ("doc_id", pa.int64()), ("w", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy().astype(np.int64), n_tok)
+        keep = pc.is_in(flat, value_set=term_set).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return part_schema.empty_table()
+        fs = flat.to_numpy(zero_copy_only=False)[keep]
+        dc = doc[keep]
+        uterm, tcode = np.unique(fs, return_inverse=True)
+        U = len(uterm)
+        assert int(dc.max()) < 2**62 // max(U, 1), "doc_id*U composite overflow"
+        ukey = np.unique(dc * U + tcode)  # distinct (doc, term) in batch
+        d, tc = ukey // U, ukey % U
+        order = np.lexsort((d, tc))
+        d, tc = d[order], tc[order]
+        change = np.empty(len(tc), dtype=bool)
+        change[0] = True
+        change[1:] = tc[1:] != tc[:-1]
+        gstart = np.maximum.accumulate(np.where(change, np.arange(len(tc)), 0))
+        kept = (np.arange(len(tc)) - gstart) < max_postings
+        cnts = np.bincount(tc, minlength=U)  # batch df partial per term
+        present = np.nonzero(cnts)[0]
+        return pa.table(
+            {
+                "term": pa.array(
+                    np.concatenate([uterm[tc[kept]], uterm[present]]), pa.string()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [d[kept], np.full(len(present), -1, np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "w": pa.array(
+                    np.concatenate(
+                        [np.zeros(int(kept.sum()), np.int64), cnts[present]]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("posting_rank", pa.int64()),
+            ("doc_id", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        term = t["term"][0].as_py()
+        doc = t["doc_id"].to_numpy()
+        df = int(t["w"].to_numpy().sum())
+        docs = np.unique(doc[doc >= 0])[:max_postings]
+        return pa.table(
+            {
+                "term": pa.array([term] * len(docs), pa.string()),
+                "df": pa.array(np.full(len(docs), df, np.int64), pa.int64()),
+                "posting_rank": pa.array(
+                    np.arange(1, len(docs) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(docs, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def q_bigram_lm(sf_dir: str, top_n: int = 100):
+    """Distributed bigram language-model estimation (the count side of a
+    KenLM-style n-gram LM build, and the conditional extension of
+    ``q_doc_surprisal``'s unigram LM): for the ``top_n`` head tokens with
+    the largest outgoing-bigram mass, the most likely NEXT token, its
+    count, and the integer conditional probability
+    ``cond_ppm = n(w1,w2) * 1e6 // n(w1,·)`` (no libm, exact in SQL).
+
+    Scale shape: per-batch bigram ``value_counts`` combiner (one row per
+    DISTINCT bigram per batch) → bigram-keyed groupby sum → split into
+    (w1, w2) → w1-keyed groupby picks argmax w2 + total mass (vectorized
+    in the group callback) → tiny vocab-bounded sort + limit.  No stage
+    ever holds more than the distinct-bigram set of one partition."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        mask = np.ones(len(flat), dtype=bool)
+        mask[offsets[1:] - 1] = False  # last token of each doc starts no bigram
+        starts = np.nonzero(mask)[0]
+        lhs = flat.take(pa.array(starts, pa.int64()))
+        rhs = flat.take(pa.array(starts + 1, pa.int64()))
+        bg = pc.binary_join_element_wise(lhs, rhs, " ")
+        vc = bg.value_counts() if not isinstance(bg, pa.ChunkedArray) else bg.combine_chunks().value_counts()
+        return pa.table(
+            {
+                "bigram": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["bigram"], pattern=" ", max_splits=1)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "n": t["n"],
+            }
+        )
+
+    head_schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("next_token", pa.string()),
+            ("n", pa.int64()),
+            ("cond_ppm", pa.int64()),
+            ("total", pa.int64()),
+        ]
+    )
+
+    def head(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return head_schema.empty_table()
+        w2 = t["w2"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy()
+        tot = int(n.sum())
+        best = np.lexsort((w2, -n))[0]  # max count, ties by next_token asc
+        return pa.table(
+            {
+                "token": pa.array([t["w1"][0].as_py()], pa.string()),
+                "next_token": pa.array([str(w2[best])], pa.string()),
+                "n": pa.array([int(n[best])], pa.int64()),
+                "cond_ppm": pa.array([int(n[best]) * 1_000_000 // tot], pa.int64()),
+                "total": pa.array([tot], pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(split, batch_format="pyarrow")
+        .groupby("w1")
+        .map_groups(head, batch_format="pyarrow")
+        .sort(["total", "token"], descending=[True, False])
+        .limit(top_n)
+        .drop_columns(["total"])
+    )
+
+
 def q_stratified_sample(sf_dir: str, per_group: int = 5):
     """Deterministic stratified sampling: ``per_group`` docs per ``lang``
     with the smallest splitmix64(doc_id) — reproducible across runs and

@@ -758,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": T.q_corpus_prep,  # new in r4 — composed end-to-end prep
         "inverted_index": T.q_inverted_index,  # new in r4 — posting lists
         "bigram_lm": T.q_bigram_lm,  # new in r4 — n-gram LM counts
+        "quantile_sketch": T.q_quantile_sketch,  # new in r4 — KMV quantiles
         "source_overlap": T.q_source_overlap,
         "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings
@@ -1665,6 +1666,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r.n * 1000000 // tot.total AS BIGINT) AS cond_ppm "
             "FROM r JOIN tot USING (w1) WHERE rn = 1 "
             "ORDER BY tot.total DESC, token LIMIT 100"
+        ),
+        # KMV quantile sketch: deterministic bottom-k sample by
+        # splitmix64(event_id), quantile_disc rule over the sample —
+        # approximate vs the exact quantile, but exactly reproducible
+        "quantile_sketch": (
+            "WITH " + _splitmix64_ctes("events", "event_id, value", "event_id")
+            + ", samp AS (SELECT value, r, event_id FROM smh "
+            "ORDER BY r, event_id LIMIT 1024), "
+            "n AS (SELECT COUNT(*) AS kk FROM samp), "
+            "ord AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn "
+            "FROM samp), "
+            "qq(q) AS (VALUES (50), (90), (99)) "
+            "SELECT CAST(q AS BIGINT) AS q, "
+            "(SELECT value FROM ord, n WHERE rn = greatest(1, (n.kk * q + 99) // 100)) AS est "
+            "FROM qq"
         ),
         # grouped top-k (ROW_NUMBER window parity): 5 most frequent tokens
         # per source, ties broken by token ascending

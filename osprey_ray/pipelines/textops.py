@@ -1166,6 +1166,77 @@ def q_inverted_index(sf_dir: str, n_terms: int = 50, max_postings: int = 20):
     )
 
 
+def q_quantile_sketch(sf_dir: str, k: int = 1024, qs: tuple = (50, 90, 99)):
+    """Approximate quantiles of ``events.value`` from a KMV bottom-k
+    sketch — the quantile member of the mergeable-sketch family (HLL =
+    distinct, Bloom = membership, Misra-Gries = heavy hitters, KMV =
+    order statistics).  The sample is the k rows with the SMALLEST
+    splitmix64(event_id) — a deterministic uniform sample, so unlike a
+    KLL/t-digest the whole sketch is exactly reproducible and the query
+    is hash-verified end-to-end (the standard rank-error bound
+    ~sqrt(q(1-q)/k) per Bar-Yossef et al. still applies and is asserted
+    in tests against the exact quantile).
+
+    Scale shape: ONE global tree aggregate (per-batch partial bottom-k,
+    merge = concat + re-truncate — associative and commutative for any
+    merge-tree shape); no shuffle anywhere, the driver holds k triples.
+    Estimate = the quantile_disc rule (1-based rank ceil(k'·q), integer
+    arithmetic) over the sample's values."""
+    from ray.data.aggregate import AggregateFn
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def _trunc(h, e, v):
+        if len(h) > k:
+            idx = np.lexsort((e, h))[:k]
+            return h[idx], e[idx], v[idx]
+        return h, e, v
+
+    def _acc(a, blk: pa.Table):
+        e = blk["event_id"].to_numpy().astype(np.int64)
+        h = _splitmix64(e.astype(np.uint64))
+        v = blk["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ah, ae, av = a
+        return _trunc(
+            np.concatenate([ah, h]),
+            np.concatenate([ae, e]),
+            np.concatenate([av, v]),
+        )
+
+    def _merge(a, b):
+        return _trunc(
+            np.concatenate([a[0], b[0]]),
+            np.concatenate([a[1], b[1]]),
+            np.concatenate([a[2], b[2]]),
+        )
+
+    fn = AggregateFn(
+        init=lambda _k: (
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+        ),
+        accumulate_block=_acc,
+        merge=_merge,
+        name="kmv",
+    )
+    h, e, v = ds.aggregate(fn)["kmv"]
+    order = np.lexsort((e, h))
+    vals = np.sort(v[order][:k])
+    kk = len(vals)
+    est = [float(vals[max(1, (kk * q + 99) // 100) - 1]) for q in qs]
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.int64()),
+            "est": pa.array(est, pa.float64()),
+        }
+    )
+
+
 def q_bigram_lm(sf_dir: str, top_n: int = 100):
     """Distributed bigram language-model estimation (the count side of a
     KenLM-style n-gram LM build, and the conditional extension of

@@ -1590,3 +1590,24 @@ def test_corpus_prep_composition(ray_session, tmp_path):
     assert out["bin_id"].nunique() == 2
     key = _splitmix64(out["bin_id"].to_numpy().astype(np.uint64)).view(np.int64)
     assert out["shuffle_key"].tolist() == key.tolist()
+
+
+def test_quantile_sketch_rank_error(ray_session):
+    """The KMV estimate respects the sampling rank-error bound: the
+    empirical CDF at each estimate is within 3*sqrt(q(1-q)/k) of the
+    target quantile (k=1024 → ~5% at p50)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_quantile_sketch
+
+    sf = "/root/testdata/sf0.001"
+    out = q_quantile_sketch(sf).to_pandas()
+    vals = pq.read_table(f"{sf}/events.parquet", columns=["value"])["value"].to_numpy(
+        zero_copy_only=False
+    )
+    for q, est in zip(out["q"], out["est"]):
+        cdf = float((vals <= est).mean())
+        tol = 3 * math.sqrt((q / 100) * (1 - q / 100) / 1024) + 1 / 1024
+        assert abs(cdf - q / 100) <= tol, (q, est, cdf, tol)

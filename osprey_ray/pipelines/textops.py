@@ -1247,11 +1247,17 @@ def q_bigram_lm(sf_dir: str, top_n: int = 100):
 
     Scale shape: per-batch bigram ``value_counts`` combiner (one row per
     DISTINCT bigram per batch) → bigram-keyed groupby sum → split into
-    (w1, w2) → w1-keyed groupby picks argmax w2 + total mass (vectorized
-    in the group callback) → tiny vocab-bounded sort + limit.  No stage
-    ever holds more than the distinct-bigram set of one partition."""
+    (w1, w2) + a w1 ROUTING hash (blake2b over the batch-unique w1 set,
+    never per row) → ONE callback per hash-bucket partition computes
+    every head in it with a vectorized lexsort + reduceat (NOT a
+    per-w1 map_groups — at web scale w1 cardinality is the vocabulary,
+    and millions of one-row Python group callbacks is the per-row-loop
+    anti-pattern one level up) → tiny vocab-bounded sort + limit."""
     from ray.data.aggregate import Sum
 
+    from osprey_ray.pipelines.analytics import _key_parts
+
+    P = _key_parts(None)
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1285,11 +1291,26 @@ def q_bigram_lm(sf_dir: str, top_n: int = 100):
         parts = pc.split_pattern(t["bigram"], pattern=" ", max_splits=1)
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
+        w1 = pc.list_element(parts, 0)
+        # route by a 64-bit hash of w1: blake2b over the batch-UNIQUE w1
+        # set (vocab-bounded), mapped back through the inverse index
+        uw, inv = np.unique(w1.to_numpy(zero_copy_only=False), return_inverse=True)
+        uh = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "big"
+                )
+                % P
+                for s in uw
+            ],
+            dtype=np.int64,
+        )
         return pa.table(
             {
-                "w1": pc.list_element(parts, 0),
+                "w1": w1,
                 "w2": pc.list_element(parts, 1),
                 "n": t["n"],
+                "__kp": pa.array(uh[inv], pa.int64()),
             }
         )
 
@@ -1303,27 +1324,33 @@ def q_bigram_lm(sf_dir: str, top_n: int = 100):
         ]
     )
 
-    def head(t: pa.Table) -> pa.Table:
+    def heads(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return head_schema.empty_table()
+        w1 = t["w1"].to_numpy(zero_copy_only=False)
         w2 = t["w2"].to_numpy(zero_copy_only=False)
         n = t["n"].to_numpy()
-        tot = int(n.sum())
-        best = np.lexsort((w2, -n))[0]  # max count, ties by next_token asc
+        order = np.lexsort((w2, -n, w1))  # per w1: count desc, w2 asc
+        w1s, w2s, ns = w1[order], w2[order], n[order]
+        change = np.empty(len(w1s), dtype=bool)
+        change[0] = True
+        change[1:] = w1s[1:] != w1s[:-1]
+        first = np.nonzero(change)[0]
+        tot = np.add.reduceat(ns, first)
         return pa.table(
             {
-                "token": pa.array([t["w1"][0].as_py()], pa.string()),
-                "next_token": pa.array([str(w2[best])], pa.string()),
-                "n": pa.array([int(n[best])], pa.int64()),
-                "cond_ppm": pa.array([int(n[best]) * 1_000_000 // tot], pa.int64()),
-                "total": pa.array([tot], pa.int64()),
+                "token": pa.array(w1s[first], pa.string()),
+                "next_token": pa.array(w2s[first], pa.string()),
+                "n": pa.array(ns[first], pa.int64()),
+                "cond_ppm": pa.array(ns[first] * 1_000_000 // tot, pa.int64()),
+                "total": pa.array(tot, pa.int64()),
             }
         )
 
     return (
         merged.map_batches(split, batch_format="pyarrow")
-        .groupby("w1")
-        .map_groups(head, batch_format="pyarrow")
+        .groupby("__kp")
+        .map_groups(heads, batch_format="pyarrow")
         .sort(["total", "token"], descending=[True, False])
         .limit(top_n)
         .drop_columns(["total"])

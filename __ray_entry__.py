@@ -759,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": T.q_inverted_index,  # new in r4 — posting lists
         "bigram_lm": T.q_bigram_lm,  # new in r4 — n-gram LM counts
         "quantile_sketch": T.q_quantile_sketch,  # new in r4 — KMV quantiles
+        "countmin": T.q_countmin,  # new in r4 — CM frequency sketch
         "source_overlap": T.q_source_overlap,
         "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings
@@ -868,7 +869,9 @@ def _murmur3_sql(seed: int = 42) -> str:
     )
 
 
-def _splitmix64_ctes(src: str, cols: str, idexpr: str, out: str = "r") -> str:
+def _splitmix64_ctes(
+    src: str, cols: str, idexpr: str, out: str = "r", prefix: str = ""
+) -> str:
     """CTE chain reproducing ``textops._splitmix64(idexpr)`` in DuckDB:
     exposes columns ``cols`` plus ``out`` (UBIGINT hash) in a final CTE
     named ``smh``.  Wrapping 64-bit multiply-by-constant is split hi/lo
@@ -888,11 +891,12 @@ def _splitmix64_ctes(src: str, cols: str, idexpr: str, out: str = "r") -> str:
         return f"xor({z}, ({z}) >> {r})"
 
     z0 = f"CAST((CAST({idexpr} AS HUGEINT) + 11400714819323198485) % {TWO64} AS UBIGINT)"
+    p = prefix
     return (
-        f"sm0 AS (SELECT {cols}, {z0} AS z FROM {src}), "
-        f"sm1 AS (SELECT {cols}, {mul64(xshift('z', 30), 0xBF58476D1CE4E5B9)} AS z FROM sm0), "
-        f"sm2 AS (SELECT {cols}, {mul64(xshift('z', 27), 0x94D049BB133111EB)} AS z FROM sm1), "
-        f"smh AS (SELECT {cols}, {xshift('z', 31)} AS {out} FROM sm2)"
+        f"{p}sm0 AS (SELECT {cols}, {z0} AS z FROM {src}), "
+        f"{p}sm1 AS (SELECT {cols}, {mul64(xshift('z', 30), 0xBF58476D1CE4E5B9)} AS z FROM {p}sm0), "
+        f"{p}sm2 AS (SELECT {cols}, {mul64(xshift('z', 27), 0x94D049BB133111EB)} AS z FROM {p}sm1), "
+        f"{p}smh AS (SELECT {cols}, {xshift('z', 31)} AS {out} FROM {p}sm2)"
     )
 
 
@@ -1076,6 +1080,43 @@ CAST((CAST(r AS HUGEINT) - CASE WHEN CAST(r AS HUGEINT) >= 9223372036854775808
       THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS shuffle_key
 FROM smh
 """
+
+
+def _countmin_sql(width: int = 1024, depth: int = 4, top: int = 20) -> str:
+    """DuckDB twin of textops.q_countmin: the same deterministic CM sketch
+    (bucket_i = splitmix64(token_hash_u64 + i) % width) rebuilt in SQL —
+    one splitmix CTE chain per depth row (prefixed names), cell sums per
+    (depth, bucket), estimate = min over rows for the exact top tokens."""
+    h64 = "('0x' || substr(md5(tok), 1, 16))::UBIGINT"
+    chains, cells, tbs = [], [], []
+    for i in range(depth):
+        chains.append(
+            _splitmix64_ctes(
+                "th", "tok, n", f"CAST(h AS HUGEINT) + {i}", prefix=f"d{i}"
+            )
+        )
+        cells.append(
+            f"SELECT {i} AS d, CAST(r % {width} AS BIGINT) AS b, SUM(n) AS c "
+            f"FROM d{i}smh GROUP BY b"
+        )
+        tbs.append(
+            f"SELECT tok, {i} AS d, CAST(r % {width} AS BIGINT) AS b "
+            f"FROM d{i}smh WHERE tok IN (SELECT tok FROM top)"
+        )
+    return (
+        "WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok "
+        "FROM documents), "
+        "tf AS (SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok), "
+        f"th AS (SELECT tok, n, {h64} AS h FROM tf), "
+        f"top AS (SELECT tok, n FROM tf ORDER BY n DESC, tok LIMIT {top}), "
+        + ", ".join(chains)
+        + ", cells AS (" + " UNION ALL ".join(cells) + ")"
+        + ", tb AS (" + " UNION ALL ".join(tbs) + ")"
+        + ", est AS (SELECT tb.tok, MIN(cells.c) AS est FROM tb "
+        "JOIN cells ON tb.d = cells.d AND tb.b = cells.b GROUP BY tb.tok) "
+        "SELECT top.tok AS token, CAST(top.n AS BIGINT) AS n, "
+        "CAST(est.est AS BIGINT) AS est FROM top JOIN est ON top.tok = est.tok"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1682,6 +1723,9 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT value FROM ord, n WHERE rn = greatest(1, (n.kk * q + 99) // 100)) AS est "
             "FROM qq"
         ),
+        # count-min sketch: deterministic seeds so the estimate itself
+        # hash-verifies; est >= n always (one-sided CM error)
+        "countmin": _countmin_sql(),
         # grouped top-k (ROW_NUMBER window parity): 5 most frequent tokens
         # per source, ties broken by token ascending
         "top_tokens_per_source": (

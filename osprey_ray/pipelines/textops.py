@@ -1237,6 +1237,76 @@ def q_quantile_sketch(sf_dir: str, k: int = 1024, qs: tuple = (50, 90, 99)):
     )
 
 
+def q_countmin(sf_dir: str, width: int = 1024, depth: int = 4, top: int = 20):
+    """Count-min sketch over the corpus token stream — the frequency
+    member of the mergeable-sketch family (HLL = distinct, Bloom =
+    membership, Misra-Gries = heavy hitters, KMV = order statistics,
+    CM = point frequency).  Deterministic seeds — bucket_i(tok) =
+    splitmix64(token_hash_u64(tok) + i) % width — make the sketch exactly
+    reproducible, so the reported estimates hash-verify against a DuckDB
+    twin while still being genuine approximations (est ≥ exact always;
+    one-sided excess ≤ 2·N_tokens/width with prob 1 - 2^-depth per the
+    Cormode-Muthukrishnan bound).
+
+    Scale shape: ONE global tree aggregate of a depth×width int64 grid
+    (merge = elementwise +, any tree shape); per batch, md5 runs once per
+    batch-UNIQUE token (dictionary-encode first), bucket updates are one
+    vectorized np.add.at per depth row.  The driver holds depth×width
+    ints.  Output: exact count vs sketch estimate for the ``top`` most
+    frequent tokens (exact side = the ``q_token_counts`` combiner)."""
+    from ray.data.aggregate import AggregateFn
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _acc(a, blk: pa.Table):
+        toks = pc.split_pattern(pc.utf8_lower(blk["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().dictionary_encode()
+        words = flat.dictionary.to_pylist()
+        if not words:
+            return a
+        h = np.array([token_hash_u64(w) for w in words], dtype=np.uint64)
+        keep = np.array([w != "" for w in words], dtype=bool)
+        idx = flat.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(words)).astype(np.int64)
+        a = np.asarray(a, np.int64).copy().reshape(depth, width)
+        for i in range(depth):
+            b = (_splitmix64(h + np.uint64(i)) % np.uint64(width)).astype(np.int64)
+            np.add.at(a[i], b[keep], cnt[keep])
+        return a.reshape(-1)
+
+    fn = AggregateFn(
+        init=lambda _k: np.zeros(depth * width, np.int64),
+        accumulate_block=_acc,
+        merge=lambda a, b: np.asarray(a, np.int64) + np.asarray(b, np.int64),
+        name="cm",
+    )
+    grid = np.asarray(ds.aggregate(fn)["cm"], np.int64).reshape(depth, width)
+    head = q_token_counts(sf_dir, top_n=top).to_pandas()
+    hh = np.array([token_hash_u64(w) for w in head["token"]], dtype=np.uint64)
+    est = np.min(
+        np.stack(
+            [
+                grid[i][
+                    (_splitmix64(hh + np.uint64(i)) % np.uint64(width)).astype(
+                        np.int64
+                    )
+                ]
+                for i in range(depth)
+            ]
+        ),
+        axis=0,
+    )
+    return pa.table(
+        {
+            "token": pa.array(head["token"].tolist(), pa.string()),
+            "n": pa.array(head["n"].to_numpy(), pa.int64()),
+            "est": pa.array(est, pa.int64()),
+        }
+    )
+
+
 def q_bigram_lm(sf_dir: str, top_n: int = 100):
     """Distributed bigram language-model estimation (the count side of a
     KenLM-style n-gram LM build, and the conditional extension of

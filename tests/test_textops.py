@@ -1611,3 +1611,19 @@ def test_quantile_sketch_rank_error(ray_session):
         cdf = float((vals <= est).mean())
         tol = 3 * math.sqrt((q / 100) * (1 - q / 100) / 1024) + 1 / 1024
         assert abs(cdf - q / 100) <= tol, (q, est, cdf, tol)
+
+
+def test_countmin_one_sided_error(ray_session):
+    """CM estimates never undercount, and the top-1 token (which dominates
+    its buckets) is estimated within the Cormode-Muthukrishnan bound
+    2*N_tokens/width for at least one of its depth rows (min over rows)."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_countmin
+
+    sf = "/root/testdata/sf0.001"
+    out = q_countmin(sf).to_pandas()
+    assert (out["est"] >= out["n"]).all()
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"]
+    n_tokens = sum(len(str(t).split()) for t in texts.to_pylist())
+    assert (out["est"] - out["n"]).max() <= 2 * n_tokens / 1024

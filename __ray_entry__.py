@@ -760,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": T.q_bigram_lm,  # new in r4 — n-gram LM counts
         "quantile_sketch": T.q_quantile_sketch,  # new in r4 — KMV quantiles
         "countmin": T.q_countmin,  # new in r4 — CM frequency sketch
+        "pagerank": N.q_pagerank,  # new in r4 — iterative graph rank
         "source_overlap": T.q_source_overlap,
         "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings
@@ -1116,6 +1117,41 @@ def _countmin_sql(width: int = 1024, depth: int = 4, top: int = 20) -> str:
         "JOIN cells ON tb.d = cells.d AND tb.b = cells.b GROUP BY tb.tok) "
         "SELECT top.tok AS token, CAST(top.n AS BIGINT) AS n, "
         "CAST(est.est AS BIGINT) AS est FROM top JOIN est ON top.tok = est.tok"
+    )
+
+
+def _pagerank_sql(k: int = 5, iters: int = 5, scale: int = 1_000_000) -> str:
+    """DuckDB twin of ann.q_pagerank: same kNN edges (the knn_graph twin's
+    CTEs), then ``iters`` unrolled join+groupby rounds of the identical
+    integer arithmetic (out-share r // k, damping base + 85·inc // 100)."""
+    base = (15 * scale) // 100
+    ctes = [
+        "dims AS (SELECT unnest(range(64)) AS dim)",
+        "u AS (SELECT vec_id, dim, "
+        "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+        "FROM embeddings, dims)",
+        "dd AS (SELECT ua.vec_id AS vid, ub.vec_id AS nid, "
+        "CAST(SUM((ua.q - ub.q) * (ua.q - ub.q)) AS BIGINT) AS dist "
+        "FROM u ua JOIN u ub ON ua.dim = ub.dim AND ua.vec_id <> ub.vec_id "
+        "GROUP BY ua.vec_id, ub.vec_id)",
+        "rr AS (SELECT vid, nid, ROW_NUMBER() OVER ("
+        "PARTITION BY vid ORDER BY dist, nid) AS rnk FROM dd)",
+        f"e AS (SELECT vid AS src, nid AS dst FROM rr WHERE rnk <= {k})",
+        "nodes AS (SELECT vec_id AS node FROM embeddings)",
+        f"p0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"p{i + 1} AS (SELECT n.node, "
+            f"{base} + 85 * COALESCE(s.inc, 0) // 100 AS r "
+            "FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(p.r // {k}) AS inc "
+            f"FROM e JOIN p{i} p ON p.node = e.src GROUP BY e.dst"
+            ") s ON n.node = s.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node AS vec_id, CAST(r AS BIGINT) AS pagerank FROM p{iters}"
     )
 
 
@@ -1726,6 +1762,9 @@ def oracle_sql() -> dict[str, str]:
         # count-min sketch: deterministic seeds so the estimate itself
         # hash-verifies; est >= n always (one-sided CM error)
         "countmin": _countmin_sql(),
+        # integer PageRank over the exact kNN graph: 5 unrolled
+        # join+groupby rounds of bit-deterministic arithmetic
+        "pagerank": _pagerank_sql(),
         # grouped top-k (ROW_NUMBER window parity): 5 most frequent tokens
         # per source, ties broken by token ascending
         "top_tokens_per_source": (

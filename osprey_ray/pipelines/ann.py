@@ -17,6 +17,7 @@ from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _read_emb(sf_dir: str):
@@ -679,6 +680,172 @@ def q_knn_graph(sf_dir: str, k: int = 5, max_rows: int = EXACT_NEARDUP_MAX_ROWS)
         )
 
     return _read_emb(sf_dir).map_batches(topk, batch_format="pyarrow")
+
+
+def q_pagerank(
+    sf_dir: str,
+    k: int = 5,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    driver_edge_cap: int = 4_000_000,
+):
+    """Integer PageRank over the exact kNN graph — the iterative
+    JOIN-per-round distributed algorithm (the third of the family after
+    connected components in ``q_neardup_clusters`` and Lloyd iterations in
+    ``q_kmeans_refine``).  Each round is one edge⋈rank hash join plus a
+    dst-keyed Sum; integer arithmetic (out-share ``r // k``, damping
+    ``base + (85·inc) // 100`` with base = 15% of scale) makes every round
+    bit-deterministic for any partitioning, so the ``iters``-round result
+    hash-verifies against an unrolled-CTE DuckDB twin.  Out-degree is
+    uniform (= k) by construction of the kNN graph, which keeps the
+    integer out-share exact on both sides.
+
+    Two regimes, the ``q_neardup_clusters`` split: at or under
+    ``driver_edge_cap`` edges the graph is SPARSE relative to the corpus
+    (n·k int64 pairs), so the power iteration runs on the driver with one
+    vectorized ``np.add.at`` per round and the final ranks broadcast into
+    a stateless ``map_batches``; above the cap the distributed loop runs —
+    ranks and messages are (node, int64) tables, n·k message rows per
+    round through one keyed exchange, and the union-with-zero-base trick
+    replaces a per-round left join.  Both regimes are bit-identical
+    (tested).  The kNN edge builder itself is the gated exact one; at
+    corpus scale feed the same loop from ``q_ann_ivf``/``q_ann_lsh``
+    approximate graphs."""
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    base = (15 * scale) // 100
+
+    edges = _pin_schema(
+        q_knn_graph(sf_dir, k=k).map_batches(
+            lambda t: pa.table(
+                {"src": t["vec_id"], "dst": t["neighbor_id"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    )
+
+    import ray
+    import ray.data as rd
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, cpus // 4)
+
+    nodes = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    rank_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+
+    if edges.count() <= driver_edge_cap:
+        # Sparse fast path: solve the power iteration on the driver,
+        # broadcast the rank map (closure capture = one ray.put).
+        et = pa.concat_tables(
+            ray.get(
+                [
+                    ref
+                    for b in edges.materialize().iter_internal_ref_bundles()
+                    for ref, meta in b.blocks
+                    if meta.num_rows
+                ]
+            )
+        )
+        src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node_ids = np.unique(np.concatenate([src, dst]))
+        s_ix = np.searchsorted(node_ids, src)
+        d_ix = np.searchsorted(node_ids, dst)
+        r = np.full(len(node_ids), scale, np.int64)
+        for _ in range(iters):
+            inc = np.zeros(len(node_ids), np.int64)
+            np.add.at(inc, d_ix, r[s_ix] // k)
+            r = base + (85 * inc) // 100
+
+        def attach(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(node_ids, ids)
+            pos_c = np.minimum(pos, len(node_ids) - 1)
+            hit = (pos < len(node_ids)) & (node_ids[pos_c] == ids)
+            # isolated nodes (not on any kNN edge — impossible for k>=1
+            # unless the table is empty) keep base-only rank
+            pr = np.where(hit, r[pos_c], base)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "pagerank": pa.array(pr, pa.int64()),
+                }
+            )
+
+        return nodes.map_batches(attach, batch_format="pyarrow")
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(t["vec_id"], pa.int64()),
+                "c": pa.array(np.full(t.num_rows, scale, np.int64), pa.int64()),
+            }
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(t["vec_id"], pa.int64()),
+                "c": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    ranks = _pin_schema(
+        nodes.map_batches(init_rank, batch_format="pyarrow"), rank_schema
+    )
+    zeros = _pin_schema(
+        nodes.map_batches(zero_rows, batch_format="pyarrow"), rank_schema
+    )
+
+    for _ in range(iters):
+        as_src = ranks.map_batches(
+            lambda t: pa.table({"src": t["node"], "r": t["c"]}),
+            batch_format="pyarrow",
+        )
+        msgs = _pin_schema(
+            edges.join(
+                as_src, join_type="inner", num_partitions=nparts, on=("src",),
+                aggregator_ray_remote_args={"num_cpus": 0},
+            ),
+            pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()), ("r", pa.int64())]
+            ),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "c": pc.cast(
+                        pc.divide(pc.cast(t["r"], pa.int64()), k), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def damp(t: pa.Table) -> pa.Table:
+            inc = t["c"].to_numpy()
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "c": pa.array(base + (85 * inc) // 100, pa.int64()),
+                }
+            )
+
+        ranks = _pin_schema(
+            msgs.union(zeros)
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(damp, batch_format="pyarrow"),
+            rank_schema,
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table({"vec_id": t["node"], "pagerank": t["c"]}),
+        batch_format="pyarrow",
+    )
 
 
 def q_semantic_decontaminate(sf_dir: str, n_eval: int = 10, eps: int = 100_000):

@@ -1627,3 +1627,21 @@ def test_countmin_one_sided_error(ray_session):
     texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"]
     n_tokens = sum(len(str(t).split()) for t in texts.to_pylist())
     assert (out["est"] - out["n"]).max() <= 2 * n_tokens / 1024
+
+
+def test_pagerank_paths_identical(ray_session):
+    """Driver fast path and distributed join-per-round path produce
+    bit-identical integer PageRank."""
+    from osprey_ray.pipelines.ann import q_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    fast = q_pagerank(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    dist = (
+        q_pagerank(sf, driver_edge_cap=0)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert fast["vec_id"].tolist() == dist["vec_id"].tolist()
+    assert fast["pagerank"].tolist() == dist["pagerank"].tolist()
+    assert (fast["pagerank"] >= 150_000).all()  # base floor

@@ -696,6 +696,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # float training: rows-only, golden-tested for determinism +
         # above-majority accuracy
         "text_classifier": SC.q_text_classifier,
+        "corpus_prep": T.q_corpus_prep,  # new in r4 — composed end-to-end prep
+        "inverted_index": T.q_inverted_index,  # new in r4 — posting lists
+        "bigram_lm": T.q_bigram_lm,  # new in r4 — n-gram LM counts
+        "quantile_sketch": T.q_quantile_sketch,  # new in r4 — KMV quantiles
+        "countmin": T.q_countmin,  # new in r4 — CM frequency sketch
+        "pagerank": N.q_pagerank,  # new in r4 — iterative graph rank
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -755,12 +761,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_filter": T.q_adaptive_filter,
         "top_tokens_per_source": T.q_top_tokens_per_source,
         "corpus_curate": T.q_corpus_curate,
-        "corpus_prep": T.q_corpus_prep,  # new in r4 — composed end-to-end prep
-        "inverted_index": T.q_inverted_index,  # new in r4 — posting lists
-        "bigram_lm": T.q_bigram_lm,  # new in r4 — n-gram LM counts
-        "quantile_sketch": T.q_quantile_sketch,  # new in r4 — KMV quantiles
-        "countmin": T.q_countmin,  # new in r4 — CM frequency sketch
-        "pagerank": N.q_pagerank,  # new in r4 — iterative graph rank
         "source_overlap": T.q_source_overlap,
         "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings

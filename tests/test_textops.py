@@ -1645,3 +1645,21 @@ def test_pagerank_paths_identical(ray_session):
     assert fast["vec_id"].tolist() == dist["vec_id"].tolist()
     assert fast["pagerank"].tolist() == dist["pagerank"].tolist()
     assert (fast["pagerank"] >= 150_000).all()  # base floor
+
+
+def test_partition_count_invariance_corpus_prep(ray_session):
+    """corpus_prep's dedup winners and packing are partition-count
+    invariant: P on the md5-route exchange is a pure performance knob."""
+    from unittest import mock
+
+    from osprey_ray.pipelines import textops
+
+    SF = "/root/testdata/sf0.001"
+    cols = ["doc_id", "bin_id", "shuffle_key"]
+    a = textops.q_corpus_prep(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = textops._by_key_partition_col
+    with mock.patch.object(
+        textops, "_by_key_partition_col", lambda ds, col, P=64: orig(ds, col, 3)
+    ):
+        b = textops.q_corpus_prep(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a[cols].equals(b[cols]), "corpus_prep differs between P values"

@@ -702,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": T.q_quantile_sketch,  # new in r4 — KMV quantiles
         "countmin": T.q_countmin,  # new in r4 — CM frequency sketch
         "pagerank": N.q_pagerank,  # new in r4 — iterative graph rank
+        "fim_transform": T.q_fim_transform,  # new in r4 — FIM data transform
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1152,6 +1153,31 @@ def _pagerank_sql(k: int = 5, iters: int = 5, scale: int = 1_000_000) -> str:
     return (
         "WITH " + ", ".join(ctes)
         + f" SELECT node AS vec_id, CAST(r AS BIGINT) AS pagerank FROM p{iters}"
+    )
+
+
+def _fim_sql() -> str:
+    """DuckDB twin of textops.q_fim_transform: two chained splitmix CTE
+    stacks (cut points a, b), 1-based inclusive list slices, the same
+    literal-interleaved FIM serialization, md5 of the result."""
+    c1 = _splitmix64_ctes("documents", "doc_id, text", "doc_id", prefix="c1")
+    c2 = _splitmix64_ctes(
+        "t1", "doc_id, text, r1", "doc_id + 1", out="r2", prefix="c2"
+    )
+    return (
+        "WITH " + c1
+        + ", t1 AS (SELECT doc_id, text, r AS r1 FROM c1smh), "
+        + c2
+        + ", d AS (SELECT doc_id, string_split(text, ' ') AS l, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n, r1, r2 FROM c2smh), "
+        "ca AS (SELECT doc_id, l, n, "
+        "CAST(r1 % CAST(n + 1 AS UBIGINT) AS BIGINT) AS a, r2 FROM d), "
+        "cb AS (SELECT doc_id, l, n, a, "
+        "a + CAST(r2 % CAST(n - a + 1 AS UBIGINT) AS BIGINT) AS b FROM ca) "
+        "SELECT doc_id, a AS n_prefix, b - a AS n_middle, n - b AS n_suffix, "
+        "md5('<PRE> ' || COALESCE(array_to_string(l[1:a], ' '), '') || ' <SUF> ' || "
+        "COALESCE(array_to_string(l[b+1:n], ' '), '') || ' <MID> ' || "
+        "COALESCE(array_to_string(l[a+1:b], ' '), '')) AS fim_md5 FROM cb"
     )
 
 
@@ -1765,6 +1791,9 @@ def oracle_sql() -> dict[str, str]:
         # integer PageRank over the exact kNN graph: 5 unrolled
         # join+groupby rounds of bit-deterministic arithmetic
         "pagerank": _pagerank_sql(),
+        # fill-in-the-middle transform: deterministic splitmix cut points,
+        # md5 of the re-serialized <PRE>/<SUF>/<MID> layout
+        "fim_transform": _fim_sql(),
         # grouped top-k (ROW_NUMBER window parity): 5 most frequent tokens
         # per source, ties broken by token ascending
         "top_tokens_per_source": (

@@ -1166,6 +1166,76 @@ def q_inverted_index(sf_dir: str, n_terms: int = 50, max_postings: int = 20):
     )
 
 
+def q_fim_transform(sf_dir: str):
+    """Fill-in-the-middle transform (Bavarian et al. 2022, arXiv:2207.14255)
+    — the standard code-pretraining data transform: split each doc's token
+    sequence at two DETERMINISTIC cut points (a = splitmix64(doc_id) %
+    (n+1), b = a + splitmix64(doc_id+1) % (n-a+1)) and re-serialize as
+    ``<PRE> prefix <SUF> suffix <MID> middle``.  Deterministic cuts make
+    the transform exactly reproducible, so the output hash-verifies
+    (md5 of the FIM string) — a real deployment would swap the hash for a
+    seeded RNG and keep the identical pipeline shape.
+
+    Fully vectorized and embarrassingly parallel (stateless map, no
+    shuffle): one split_pattern per batch, all three parts of all docs
+    gathered with the ``q_chunk_documents`` cumsum-delta index trick
+    (zero-length parts handled by building indices over non-empty
+    segments only), one binary_join + one literal-interleave concat.
+    Output: (doc_id, n_prefix, n_middle, n_suffix, fim_md5)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def gather_join(values: pa.Array, starts: np.ndarray, lens: np.ndarray):
+        """Join values[starts_i : starts_i+lens_i) with spaces, per row
+        (empty rows -> '')."""
+        total = int(lens.sum())
+        new_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=new_off[1:])
+        idx = np.ones(total, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            s_nz, l_nz = starts[nz], lens[nz]
+            pos = new_off[:-1][nz]
+            idx[pos[0]] = s_nz[0]
+            idx[pos[1:]] = s_nz[1:] - (s_nz[:-1] + l_nz[:-1]) + 1
+            np.cumsum(idx, out=idx)
+        vals = values.take(pa.array(idx, pa.int64()))
+        return pc.cast(
+            pc.binary_join(pa.LargeListArray.from_arrays(new_off, vals), " "),
+            pa.string(),
+        )
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets).astype(np.int64)
+        n = off[1:] - off[:-1]
+        h1 = _splitmix64(ids.astype(np.uint64))
+        h2 = _splitmix64((ids + 1).astype(np.uint64))
+        a = (h1 % (n + 1).astype(np.uint64)).astype(np.int64)
+        b = a + (h2 % (n - a + 1).astype(np.uint64)).astype(np.int64)
+        base = off[:-1]
+        pre = gather_join(toks.values, base, a)
+        mid = gather_join(toks.values, base + a, b - a)
+        suf = gather_join(toks.values, base + b, n - b)
+        fim = pc.binary_join_element_wise(
+            "<PRE> ", pre, " <SUF> ", suf, " <MID> ", mid, ""
+        )
+        dig = [hashlib.md5(x.encode()).hexdigest() for x in fim.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_prefix": pa.array(a, pa.int64()),
+                "n_middle": pa.array(b - a, pa.int64()),
+                "n_suffix": pa.array(n - b, pa.int64()),
+                "fim_md5": pa.array(dig, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_quantile_sketch(sf_dir: str, k: int = 1024, qs: tuple = (50, 90, 99)):
     """Approximate quantiles of ``events.value`` from a KMV bottom-k
     sketch — the quantile member of the mergeable-sketch family (HLL =

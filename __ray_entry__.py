@@ -703,6 +703,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin": T.q_countmin,  # new in r4 — CM frequency sketch
         "pagerank": N.q_pagerank,  # new in r4 — iterative graph rank
         "fim_transform": T.q_fim_transform,  # new in r4 — FIM data transform
+        "anti_join": A.q_anti_join,  # new in r4 — native left_anti
+        "semi_join": A.q_semi_join,  # new in r4 — native left_semi
+        "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
+        "pivot_counts": A.q_pivot_counts,  # new in r4 — long→wide pivot
+        "zscore_outliers": A.q_zscore_outliers,  # new in r4 — integer z-score
         # r02-only green rows — refresh next
         "flagship_sql": _flagship_sql,
         "flagship_salted": _flagship_salted,
@@ -1631,6 +1636,46 @@ def oracle_sql() -> dict[str, str]:
             "FROM a JOIN events e ON e.user_id = a.user_id "
             "AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
             "GROUP BY a.anchor_id, a.user_id"
+        ),
+        # native left_anti / left_semi hash joins (customers vs 'F' orders)
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'F')"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'F')"
+        ),
+        # trailing ROWS-frame window: per-user 3-row rolling cents sum
+        "rolling_window": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, CAST(SUM(cents) OVER w AS BIGINT) AS roll_cents, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ),
+        # long→wide pivot: hourly counts, one column per event type
+        "pivot_counts": (
+            "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s, "
+            "CAST(COUNT(*) FILTER (event_type='click') AS BIGINT) AS n_click, "
+            "CAST(COUNT(*) FILTER (event_type='error') AS BIGINT) AS n_error, "
+            "CAST(COUNT(*) FILTER (event_type='purchase') AS BIGINT) AS n_purchase, "
+            "CAST(COUNT(*) FILTER (event_type='signup') AS BIGINT) AS n_signup, "
+            "CAST(COUNT(*) FILTER (event_type='view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY 1"
+        ),
+        # integer-exact |n - mean| > 2*sigma cross-multiplied: no floats
+        "zscore_outliers": (
+            "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY user_id), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(n) AS BIGINT) AS sm, "
+            "CAST(SUM(n*n) AS BIGINT) AS ss FROM c) "
+            "SELECT user_id, n AS n_events FROM c, s "
+            "WHERE CAST((nu*n - sm) AS HUGEINT)*(nu*n - sm) > "
+            "4*CAST((nu*ss - sm*sm) AS HUGEINT)"
         ),
         "pii_redact": _pii_redact_sql(),
         # Gopher-style repetition filters: integer metrics + integer

@@ -967,3 +967,207 @@ def q_range_join(sf_dir: str, anchor_type: str = "purchase", window_us: int = 3_
         )
 
     return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins, rolling windows, pivot, outliers (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+def q_anti_join(sf_dir: str):
+    """Hash anti-join via Ray Data's NATIVE ``left_anti`` join operator:
+    customers with NO finished ('F') order — the reference's exclusion
+    lookups (HasLabel-negation / blocklist subtraction,
+    worker/ui_api/osprey/lib/druid.py filter `not` clauses) as a
+    first-class distributed join instead of a broadcast set.  Both sides
+    hash-shuffle by key; the right side is filtered + projected to the
+    key column BEFORE the exchange so only custkeys cross the wire."""
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table({"o_custkey": t["o_custkey"].cast(pa.int64())})
+
+    return cust.join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="left_anti",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """Hash semi-join via Ray Data's native ``left_semi``: customers with
+    at least one finished order — EXISTS-style lookup that never
+    duplicates the left side (a plain inner join would emit one row per
+    matching order).  Same shuffle shape as :func:`q_anti_join`."""
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table({"o_custkey": t["o_custkey"].cast(pa.int64())})
+
+    return cust.join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="left_semi",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+
+def q_rolling_window(sf_dir: str, preceding: int = 2):
+    """Rolling ROWS-frame window (SQL ``ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW``): per user, ordered by (ts, event_id), the running
+    integer-cents sum and row count of the trailing frame — the
+    moving-average primitive the reference's velocity features build on
+    (sliding-window counts are the RANGE-frame sibling,
+    :func:`q_sliding_window_counts`).
+
+    Scale shape: ONE hash(user) exchange, then per partition a single
+    lexsort + prefix-sum; the frame lower bound is
+    ``max(group_start, i - preceding)`` — fully vectorized, no Python
+    per row or per user."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    empty = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("roll_cents", pa.int64()),
+            ("n_in_frame", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, c_s = uid[order], eid[order], cents[order]
+        n = len(uid_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        grp_start = np.repeat(starts, counts)
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(grp_start, idx - preceding)
+        pref = np.concatenate([[0], np.cumsum(c_s)])
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "roll_cents": pa.array(pref[idx + 1] - pref[lo], pa.int64()),
+                "n_in_frame": pa.array(idx + 1 - lo, pa.int64()),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
+# the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
+# asserts every observed type is in this list so a schema drift fails loudly
+# instead of silently dropping a column
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_counts(sf_dir: str):
+    """Pivot (long -> wide): hourly counts per event type as one COLUMN
+    per type — the Druid `dimensions`-to-columns cast the reference UI
+    renders (TopN tables keyed by granularity bucket).  The pivot happens
+    INSIDE the per-batch combiner, so the shuffle carries one row per
+    (bucket) per batch with 5 int columns — narrower than the long
+    (bucket, type, n) layout whenever the type domain is small."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        bucket = pc.multiply(
+            pc.divide(pc.divide(t["ts"].cast(pa.int64()), 1_000_000), 3600), 3600
+        ).to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(bucket, return_inverse=True)
+        out = {"bucket_s": pa.array(ub, pa.int64())}
+        seen = set(np.unique(et))
+        unknown = seen - set(_EVENT_TYPES)
+        assert not unknown, f"unexpected event types {unknown}: extend _EVENT_TYPES"
+        for name, typ in zip(cols, _EVENT_TYPES):
+            out[name] = pa.array(
+                np.bincount(inv, weights=(et == typ), minlength=len(ub)).astype(np.int64),
+                pa.int64(),
+            )
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket_s")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
+def q_zscore_outliers(sf_dir: str, k_sigma: int = 2):
+    """Integer-exact z-score outlier detection over per-user event
+    counts: flag users whose count deviates from the population mean by
+    more than ``k_sigma`` standard deviations, WITHOUT any floating
+    point — ``(N*n - S)^2 > k^2 * (N*SS - S^2)`` is the |n - mean| >
+    k*sigma test cross-multiplied into integers (mean = S/N, var =
+    (N*SS - S^2)/N^2), so Ray and DuckDB agree bit-for-bit.
+
+    Scale shape: pass 1 pre-aggregates counts per batch then groupby-sums
+    to one row per user; pass 2 is a 3-scalar aggregate over that
+    (users-bounded) table broadcast back into a vectorized filter.
+    Guards: the cross-multiplied terms are bounded |N*n - S| < 2^31
+    before squaring (asserted), far above any realistic count skew."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uu, pa.int64()), "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def mom(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy()
+        return pa.table(
+            {
+                "users": pa.array([len(n)], pa.int64()),
+                "s": pa.array([int(n.sum())], pa.int64()),
+                "ss": pa.array([int((n * n).sum())], pa.int64()),
+            }
+        )
+
+    stats = per_user.map_batches(mom, batch_format="pyarrow").aggregate(
+        Sum("users", alias_name="nu"), Sum("s", alias_name="s"), Sum("ss", alias_name="ss")
+    )
+    nu, s, ss = int(stats["nu"]), int(stats["s"]), int(stats["ss"])
+    rhs = k_sigma * k_sigma * (nu * ss - s * s)
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy()
+        dev = nu * n - s
+        assert np.abs(dev).max(initial=0) < 2**31, "cross-multiplied dev overflows"
+        return t.filter(pa.array(dev * dev > rhs))
+
+    return per_user.map_batches(flag, batch_format="pyarrow")

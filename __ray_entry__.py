@@ -703,6 +703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin": T.q_countmin,  # new in r4 — CM frequency sketch
         "pagerank": N.q_pagerank,  # new in r4 — iterative graph rank
         "fim_transform": T.q_fim_transform,  # new in r4 — FIM data transform
+        "triangle_count": N.q_triangle_count,  # new in r4 — graph triangles
+        "pmi_bigrams": T.q_pmi_bigrams,  # new in r4 — collocation mining
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1636,6 +1638,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM a JOIN events e ON e.user_id = a.user_id "
             "AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
             "GROUP BY a.anchor_id, a.user_id"
+        ),
+        # collocations: integer-scaled PMI (monotone transform, no libm);
+        # N_bigrams = total_tokens - n_docs (each doc has len-1 bigrams)
+        "pmi_bigrams": (
+            "WITH d AS (SELECT string_split(lower(text), ' ') AS l FROM documents), "
+            "bg AS (SELECT unnest(list_transform(range(1, len(l)), "
+            "i -> l[i] || ' ' || l[i+1])) AS bgram FROM d), "
+            "bc AS (SELECT bgram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bgram), "
+            "tok AS (SELECT unnest(l) AS w FROM d), "
+            "uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w), "
+            "tot AS (SELECT CAST(SUM(c) AS BIGINT) - (SELECT COUNT(*) FROM documents) AS nbg FROM uc), "
+            "f AS (SELECT bgram, n, string_split(bgram, ' ')[1] AS w1, "
+            "string_split(bgram, ' ')[2] AS w2 FROM bc WHERE n >= 5), "
+            "s AS (SELECT f.bgram AS bigram, f.n, u1.c AS c1, u2.c AS c2, "
+            "(f.n * tot.nbg * 1000000) // (u1.c * u2.c) AS pmi_scaled "
+            "FROM f JOIN uc u1 ON u1.w = f.w1 JOIN uc u2 ON u2.w = f.w2, tot) "
+            "SELECT bigram, n, c1, c2, CAST(pmi_scaled AS BIGINT) AS pmi_scaled "
+            "FROM s ORDER BY pmi_scaled DESC, bigram LIMIT 50"
+        ),
+        # per-node triangle counts over the undirected kNN graph: the knn
+        # CTE is the verified q_knn_graph twin; wedges a<b<c closed by a
+        # third edge join, every corner counted once per triangle
+        "triangle_count": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+            "FROM embeddings, dims), "
+            "d AS (SELECT ua.vec_id AS vid, ub.vec_id AS nid, "
+            "CAST(SUM((ua.q - ub.q) * (ua.q - ub.q)) AS BIGINT) AS dist "
+            "FROM u ua JOIN u ub ON ua.dim = ub.dim AND ua.vec_id <> ub.vec_id "
+            "GROUP BY ua.vec_id, ub.vec_id), "
+            "r AS (SELECT vid, nid, dist, "
+            "ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, nid) AS rnk FROM d), "
+            "knn AS (SELECT vid, nid FROM r WHERE rnk <= 5), "
+            "ed AS (SELECT DISTINCT LEAST(vid, nid) AS a, GREATEST(vid, nid) AS b FROM knn), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1 "
+            "JOIN ed e2 ON e2.a = e1.b "
+            "JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "nodes AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri) "
+            "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM nodes GROUP BY node"
         ),
         # native left_anti / left_semi hash joins (customers vs 'F' orders)
         "anti_join": (

@@ -848,6 +848,92 @@ def q_pagerank(
     )
 
 
+def q_triangle_count(sf_dir: str, k: int = 5):
+    """Per-node triangle counting over the undirected exact kNN graph —
+    the classic two-join distributed enumeration (wedge-generate then
+    wedge-close), the standard MapReduce/Spark formulation: canonical
+    edges (a<b) are deduped once, wedges (a<b<c) come from one
+    edge⋈edge hash join on the middle vertex, and a second hash join
+    against the edge set on the composite (a,c) key closes them.  Every
+    triangle is produced exactly once (a<b<c ordering), and each closure
+    increments all three corners — an explode + node-keyed Sum.
+
+    Scale notes: wedge count is Σ_b deg(b)², bounded here by n·(2k)²
+    since kNN out-degree is k; both joins are Ray-native hash shuffles
+    (no broadcast adjacency, no driver materialization beyond the
+    pinned edge schema).  The kNN builder itself is the gated exact one
+    (see q_knn_graph); at corpus scale feed approximate edges instead."""
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    nparts = _join_partitions()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        # batch-local dedup (combiner) before the global distinct
+        key = np.stack([u, v], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"u": pa.array(uniq[:, 0], pa.int64()), "v": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    edges = _pin_schema(
+        q_knn_graph(sf_dir, k=k)
+        .map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("u", alias_name="__d"))
+        .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow"),
+        edge_schema,
+    )
+
+    mid = edges.map_batches(
+        lambda t: pa.table({"b2": t["u"], "c2": t["v"]}), batch_format="pyarrow"
+    )
+    # wedge (a<b<c): e1=(a,b) ⋈ e2=(b,c) on the middle vertex b
+    wedges = edges.join(
+        mid,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("v",),
+        right_on=("b2",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    closer = edges.map_batches(
+        lambda t: pa.table({"u3": t["u"], "v3": t["v"]}), batch_format="pyarrow"
+    )
+    # close the wedge with edge (a,c) — composite-key hash join
+    tri = wedges.join(
+        closer,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("u", "c2"),
+        right_on=("u3", "v3"),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        a = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b, c])
+        uu, cnt = np.unique(node, return_counts=True)
+        return pa.table(
+            {"node": pa.array(uu, pa.int64()), "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    return (
+        _pin_schema(tri, pa.schema([(n, pa.int64()) for n in ("u", "v", "c2")]))
+        .map_batches(corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n", alias_name="n_triangles"))
+    )
+
+
 def q_semantic_decontaminate(sf_dir: str, n_eval: int = 10, eps: int = 100_000):
     """Semantic eval-set decontamination — the embedding counterpart of
     the n-gram ``q_decontaminate``: flag every corpus vector whose nearest

@@ -4434,3 +4434,159 @@ def bpe_encode_sql(merges=None) -> str:
         "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id "
         "GROUP BY d.doc_id"
     )
+
+
+def q_pmi_bigrams(sf_dir: str, top_n: int = 50, min_count: int = 5, scale: int = 1_000_000):
+    """Collocation mining: top bigrams by integer-scaled pointwise mutual
+    information, ``pmi_scaled = c_xy * N_bigrams * scale // (c_x * c_y)``
+    — the monotone integer transform of PMI (log dropped: ranking is
+    unchanged, and the score is bit-exact in SQL, no libm).  The standard
+    phrase-detection pass (word2vec's phrase builder, Mikolov et al. 2013,
+    public algorithm) over the documents table.
+
+    Scale shape: bigram counts and unigram counts are each ONE pass with
+    a per-batch ``value_counts`` combiner before the keyed groupby (the
+    q_bigram_lm / q_token_counts shape).  The unigram table is
+    vocab-bounded and MATERIALIZED once (so the total-token scalar and
+    the join below don't re-scan the corpus); total bigrams come from
+    ``total_tokens - n_docs`` (each doc contributes len-1 bigrams), not a
+    second bigram scan.  Bigrams below ``min_count`` are dropped BEFORE
+    the explode, so the join input is the interesting-bigram set, not the
+    long tail; word counts attach via ONE Ray-native hash join on an
+    exploded (bigram, side, word) layout — the side-pivot groupby then
+    reassembles (c_x, c_y) without a second join."""
+    from ray.data.aggregate import Max, Sum
+
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        mask = np.ones(len(flat), dtype=bool)
+        mask[offsets[1:] - 1] = False
+        starts = np.nonzero(mask)[0]
+        lhs = flat.take(pa.array(starts, pa.int64()))
+        rhs = flat.take(pa.array(starts + 1, pa.int64()))
+        bg = pc.binary_join_element_wise(lhs, rhs, " ")
+        vc = bg.value_counts() if not isinstance(bg, pa.ChunkedArray) else bg.combine_chunks().value_counts()
+        return pa.table({"bigram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    def ug_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.flatten().value_counts()
+        return pa.table({"w": vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    bgc = ds.map_batches(bg_partial, batch_format="pyarrow").groupby("bigram").aggregate(
+        Sum("n", alias_name="n")
+    )
+    # vocab-bounded: one materialize feeds BOTH the scalar total and the join
+    ugc = (
+        ds.map_batches(ug_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    total_tokens = int(ugc.sum("c"))
+    nbg = total_tokens - n_docs
+
+    explode_schema = pa.schema(
+        [("bigram", pa.string()), ("n", pa.int64()), ("word", pa.string()), ("side", pa.int64())]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_count)).combine_chunks()
+        if t.num_rows == 0:
+            return explode_schema.empty_table()
+        parts = pc.split_pattern(t["bigram"], pattern=" ", max_splits=1)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        both = pa.concat_tables([t, t]).combine_chunks()
+        word = pa.chunked_array(
+            [pc.list_element(parts, 0), pc.list_element(parts, 1)]
+        ).combine_chunks()
+        return pa.table(
+            {
+                "bigram": both["bigram"],
+                "n": both["n"],
+                "word": word,
+                "side": pa.array(
+                    np.concatenate(
+                        [np.ones(t.num_rows, np.int64), np.full(t.num_rows, 2, np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    exb = _pin_schema(
+        bgc.map_batches(explode, batch_format="pyarrow"), explode_schema
+    )
+    joined = exb.join(
+        ugc,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("word",),
+        right_on=("w",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def sides(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy()
+        c = t["c"].to_numpy()
+        return pa.table(
+            {
+                "bigram": t["bigram"],
+                "n": t["n"],
+                "c1p": pa.array(np.where(side == 1, c, 0), pa.int64()),
+                "c2p": pa.array(np.where(side == 2, c, 0), pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(sides, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(
+            Max("n", alias_name="n"),
+            Sum("c1p", alias_name="c1"),
+            Sum("c2p", alias_name="c2"),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("bigram", pa.string()), ("n", pa.int64()), ("c1", pa.int64()),
+                 ("c2", pa.int64()), ("pmi_scaled", pa.int64())]
+            ).empty_table()
+        n = t["n"].to_numpy()
+        c1 = t["c1"].to_numpy()
+        c2 = t["c2"].to_numpy()
+        # numpy int64 wraps silently — guard the actual product bounds
+        assert len(n) == 0 or int(n.max()) * nbg * scale < 2**63, "pmi numerator overflows"
+        assert len(c1) == 0 or int(c1.max()) * int(c2.max()) < 2**63, "pmi denominator overflows"
+        return pa.table(
+            {
+                "bigram": t["bigram"],
+                "n": t["n"],
+                "c1": t["c1"],
+                "c2": t["c2"],
+                "pmi_scaled": pa.array(n * nbg * scale // (c1 * c2), pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_scaled", "bigram"], descending=[True, False])
+        .limit(top_n)
+    )

@@ -705,6 +705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_transform": T.q_fim_transform,  # new in r4 — FIM data transform
         "triangle_count": N.q_triangle_count,  # new in r4 — graph triangles
         "pmi_bigrams": T.q_pmi_bigrams,  # new in r4 — collocation mining
+        "incremental_dedup": T.q_incremental_dedup,  # new in r4 — snapshot anti-join
+        "rollup_agg": A.q_rollup_agg,  # new in r4 — ROLLUP grouping sets
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1638,6 +1640,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM a JOIN events e ON e.user_id = a.user_id "
             "AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
             "GROUP BY a.anchor_id, a.user_id"
+        ),
+        # ROLLUP subtotals with the 'ALL' sentinel (no NULL in the hash)
+        "rollup_agg": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, "
+            "COUNT(*) AS n FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        # cross-snapshot dedup: odd doc_ids are the fresh crawl, even the
+        # ingested corpus; left_anti on md5 of the 200-char prefix
+        "incremental_dedup": (
+            "WITH h AS (SELECT doc_id, md5(substr(text, 1, 200)) AS m FROM documents) "
+            "SELECT doc_id, m AS prefix_md5 FROM h n WHERE doc_id % 2 = 1 "
+            "AND NOT EXISTS (SELECT 1 FROM h o WHERE o.doc_id % 2 = 0 AND o.m = n.m)"
         ),
         # collocations: integer-scaled PMI (monotone transform, no libm);
         # N_bigrams = total_tokens - n_docs (each doc has len-1 bigrams)

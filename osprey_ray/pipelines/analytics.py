@@ -1171,3 +1171,63 @@ def q_zscore_outliers(sf_dir: str, k_sigma: int = 2):
         return t.filter(pa.array(dev * dev > rhs))
 
     return per_user.map_batches(flag, batch_format="pyarrow")
+
+
+def q_rollup_agg(sf_dir: str):
+    """ROLLUP / GROUPING SETS aggregate — subtotals at every prefix level
+    of (l_returnflag, l_linestatus) plus the grand total, the OLAP shape
+    Ray Data has no native operator for (SQL ``GROUP BY ROLLUP``).
+    Composition: ONE pass computes the finest level with a per-batch
+    combiner; the coarser levels re-aggregate the FINEST table, which is
+    key-domain-bounded (|flags| x |statuses| rows), never the input —
+    so the rollup costs one corpus scan plus two aggregations over a
+    handful of rows.  Subtotal keys use the sentinel 'ALL' (COALESCE'd
+    in the twin) so no NULL-ordering ambiguity enters the hash."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["l_quantity"], 100.0), 0.5)), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "cents": cents,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "qc", "np_"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qc", alias_name="qty_cents"), Sum("np_", alias_name="n"))
+        .materialize()  # key-domain-bounded (a few rows): feeds all levels
+    )
+
+    def relabel(*all_cols: str):
+        def f(t: pa.Table) -> pa.Table:
+            for c in all_cols:
+                t = t.set_column(
+                    t.schema.get_field_index(c), c,
+                    pa.array(["ALL"] * t.num_rows, pa.string()),
+                )
+            # re-key for the coarser re-aggregation
+            return t.rename_columns(
+                ["l_returnflag", "l_linestatus", "qc", "np_"]
+            )
+
+        return f
+
+    def reagg(ds2):
+        return ds2.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("qc", alias_name="qty_cents"), Sum("np_", alias_name="n")
+        )
+
+    lvl_flag = reagg(finest.map_batches(relabel("l_linestatus"), batch_format="pyarrow"))
+    lvl_all = reagg(
+        finest.map_batches(relabel("l_returnflag", "l_linestatus"), batch_format="pyarrow")
+    )
+    return finest.union(lvl_flag).union(lvl_all)

@@ -4590,3 +4590,47 @@ def q_pmi_bigrams(sf_dir: str, top_n: int = 50, min_count: int = 5, scale: int =
         .sort(["pmi_scaled", "bigram"], descending=[True, False])
         .limit(top_n)
     )
+
+
+def q_incremental_dedup(sf_dir: str, prefix: int = 200):
+    """Incremental (cross-snapshot) dedup — the 'new crawl minus already
+    ingested corpus' step every recurring pretraining pipeline runs: new
+    documents (odd doc_id, standing in for the fresh snapshot) are
+    dropped when their content fingerprint already exists in the ingested
+    snapshot (even doc_id).  The fingerprint is md5 of the first
+    ``prefix`` characters — prefix fingerprints are the standard cheap
+    key for boilerplate/header dedup when full-text equality is too
+    strict (cf. the reference's dedupe-by-first-N external-service batch,
+    worker/lib/osprey_client usage) — and the subtraction is Ray's NATIVE
+    ``left_anti`` hash join on the digest, so neither side is broadcast
+    or driver-materialized.  Output: surviving new docs (doc_id,
+    prefix_md5)."""
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def h_side(parity: int, out_col: str):
+        def h(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity)
+            t = t.filter(keep)
+            dig = [
+                hashlib.md5(x[:prefix].encode()).hexdigest()
+                for x in t["text"].to_pylist()
+            ]
+            cols = {out_col: pa.array(dig, pa.string())}
+            if parity == 1:
+                cols = {"doc_id": t["doc_id"], **cols}
+            return pa.table(cols)
+
+        return h
+
+    new = ds.map_batches(h_side(1, "prefix_md5"), batch_format="pyarrow")
+    old = ds.map_batches(h_side(0, "old_md5"), batch_format="pyarrow")
+    return new.join(
+        old,
+        join_type="left_anti",
+        num_partitions=_join_partitions(),
+        on=("prefix_md5",),
+        right_on=("old_md5",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )

@@ -1,0 +1,78 @@
+"""Property tests for the round-4 relational additions: semi/anti joins
+partition the left side, ROLLUP levels are mutually consistent, the
+rolling ROWS frame telescopes, and triangle corner counts are conserved
+(every triangle increments exactly three corners)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_semi_anti_partition_left_side(ray_session):
+    from osprey_ray.pipelines.analytics import q_anti_join, q_semi_join
+
+    anti = q_anti_join(SF_DIR).to_pandas()
+    semi = q_semi_join(SF_DIR).to_pandas()
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'"
+    ).fetchone()[0]
+    # disjoint and exhaustive
+    assert set(anti.c_custkey).isdisjoint(set(semi.c_custkey))
+    assert len(anti) + len(semi) == n_cust
+    # neither side duplicates a customer (semi must not fan out per order)
+    assert semi.c_custkey.is_unique and anti.c_custkey.is_unique
+
+
+def test_rollup_levels_consistent(ray_session):
+    from osprey_ray.pipelines.analytics import q_rollup_agg
+
+    df = q_rollup_agg(SF_DIR).to_pandas()
+    finest = df[(df.l_returnflag != "ALL") & (df.l_linestatus != "ALL")]
+    per_flag = df[(df.l_returnflag != "ALL") & (df.l_linestatus == "ALL")]
+    grand = df[(df.l_returnflag == "ALL") & (df.l_linestatus == "ALL")]
+    assert len(grand) == 1
+    assert grand.n.iloc[0] == finest.n.sum() == per_flag.n.sum()
+    assert grand.qty_cents.iloc[0] == finest.qty_cents.sum()
+    got_flag = finest.groupby("l_returnflag").qty_cents.sum().sort_index()
+    want_flag = per_flag.set_index("l_returnflag").qty_cents.sort_index()
+    assert (got_flag == want_flag).all()
+
+
+def test_rolling_window_telescopes(ray_session):
+    from osprey_ray.pipelines.analytics import q_rolling_window
+
+    df = (
+        q_rolling_window(SF_DIR, preceding=0)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # frame of just the current row: roll equals the row's own cents
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "value"])
+    ev = ev.sort_values("event_id").reset_index(drop=True)
+    cents = np.floor(ev.value.to_numpy() * 100 + 0.5).astype(np.int64)
+    assert (df.n_in_frame == 1).all()
+    assert (df.roll_cents.to_numpy() == cents).all()
+
+
+def test_triangle_corner_conservation(ray_session):
+    from osprey_ray.pipelines.ann import q_triangle_count
+
+    df = q_triangle_count(SF_DIR).to_pandas()
+    # total corner increments = 3 x number of triangles
+    assert df.n_triangles.sum() % 3 == 0
+    assert (df.n_triangles > 0).all()
+
+
+def test_incremental_dedup_subset_of_new(ray_session):
+    from osprey_ray.pipelines.textops import q_incremental_dedup
+
+    df = q_incremental_dedup(SF_DIR).to_pandas()
+    assert (df.doc_id % 2 == 1).all()
+    n_new = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' WHERE doc_id % 2 = 1"
+    ).fetchone()[0]
+    assert len(df) < n_new  # something was actually dropped at this sf
+    assert df.doc_id.is_unique

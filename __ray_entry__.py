@@ -619,6 +619,67 @@ def _sample_turns(sf_dir: str):
     )
 
 
+def _conv_render(sf_dir: str):
+    """Render each transcript conversation into ONE training-example text
+    (keep-first dedup, turn order, last-8-turn truncation, ``role: text``
+    lines) — the SFT-prep step downstream of the rules engine.  Engine in
+    ``pipelines/transcripts.py`` (one conv exchange, vectorized reassembly,
+    md5 once per conversation)."""
+    from osprey_ray.pipelines.transcripts import conv_render
+
+    return conv_render(_transcript_dataset(sf_dir))
+
+
+def _conv_render_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, role, text,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, turn_idx, role || ': ' || text AS line,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rdesc,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n_turns
+  FROM raw WHERE dup_rn = 1
+), r AS (
+  SELECT conv_id, CAST(MAX(n_turns) AS BIGINT) AS n_turns,
+         CAST(COUNT(*) AS BIGINT) AS n_rendered,
+         string_agg(line, chr(10) ORDER BY turn_idx) AS txt
+  FROM t WHERE rdesc <= 8 GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_rendered, CAST(length(txt) AS BIGINT) AS n_chars,
+       md5(txt) AS rendered_md5
+FROM r
+"""
+
+
+def _conv_stats(sf_dir: str):
+    """Per-conversation dataset-card profile (turn counts by role, tool
+    calls, chars, wall duration) — the curation statistics pass over the
+    transcript table.  Engine in ``pipelines/transcripts.py``."""
+    from osprey_ray.pipelines.transcripts import conv_stats
+
+    return conv_stats(_transcript_dataset(sf_dir))
+
+
+def _conv_stats_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (SELECT * FROM raw WHERE dup_rn = 1)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role='user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role='assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_s
+FROM t GROUP BY conv_id
+"""
+
+
 def _streaming_windows(sf_dir: str):
     """Watermark-driven window-aggregate emission stream (tumbling + session
     windows closed by the watermark, state evicted)."""
@@ -707,6 +768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": T.q_pmi_bigrams,  # new in r4 — collocation mining
         "incremental_dedup": T.q_incremental_dedup,  # new in r4 — snapshot anti-join
         "rollup_agg": A.q_rollup_agg,  # new in r4 — ROLLUP grouping sets
+        "conv_render": _conv_render,  # new in r4 — SFT example rendering
+        "conv_stats": _conv_stats,  # new in r4 — transcript profile
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1649,6 +1712,9 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
+        # transcript-native SFT prep: rendered-example digest + profile
+        "conv_render": _conv_render_oracle_sql(),
+        "conv_stats": _conv_stats_oracle_sql(),
         # cross-snapshot dedup: odd doc_ids are the fresh crawl, even the
         # ingested corpus; left_anti on md5 of the 200-char prefix
         "incremental_dedup": (

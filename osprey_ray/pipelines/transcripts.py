@@ -1,0 +1,206 @@
+"""Transcript-native training-data preparation over the conversation log
+(the BASELINE.json ``input_hint`` table: ``conv_id, turn_idx, role, text,
+tool, ts``).
+
+These are the operators a pretraining/SFT pipeline runs over agent
+transcripts AFTER the rules/CEP engine (``pipelines/flagship.py``) has
+classified them: rendering conversations into single training-example
+texts, splitting, and per-conversation statistics.  Reference analogue:
+the reference engine's per-event executor only ever sees one action at a
+time (osprey_worker/src/osprey/worker/lib/osprey_engine.py) — rendering a
+whole conversation is a capability the Ray Data engine adds on top, built
+from the same one-exchange-per-key primitives as ``textops``.
+
+Scale shape shared by every op here: ONE hash(conv_id) exchange routes
+whole conversations to partitions (conversations are bounded — tens of
+turns — so per-conversation work is O(1) per row), then a single
+vectorized callback per partition does lexsort + group-boundary math.
+No driver materialization, no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+__all__ = ["conv_render", "conv_stats"]
+
+
+def _read_turns(dataset_dir: str, columns: list[str]):
+    return rd.read_parquet(
+        sorted(glob.glob(f"{dataset_dir}/batch/*.parquet")), columns=columns
+    )
+
+
+def _route_by_conv(ds):
+    """Append ``__kp = blake2b64(conv_id) % P`` (cluster-sized P).  The
+    hash is computed once per batch-UNIQUE conv_id via dictionary
+    encoding — conversations repeat tens of times per batch, so the
+    Python blake2b loop runs over the small dictionary, never per row
+    (same shape as ``textops.q_bigram_lm``'s w1 routing)."""
+    from osprey_ray.pipelines.analytics import _key_parts
+
+    P = _key_parts(None)
+
+    def route(t: pa.Table) -> pa.Table:
+        col = t["conv_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col if pa.types.is_dictionary(col.type) else col.dictionary_encode()
+        dp = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(c.encode(), digest_size=8).digest(), "big"
+                )
+                % P
+                for c in enc.dictionary.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return t.append_column(
+            "__kp", pa.array(dp[enc.indices.to_numpy(zero_copy_only=False)], pa.int64())
+        )
+
+    return ds.map_batches(route, batch_format="pyarrow").groupby("__kp")
+
+
+_RENDER_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_rendered", pa.int64()),
+        ("n_chars", pa.int64()),
+        ("rendered_md5", pa.string()),
+    ]
+)
+
+
+def conv_render(dataset_dir: str, last_k: int = 8):
+    """Render each conversation into ONE training-example text: keep-first
+    dedup on ``(conv_id, turn_idx)`` (re-delivered rows are exact copies),
+    order by ``turn_idx``, truncate to the LAST ``last_k`` turns (the
+    context-window truncation every SFT pipeline applies), and serialize
+    as ``role: text`` lines joined by newlines.
+
+    Output per conversation: total turn count, rendered turn count,
+    rendered char count, and the md5 of the rendered text (the driver
+    compare carries the digest, not the text — same convention as
+    ``textops.q_line_dedup``'s ``kept_md5``).
+
+    The md5 is computed once per CONVERSATION (group, not row); everything
+    else is Arrow/numpy: group bounds from one sort, the last-k window as
+    a difference-array cumsum, line serialization via
+    ``binary_join_element_wise`` and group reassembly via a ListArray +
+    ``binary_join`` — zero per-row Python."""
+    ds = _read_turns(dataset_dir, ["conv_id", "turn_idx", "role", "text", "ts"])
+
+    def render(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _RENDER_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy()
+        keep = np.ones(len(conv), dtype=bool)
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+        t = t.filter(pa.array(keep))
+        conv = conv[keep]
+        starts = np.concatenate([[0], np.nonzero(conv[1:] != conv[:-1])[0] + 1])
+        ends = np.append(starts[1:], len(conv))
+        n_turns = ends - starts
+        lo = np.maximum(starts, ends - last_k)
+        delta = np.zeros(len(conv) + 1, dtype=np.int64)
+        np.add.at(delta, lo, 1)
+        np.add.at(delta, ends, -1)
+        sel = np.cumsum(delta[:-1]) > 0
+        # group blocks arrive as large_string — stay in the large family
+        # (a partition's rendered text may exceed the 2 GiB string limit)
+        lines = pc.binary_join_element_wise(
+            pc.cast(t["role"], pa.large_string()),
+            pc.cast(t["text"], pa.large_string()),
+            pa.scalar(": ", pa.large_string()),
+        )
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        kept = lines.filter(pa.array(sel))
+        n_kept = np.minimum(n_turns, last_k)
+        offs = np.concatenate([[0], np.cumsum(n_kept)])
+        la = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), kept)
+        txt = pc.binary_join(la, pa.scalar("\n", pa.large_string()))
+        dig = [hashlib.md5(x.encode()).hexdigest() for x in txt.to_pylist()]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_rendered": pa.array(n_kept, pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "rendered_md5": pa.array(dig, pa.string()),
+            }
+        )
+
+    return _route_by_conv(ds).map_groups(render, batch_format="pyarrow")
+
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_user", pa.int64()),
+        ("n_assistant", pa.int64()),
+        ("n_tool_calls", pa.int64()),
+        ("total_chars", pa.int64()),
+        ("duration_s", pa.int64()),
+    ]
+)
+
+
+def conv_stats(dataset_dir: str):
+    """Per-conversation profile — the dataset-card statistics a curation
+    pass filters on (turn balance, tool usage, wall duration): turn count
+    after keep-first dedup, per-role counts, tool-call count, total chars,
+    and conversation duration in whole seconds.  Single conv exchange +
+    one vectorized reduceat pass; no text leaves the partition."""
+    ds = _read_turns(dataset_dir, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _STATS_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy()
+        keep = np.ones(len(conv), dtype=bool)
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+        t = t.filter(pa.array(keep))
+        conv = conv[keep]
+        starts = np.concatenate([[0], np.nonzero(conv[1:] != conv[:-1])[0] + 1])
+        ends = np.append(starts[1:], len(conv))
+        role = t["role"].to_numpy(zero_copy_only=False)
+        is_user = (role == "user").astype(np.int64)
+        is_asst = (role == "assistant").astype(np.int64)
+        has_tool = pc.is_valid(t["tool"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        nchars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        out = {
+            "conv_id": pa.array(conv[starts], pa.string()),
+            "n_turns": pa.array(ends - starts, pa.int64()),
+            "n_user": pa.array(np.add.reduceat(is_user, starts), pa.int64()),
+            "n_assistant": pa.array(np.add.reduceat(is_asst, starts), pa.int64()),
+            "n_tool_calls": pa.array(np.add.reduceat(has_tool, starts), pa.int64()),
+            "total_chars": pa.array(np.add.reduceat(nchars, starts), pa.int64()),
+            "duration_s": pa.array(
+                (np.maximum.reduceat(tus, starts) - np.minimum.reduceat(tus, starts))
+                // 1_000_000,
+                pa.int64(),
+            ),
+        }
+        return pa.table(out)
+
+    return _route_by_conv(ds).map_groups(stats, batch_format="pyarrow")

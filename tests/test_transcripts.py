@@ -1,0 +1,85 @@
+"""Unit tests for the transcript-native SFT-prep ops
+(osprey_ray/pipelines/transcripts.py): rendering semantics on a
+hand-built conversation log, duplicate handling, last-k truncation
+boundary, and partition-count invariance of the conv exchange."""
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from osprey_ray.pipelines import transcripts as TR
+
+
+@pytest.fixture()
+def tiny_log(tmp_path):
+    os.makedirs(tmp_path / "batch")
+    ts0 = 1_700_000_000_000_000
+    rows = {
+        "conv_id": ["a"] * 3 + ["b"] * 10 + ["a"],  # 'a' turn 1 re-delivered
+        "turn_idx": pa.array([0, 1, 2] + list(range(10)) + [1], pa.int32()),
+        "role": ["user", "assistant", "tool"] + ["user", "assistant"] * 5 + ["assistant"],
+        "text": ["hi", "hello there", "ran"] + [f"t{i}" for i in range(10)] + ["hello there"],
+        "tool": pa.array([None, None, "exec"] + [None] * 10 + [None], pa.string()),
+        "ts": pa.array([ts0, ts0 + 1_000_000, ts0 + 2_000_000]
+                       + [ts0 + i * 500_000 for i in range(10)]
+                       + [ts0 + 1_000_000], pa.timestamp("us")),
+    }
+    pq.write_table(pa.table(rows), tmp_path / "batch" / "part-0000.parquet")
+    return str(tmp_path)
+
+
+def test_conv_render_semantics(tiny_log, ray_session):
+    out = TR.conv_render(tiny_log, last_k=8).to_pandas().set_index("conv_id")
+    # conv a: 3 distinct turns (the dup of turn 1 is dropped), all rendered
+    assert out.loc["a", "n_turns"] == 3
+    assert out.loc["a", "n_rendered"] == 3
+    txt_a = "user: hi\nassistant: hello there\ntool: ran"
+    assert out.loc["a", "n_chars"] == len(txt_a)
+    assert out.loc["a", "rendered_md5"] == hashlib.md5(txt_a.encode()).hexdigest()
+    # conv b: 10 turns, truncated to the LAST 8 (turns 2..9)
+    assert out.loc["b", "n_turns"] == 10
+    assert out.loc["b", "n_rendered"] == 8
+    lines_b = [f"{'user' if i % 2 == 0 else 'assistant'}: t{i}" for i in range(2, 10)]
+    txt_b = "\n".join(lines_b)
+    assert out.loc["b", "rendered_md5"] == hashlib.md5(txt_b.encode()).hexdigest()
+
+
+def test_conv_stats_semantics(tiny_log, ray_session):
+    out = TR.conv_stats(tiny_log).to_pandas().set_index("conv_id")
+    assert out.loc["a", "n_turns"] == 3
+    assert out.loc["a", "n_user"] == 1
+    assert out.loc["a", "n_assistant"] == 1
+    assert out.loc["a", "n_tool_calls"] == 1
+    assert out.loc["a", "total_chars"] == len("hi") + len("hello there") + len("ran")
+    assert out.loc["a", "duration_s"] == 2
+    assert out.loc["b", "n_turns"] == 10
+    assert out.loc["b", "n_tool_calls"] == 0
+    assert out.loc["b", "duration_s"] == 4  # 9 * 0.5s floored
+
+
+def test_conv_render_partition_invariance(ray_session):
+    """The conv exchange must give identical output at any partition count
+    (P only affects parallelism — SURVEY §4)."""
+    from osprey_ray.datagen import ensure_dataset
+    from osprey_ray.pipelines import analytics as A
+
+    d = ensure_dataset(6_000, seed=42)
+    old = A._KEY_PARTS
+    try:
+        r1 = TR.conv_render(d).to_pandas().sort_values("conv_id").reset_index(drop=True)
+        A._KEY_PARTS = 7
+        # _key_parts takes max(_KEY_PARTS, 2*CPU); force small P via override
+        r2 = (
+            TR.conv_render(d)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        A._KEY_PARTS = old
+    assert r1.equals(r2)

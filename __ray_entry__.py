@@ -770,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": A.q_rollup_agg,  # new in r4 — ROLLUP grouping sets
         "conv_render": _conv_render,  # new in r4 — SFT example rendering
         "conv_stats": _conv_stats,  # new in r4 — transcript profile
+        "full_outer_join": A.q_full_outer_join,  # new in r4 — native full outer
+        "train_val_split": T.q_train_val_split,  # new in r4 — split manifest
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1715,6 +1717,28 @@ def oracle_sql() -> dict[str, str]:
         # transcript-native SFT prep: rendered-example digest + profile
         "conv_render": _conv_render_oracle_sql(),
         "conv_stats": _conv_stats_oracle_sql(),
+        # sparse per-(user,hour) series alignment via native full outer
+        "full_outer_join": (
+            "WITH a AS (SELECT user_id, epoch_us(ts)//3600000000*3600000000 AS hour_us, "
+            "SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS purchase_cents "
+            "FROM events WHERE event_type='purchase' GROUP BY 1, 2), "
+            "b AS (SELECT user_id, epoch_us(ts)//3600000000*3600000000 AS hour_us, "
+            "COUNT(*) AS n_errors FROM events WHERE event_type='error' GROUP BY 1, 2) "
+            "SELECT COALESCE(a.user_id, b.user_id) AS user_id, "
+            "COALESCE(a.hour_us, b.hour_us) AS hour_us, "
+            "COALESCE(purchase_cents, 0) AS purchase_cents, "
+            "CAST(COALESCE(n_errors, 0) AS BIGINT) AS n_errors "
+            "FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.hour_us = b.hour_us"
+        ),
+        # 90/5/5 split manifest by splitmix64(doc_id) threshold
+        "train_val_split": (
+            "WITH " + _splitmix64_ctes("documents", "source, text", "doc_id")
+            + ", s AS (SELECT source, CASE WHEN r < " + str((1 << 64) // 20)
+            + " THEN 'test' WHEN r < " + str((1 << 64) // 10)
+            + " THEN 'val' ELSE 'train' END AS split, length(text) AS ch FROM smh) "
+            "SELECT source, split, COUNT(*) AS n_docs, "
+            "CAST(SUM(ch) AS BIGINT) AS total_chars FROM s GROUP BY source, split"
+        ),
         # cross-snapshot dedup: odd doc_ids are the fresh crawl, even the
         # ingested corpus; left_anti on md5 of the 200-char prefix
         "incremental_dedup": (

@@ -1231,3 +1231,79 @@ def q_rollup_agg(sf_dir: str):
         finest.map_batches(relabel("l_returnflag", "l_linestatus"), batch_format="pyarrow")
     )
     return finest.union(lvl_flag).union(lvl_all)
+
+
+def q_full_outer_join(sf_dir: str):
+    """Full outer hash join via Ray Data's native ``full_outer``: align two
+    SPARSE per-entity time series — hourly purchase spend vs hourly error
+    counts per user — keeping hours present on either side (the
+    coverage-gap analysis the reference's one-sided Druid joins can't
+    express; completes the join family alongside
+    :func:`q_anti_join`/:func:`q_semi_join`).
+
+    Scale shape: each branch pre-aggregates with a per-batch combiner
+    BEFORE its shuffle, so the full-outer exchange moves one row per
+    (user, hour, side), never raw events; Ray coalesces the key columns
+    natively and a stateless post-map zero-fills the absent side."""
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+    HOUR = 3_600_000_000
+
+    def branch(t: pa.Table, etype: str) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], etype))
+        hour = pc.multiply(
+            pc.divide(pc.cast(t["ts"], pa.int64()), HOUR), HOUR
+        )
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+        )
+        return (
+            pa.table(
+                {
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "hour_us": hour,
+                    "cents": cents,
+                }
+            )
+            .group_by(["user_id", "hour_us"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["user_id", "hour_us", "cents", "n"])
+        )
+
+    buys = (
+        ev.map_batches(lambda t: branch(t, "purchase"), batch_format="pyarrow")
+        .groupby(["user_id", "hour_us"])
+        .aggregate(Sum("cents", alias_name="purchase_cents"))
+    )
+    errs = (
+        ev.map_batches(lambda t: branch(t, "error"), batch_format="pyarrow")
+        .groupby(["user_id", "hour_us"])
+        .aggregate(Sum("n", alias_name="n_errors"))
+        .map_batches(
+            lambda t: t.rename_columns(["u2", "h2", "n_errors"]),
+            batch_format="pyarrow",
+        )
+    )
+    joined = buys.join(
+        errs,
+        join_type="full_outer",
+        num_partitions=_join_partitions(),
+        on=("user_id", "hour_us"),
+        right_on=("u2", "h2"),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "hour_us": pc.cast(t["hour_us"], pa.int64()),
+                "purchase_cents": pc.fill_null(
+                    pc.cast(t["purchase_cents"], pa.int64()), 0
+                ),
+                "n_errors": pc.fill_null(pc.cast(t["n_errors"], pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

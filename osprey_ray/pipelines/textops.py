@@ -4634,3 +4634,43 @@ def q_incremental_dedup(sf_dir: str, prefix: int = 200):
         right_on=("old_md5",),
         aggregator_ray_remote_args={"num_cpus": 0},
     )
+
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5) by splitmix64(doc_id)
+    threshold — the split every pretraining corpus ships with, reproducible
+    on any cluster size because the assignment is a pure hash of the doc id
+    (no sampling state, no shuffle).  Output: per (source, split) doc and
+    char counts, i.e. the split manifest a dataset card records.
+
+    Scale shape: stateless vectorized map + per-batch combiner before ONE
+    tiny groupby over (source, split) — the corpus never moves; only the
+    bounded manifest rows shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+    t_test = np.uint64((1 << 64) // 20)  # 5%
+    t_val = np.uint64((1 << 64) // 10)  # next 5%
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = _splitmix64(t["doc_id"].to_numpy().astype(np.uint64))
+        split = np.where(r < t_test, "test", np.where(r < t_val, "val", "train"))
+        nch = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "split": pa.array(split, pa.string()),
+                    "chars": nch,
+                }
+            )
+            .group_by(["source", "split"])
+            .aggregate([("chars", "sum"), ("chars", "count")])
+        )
+        return g.rename_columns(["source", "split", "ch", "nd"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .aggregate(Sum("nd", alias_name="n_docs"), Sum("ch", alias_name="total_chars"))
+    )

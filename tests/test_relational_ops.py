@@ -76,3 +76,30 @@ def test_incremental_dedup_subset_of_new(ray_session):
     ).fetchone()[0]
     assert len(df) < n_new  # something was actually dropped at this sf
     assert df.doc_id.is_unique
+
+
+def test_full_outer_join_exercises_both_sides(ray_session):
+    from osprey_ray.pipelines.analytics import q_full_outer_join
+
+    df = q_full_outer_join(SF_DIR).to_pandas()
+    # genuine full-outer: rows that exist on only one side, zero-filled
+    assert ((df.purchase_cents > 0) & (df.n_errors == 0)).any()
+    assert ((df.purchase_cents == 0) & (df.n_errors > 0)).any()
+    assert ((df.purchase_cents > 0) & (df.n_errors > 0)).any()
+    # key uniqueness after the coalesce
+    assert not df.duplicated(["user_id", "hour_us"]).any()
+
+
+def test_train_val_split_fractions(ray_session):
+    from osprey_ray.pipelines.textops import q_train_val_split
+
+    df = q_train_val_split(SF_DIR).to_pandas()
+    tot = df.groupby("split").n_docs.sum()
+    n = tot.sum()
+    assert n == duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    # hash split: train ~90%, val/test ~5% each (loose bounds at 500 docs)
+    assert tot.get("train", 0) > 0.8 * n
+    assert 0 < tot.get("val", 0) < 0.12 * n
+    assert 0 < tot.get("test", 0) < 0.12 * n

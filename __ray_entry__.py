@@ -619,6 +619,48 @@ def _sample_turns(sf_dir: str):
     )
 
 
+_KNN_EDGES_SQL = (
+    "dims AS (SELECT unnest(range(64)) AS dim), "
+    "u AS (SELECT vec_id, dim, "
+    "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+    "FROM embeddings, dims), "
+    "d AS (SELECT ua.vec_id AS vid, ub.vec_id AS nid, "
+    "CAST(SUM((ua.q - ub.q) * (ua.q - ub.q)) AS BIGINT) AS dist "
+    "FROM u ua JOIN u ub ON ua.dim = ub.dim AND ua.vec_id <> ub.vec_id "
+    "GROUP BY ua.vec_id, ub.vec_id), "
+    "r AS (SELECT vid, nid, dist, "
+    "ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, nid) AS rnk FROM d), "
+    "knn AS (SELECT vid, nid FROM r WHERE rnk <= 5), "
+    "ed AS (SELECT DISTINCT LEAST(vid, nid) AS a, GREATEST(vid, nid) AS b FROM knn)"
+)
+
+
+def _kcore_sql(core_k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peeling twin for ``ann.q_kcore``: the verified kNN-edge
+    CTE followed by ``rounds`` chained (degree → alive → edge-filter)
+    rounds — the same fixed-round unrolling device as the ``pagerank``
+    twin (the engine early-exits at the fixpoint, where further rounds
+    are no-ops, so truncation is observationally identical)."""
+    # every round CTE is MATERIALIZED: each e{i+1} references e{i} three
+    # times, so inlining would expand the chain exponentially (DuckDB then
+    # re-opens the parquet per expansion — "too many open files")
+    parts = ["WITH " + _KNN_EDGES_SQL + ", e0 AS MATERIALIZED (SELECT a, b FROM ed)"]
+    for i in range(rounds):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM "
+            f"(SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY node)"
+            f", a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {core_k})"
+            f", e{i + 1} AS MATERIALIZED (SELECT a, b FROM e{i} "
+            f"WHERE a IN (SELECT node FROM a{i}) AND b IN (SELECT node FROM a{i}))"
+        )
+    parts.append(
+        f" SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM "
+        f"(SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) "
+        f"GROUP BY node"
+    )
+    return "".join(parts)
+
+
 def _conv_render(sf_dir: str):
     """Render each transcript conversation into ONE training-example text
     (keep-first dedup, turn order, last-8-turn truncation, ``role: text``
@@ -772,6 +814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _conv_stats,  # new in r4 — transcript profile
         "full_outer_join": A.q_full_outer_join,  # new in r4 — native full outer
         "train_val_split": T.q_train_val_split,  # new in r4 — split manifest
+        "ntile_rank": A.q_ntile_rank,  # new in r4 — NTILE + percent_rank
+        "pareto_frontier": A.q_pareto_frontier,  # new in r4 — skyline
+        "kcore": N.q_kcore,  # new in r4 — iterative graph peeling
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1730,6 +1775,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(n_errors, 0) AS BIGINT) AS n_errors "
             "FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.hour_us = b.hour_us"
         ),
+        # NTILE(4) + integer percent_rank leaderboard windows
+        "ntile_rank": (
+            "WITH agg AS (SELECT event_type, user_id, "
+            "SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents "
+            "FROM events GROUP BY event_type, user_id), "
+            "w AS (SELECT event_type, user_id, cents, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n, "
+            "ntile(4) OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS tile "
+            "FROM agg) "
+            "SELECT event_type, user_id, cents, CAST(rn AS BIGINT) AS rn, "
+            "CAST((rn - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT) AS pr_ppm, "
+            "CAST(tile AS BIGINT) AS tile FROM w"
+        ),
+        # 2-D skyline: users not dominated on (purchase cents, event count)
+        "pareto_frontier": (
+            "WITH agg AS (SELECT user_id, "
+            "SUM(CASE WHEN event_type='purchase' "
+            "THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END) AS cents, "
+            "COUNT(*) AS n_events FROM events GROUP BY user_id) "
+            "SELECT a.user_id, a.cents, CAST(a.n_events AS BIGINT) AS n_events "
+            "FROM agg a WHERE NOT EXISTS (SELECT 1 FROM agg b "
+            "WHERE b.cents >= a.cents AND b.n_events >= a.n_events "
+            "AND (b.cents > a.cents OR b.n_events > a.n_events))"
+        ),
+        # k-core membership over the kNN graph (unrolled peeling rounds)
+        "kcore": _kcore_sql(),
         # 90/5/5 split manifest by splitmix64(doc_id) threshold
         "train_val_split": (
             "WITH " + _splitmix64_ctes("documents", "source, text", "doc_id")

@@ -1307,3 +1307,165 @@ def q_full_outer_join(sf_dir: str):
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def q_ntile_rank(sf_dir: str, tiles: int = 4):
+    """NTILE(4) + integer percent_rank window functions: per event type,
+    rank users by total spend (cents) — the leaderboard/quartile shape of
+    the reference's TopNDruidQuery generalized to full window semantics
+    (completes the window family next to :func:`q_event_lag` /
+    :func:`q_rolling_window`).
+
+    percent_rank is integer-scaled (``(rn-1)*1e6 // (n-1)`` ppm) so the
+    hash compare never touches floats; the ordering key (cents DESC,
+    user_id ASC) is a total order, so RANK == ROW_NUMBER and DuckDB's
+    ``percent_rank()*1e6`` floors to the same integer.  NTILE uses the
+    SQL split rule: first ``n % tiles`` buckets get the extra row.
+
+    Scale shape: per-batch combiner to (event_type, user_id) partials →
+    groupby sum (key-domain-bounded) → per-event-type vectorized window
+    callback.  Only the bounded aggregate ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "cents": cents,
+                }
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["event_type", "user_id", "cents"])
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("user_id", pa.int64()),
+            ("cents", pa.int64()),
+            ("rn", pa.int64()),
+            ("pr_ppm", pa.int64()),
+            ("tile", pa.int64()),
+        ]
+    )
+
+    def windows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].to_numpy()
+        cents = t["cents"].to_numpy()
+        order = np.lexsort((uid, -cents))
+        n = len(order)
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        pr = (rn - 1) * 1_000_000 // max(n - 1, 1)
+        base, rem = n // tiles, n % tiles
+        i = rn - 1
+        boundary = rem * (base + 1)
+        if base == 0:
+            tile = i + 1
+        else:
+            tile = np.where(
+                i < boundary, i // (base + 1), rem + (i - boundary) // base
+            ) + 1
+        et = t["event_type"].to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "user_id": pa.array(uid[order], pa.int64()),
+                "cents": pa.array(cents[order], pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+                "pr_ppm": pa.array(pr, pa.int64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.groupby("event_type").map_groups(windows, batch_format="pyarrow")
+
+
+def q_pareto_frontier(sf_dir: str):
+    """Distributed 2-D Pareto frontier (skyline): users not dominated on
+    (total purchase cents, total event count) — the multi-objective
+    curation shape ("keep documents no other beats on BOTH quality and
+    length") on the bounded user table.
+
+    Scale shape: one corpus scan builds (user → cents, n_events) partials;
+    after the key-bounded groupby, a LOCAL skyline combiner reduces every
+    batch to its own frontier (dominated points never cross the wire —
+    skylines are closed under union: a global dominator survives its own
+    batch's local pass), then one final single-block pass computes the
+    exact frontier.  Dominance loop is a lexsort + per-cents-group max +
+    running prefix max — fully vectorized."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_buy = pc.equal(t["event_type"], "purchase")
+        cents = pc.if_else(
+            is_buy,
+            pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "cents": cents,
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["user_id"])
+            .aggregate([("cents", "sum"), ("one", "sum")])
+        )
+        return g.rename_columns(["user_id", "cents", "n_events"])
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events"))
+    )
+
+    def skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("cents", pa.int64()), ("n_events", pa.int64())]
+            ).empty_table()
+        cents = t["cents"].to_numpy()
+        ev_n = t["n_events"].to_numpy()
+        order = np.lexsort((-ev_n, -cents))
+        c, e = cents[order], ev_n[order]
+        newgrp = np.empty(len(c), dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = c[1:] != c[:-1]
+        gid = np.cumsum(newgrp) - 1
+        gmax = e[newgrp]  # first of each cents-group has that group's max ev
+        pmax = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)])[
+            :-1
+        ][gid]
+        keep = (e == gmax[gid]) & (e > pmax)
+        idx = order[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(t["user_id"].to_numpy()[idx], pa.int64()),
+                "cents": pa.array(cents[idx], pa.int64()),
+                "n_events": pa.array(ev_n[idx], pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(skyline, batch_format="pyarrow")  # local frontiers
+        .repartition(1)
+        .map_batches(skyline, batch_format="pyarrow")  # exact global frontier
+    )

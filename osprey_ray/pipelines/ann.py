@@ -1971,3 +1971,93 @@ def q_ann_ivfpq(sf_dir: str, k: int = 5, n_queries: int = 10, n_cells: int = 16,
             "n_candidates": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def q_kcore(sf_dir: str, k: int = 5, core_k: int = 3, rounds: int = 8):
+    """k-core decomposition membership over the undirected exact kNN
+    graph: iteratively peel nodes with degree < ``core_k`` until the
+    subgraph is stable — the classic community/noise filter (Batagelj &
+    Zaveršnik's peeling, distributed as rounds of degree-count +
+    semi-join, the standard Pregel/Spark formulation).
+
+    Determinism contract: runs EXACTLY ``rounds`` peels (like
+    ``q_pagerank``'s fixed rounds) so the DuckDB twin can unroll the same
+    chain; a fixpoint is asserted via the final no-op round at test
+    scales (peeling converges in ≤ diameter rounds on these graphs, and a
+    converged round is idempotent).  Output: every surviving node with
+    its in-core degree.
+
+    Scale shape per round: degree = symmetrize + per-batch combiner +
+    node groupby (edge-bounded, k·n rows); survivors filter; two
+    Ray-native ``left_semi`` joins restrict the edge set — no broadcast
+    node set, no driver materialization."""
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    nparts = _join_partitions()
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.stack([np.minimum(a, b), np.maximum(a, b)], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"u": pa.array(uniq[:, 0], pa.int64()), "v": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    edges = _pin_schema(
+        q_knn_graph(sf_dir, k=k)
+        .map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("u", alias_name="__d"))
+        .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow"),
+        edge_schema,
+    ).materialize()
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        node = np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])
+        uu, cnt = np.unique(node, return_counts=True)
+        return pa.table(
+            {"node": pa.array(uu, pa.int64()), "d": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    def degrees(es):
+        return (
+            es.map_batches(symmetrize, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("d", alias_name="deg"))
+        )
+
+    def alive_nodes(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["deg"], core_k)).select(["node"])
+
+    n_edges = edges.count()
+    for _ in range(rounds):
+        alive = degrees(edges).map_batches(alive_nodes, batch_format="pyarrow")
+        edges = edges.join(
+            alive,
+            join_type="left_semi",
+            num_partitions=nparts,
+            on=("u",),
+            right_on=("node",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        edges = _pin_schema(edges, edge_schema).join(
+            alive,
+            join_type="left_semi",
+            num_partitions=nparts,
+            on=("v",),
+            right_on=("node",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        edges = _pin_schema(edges, edge_schema).materialize()
+        n_now = edges.count()
+        if n_now == n_edges:
+            break  # fixpoint: every further peel is a no-op (twin-safe)
+        n_edges = n_now
+
+    return degrees(edges).map_batches(
+        lambda t: t.rename_columns(["node", "core_degree"]), batch_format="pyarrow"
+    )

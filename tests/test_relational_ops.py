@@ -103,3 +103,44 @@ def test_train_val_split_fractions(ray_session):
     assert tot.get("train", 0) > 0.8 * n
     assert 0 < tot.get("val", 0) < 0.12 * n
     assert 0 < tot.get("test", 0) < 0.12 * n
+
+
+def test_ntile_rank_invariants(ray_session):
+    from osprey_ray.pipelines.analytics import q_ntile_rank
+
+    df = q_ntile_rank(SF_DIR).to_pandas()
+    for _, g in df.groupby("event_type"):
+        # rn is a permutation of 1..n; tiles differ in size by at most 1
+        assert sorted(g.rn) == list(range(1, len(g) + 1))
+        sizes = g.tile.value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        assert g.pr_ppm.min() == 0 and g.pr_ppm.max() == 1_000_000
+        # cents non-increasing in rank order
+        assert (g.sort_values("rn").cents.diff().dropna() <= 0).all()
+
+
+def test_pareto_frontier_no_dominated_point(ray_session):
+    from osprey_ray.pipelines.analytics import q_pareto_frontier
+
+    df = q_pareto_frontier(SF_DIR).to_pandas()
+    assert len(df) > 0
+    pts = df[["cents", "n_events"]].to_numpy()
+    for i in range(len(pts)):
+        for j in range(len(pts)):
+            if i == j:
+                continue
+            dom = (
+                pts[j][0] >= pts[i][0]
+                and pts[j][1] >= pts[i][1]
+                and (pts[j][0] > pts[i][0] or pts[j][1] > pts[i][1])
+            )
+            assert not dom, f"frontier point {i} dominated by {j}"
+
+
+def test_kcore_membership(ray_session):
+    from osprey_ray.pipelines.ann import q_kcore
+
+    df = q_kcore(SF_DIR, core_k=3).to_pandas()
+    # converged core: every surviving node keeps >= core_k in-core edges
+    assert (df.core_degree >= 3).all()
+    assert df.node.is_unique

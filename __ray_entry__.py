@@ -722,6 +722,38 @@ FROM t GROUP BY conv_id
 """
 
 
+def _qa_pairs(sf_dir: str):
+    """Instruction-pair extraction from transcripts (user turn followed by
+    assistant turn → one Q/A training example); engine in
+    ``pipelines/transcripts.py``."""
+    from osprey_ray.pipelines.transcripts import qa_pairs
+
+    return qa_pairs(_transcript_dataset(sf_dir))
+
+
+def _qa_pairs_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, role, text,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (SELECT conv_id, turn_idx, role, text FROM raw WHERE dup_rn = 1),
+nx AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(role) OVER w AS nrole, lead(text) OVER w AS ntext,
+         lead(turn_idx) OVER w AS ntix
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), p AS (
+  SELECT conv_id, turn_idx, 'Q: ' || text || chr(10) || 'A: ' || ntext AS pair
+  FROM nx WHERE role = 'user' AND nrole = 'assistant' AND ntix = turn_idx + 1
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       md5(string_agg(pair, chr(10) || chr(10) ORDER BY turn_idx)) AS pairs_md5
+FROM p GROUP BY conv_id
+"""
+
+
 def _streaming_windows(sf_dir: str):
     """Watermark-driven window-aggregate emission stream (tumbling + session
     windows closed by the watermark, state evicted)."""
@@ -817,6 +849,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_rank": A.q_ntile_rank,  # new in r4 — NTILE + percent_rank
         "pareto_frontier": A.q_pareto_frontier,  # new in r4 — skyline
         "kcore": N.q_kcore,  # new in r4 — iterative graph peeling
+        "mad_outliers": A.q_mad_outliers,  # new in r4 — robust MAD outliers
+        "group_kmv_distinct": A.q_group_kmv_distinct,  # new in r4 — KMV sketch
+        "qa_pairs": _qa_pairs,  # new in r4 — SFT pair extraction
+        "weighted_sample": T.q_weighted_sample,  # new in r4 — integer A-ES
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1802,6 +1838,46 @@ def oracle_sql() -> dict[str, str]:
         ),
         # k-core membership over the kNN graph (unrolled peeling rounds)
         "kcore": _kcore_sql(),
+        # robust MAD outliers: both medians are discrete quantiles
+        "mad_outliers": (
+            "WITH agg AS (SELECT user_id, COUNT(*) AS n_events FROM events "
+            "GROUP BY user_id), "
+            "med AS (SELECT quantile_disc(n_events, 0.5) AS m FROM agg), "
+            "dev AS (SELECT user_id, CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(abs(n_events - (SELECT m FROM med)) AS BIGINT) AS dev FROM agg), "
+            "mad AS (SELECT quantile_disc(dev, 0.5) AS d FROM dev) "
+            "SELECT user_id, n_events, dev, "
+            "dev > 3 * (SELECT d FROM mad) AS is_outlier FROM dev"
+        ),
+        # per-group KMV distinct estimate: est = (k-1)*2^64 // h_k
+        "group_kmv_distinct": (
+            "WITH "
+            + _splitmix64_ctes(
+                "(SELECT DISTINCT event_type, user_id FROM events)",
+                "event_type",
+                "user_id",
+            )
+            + ", rk AS (SELECT event_type, r, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rnk, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS nd FROM smh) "
+            "SELECT event_type, CAST(CASE WHEN nd >= 16 THEN "
+            "15 * CAST(18446744073709551616 AS HUGEINT) "
+            "// CAST(GREATEST(r, 1) AS HUGEINT) "
+            "ELSE nd END AS BIGINT) AS est_distinct "
+            "FROM rk WHERE rnk = CASE WHEN nd >= 16 THEN 16 ELSE nd END"
+        ),
+        # transcript Q/A pair extraction digest
+        "qa_pairs": _qa_pairs_oracle_sql(),
+        # integer A-ES weighted sample: unsigned priority order, int64 view
+        "weighted_sample": (
+            "WITH " + _splitmix64_ctes("documents", "doc_id, source, n_chars", "doc_id")
+            + ", p AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight, "
+            "r // CAST(GREATEST(n_chars, 1) AS UBIGINT) AS pu FROM smh) "
+            "SELECT doc_id, source, weight, "
+            "CAST(CAST(pu AS HUGEINT) - CASE WHEN pu >= 9223372036854775808 "
+            "THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS priority "
+            "FROM p ORDER BY pu, doc_id LIMIT 50"
+        ),
         # 90/5/5 split manifest by splitmix64(doc_id) threshold
         "train_val_split": (
             "WITH " + _splitmix64_ctes("documents", "source, text", "doc_id")

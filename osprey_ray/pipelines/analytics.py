@@ -1469,3 +1469,134 @@ def q_pareto_frontier(sf_dir: str):
         .repartition(1)
         .map_batches(skyline, batch_format="pyarrow")  # exact global frontier
     )
+
+
+def q_mad_outliers(sf_dir: str, k: int = 3):
+    """Robust outlier detection by Median Absolute Deviation — the
+    heavy-tailed-safe alternative to :func:`q_zscore_outliers` (one whale
+    user shifts a mean, never a median): flag users whose event count
+    deviates from the corpus median by more than ``k`` × MAD.
+
+    Integer-exact: both medians are DISCRETE quantiles (1-based rank
+    ``ceil(n*0.5)``, DuckDB's ``quantile_disc`` rule) over int64 counts,
+    so the comparison ``dev > k*mad`` never touches floats.
+
+    Scale shape (the :func:`textops.q_adaptive_filter` two-pass): the
+    user aggregate is computed ONCE (key-bounded, materialized); each
+    median comes from a per-batch ``value_counts`` histogram combiner —
+    the driver only ever sees one row per DISTINCT count value, never a
+    user row — and the two scalars broadcast into a stateless filter."""
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": pc.cast(t["user_id"], pa.int64())})
+            .append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by(["user_id"])
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["user_id", "n_events"])
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .materialize()  # user-bounded; feeds both median passes + output
+    )
+
+    def _median_of(ds, colfn) -> int:
+        def hist(t: pa.Table) -> pa.Table:
+            v, c = np.unique(colfn(t), return_counts=True)
+            return pa.table(
+                {"v": pa.array(v, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
+            )
+
+        h = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        h = h.sort_values("v")
+        cum = h["c"].cumsum().to_numpy()
+        r = max(int(np.ceil(int(cum[-1]) * 0.5)), 1)
+        return int(h["v"].to_numpy()[np.searchsorted(cum, r)])
+
+    med = _median_of(agg, lambda t: t["n_events"].to_numpy())
+    mad = _median_of(agg, lambda t: np.abs(t["n_events"].to_numpy() - med))
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy()
+        dev = np.abs(n - med)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": pa.array(n, pa.int64()),
+                "dev": pa.array(dev, pa.int64()),
+                "is_outlier": pa.array(dev > k * mad),
+            }
+        )
+
+    return agg.map_batches(flag, batch_format="pyarrow")
+
+
+def q_group_kmv_distinct(sf_dir: str, k: int = 16):
+    """Per-group approximate COUNT DISTINCT via a KMV (k-minimum-values)
+    sketch — the per-group version of :func:`textops.q_quantile_sketch`'s
+    bottom-k device, and the mergeable-sketch alternative to
+    :func:`q_hll_distinct` whose estimates HASH-VERIFY because KMV is
+    exactly reproducible in SQL (splitmix64 is a bijection, so distinct
+    hashes = distinct users): ``est = (k-1) * 2^64 // h_k`` with ``h_k``
+    the k-th smallest distinct hash; groups with fewer than k distinct
+    values report exactly.
+
+    Scale shape: per-batch combiner keeps only the bottom-k DISTINCT
+    hashes per group (one lexsort), so the groupby merge moves ≤ k rows
+    per (group, batch) — never a user row."""
+    from osprey_ray.pipelines.textops import _splitmix64
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        h = _splitmix64(t["user_id"].to_numpy().astype(np.uint64))
+        grp, inv = np.unique(et, return_inverse=True)
+        # distinct (group, hash) then bottom-k per group via one lexsort
+        pairs = np.unique(np.stack([inv.astype(np.int64), h.view(np.int64)], axis=1), axis=0)
+        gi = pairs[:, 0]
+        hv = pairs[:, 1].view(np.uint64)
+        order = np.lexsort((hv, gi))
+        gi, hv = gi[order], hv[order]
+        firsts = np.concatenate([[0], np.nonzero(np.diff(gi))[0] + 1])
+        rank = np.arange(len(gi)) - np.repeat(firsts, np.diff(np.append(firsts, len(gi))))
+        keep = rank < k
+        return pa.table(
+            {
+                "event_type": pa.array(grp[gi[keep]], pa.string()),
+                "h": pa.array(hv[keep].view(np.int64), pa.int64()),
+            }
+        )
+
+    schema = pa.schema([("event_type", pa.string()), ("est_distinct", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        hv = np.unique(t["h"].to_numpy().view(np.uint64))
+        if len(hv) >= k:
+            est = (k - 1) * (1 << 64) // max(int(hv[k - 1]), 1)
+        else:
+            est = len(hv)
+        et = t["event_type"].to_numpy(zero_copy_only=False)[0]
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "est_distinct": pa.array([est], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -4674,3 +4674,50 @@ def q_train_val_split(sf_dir: str):
         .groupby(["source", "split"])
         .aggregate(Sum("nd", alias_name="n_docs"), Sum("ch", alias_name="total_chars"))
     )
+
+
+def q_weighted_sample(sf_dir: str, n: int = 50):
+    """Deterministic weight-proportional sample (integer A-ES): priority
+    = splitmix64(doc_id) // n_chars — a doc with twice the chars is ~2×
+    as likely to land in the bottom-n priorities — then keep the n
+    smallest (priority, doc_id).  The weighted counterpart of
+    :func:`q_stratified_sample`, all-integer so the twin hash-verifies
+    (the classic A-ES uses u^(1/w); the integer h//w rank preserves the
+    same weight-monotone selection law deterministically).
+
+    Scale shape: stateless vectorized priority map + per-batch partial
+    top-n combiner → one bounded final sort; the corpus never shuffles."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _splitmix64(t["doc_id"].to_numpy().astype(np.uint64))
+        w = t["n_chars"].to_numpy().astype(np.uint64)
+        prio = (h // np.maximum(w, np.uint64(1))).view(np.int64)
+        tbl = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "weight": pc.cast(t["n_chars"], pa.int64()),
+                "priority": pa.array(prio, pa.int64()),
+            }
+        )
+        order = np.lexsort((t["doc_id"].to_numpy(), prio.view(np.uint64)))[:n]
+        return tbl.take(pa.array(np.sort(order), pa.int64()))
+
+    # priorities are uint64 viewed as int64; sort on the unsigned value
+    # via a split sign key so Ray's int64 sort gives unsigned order
+    def unsign(t: pa.Table) -> pa.Table:
+        p = t["priority"].to_numpy().view(np.uint64)
+        return t.append_column(
+            "__hi", pa.array((p >> np.uint64(63)).astype(np.int64), pa.int64())
+        ).append_column(
+            "__lo", pa.array((p & np.uint64((1 << 63) - 1)).astype(np.int64), pa.int64())
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(unsign, batch_format="pyarrow")
+        .sort(["__hi", "__lo", "doc_id"])
+        .limit(n)
+        .drop_columns(["__hi", "__lo"])
+    )

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["conv_render", "conv_stats"]
+__all__ = ["conv_render", "conv_stats", "qa_pairs"]
 
 
 def _read_turns(dataset_dir: str, columns: list[str]):
@@ -204,3 +204,82 @@ def conv_stats(dataset_dir: str):
         return pa.table(out)
 
     return _route_by_conv(ds).map_groups(stats, batch_format="pyarrow")
+
+
+_QA_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_pairs", pa.int64()),
+        ("pairs_md5", pa.string()),
+    ]
+)
+
+
+def qa_pairs(dataset_dir: str):
+    """Extract (user → assistant) instruction-tuning pairs: after
+    keep-first dedup, every user turn immediately followed (turn_idx + 1)
+    by an assistant turn becomes one ``Q: …\\nA: …`` example.  Output per
+    conversation: pair count + md5 of the double-newline-joined pair
+    block (digest convention of :func:`conv_render`).  Conversations with
+    zero pairs emit nothing.
+
+    Same one-exchange shape as :func:`conv_render`; pair detection is a
+    shifted-array comparison (role[i]=='user' & role[i+1]=='assistant' &
+    same conv & consecutive turn_idx), fully vectorized."""
+    ds = _read_turns(dataset_dir, ["conv_id", "turn_idx", "role", "text", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _QA_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy()
+        keep = np.ones(len(conv), dtype=bool)
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+        t = t.filter(pa.array(keep))
+        conv, tix = conv[keep], tix[keep]
+        role = t["role"].to_numpy(zero_copy_only=False)
+        if len(conv) < 2:
+            return _QA_SCHEMA.empty_table()
+        is_pair = (
+            (role[:-1] == "user")
+            & (role[1:] == "assistant")
+            & (conv[:-1] == conv[1:])
+            & (tix[1:] == tix[:-1] + 1)
+        )
+        qi = np.nonzero(is_pair)[0]
+        if len(qi) == 0:
+            return _QA_SCHEMA.empty_table()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.large_string())
+        q = text.take(pa.array(qi, pa.int64()))
+        a = text.take(pa.array(qi + 1, pa.int64()))
+        qa = pc.binary_join_element_wise(
+            q, a, pa.scalar("\nA: ", pa.large_string())
+        )
+        n = len(qi)
+        pair = pc.binary_join_element_wise(
+            pa.array(["Q: "] * n, pa.large_string()),
+            qa,
+            pa.scalar("", pa.large_string()),
+        )
+        pconv = conv[qi]
+        starts = np.concatenate([[0], np.nonzero(pconv[1:] != pconv[:-1])[0] + 1])
+        counts = np.diff(np.append(starts, n))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        la = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), pair)
+        block = pc.binary_join(la, pa.scalar("\n\n", pa.large_string()))
+        dig = [hashlib.md5(x.encode()).hexdigest() for x in block.to_pylist()]
+        return pa.table(
+            {
+                "conv_id": pa.array(pconv[starts], pa.string()),
+                "n_pairs": pa.array(counts, pa.int64()),
+                "pairs_md5": pa.array(dig, pa.string()),
+            }
+        )
+
+    return _route_by_conv(ds).map_groups(pairs, batch_format="pyarrow")

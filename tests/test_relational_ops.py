@@ -144,3 +144,42 @@ def test_kcore_membership(ray_session):
     # converged core: every surviving node keeps >= core_k in-core edges
     assert (df.core_degree >= 3).all()
     assert df.node.is_unique
+
+
+def test_group_kmv_estimate_accuracy(ray_session):
+    from osprey_ray.pipelines.analytics import q_group_kmv_distinct
+
+    df = q_group_kmv_distinct(SF_DIR).to_pandas()
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n FROM "
+        f"'{SF_DIR}/events.parquet' GROUP BY event_type"
+    ).df().set_index("event_type")["n"]
+    for _, row in df.iterrows():
+        e = exact[row.event_type]
+        # KMV with k=16: loose 3/sqrt(k) relative-error bound
+        assert abs(row.est_distinct - e) <= max(0.75 * e, 2), (row.event_type, row.est_distinct, e)
+
+
+def test_mad_outliers_robustness(ray_session):
+    from osprey_ray.pipelines.analytics import q_mad_outliers
+
+    df = q_mad_outliers(SF_DIR).to_pandas()
+    med = int(df.n_events.sort_values().iloc[
+        max(int(np.ceil(len(df) * 0.5)) - 1, 0)
+    ])
+    assert (df.dev == (df.n_events - med).abs()).all()
+    # flagged set = strictly-greater-than-threshold set
+    mad = int(df.dev.sort_values().iloc[max(int(np.ceil(len(df) * 0.5)) - 1, 0)])
+    assert (df.is_outlier == (df.dev > 3 * mad)).all()
+
+
+def test_weighted_sample_weight_bias(ray_session):
+    from osprey_ray.pipelines.textops import q_weighted_sample
+
+    df = q_weighted_sample(SF_DIR).to_pandas()
+    assert len(df) == 50
+    corpus_mean = duckdb.sql(
+        f"SELECT AVG(n_chars) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    # weight-proportional: sampled docs skew long vs the corpus mean
+    assert df.weight.mean() > corpus_mean

@@ -83,3 +83,17 @@ def test_conv_render_partition_invariance(ray_session):
     finally:
         A._KEY_PARTS = old
     assert r1.equals(r2)
+
+
+def test_qa_pairs_semantics(tiny_log, ray_session):
+    import hashlib as _h
+
+    out = TR.qa_pairs(tiny_log).to_pandas().set_index("conv_id")
+    # conv a: user(0) -> assistant(1) is the only pair (dup row dropped)
+    assert out.loc["a", "n_pairs"] == 1
+    pa_txt = "Q: hi\nA: hello there"
+    assert out.loc["a", "pairs_md5"] == _h.md5(pa_txt.encode()).hexdigest()
+    # conv b: user at even turns, assistant at odd -> 5 pairs
+    assert out.loc["b", "n_pairs"] == 5
+    blk = "\n\n".join(f"Q: t{i}\nA: t{i+1}" for i in range(0, 10, 2))
+    assert out.loc["b", "pairs_md5"] == _h.md5(blk.encode()).hexdigest()

@@ -754,6 +754,70 @@ FROM p GROUP BY conv_id
 """
 
 
+def _conv_sessions(sf_dir: str):
+    """Idle-gap session segmentation of each conversation (transcript-side
+    twin of the event sessionizer); engine in ``pipelines/transcripts.py``."""
+    from osprey_ray.pipelines.transcripts import conv_sessions
+
+    return conv_sessions(_transcript_dataset(sf_dir))
+
+
+def _conv_sessions_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (SELECT conv_id, turn_idx, epoch_us(ts) AS tus FROM raw WHERE dup_rn = 1),
+lg AS (
+  SELECT conv_id, turn_idx, tus,
+         lag(tus) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ptus
+  FROM t
+), m AS (
+  SELECT conv_id, turn_idx, tus,
+         CASE WHEN ptus IS NULL OR tus - ptus > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM lg
+), s AS (
+  SELECT conv_id, tus,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS session_idx
+  FROM m
+)
+SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       MIN(tus) AS start_us, MAX(tus) AS end_us
+FROM s GROUP BY conv_id, session_idx
+"""
+
+
+def _tool_transitions(sf_dir: str):
+    """Tool-usage transition counts across consecutive tool turns (CEP
+    adjacency mining over transcripts); engine in
+    ``pipelines/transcripts.py``."""
+    from osprey_ray.pipelines.transcripts import tool_transitions
+
+    return tool_transitions(_transcript_dataset(sf_dir))
+
+
+def _tool_transitions_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, tool,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, turn_idx, tool FROM raw WHERE dup_rn = 1 AND tool IS NOT NULL
+), nx AS (
+  SELECT conv_id, tool AS from_tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_tool
+  FROM t
+)
+SELECT from_tool, to_tool, CAST(COUNT(*) AS BIGINT) AS n
+FROM nx WHERE to_tool IS NOT NULL GROUP BY from_tool, to_tool
+"""
+
+
 def _streaming_windows(sf_dir: str):
     """Watermark-driven window-aggregate emission stream (tumbling + session
     windows closed by the watermark, state evicted)."""
@@ -853,6 +917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_kmv_distinct": A.q_group_kmv_distinct,  # new in r4 — KMV sketch
         "qa_pairs": _qa_pairs,  # new in r4 — SFT pair extraction
         "weighted_sample": T.q_weighted_sample,  # new in r4 — integer A-ES
+        "conv_sessions": _conv_sessions,  # new in r4 — transcript sessionizer
+        "tool_transitions": _tool_transitions,  # new in r4 — CEP adjacency
+        "paginated_scan": A.q_paginated_scan,  # new in r4 — UI offset page
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1868,6 +1935,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         # transcript Q/A pair extraction digest
         "qa_pairs": _qa_pairs_oracle_sql(),
+        # transcript idle-gap sessions + tool-transition mining
+        "conv_sessions": _conv_sessions_oracle_sql(),
+        "tool_transitions": _tool_transitions_oracle_sql(),
+        # offset pagination over the event log (page 2 of 100)
+        "paginated_scan": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, epoch_us(ts) AS tus, "
+            "event_type FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 200"
+        ),
         # integer A-ES weighted sample: unsigned priority order, int64 view
         "weighted_sample": (
             "WITH " + _splitmix64_ctes("documents", "doc_id, source, n_chars", "doc_id")

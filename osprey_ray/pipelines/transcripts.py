@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["conv_render", "conv_stats", "qa_pairs"]
+__all__ = ["conv_render", "conv_stats", "qa_pairs", "conv_sessions", "tool_transitions"]
 
 
 def _read_turns(dataset_dir: str, columns: list[str]):
@@ -283,3 +283,126 @@ def qa_pairs(dataset_dir: str):
         )
 
     return _route_by_conv(ds).map_groups(pairs, batch_format="pyarrow")
+
+
+_SESS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("session_idx", pa.int64()),
+        ("n_turns", pa.int64()),
+        ("start_us", pa.int64()),
+        ("end_us", pa.int64()),
+    ]
+)
+
+
+def conv_sessions(dataset_dir: str, gap_s: int = 1800):
+    """Segment each conversation into SESSIONS at idle gaps > ``gap_s``
+    (the transcript-side twin of the event-table sessionizer
+    ``analytics.q_session_counts``, and the same gap rule the streaming
+    engine's SessionWindow uses): per (conv, session) turn count and
+    event-time span.  Keep-first dedup, then a lag/cumsum boundary pass —
+    one conv exchange, fully vectorized."""
+    ds = _read_turns(dataset_dir, ["conv_id", "turn_idx", "ts"])
+    gap_us = gap_s * 1_000_000
+
+    def sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SESS_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy()
+        keep = np.ones(len(conv), dtype=bool)
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+        t = t.filter(pa.array(keep))
+        conv = conv[keep]
+        # sessions break at conv change or event-time gap > gap_us; note
+        # turn order (turn_idx) is the processing order, so a late turn
+        # with an out-of-order ts still belongs to its turn position
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        newsess = np.ones(len(conv), dtype=bool)
+        newsess[1:] = (conv[1:] != conv[:-1]) | (tus[1:] - tus[:-1] > gap_us)
+        sid = np.cumsum(newsess) - 1
+        starts = np.nonzero(newsess)[0]
+        ends = np.append(starts[1:], len(conv))
+        # session_idx restarts per conversation
+        conv_first = np.ones(len(starts), dtype=bool)
+        conv_first[1:] = conv[starts][1:] != conv[starts][:-1]
+        conv_start_sess = np.maximum.accumulate(
+            np.where(conv_first, np.arange(len(starts)), 0)
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "session_idx": pa.array(
+                    np.arange(len(starts)) - conv_start_sess, pa.int64()
+                ),
+                "n_turns": pa.array(ends - starts, pa.int64()),
+                "start_us": pa.array(np.minimum.reduceat(tus, starts), pa.int64()),
+                "end_us": pa.array(np.maximum.reduceat(tus, starts), pa.int64()),
+            }
+        )
+
+    return _route_by_conv(ds).map_groups(sessions, batch_format="pyarrow")
+
+
+def tool_transitions(dataset_dir: str):
+    """Tool-usage transition counts: for every pair of CONSECUTIVE tool
+    turns within a conversation (ordered by turn_idx after dedup,
+    intervening non-tool turns skipped), count (from_tool → to_tool) —
+    the CEP-adjacency mining that surfaces the planted exec→mail
+    sequences (datagen plants them; the flagship SequenceMatch rule fires
+    on them).  One conv exchange; per-partition shifted-array compare,
+    then a tiny per-batch combiner into a global (from, to) groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_turns(dataset_dir, ["conv_id", "turn_idx", "tool", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_tool": pa.array([], pa.string()),
+                "to_tool": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy()
+        keep = np.ones(len(conv), dtype=bool)
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+        t = t.filter(pa.array(keep))
+        conv = conv[keep]
+        tool = t["tool"].to_numpy(zero_copy_only=False)
+        has = pa.compute.is_valid(t["tool"]).to_numpy(zero_copy_only=False)
+        idx = np.nonzero(has)[0]
+        if len(idx) < 2:
+            return empty
+        same = conv[idx[1:]] == conv[idx[:-1]]
+        f = tool[idx[:-1]][same].astype(str)
+        to = tool[idx[1:]][same].astype(str)
+        if len(f) == 0:
+            return empty
+        key = np.char.add(np.char.add(f, "␟"), to)  # unit-separator glyph
+        uk, cnt = np.unique(key, return_counts=True)
+        parts = np.char.partition(uk, "␟")
+        return pa.table(
+            {
+                "from_tool": pa.array(parts[:, 0], pa.string()),
+                "to_tool": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _route_by_conv(ds)
+        .map_groups(partial, batch_format="pyarrow")
+        .groupby(["from_tool", "to_tool"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -97,3 +97,34 @@ def test_qa_pairs_semantics(tiny_log, ray_session):
     assert out.loc["b", "n_pairs"] == 5
     blk = "\n\n".join(f"Q: t{i}\nA: t{i+1}" for i in range(0, 10, 2))
     assert out.loc["b", "pairs_md5"] == _h.md5(blk.encode()).hexdigest()
+
+
+def test_conv_sessions_gap_split(tiny_log, ray_session):
+    # conv b turns are 0.5 s apart; a 1-second gap threshold keeps one
+    # session, a sub-gap threshold splits every turn
+    one = TR.conv_sessions(tiny_log, gap_s=3600).to_pandas()
+    b = one[one.conv_id == "b"]
+    assert len(b) == 1 and b.iloc[0].n_turns == 10
+    assert b.iloc[0].session_idx == 0
+    assert b.iloc[0].end_us - b.iloc[0].start_us == 4_500_000
+    split = TR.conv_sessions(tiny_log, gap_s=0).to_pandas()
+    bs = split[split.conv_id == "b"]
+    assert len(bs) == 10
+    assert sorted(bs.session_idx) == list(range(10))
+
+
+def test_tool_transitions_counts(tiny_log, ray_session):
+    df = TR.tool_transitions(tiny_log).to_pandas()
+    # tiny_log has a single tool turn -> no transitions
+    assert len(df) == 0 or df.n.sum() == 0
+
+
+def test_tool_transitions_planted_sequences(ray_session):
+    from osprey_ray.datagen import ensure_dataset
+
+    d = ensure_dataset(6_000, seed=42)
+    df = TR.tool_transitions(d).to_pandas()
+    assert df.n.sum() > 0
+    # datagen plants exec->mail follow-ups; the pair must be present
+    em = df[(df.from_tool == "exec") & (df.to_tool == "mail")]
+    assert len(em) == 1 and em.iloc[0].n > 0

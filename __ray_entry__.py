@@ -920,6 +920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_sessions": _conv_sessions,  # new in r4 — transcript sessionizer
         "tool_transitions": _tool_transitions,  # new in r4 — CEP adjacency
         "paginated_scan": A.q_paginated_scan,  # new in r4 — UI offset page
+        "cross_snapshot_diff": T.q_cross_snapshot_diff,  # new in r4 — crawl diff
+        "doc_ttr": T.q_doc_ttr,  # new in r4 — lexical diversity
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1942,6 +1944,32 @@ def oracle_sql() -> dict[str, str]:
         "paginated_scan": (
             "SELECT CAST(event_id AS BIGINT) AS event_id, epoch_us(ts) AS tus, "
             "event_type FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 200"
+        ),
+        # crawl re-visit diff: digest-driven added/changed/unchanged/removed
+        "cross_snapshot_diff": (
+            "WITH " + _splitmix64_ctes("documents", "doc_id, source, text", "doc_id")
+            + ", bb AS (SELECT doc_id, source, text, r % 100 AS b FROM smh), "
+            "oldd AS (SELECT doc_id, source, "
+            "md5(CASE WHEN b >= 60 THEN text || ' [v1]' ELSE text END) AS m "
+            "FROM bb WHERE b < 80), "
+            "newd AS (SELECT doc_id, source, md5(text) AS m "
+            "FROM bb WHERE b < 70 OR b >= 80), "
+            "j AS (SELECT COALESCE(n.source, o.source) AS source, "
+            "CASE WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.m = o.m THEN 'unchanged' ELSE 'changed' END AS status "
+            "FROM newd n FULL OUTER JOIN oldd o ON n.doc_id = o.doc_id) "
+            "SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_pages "
+            "FROM j GROUP BY source, status"
+        ),
+        # integer type-token ratio per doc (lexical diversity filter)
+        "doc_ttr": (
+            "WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok "
+            "FROM documents), "
+            "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types FROM tk GROUP BY doc_id) "
+            "SELECT doc_id, n_tokens, n_types, "
+            "n_types * 1000000 // GREATEST(n_tokens, 1) AS ttr_ppm FROM a"
         ),
         # integer A-ES weighted sample: unsigned priority order, int64 view
         "weighted_sample": (

@@ -4721,3 +4721,136 @@ def q_weighted_sample(sf_dir: str, n: int = 50):
         .limit(n)
         .drop_columns(["__hi", "__lo"])
     )
+
+
+def q_cross_snapshot_diff(sf_dir: str):
+    """Crawl re-visit diff: classify every page as added / changed /
+    unchanged / removed between two crawl snapshots — the bookkeeping
+    step of recurring-crawl ingestion (the full-diff extension of
+    :func:`q_incremental_dedup`'s subtraction).  The two snapshots are
+    synthesized deterministically from the documents table by a
+    splitmix64(doc_id) bucket b ∈ [0,100): b<80 → in OLD (text revised
+    with a ' [v1]' suffix when b≥60), b<70 or b≥80 → in NEW; so digest
+    comparison yields unchanged [0,60), changed [60,70), removed
+    [70,80), added [80,100) — the classifier is genuinely driven by the
+    digests, never by the bucket.
+
+    Scale shape: one read, two filtered branches each reduced to (page,
+    digest) per-batch — text never crosses the wire — then ONE native
+    ``full_outer`` join on the page key and a stateless classify +
+    bounded status/source groupby."""
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def branch(t: pa.Table, which: str) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        b = (_splitmix64(did.astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+        if which == "old":
+            m = b < 80
+            t2 = t.filter(pa.array(m))
+            texts = t2["text"].to_pylist()
+            rev = b[m] >= 60
+            dig = [
+                hashlib.md5((x + " [v1]" if r else x).encode()).hexdigest()
+                for x, r in zip(texts, rev)
+            ]
+            return pa.table(
+                {
+                    "page": pa.array(t2["doc_id"].to_numpy(), pa.int64()),
+                    "old_md5": pa.array(dig, pa.string()),
+                    "old_source": t2["source"],
+                }
+            )
+        m = (b < 70) | (b >= 80)
+        t2 = t.filter(pa.array(m))
+        dig = [hashlib.md5(x.encode()).hexdigest() for x in t2["text"].to_pylist()]
+        return pa.table(
+            {
+                "page_n": pa.array(t2["doc_id"].to_numpy(), pa.int64()),
+                "new_md5": pa.array(dig, pa.string()),
+                "source": t2["source"],
+            }
+        )
+
+    old = ds.map_batches(lambda t: branch(t, "old"), batch_format="pyarrow")
+    new = ds.map_batches(lambda t: branch(t, "new"), batch_format="pyarrow")
+    j = new.join(
+        old,
+        join_type="full_outer",
+        num_partitions=_join_partitions(),
+        on=("page_n",),
+        right_on=("page",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        new_md5 = t["new_md5"].to_numpy(zero_copy_only=False)
+        old_md5 = t["old_md5"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        osrc = t["old_source"].to_numpy(zero_copy_only=False)
+        has_new = np.array([x is not None for x in new_md5])
+        has_old = np.array([x is not None for x in old_md5])
+        status = np.where(
+            ~has_new,
+            "removed",
+            np.where(~has_old, "added", np.where(new_md5 == old_md5, "unchanged", "changed")),
+        )
+        out_src = np.where(has_new, src, osrc).astype(str)
+        return (
+            pa.table(
+                {
+                    "source": pa.array(out_src, pa.string()),
+                    "status": pa.array(status.astype(str), pa.string()),
+                    "one": pa.array(np.ones(len(status), np.int64)),
+                }
+            )
+            .group_by(["source", "status"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["source", "status", "n"])
+        )
+
+    return (
+        j.map_batches(classify, batch_format="pyarrow")
+        .groupby(["source", "status"])
+        .aggregate(Sum("n", alias_name="n_pages"))
+    )
+
+
+def q_doc_ttr(sf_dir: str):
+    """Lexical-diversity quality metric: per-document type-token ratio
+    ``ttr_ppm = distinct_tokens * 1e6 // tokens`` (integer-exact, no
+    libm) — the MassiveText/Gopher-style diversity filter column next to
+    :func:`q_doc_repetition`.  Stateless vectorized map: one explode +
+    one lexsort per batch finds per-doc distinct counts; zero shuffle."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def ttr(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        n_tok = np.diff(offsets)
+        doc_rep = np.repeat(np.arange(len(n_tok)), n_tok)
+        order = np.lexsort((flat, doc_rep))
+        ds_, fs = doc_rep[order], flat[order]
+        newtype = np.ones(len(fs), dtype=bool)
+        if len(fs):
+            newtype[1:] = (ds_[1:] != ds_[:-1]) | (fs[1:] != fs[:-1])
+        n_types = np.bincount(ds_[newtype], minlength=len(n_tok)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "ttr_ppm": pa.array(
+                    n_types * 1_000_000 // np.maximum(n_tok, 1), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(ttr, batch_format="pyarrow")

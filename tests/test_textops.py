@@ -1663,3 +1663,24 @@ def test_partition_count_invariance_corpus_prep(ray_session):
     ):
         b = textops.q_corpus_prep(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a[cols].equals(b[cols]), "corpus_prep differs between P values"
+
+
+def test_cross_snapshot_diff_all_statuses(ray_session):
+    from osprey_ray.pipelines.textops import q_cross_snapshot_diff
+
+    df = q_cross_snapshot_diff("/root/testdata/sf0.001").to_pandas()
+    by = df.groupby("status").n_pages.sum()
+    # all four statuses present, proportions roughly 60/10/10/20
+    assert set(by.index) == {"unchanged", "changed", "removed", "added"}
+    n = by.sum()
+    assert by["unchanged"] > 0.4 * n
+    assert by["added"] > by["removed"]
+
+
+def test_doc_ttr_bounds(ray_session):
+    from osprey_ray.pipelines.textops import q_doc_ttr
+
+    df = q_doc_ttr("/root/testdata/sf0.001").to_pandas()
+    assert (df.ttr_ppm <= 1_000_000).all()
+    assert (df.n_types <= df.n_tokens).all()
+    assert (df.n_types > 0).all()

@@ -922,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paginated_scan": A.q_paginated_scan,  # new in r4 — UI offset page
         "cross_snapshot_diff": T.q_cross_snapshot_diff,  # new in r4 — crawl diff
         "doc_ttr": T.q_doc_ttr,  # new in r4 — lexical diversity
+        "corr_matrix": A.q_corr_matrix,  # new in r4 — integer correlation
+        "funnel_steps": A.q_funnel_steps,  # new in r4 — ordered funnel
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -1961,6 +1963,46 @@ def oracle_sql() -> dict[str, str]:
             "FROM newd n FULL OUTER JOIN oldd o ON n.doc_id = o.doc_id) "
             "SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_pages "
             "FROM j GROUP BY source, status"
+        ),
+        # integer-exact pairwise correlation of hourly type series
+        "corr_matrix": (
+            "WITH cm AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, "
+            "CAST(COUNT(*) AS HUGEINT) AS n FROM events GROUP BY 1, 2), "
+            "hrs AS (SELECT COUNT(DISTINCT h) AS nh FROM cm), "
+            "grid AS (SELECT t.event_type, hh.h, COALESCE(cm.n, 0) AS n "
+            "FROM (SELECT DISTINCT event_type FROM cm) t "
+            "CROSS JOIN (SELECT DISTINCT h FROM cm) hh "
+            "LEFT JOIN cm ON cm.event_type = t.event_type AND cm.h = hh.h), "
+            "st AS (SELECT event_type, SUM(n) AS s, SUM(n*n) AS ss FROM grid "
+            "GROUP BY event_type), "
+            "xy AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "SUM(a.n * b.n) AS sxy FROM grid a JOIN grid b ON a.h = b.h "
+            "AND a.event_type < b.event_type GROUP BY 1, 2), "
+            "f AS (SELECT xy.type_a, xy.type_b, "
+            "(SELECT nh FROM hrs) * sxy - sa.s * sb.s AS num, "
+            "(SELECT nh FROM hrs) * sa.ss - sa.s * sa.s AS dx, "
+            "(SELECT nh FROM hrs) * sb.ss - sb.s * sb.s AS dy "
+            "FROM xy JOIN st sa ON sa.event_type = xy.type_a "
+            "JOIN st sb ON sb.event_type = xy.type_b) "
+            "SELECT type_a, type_b, "
+            "CAST(num * num * 1000000 // GREATEST(dx * dy, 1) AS BIGINT) AS r2_ppm, "
+            "CAST(CASE WHEN num = 0 THEN 0 WHEN num > 0 THEN 1 ELSE -1 END AS BIGINT) AS sign "
+            "FROM f"
+        ),
+        # ordered funnel: each step strictly after the previous FIRST time
+        "funnel_steps": (
+            "WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id "
+            "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 "
+            "GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id FROM events e JOIN s2 ON e.user_id = s2.user_id "
+            "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 "
+            "GROUP BY e.user_id) "
+            "SELECT 'signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1 "
+            "UNION ALL SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM s2 "
+            "UNION ALL SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3"
         ),
         # integer type-token ratio per doc (lexical diversity filter)
         "doc_ttr": (

@@ -1643,3 +1643,156 @@ def q_paginated_scan(sf_dir: str, page: int = 2, page_size: int = 100):
         .repartition(1)
         .map_batches(slice_page, batch_format="pyarrow")
     )
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise correlation of the hourly count series of every event
+    type — "which signals move together", the cross-signal diagnostics of
+    the reference's Druid timeseries surface — with the correlation
+    integer-exact: ``r2_ppm = (n·Sxy − Sx·Sy)² · 1e6 // ((n·Sxx − Sx²) ·
+    (n·Syy − Sy²))`` plus the sign, computed in arbitrary-precision
+    Python ints over the BOUNDED (type × hour) count matrix (no sqrt, no
+    float, so the twin hash-matches via HUGEINT).
+
+    Scale shape: one corpus scan with a per-batch (type, hour) combiner →
+    key-domain-bounded groupby → a single tiny block computes all
+    ``T·(T−1)/2`` pairs (T = #types, a handful); hours missing from a
+    series count as zero, exactly like the SQL cross join."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.multiply(pc.divide(pc.cast(t["ts"], pa.int64()), HOUR), HOUR)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "hour_us": hour,
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["event_type", "hour_us"])
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["event_type", "hour_us", "n"])
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_us"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("r2_ppm", pa.int64()),
+            ("sign", pa.int64()),
+        ]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        hr = t["hour_us"].to_numpy()
+        n = t["n"].to_numpy()
+        types = np.unique(et)
+        hours = np.unique(hr)
+        ti = {v: i for i, v in enumerate(types)}
+        hi = {v: i for i, v in enumerate(hours)}
+        M = np.zeros((len(types), len(hours)), dtype=np.int64)
+        M[[ti[x] for x in et], [hi[x] for x in hr]] = n
+        nh = len(hours)
+        out_a, out_b, out_r2, out_s = [], [], [], []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                x, y = M[i], M[j]
+                sx, sy = int(x.sum()), int(y.sum())
+                sxx, syy = int((x * x).sum()), int((y * y).sum())
+                sxy = int((x * y).sum())
+                num = nh * sxy - sx * sy
+                dx = nh * sxx - sx * sx
+                dy = nh * syy - sy * sy
+                r2 = num * num * 1_000_000 // max(dx * dy, 1)
+                out_a.append(types[i])
+                out_b.append(types[j])
+                out_r2.append(r2)
+                out_s.append(0 if num == 0 else (1 if num > 0 else -1))
+        return pa.table(
+            {
+                "type_a": pa.array(out_a, pa.string()),
+                "type_b": pa.array(out_b, pa.string()),
+                "r2_ppm": pa.array(out_r2, pa.int64()),
+                "sign": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(pairs, batch_format="pyarrow")
+
+
+def q_funnel_steps(sf_dir: str):
+    """Ordered funnel conversion (signup → click → purchase): per user,
+    each step counts only if it happens strictly AFTER the previous
+    completed step's FIRST qualifying time — the classic product-analytics
+    funnel, and a batch cousin of the CEP SequenceMatch rule.  Output:
+    users completing each prefix.
+
+    Scale shape: the scan filters + projects to (user, step, ts) — only
+    funnel-relevant rows shuffle, ONE hash(user) exchange co-locates each
+    user — then every partition runs the whole chain as three vectorized
+    group-min passes (``np.minimum.at`` per step over ts > prev-step
+    time; no per-user Python), emitting 3 partial rows per partition."""
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.textops import _by_key_partition_col
+
+    STEPS = ["signup", "click", "purchase"]
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(STEPS)))
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "tus": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def chain(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "step": pa.array(STEPS, pa.string()),
+                    "n_users": pa.array([0, 0, 0], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        tus = t["tus"].to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        NO = np.iinfo(np.int64).max
+        prev = np.full(len(users), -1, dtype=np.int64)  # completed-at time
+        counts = []
+        for s in STEPS:
+            best = np.full(len(users), NO, dtype=np.int64)
+            m = (et == s) & (tus > prev[inv]) & (prev[inv] != NO)
+            np.minimum.at(best, inv[m], tus[m])
+            prev = np.where(prev == NO, NO, best)
+            counts.append(int((prev != NO).sum()))
+        return pa.table(
+            {
+                "step": pa.array(STEPS, pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        _by_key_partition_col(ev.map_batches(project, batch_format="pyarrow"), "user_id")
+        .map_groups(chain, batch_format="pyarrow")
+        .groupby("step")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

@@ -183,3 +183,24 @@ def test_weighted_sample_weight_bias(ray_session):
     ).fetchone()[0]
     # weight-proportional: sampled docs skew long vs the corpus mean
     assert df.weight.mean() > corpus_mean
+
+
+def test_funnel_steps_monotone(ray_session):
+    from osprey_ray.pipelines.analytics import q_funnel_steps
+
+    df = q_funnel_steps(SF_DIR).to_pandas().set_index("step")
+    # prefix completion counts must be non-increasing down the funnel
+    assert df.loc["signup", "n_users"] >= df.loc["click", "n_users"]
+    assert df.loc["click", "n_users"] >= df.loc["purchase", "n_users"]
+    assert df.loc["signup", "n_users"] > 0
+
+
+def test_corr_matrix_bounds(ray_session):
+    from osprey_ray.pipelines.analytics import q_corr_matrix
+
+    df = q_corr_matrix(SF_DIR).to_pandas()
+    # all unordered type pairs, r^2 in [0, 1e6], sign in {-1,0,1}
+    assert (df.r2_ppm >= 0).all() and (df.r2_ppm <= 1_000_000).all()
+    assert df.sign.isin([-1, 0, 1]).all()
+    assert not df.duplicated(["type_a", "type_b"]).any()
+    assert (df.type_a < df.type_b).all()

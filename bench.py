@@ -160,6 +160,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "heavy_hitters",
         "bpe_encode",
         "bm25_topk",
+        "conv_render",
     ):
         t0 = time.perf_counter()
         r = Q[name](sf_dir)

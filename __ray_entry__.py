@@ -924,6 +924,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": T.q_doc_ttr,  # new in r4 — lexical diversity
         "corr_matrix": A.q_corr_matrix,  # new in r4 — integer correlation
         "funnel_steps": A.q_funnel_steps,  # new in r4 — ordered funnel
+        "time_weighted_avg": A.q_time_weighted_avg,  # new in r4 — trapezoid TWA
+        "window_dedup": A.q_window_dedup,  # new in r4 — debounce suppression
+        "retention_cohorts": A.q_retention_cohorts,  # new in r4 — cohort matrix
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2003,6 +2006,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1 "
             "UNION ALL SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM s2 "
             "UNION ALL SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3"
+        ),
+        # trapezoidal time-weighted average, exact integer num/den
+        "time_weighted_avg": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS tus, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, event_id FROM events), "
+            "o AS (SELECT user_id, tus, cents, "
+            "lead(tus) OVER w AS ntus, lead(cents) OVER w AS nc, "
+            "first_value(cents) OVER w AS v0 "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), "
+            "s AS (SELECT user_id, "
+            "SUM(CASE WHEN ntus IS NULL THEN 0 ELSE (cents + nc) * (ntus - tus) END) AS rnum, "
+            "2 * (MAX(tus) - MIN(tus)) AS rden, MIN(v0) AS v0 FROM o GROUP BY user_id) "
+            "SELECT user_id, "
+            "CAST(CASE WHEN rden = 0 THEN v0 ELSE rnum END AS BIGINT) AS num, "
+            "CAST(CASE WHEN rden = 0 THEN 1 ELSE rden END AS BIGINT) AS den, "
+            "CAST(CASE WHEN rden = 0 THEN v0 ELSE rnum // rden END AS BIGINT) AS twa_scaled "
+            "FROM s"
+        ),
+        # debounce dedup: kept iff gap to the previous same-key event > 1h
+        "window_dedup": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id "
+            "FROM events), "
+            "o AS (SELECT user_id, event_type, tus, "
+            "lag(tus) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY tus, event_id) AS ptus FROM e) "
+            "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CASE WHEN ptus IS NULL OR tus - ptus > 3600000000 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept "
+            "FROM o GROUP BY user_id, event_type"
+        ),
+        # weekly retention cohorts (first-signup week x active-week offset)
+        "retention_cohorts": (
+            "WITH c AS (SELECT user_id, MIN(epoch_us(ts)) // 604800000000 AS cw "
+            "FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+            "a AS (SELECT DISTINCT e.user_id, c.cw, "
+            "epoch_us(e.ts) // 604800000000 - c.cw AS noff "
+            "FROM events e JOIN c ON e.user_id = c.user_id "
+            "WHERE epoch_us(e.ts) // 604800000000 >= c.cw) "
+            "SELECT cw * 604800000000 AS cohort_week_us, "
+            "CAST(noff AS BIGINT) AS week_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users FROM a GROUP BY cw, noff"
         ),
         # integer type-token ratio per doc (lexical diversity filter)
         "doc_ttr": (

@@ -1796,3 +1796,235 @@ def q_funnel_steps(sf_dir: str):
         .groupby("step")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def q_time_weighted_avg(sf_dir: str):
+    """Time-weighted average of each user's irregular `value` series
+    (trapezoidal integral / elapsed time — the correct mean for
+    unevenly-sampled gauges, vs the naive row mean): integer-exact by
+    carrying the numerator ``Σ (v_i + v_{i+1}) · Δt`` in cents·µs and
+    the denominator ``2 · (t_n − t_1)`` separately, with the scaled
+    quotient ``twa_scaled = num // den`` (cents).
+
+    Scale shape: project to (user, ts, cents), ONE hash(user) exchange,
+    per-partition lexsort + shifted-array trapezoid sums (reduceat).
+    Users with one event emit their value (num/den = v·2Δ/2Δ convention:
+    defined as cents)."""
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.textops import _by_key_partition_col
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+
+    def project(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "tus": t["ts"].cast(pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("num", pa.int64()),
+            ("den", pa.int64()),
+            ("twa_scaled", pa.int64()),
+        ]
+    )
+
+    def trap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by(
+            [("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")]
+        )
+        u = t["user_id"].to_numpy()
+        ts_ = t["tus"].to_numpy()
+        v = t["cents"].to_numpy()
+        starts = np.concatenate([[0], np.nonzero(u[1:] != u[:-1])[0] + 1])
+        ends = np.append(starts[1:], len(u))
+        same = np.zeros(len(u), dtype=bool)
+        same[:-1] = u[:-1] == u[1:]
+        seg = np.where(same, (v + np.roll(v, -1)) * (np.roll(ts_, -1) - ts_), 0)
+        csum = np.concatenate([[0], np.cumsum(seg)])
+        num = csum[ends] - csum[starts]
+        den = 2 * (ts_[ends - 1] - ts_[starts])
+        single = den == 0
+        twa = np.where(single, v[starts], num // np.maximum(den, 1))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "num": pa.array(np.where(single, v[starts], num), pa.int64()),
+                "den": pa.array(np.where(single, 1, den), pa.int64()),
+                "twa_scaled": pa.array(twa, pa.int64()),
+            }
+        )
+
+    return _by_key_partition_col(
+        ev.map_batches(project, batch_format="pyarrow"), "user_id"
+    ).map_groups(trap, batch_format="pyarrow")
+
+
+def q_window_dedup(sf_dir: str, window_s: int = 3600):
+    """Debounce-window dedup: drop an event when the SAME (user,
+    event_type) fired within the previous ``window_s`` seconds — the
+    at-least-once-delivery suppression rule (the reference's external-
+    service per-batch dedupe generalized to event time).  Debounce
+    semantics (gap measured to the previous OCCURRENCE, kept or not):
+    a pure lag-diff, so the pass is one lexsort + one shifted compare —
+    no sequential chain state.
+
+    Scale shape: one hash(user, type) exchange of projected (key, ts)
+    rows, vectorized per-partition lag compare, per-key summary
+    aggregate.  Output: events seen/kept per (user, type)."""
+    from osprey_ray.pipelines.textops import _splitmix64
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    w_us = window_s * 1_000_000
+
+    def project(t: pa.Table) -> pa.Table:
+        P = _key_parts(None)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(et, return_inverse=True)
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        # route by hash(user·7 + type-id) — co-locates each (user, type)
+        kp = (_splitmix64(u * np.uint64(7) + inv.astype(np.uint64)) % np.uint64(P)).view(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "tus": t["ts"].cast(pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "__kp": pa.array(kp, pa.int64()),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_kept", pa.int64()),
+        ]
+    )
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("tus", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        u = t["user_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ts_ = t["tus"].to_numpy()
+        newkey = np.ones(len(u), dtype=bool)
+        newkey[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        kept = newkey.copy()
+        kept[1:] |= ts_[1:] - ts_[:-1] > w_us
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_type": t["event_type"],
+                    "one": pa.array(np.ones(len(u), np.int64)),
+                    "k": pa.array(kept.astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("one", "sum"), ("k", "sum")])
+        )
+        return g.rename_columns(["user_id", "event_type", "n_events", "n_kept"])
+
+    return (
+        ev.map_batches(project, batch_format="pyarrow")
+        .groupby("__kp")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts — the product-analytics matrix behind
+    every growth dashboard: users cohorted by their FIRST signup week;
+    cell (cohort, offset) counts cohort members active (any event) in
+    cohort-week + offset.
+
+    Scale shape: project to (user, week, is_signup) — the week is
+    computed at the scan so only small ints shuffle — ONE hash(user)
+    exchange co-locates each user, a vectorized per-partition pass finds
+    the cohort week (group-min over signup rows) and the user's DISTINCT
+    offsets (lexsort + boundary diff; distinct is exact because all of a
+    user's rows share the partition), then a per-batch combiner feeds the
+    bounded (cohort × offset) groupby."""
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.textops import _by_key_partition_col
+
+    WEEK = 604_800_000_000
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "week": pc.divide(pc.cast(t["ts"], pa.int64()), WEEK),
+                "is_signup": pc.cast(
+                    pc.equal(t["event_type"], "signup"), pa.int64()
+                ),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("cohort_week_us", pa.int64()),
+            ("week_offset", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def cohorts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy()
+        wk = t["week"].to_numpy()
+        sg = t["is_signup"].to_numpy().astype(bool)
+        users, inv = np.unique(u, return_inverse=True)
+        NO = np.iinfo(np.int64).max
+        cw = np.full(len(users), NO, dtype=np.int64)
+        np.minimum.at(cw, inv[sg], wk[sg])
+        has = cw[inv] != NO
+        off = wk - cw[inv]
+        m = has & (off >= 0)
+        # distinct (user, offset) — exact within the partition because all
+        # of a user's rows are co-located — then count users per cell
+        upairs = np.unique(np.stack([inv[m], off[m]], axis=1), axis=0)
+        ucw = cw[upairs[:, 0]]
+        uk, cnt = np.unique(
+            np.stack([ucw, upairs[:, 1]], axis=1), axis=0, return_counts=True
+        )
+        return pa.table(
+            {
+                "cohort_week_us": pa.array(uk[:, 0] * WEEK, pa.int64()),
+                "week_offset": pa.array(uk[:, 1], pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _by_key_partition_col(
+            ev.map_batches(project, batch_format="pyarrow"), "user_id"
+        )
+        .map_groups(cohorts, batch_format="pyarrow")
+        .groupby(["cohort_week_us", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )

@@ -204,3 +204,39 @@ def test_corr_matrix_bounds(ray_session):
     assert df.sign.isin([-1, 0, 1]).all()
     assert not df.duplicated(["type_a", "type_b"]).any()
     assert (df.type_a < df.type_b).all()
+
+
+def test_time_weighted_avg_exactness(ray_session):
+    from osprey_ray.pipelines.analytics import q_time_weighted_avg
+
+    df = q_time_weighted_avg(SF_DIR).to_pandas()
+    # exact rational carried: twa == num // den for every user
+    assert (df.twa_scaled == df.num // df.den).all()
+    assert (df.den > 0).all()
+    # TWA lies within the user's value range
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "value"])
+    cents = (ev.value * 100 + 0.5).astype("int64")
+    rng = cents.groupby(ev.user_id).agg(["min", "max"])
+    j = df.set_index("user_id").join(rng)
+    assert (j.twa_scaled >= j["min"] - 1).all() and (j.twa_scaled <= j["max"]).all()
+
+
+def test_window_dedup_suppresses(ray_session):
+    from osprey_ray.pipelines.analytics import q_window_dedup
+
+    df = q_window_dedup(SF_DIR).to_pandas()
+    assert (df.n_kept <= df.n_events).all()
+    assert (df.n_kept >= 1).all()
+    assert (df.n_kept < df.n_events).any()  # suppression actually happens
+
+
+def test_retention_cohorts_monotone(ray_session):
+    from osprey_ray.pipelines.analytics import q_retention_cohorts
+
+    df = q_retention_cohorts(SF_DIR).to_pandas()
+    assert (df.week_offset >= 0).all()
+    # offset-0 cell of a cohort is at least as big as any later offset
+    for cw, g in df.groupby("cohort_week_us"):
+        base = g[g.week_offset == 0]
+        assert len(base) == 1
+        assert g.n_users.max() == base.iloc[0].n_users

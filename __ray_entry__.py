@@ -927,6 +927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg": A.q_time_weighted_avg,  # new in r4 — trapezoid TWA
         "window_dedup": A.q_window_dedup,  # new in r4 — debounce suppression
         "retention_cohorts": A.q_retention_cohorts,  # new in r4 — cohort matrix
+        "bloom_join": A.q_bloom_join,  # new in r4 — runtime-filter join
+        "group_quantiles": A.q_group_quantiles,  # new in r4 — grouped exact pcts
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2035,6 +2037,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN ptus IS NULL OR tus - ptus > 3600000000 "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept "
             "FROM o GROUP BY user_id, event_type"
+        ),
+        # Bloom runtime-filter join: exact, so the twin IS the semi join
+        # (same device as jaccard_neardup reusing the minhash pair twin)
+        "bloom_join": (
+            "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'F')"
+        ),
+        # per-type exact discrete percentiles via the histogram combiner
+        "group_quantiles": (
+            "SELECT event_type, "
+            "CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25, "
+            "CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50, "
+            "CAST(quantile_disc(c, 0.95) AS BIGINT) AS p95 "
+            "FROM (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c "
+            "FROM events) GROUP BY event_type"
         ),
         # weekly retention cohorts (first-signup week x active-week offset)
         "retention_cohorts": (

@@ -2028,3 +2028,145 @@ def q_retention_cohorts(sf_dir: str):
         .groupby(["cohort_week_us", "week_offset"])
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+
+def q_bloom_join(sf_dir: str):
+    """Bloom-prefiltered semi join: customers with a finished ('F') order,
+    where a broadcast Bloom filter of the order custkeys prunes the
+    customer side BEFORE the join exchange — the classic distributed-join
+    shuffle reducer (runtime filter pushdown in Spark/Presto terms).  The
+    Bloom has no false negatives, so after the exact confirming
+    ``left_semi`` join the output is IDENTICAL to :func:`q_semi_join` —
+    the filter is an execution shortcut, not an approximation (the
+    :func:`textops.q_bloom_dedup` precedent) — hence the same SQL twin.
+
+    Scale shape: the filter is built by one global TREE aggregate over
+    the (already projected) right-side keys (an m-bit OR-mergeable
+    sketch; the driver holds one bitmap, never key rows), shipped once
+    via closure capture; each left batch drops non-members locally, so
+    only plausible matches enter the hash exchange."""
+    from ray.data.aggregate import AggregateFn
+
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _splitmix64
+
+    M = 1 << 20  # bits; ~700 'F'-order custkeys per sf0.01 → tiny FP rate
+    K = 4
+    seeds = (np.arange(K, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    keys = orders.map_batches(prep_o, batch_format="pyarrow")
+
+    def acc(a, t: pa.Table):
+        a = np.asarray(a, np.uint8).copy()
+        u = t["o_custkey"].to_numpy().astype(np.uint64)
+        for s in seeds:
+            pos = (_splitmix64(u + s) % np.uint64(M)).astype(np.int64)
+            a[pos] = 1
+        return a
+
+    fn = AggregateFn(
+        init=lambda _k: np.zeros(M, np.uint8),
+        accumulate_block=acc,
+        merge=lambda a, b: np.asarray(a, np.uint8) | np.asarray(b, np.uint8),
+        name="bf",
+    )
+    bloom = np.asarray(keys.aggregate(fn)["bf"], np.uint8)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        u = t["c_custkey"].to_numpy().astype(np.uint64)
+        member = np.ones(len(u), dtype=bool)
+        for s in seeds:
+            pos = (_splitmix64(u + s) % np.uint64(M)).astype(np.int64)
+            member &= bloom[pos].astype(bool)
+        return t.filter(pa.array(member))
+
+    return cust.map_batches(prefilter, batch_format="pyarrow").join(
+        keys,
+        join_type="left_semi",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+
+def q_group_quantiles(sf_dir: str):
+    """Per-group exact discrete percentiles (p25/p50/p95 of event cents
+    per type) — the grouped version of :func:`q_event_quantiles`, via the
+    histogram-combiner device: per-batch ``(type, cents) value_counts``
+    → key-domain-bounded groupby sum → one vectorized per-type pick at
+    1-based rank ``ceil(n·q)`` (DuckDB's ``quantile_disc`` rule).  The
+    corpus never shuffles; the exchange carries one row per distinct
+    (type, cents)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "c": cents,
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["event_type", "c"])
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["event_type", "c", "n"])
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("p25", pa.int64()),
+            ("p50", pa.int64()),
+            ("p95", pa.int64()),
+        ]
+    )
+
+    def picks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy()
+        n = t["n"].to_numpy()
+        order = np.lexsort((c, et))
+        et, c, n = et[order], c[order], n[order]
+        starts = np.concatenate([[0], np.nonzero(et[1:] != et[:-1])[0] + 1])
+        ends = np.append(starts[1:], len(et))
+        out = {"event_type": [], "p25": [], "p50": [], "p95": []}
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(n[s:e])
+            tot = int(cum[-1])
+            out["event_type"].append(et[s])
+            for q, col in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95")):
+                r = max(int(np.ceil(tot * q)), 1)
+                out[col].append(int(c[s:e][np.searchsorted(cum, r)]))
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "p25": pa.array(out["p25"], pa.int64()),
+                "p50": pa.array(out["p50"], pa.int64()),
+                "p95": pa.array(out["p95"], pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(picks, batch_format="pyarrow")

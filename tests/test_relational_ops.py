@@ -240,3 +240,20 @@ def test_retention_cohorts_monotone(ray_session):
         base = g[g.week_offset == 0]
         assert len(base) == 1
         assert g.n_users.max() == base.iloc[0].n_users
+
+
+def test_bloom_join_matches_semi_join(ray_session):
+    from osprey_ray.pipelines.analytics import q_bloom_join, q_semi_join
+
+    a = q_bloom_join(SF_DIR).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    b = q_semi_join(SF_DIR).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    # the Bloom prefilter is an execution shortcut: outputs identical
+    assert a.equals(b)
+
+
+def test_group_quantiles_ordering(ray_session):
+    from osprey_ray.pipelines.analytics import q_group_quantiles
+
+    df = q_group_quantiles(SF_DIR).to_pandas()
+    assert (df.p25 <= df.p50).all() and (df.p50 <= df.p95).all()
+    assert len(df) == 5

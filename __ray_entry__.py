@@ -929,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": A.q_retention_cohorts,  # new in r4 — cohort matrix
         "bloom_join": A.q_bloom_join,  # new in r4 — runtime-filter join
         "group_quantiles": A.q_group_quantiles,  # new in r4 — grouped exact pcts
+        "gap_fill_ma": A.q_gap_fill_ma,  # new in r4 — resample + trailing sum
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2053,6 +2054,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_disc(c, 0.95) AS BIGINT) AS p95 "
             "FROM (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c "
             "FROM events) GROUP BY event_type"
+        ),
+        # gap-filled hourly series + trailing 3h sum (resample/asfreq)
+        "gap_fill_ma": (
+            "WITH cm AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cm), "
+            "hrs AS (SELECT unnest(generate_series((SELECT h0 FROM b), "
+            "(SELECT h1 FROM b))) AS h), "
+            "g AS (SELECT t.event_type, hrs.h, COALESCE(cm.n, 0) AS n "
+            "FROM (SELECT DISTINCT event_type FROM cm) t CROSS JOIN hrs "
+            "LEFT JOIN cm ON cm.event_type = t.event_type AND cm.h = hrs.h) "
+            "SELECT event_type, h * 3600000000 AS hour_us, n, "
+            "CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_sum "
+            "FROM g"
         ),
         # weekly retention cohorts (first-signup week x active-week offset)
         "retention_cohorts": (

@@ -2170,3 +2170,78 @@ def q_group_quantiles(sf_dir: str):
         )
 
     return hist.repartition(1).map_batches(picks, batch_format="pyarrow")
+
+
+def q_gap_fill_ma(sf_dir: str, window: int = 3):
+    """Gap-filled hourly series + trailing moving aggregate: per event
+    type, the count for EVERY hour in the corpus span (absent hours
+    filled with 0 — the resample/asfreq step every time-series pipeline
+    needs before a window function) and the trailing ``window``-hour sum.
+
+    Scale shape: one corpus scan → per-batch (type, hour) combiner →
+    key-domain-bounded groupby; the dense (type × span) grid is built in
+    one bounded block (types × hours — dashboard-sized by construction;
+    the grid is never joined back against the corpus) with the trailing
+    sum as a cumsum difference."""
+    from ray.data.aggregate import Sum
+
+    HOUR = 3_600_000_000
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t["ts"], pa.int64()), HOUR)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "h": hour,
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["event_type", "h"])
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["event_type", "h", "n"])
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour_us", pa.int64()),
+            ("n", pa.int64()),
+            ("trailing_sum", pa.int64()),
+        ]
+    )
+
+    def grid(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy()
+        n = t["n"].to_numpy()
+        h0, h1 = int(h.min()), int(h.max())
+        span = h1 - h0 + 1
+        types = np.unique(et)
+        ti = {v: i for i, v in enumerate(types)}
+        M = np.zeros((len(types), span), dtype=np.int64)
+        M[[ti[x] for x in et], h - h0] = n
+        cs = np.cumsum(M, axis=1)
+        trail = cs - np.concatenate(
+            [np.zeros((len(types), window), np.int64), cs[:, :-window]], axis=1
+        )[:, :span]
+        hours = (np.arange(h0, h1 + 1) * HOUR).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(np.repeat(types, span), pa.string()),
+                "hour_us": pa.array(np.tile(hours, len(types)), pa.int64()),
+                "n": pa.array(M.reshape(-1), pa.int64()),
+                "trailing_sum": pa.array(trail.reshape(-1), pa.int64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(grid, batch_format="pyarrow")

@@ -257,3 +257,16 @@ def test_group_quantiles_ordering(ray_session):
     df = q_group_quantiles(SF_DIR).to_pandas()
     assert (df.p25 <= df.p50).all() and (df.p50 <= df.p95).all()
     assert len(df) == 5
+
+
+def test_gap_fill_dense_grid(ray_session):
+    from osprey_ray.pipelines.analytics import q_gap_fill_ma
+
+    df = q_gap_fill_ma(SF_DIR).to_pandas()
+    # dense grid: every type has the identical full hour span
+    spans = df.groupby("event_type").hour_us.agg(["min", "max", "count"])
+    assert spans["min"].nunique() == 1 and spans["max"].nunique() == 1
+    assert (spans["count"] == spans["count"].iloc[0]).all()
+    # gap filling actually inserted zero rows
+    assert (df.n == 0).any()
+    assert (df.trailing_sum >= df.n).all()

@@ -818,6 +818,29 @@ FROM nx WHERE to_tool IS NOT NULL GROUP BY from_tool, to_tool
 """
 
 
+def _domain_histogram(sf_dir: str):
+    """Top URL hosts across all transcript text (link-spam diagnostic;
+    StringExtractDomains as a corpus aggregate); engine in
+    ``pipelines/transcripts.py``."""
+    from osprey_ray.pipelines.transcripts import domain_histogram
+
+    return domain_histogram(_transcript_dataset(sf_dir))
+
+
+def _domain_histogram_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from osprey_ray.pipelines.transcripts import URL_HOST_PATTERN
+
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH u AS (
+  SELECT lower(unnest(regexp_extract_all(text, '{URL_HOST_PATTERN}', 1))) AS domain
+  FROM read_parquet('{d}/batch/*.parquet')
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n
+FROM u GROUP BY domain ORDER BY n DESC, domain LIMIT 20
+"""
+
+
 def _streaming_windows(sf_dir: str):
     """Watermark-driven window-aggregate emission stream (tumbling + session
     windows closed by the watermark, state evicted)."""
@@ -930,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join": A.q_bloom_join,  # new in r4 — runtime-filter join
         "group_quantiles": A.q_group_quantiles,  # new in r4 — grouped exact pcts
         "gap_fill_ma": A.q_gap_fill_ma,  # new in r4 — resample + trailing sum
+        "domain_histogram": _domain_histogram,  # new in r4 — URL host counts
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2055,6 +2079,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c "
             "FROM events) GROUP BY event_type"
         ),
+        # URL host histogram over transcript text (regex shared verbatim)
+        "domain_histogram": _domain_histogram_oracle_sql(),
         # gap-filled hourly series + trailing 3h sum (resample/asfreq)
         "gap_fill_ma": (
             "WITH cm AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, "

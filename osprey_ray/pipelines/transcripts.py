@@ -28,7 +28,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["conv_render", "conv_stats", "qa_pairs", "conv_sessions", "tool_transitions"]
+__all__ = [
+    "conv_render",
+    "conv_stats",
+    "qa_pairs",
+    "conv_sessions",
+    "tool_transitions",
+    "domain_histogram",
+]
 
 
 def _read_turns(dataset_dir: str, columns: list[str]):
@@ -405,4 +412,58 @@ def tool_transitions(dataset_dir: str):
         .map_groups(partial, batch_format="pyarrow")
         .groupby(["from_tool", "to_tool"])
         .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+_URL_HOST_RE = None  # compiled lazily in the worker (once per process)
+# shared VERBATIM with the DuckDB twin (the pii_redact convention):
+URL_HOST_PATTERN = r"https?://([^/\s]+)"
+
+
+def domain_histogram(dataset_dir: str, top_n: int = 20):
+    """Top URL hosts mentioned across all transcript text — the link-spam
+    / exfiltration diagnostic next to the flagship's HasSpamDomain rule
+    (reference analogue: stdlib StringExtractDomains,
+    example_plugins ExtractDomains — here as a corpus aggregate instead
+    of a per-event UDF).
+
+    Scale shape: ONE compiled-regex scan per BATCH — rows are joined with
+    a newline (the host charset excludes whitespace, so matches can't
+    span rows) and scanned once at C level, never a per-row Python loop —
+    then a per-batch value_counts combiner before the host groupby.
+    Dedup of re-delivered turns is unnecessary for a histogram twin only
+    if the twin sees the same multiset, so BOTH sides count the raw log."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_turns(dataset_dir, ["text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        global _URL_HOST_RE
+        if _URL_HOST_RE is None:
+            _URL_HOST_RE = re.compile(URL_HOST_PATTERN)
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        blob = "\n".join(col.to_pylist())
+        hosts = [h.lower() for h in _URL_HOST_RE.findall(blob)]
+        if not hosts:
+            return pa.table(
+                {"domain": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.array(hosts, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "domain": pa.array(u.astype(str), pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "domain"], descending=[True, False])
+        .limit(top_n)
     )

@@ -72,6 +72,10 @@ def _canon(df):
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+ONLY = [a for a in sys.argv[2:] if not a.startswith("-")]
+if ONLY:
+    QUERIES = {k: v for k, v in QUERIES.items() if k in ONLY}
+
 results = {}
 t_all = time.time()
 for name in QUERIES:

@@ -954,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": A.q_group_quantiles,  # new in r4 — grouped exact pcts
         "gap_fill_ma": A.q_gap_fill_ma,  # new in r4 — resample + trailing sum
         "domain_histogram": _domain_histogram,  # new in r4 — URL host counts
+        "event_runs": A.q_event_runs,  # new in r4 — gaps-and-islands RLE
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2081,6 +2082,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # URL host histogram over transcript text (regex shared verbatim)
         "domain_histogram": _domain_histogram_oracle_sql(),
+        # gaps-and-islands run-length encoding (row_number difference trick)
+        "event_runs": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+            "row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS rnt FROM events), "
+            "runs AS (SELECT user_id, event_type, COUNT(*) AS run_len "
+            "FROM o GROUP BY user_id, event_type, rn - rnt) "
+            "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_runs, "
+            "CAST(MAX(run_len) AS BIGINT) AS max_run "
+            "FROM runs GROUP BY user_id, event_type"
+        ),
         # gap-filled hourly series + trailing 3h sum (resample/asfreq)
         "gap_fill_ma": (
             "WITH cm AS (SELECT event_type, epoch_us(ts)//3600000000 AS h, "

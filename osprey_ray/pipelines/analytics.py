@@ -1078,6 +1078,64 @@ def q_rolling_window(sf_dir: str, preceding: int = 2):
     return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
+def q_event_runs(sf_dir: str):
+    """Gaps-and-islands run-length encoding: per user, ordered by
+    (ts, event_id), maximal runs of CONSECUTIVE same-type events, then
+    per (user, type) the number of runs and the longest run — the
+    repeated-action burst primitive behind CEP escalation rules
+    (reference analogue: the per-conv sequence features
+    ``q_cep_sequence`` matches; here the full RLE decomposition).
+
+    Scale shape: ONE hash(user) exchange; per partition a single
+    lexsort, boundary diff, and a vectorized Arrow group_by over the
+    run table — no Python per row or per run.  Twin: the classic
+    ``row_number() - row_number() PARTITION BY type`` islands trick."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("n_runs", pa.int64()),
+            ("max_run", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        typ = t["event_type"]
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        # factorize the (closed, small) type domain for the boundary diff
+        tcodes = typ.dictionary_encode().indices.to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, tc_s = uid[order], tcodes[order]
+        n = len(uid_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid_s[1:] != uid_s[:-1]) | (tc_s[1:] != tc_s[:-1])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, n))
+        runs = pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "event_type": typ.take(pa.array(order[starts])),
+                "run_len": pa.array(run_len, pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(runs, ["user_id", "event_type"]).aggregate(
+            [("run_len", "count"), ("run_len", "max")]
+        )
+        return agg.rename_columns(["user_id", "event_type", "n_runs", "max_run"]).cast(
+            pa.schema(empty)
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

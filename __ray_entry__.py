@@ -955,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_fill_ma": A.q_gap_fill_ma,  # new in r4 — resample + trailing sum
         "domain_histogram": _domain_histogram,  # new in r4 — URL host counts
         "event_runs": A.q_event_runs,  # new in r4 — gaps-and-islands RLE
+        "interval_coverage": A.q_interval_coverage,  # new in r4 — interval merge
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2093,6 +2094,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_runs, "
             "CAST(MAX(run_len) AS BIGINT) AS max_run "
             "FROM runs GROUP BY user_id, event_type"
+        ),
+        # interval merge / sweep (cumulative-max-end islands over 60s intervals)
+        "interval_coverage": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + 60000000 AS e FROM events), "
+            "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+            "FROM iv), "
+            "g AS (SELECT user_id, s, e, SUM(CASE WHEN pm IS NULL OR s > pm "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s, e) AS grp "
+            "FROM m), "
+            "mr AS (SELECT user_id, grp, MIN(s) AS ms, MAX(e) AS me "
+            "FROM g GROUP BY user_id, grp) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals, "
+            "CAST(SUM(me - ms) AS BIGINT) AS covered_us "
+            "FROM mr GROUP BY user_id"
         ),
         # gap-filled hourly series + trailing 3h sum (resample/asfreq)
         "gap_fill_ma": (

@@ -1136,6 +1136,63 @@ def q_event_runs(sf_dir: str):
     return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
+def q_interval_coverage(sf_dir: str, length_us: int = 60_000_000):
+    """Interval merge / sweep: each event opens a fixed 60 s activity
+    interval ``[ts, ts+60s]``; per user, merge overlapping-or-touching
+    intervals and report the merged-interval count and total covered
+    microseconds — the session-coverage / uptime primitive (the
+    general-interval sibling of ``q_conv_sessions``).
+
+    Scale shape: ONE hash(user) exchange; fixed-length intervals make
+    the merge a pure sorted-diff test (a new merged run starts iff
+    ``s_i - s_{i-1} > L``, since the running max end is always the
+    previous start + L), so each partition is one lexsort + diff +
+    reduceat — no segmented cummax, no Python per row.  Twin: the
+    classic cumulative-max-end islands SQL."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_intervals", pa.int64()),
+            ("covered_us", pa.int64()),
+        ]
+    )
+    L = np.int64(length_us)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        n = len(uid_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid_s[1:] != uid_s[:-1]) | (ts_s[1:] - ts_s[:-1] > L)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n) - 1
+        covered = ts_s[ends] - ts_s[starts] + L  # per merged run
+        run_uid = uid_s[starts]
+        # runs are sorted by user; reduceat over user boundaries
+        unew = np.empty(len(run_uid), dtype=bool)
+        unew[0] = True
+        unew[1:] = run_uid[1:] != run_uid[:-1]
+        ustarts = np.flatnonzero(unew)
+        n_runs = np.diff(np.append(ustarts, len(run_uid)))
+        cov = np.add.reduceat(covered, ustarts)
+        return pa.table(
+            {
+                "user_id": pa.array(run_uid[ustarts], pa.int64()),
+                "n_intervals": pa.array(n_runs.astype(np.int64), pa.int64()),
+                "covered_us": pa.array(cov.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

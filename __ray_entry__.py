@@ -956,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_histogram": _domain_histogram,  # new in r4 — URL host counts
         "event_runs": A.q_event_runs,  # new in r4 — gaps-and-islands RLE
         "interval_coverage": A.q_interval_coverage,  # new in r4 — interval merge
+        "cumulative_users": A.q_cumulative_users,  # new in r4 — running distinct
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2110,6 +2111,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals, "
             "CAST(SUM(me - ms) AS BIGINT) AS covered_us "
             "FROM mr GROUP BY user_id"
+        ),
+        # running distinct users via the first-seen prefix-sum rewrite
+        "cumulative_users": (
+            "WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d "
+            "FROM events GROUP BY user_id), "
+            "c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users "
+            "FROM f GROUP BY d) "
+            "SELECT strftime(d, '%Y-%m-%d') AS day, new_users, "
+            "CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users "
+            "FROM c"
         ),
         # gap-filled hourly series + trailing 3h sum (resample/asfreq)
         "gap_fill_ma": (

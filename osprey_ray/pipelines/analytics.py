@@ -1193,6 +1193,62 @@ def q_interval_coverage(sf_dir: str, length_us: int = 60_000_000):
     return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
+def q_cumulative_users(sf_dir: str):
+    """Growth accounting: per calendar day, the count of FIRST-SEEN users
+    and the running cumulative distinct-user total — the canonical
+    "cumulative COUNT(DISTINCT)" rewrite (first-seen trick: a running
+    distinct count is the prefix sum of first-occurrence counts, so no
+    per-day distinct state is ever held).
+
+    Scale shape: ONE groupby(user) min-ts (combiner-backed), then a tiny
+    groupby(day) count; the cumsum runs driver-side over the final
+    per-day result, which is O(days) — small by construction."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    first = ds.map_batches(to_us, batch_format="pyarrow").groupby("user_id").aggregate(
+        Min("ts_us", alias_name="first_us")
+    )
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = t["first_us"].to_numpy().astype(np.int64)
+        day = np.datetime_as_string(
+            (us // 86_400_000_000).astype("datetime64[D]"), unit="D"
+        )
+        return pa.table(
+            {
+                "day": pa.array(day.astype(str), pa.string()),
+                "n": pa.array(np.ones(len(us), np.int64), pa.int64()),
+            }
+        )
+
+    per_day = (
+        first.map_batches(to_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="new_users"))
+        .sort("day")
+    )
+    # O(days) rows — driver-side prefix sum is the honest shape here
+    df = per_day.to_pandas()
+    new = df["new_users"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(df["day"].astype(str), pa.string()),
+            "new_users": pa.array(new, pa.int64()),
+            "cum_users": pa.array(np.cumsum(new), pa.int64()),
+        }
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

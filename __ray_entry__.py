@@ -841,6 +841,33 @@ FROM u GROUP BY domain ORDER BY n DESC, domain LIMIT 20
 """
 
 
+def _conv_turn_gap(sf_dir: str):
+    """Inter-turn latency stats per conversation (count / exact total /
+    max of consecutive-turn ts gaps after keep-first dedup); engine in
+    ``pipelines/transcripts.py``."""
+    from osprey_ray.pipelines.transcripts import conv_turn_gap
+
+    return conv_turn_gap(_transcript_dataset(sf_dir))
+
+
+def _conv_turn_gap_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (SELECT conv_id, turn_idx, epoch_us(ts) AS us FROM raw WHERE dup_rn = 1),
+g AS (
+  SELECT conv_id, us - LAG(us) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM t
+)
+SELECT conv_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS total_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY conv_id
+"""
+
+
 def _streaming_windows(sf_dir: str):
     """Watermark-driven window-aggregate emission stream (tumbling + session
     windows closed by the watermark, state evicted)."""
@@ -957,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_runs": A.q_event_runs,  # new in r4 — gaps-and-islands RLE
         "interval_coverage": A.q_interval_coverage,  # new in r4 — interval merge
         "cumulative_users": A.q_cumulative_users,  # new in r4 — running distinct
+        "conv_turn_gap": _conv_turn_gap,  # new in r4 — inter-turn latency
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2084,6 +2112,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # URL host histogram over transcript text (regex shared verbatim)
         "domain_histogram": _domain_histogram_oracle_sql(),
+        # inter-turn latency per conversation (LAG twin; engine telescopes the SUM)
+        "conv_turn_gap": _conv_turn_gap_oracle_sql(),
         # gaps-and-islands run-length encoding (row_number difference trick)
         "event_runs": (
             "WITH o AS (SELECT user_id, event_type, "

@@ -35,6 +35,7 @@ __all__ = [
     "conv_sessions",
     "tool_transitions",
     "domain_histogram",
+    "conv_turn_gap",
 ]
 
 
@@ -467,3 +468,62 @@ def domain_histogram(dataset_dir: str, top_n: int = 20):
         .sort(["n", "domain"], descending=[True, False])
         .limit(top_n)
     )
+
+
+_GAP_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_gaps", pa.int64()),
+        ("total_gap_us", pa.int64()),
+        ("max_gap_us", pa.int64()),
+    ]
+)
+
+
+def conv_turn_gap(dataset_dir: str):
+    """Inter-turn latency per conversation: after keep-first dedup and
+    turn_idx ordering, the count / exact total / max of consecutive-turn
+    timestamp gaps — the responsiveness diagnostic behind the streaming
+    engine's watermark-lag target (single-turn conversations emit
+    nothing).
+
+    Same one-exchange shape as :func:`conv_stats`.  The gap SUM
+    telescopes to ``last_ts - first_ts`` per conversation; the MAX is one
+    ``np.maximum.reduceat`` with an int64-min sentinel at conversation
+    starts — no Python per row."""
+    ds = _read_turns(dataset_dir, ["conv_id", "turn_idx", "ts"])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _GAP_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy()
+        keep = np.ones(len(conv), dtype=bool)
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+        conv = conv[keep]
+        us = t["ts"].cast(pa.int64()).to_numpy()[keep]
+        starts = np.concatenate([[0], np.nonzero(conv[1:] != conv[:-1])[0] + 1])
+        ends = np.append(starts[1:], len(conv))
+        d = np.empty(len(us), dtype=np.int64)
+        d[0] = np.iinfo(np.int64).min
+        d[1:] = us[1:] - us[:-1]
+        d[starts] = np.iinfo(np.int64).min  # cross-conv diffs never win the max
+        n_gaps = ends - starts - 1
+        multi = n_gaps > 0
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts][multi], pa.string()),
+                "n_gaps": pa.array(n_gaps[multi], pa.int64()),
+                "total_gap_us": pa.array(
+                    (us[ends - 1] - us[starts])[multi], pa.int64()
+                ),
+                "max_gap_us": pa.array(
+                    np.maximum.reduceat(d, starts)[multi], pa.int64()
+                ),
+            }
+        )
+
+    return _route_by_conv(ds).map_groups(gaps, batch_format="pyarrow")

@@ -985,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": A.q_interval_coverage,  # new in r4 — interval merge
         "cumulative_users": A.q_cumulative_users,  # new in r4 — running distinct
         "conv_turn_gap": _conv_turn_gap,  # new in r4 — inter-turn latency
+        "grouped_mode": A.q_grouped_mode,  # new in r4 — MODE() per group
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2141,6 +2142,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals, "
             "CAST(SUM(me - ms) AS BIGINT) AS covered_us "
             "FROM mr GROUP BY user_id"
+        ),
+        # MODE per group over integer cents (ties toward the smaller value)
+        "grouped_mode": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY n DESC, cents) AS rn FROM c) "
+            "SELECT event_type, cents AS mode_cents, n FROM r WHERE rn = 1"
         ),
         # running distinct users via the first-seen prefix-sum rewrite
         "cumulative_users": (

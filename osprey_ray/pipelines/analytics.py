@@ -1249,6 +1249,76 @@ def q_cumulative_users(sf_dir: str):
     )
 
 
+def q_grouped_mode(sf_dir: str):
+    """MODE per group: the most frequent integer-cents value per event
+    type (ties broken toward the smaller value, so the answer is
+    deterministic on both sides) — the categorical summary statistic
+    SQL's ``mode()`` computes.
+
+    Scale shape: a per-batch ``(type, cents)`` value_counts COMBINER
+    shrinks the shuffle to distinct pairs, one groupby sums them, and
+    the final per-type argmax runs over the tiny distinct-pair table —
+    never the raw rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64), pa.int64()
+        )
+        pairs = pa.table({"event_type": t["event_type"], "cents": cents})
+        agg = pa.TableGroupBy(pairs, ["event_type", "cents"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["event_type", "cents", "n"]).cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("cents", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            )
+        )
+
+    merged = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("mode_cents", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        # sort by (type, -n, cents): first row per type is the mode
+        # (integer codes — np.lexsort over object strings is unreliable)
+        _, et_codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((cents, -n, et_codes))
+        et_s, c_s, n_s = et[order], cents[order], n[order]
+        first = np.ones(len(et_s), dtype=bool)
+        first[1:] = et_s[1:] != et_s[:-1]
+        return pa.table(
+            {
+                "event_type": pa.array(et_s[first], pa.string()),
+                "mode_cents": pa.array(c_s[first], pa.int64()),
+                "n": pa.array(n_s[first], pa.int64()),
+            }
+        )
+
+    # the distinct-pair table is tiny; a single map_groups over event_type
+    # keeps each type's pairs together for the argmax
+    return merged.groupby("event_type").map_groups(argmax, batch_format="pyarrow")
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

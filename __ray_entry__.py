@@ -986,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users": A.q_cumulative_users,  # new in r4 — running distinct
         "conv_turn_gap": _conv_turn_gap,  # new in r4 — inter-turn latency
         "grouped_mode": A.q_grouped_mode,  # new in r4 — MODE() per group
+        "nation_revenue": A.q_nation_revenue,  # new in r4 — Q5-shaped multiway join
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2142,6 +2143,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals, "
             "CAST(SUM(me - ms) AS BIGINT) AS covered_us "
             "FROM mr GROUP BY user_id"
+        ),
+        # TPC-H Q5-shaped multiway join (revenue quantized per row before SUM)
+        "nation_revenue": (
+            "WITH l AS (SELECT l_orderkey AS ok, "
+            "CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS cents "
+            "FROM lineitem) "
+            "SELECT r_name, n_name, CAST(SUM(cents) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM l JOIN orders ON ok = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"
         ),
         # MODE per group over integer cents (ties toward the smaller value)
         "grouped_mode": (

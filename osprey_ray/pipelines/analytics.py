@@ -1319,6 +1319,130 @@ def q_grouped_mode(sf_dir: str):
     return merged.groupby("event_type").map_groups(argmax, batch_format="pyarrow")
 
 
+def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5-shaped multiway pipeline: revenue (integer cents,
+    quantized per ROW before any aggregation so float sum order can't
+    differ) per (region, nation) — lineitem ⋈ orders ⋈ customer as two
+    large partitioned hash joins, nation/region as a broadcast
+    dimension lookup.
+
+    Scale shape: the two big sides meet in Ray's native hash-shuffle
+    join (partitions ∝ cluster); lineitem is pre-aggregated per batch by
+    orderkey BEFORE its join (combiner — ~4 rows/order collapse to 1);
+    the 25-row nation×region dimension rides the task closure and is
+    applied as a numpy take, so the final groupby sees ≤ |region×nation|
+    rows per batch."""
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    # tiny dimensions: build nationkey -> (n_name, r_name) at the driver
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    reg = _pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    rname_by_key = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    n_name = np.empty(int(nk.max()) + 1, dtype=object)
+    r_name = np.empty(int(nk.max()) + 1, dtype=object)
+    n_name[nk] = np.asarray(nat["n_name"], dtype=object)
+    r_name[nk] = np.asarray(
+        [rname_by_key[k] for k in nat["n_regionkey"]], dtype=object
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def pre_li(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = pa.table(
+            {"orderkey": t["l_orderkey"].cast(pa.int64()), "cents": pa.array(cents)}
+        ).group_by("orderkey").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["orderkey", "cents", "n_items"]).cast(
+            pa.schema(
+                [("orderkey", pa.int64()), ("cents", pa.int64()), ("n_items", pa.int64())]
+            )
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "custkey": t["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    def prep_c(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": t["c_custkey"].cast(pa.int64()),
+                "nationkey": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    P = _join_partitions()
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    oc = orders.map_batches(prep_o, batch_format="pyarrow").join(
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    # the join output feeds ANOTHER join — pin to drop the schema-less
+    # empty blocks Ray's hash join emits (3 int64 columns × |orders| rows:
+    # the narrow intermediate, a deliberate checkpoint before the wide join)
+    oc = _pin_schema(
+        oc,
+        pa.schema(
+            [("orderkey", pa.int64()), ("custkey", pa.int64()), ("nationkey", pa.int64())]
+        ),
+    )
+    j = li.map_batches(pre_li, batch_format="pyarrow").join(
+        oc,
+        join_type="inner",
+        num_partitions=P,
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def to_dim(t: pa.Table) -> pa.Table:
+        key = t["nationkey"].to_numpy().astype(np.int64)
+        g = pa.table(
+            {
+                "r_name": pa.array(r_name[key], pa.string()),
+                "n_name": pa.array(n_name[key], pa.string()),
+                "cents": t["cents"],
+                "n_items": t["n_items"],
+            }
+        ).group_by(["r_name", "n_name"]).aggregate(
+            [("cents", "sum"), ("n_items", "sum")]
+        )
+        return g.rename_columns(["r_name", "n_name", "cents", "n_items"]).cast(
+            pa.schema(
+                [
+                    ("r_name", pa.string()),
+                    ("n_name", pa.string()),
+                    ("cents", pa.int64()),
+                    ("n_items", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        j.map_batches(to_dim, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum("cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

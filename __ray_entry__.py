@@ -987,6 +987,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_gap": _conv_turn_gap,  # new in r4 — inter-turn latency
         "grouped_mode": A.q_grouped_mode,  # new in r4 — MODE() per group
         "nation_revenue": A.q_nation_revenue,  # new in r4 — Q5-shaped multiway join
+        "promo_share": A.q_promo_share,  # new in r4 — Q14-shaped part join
+        "supplier_nation_balance": A.q_supplier_nation_balance,  # new in r4
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2156,6 +2158,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # TPC-H Q14-shaped promo revenue share per ship month
+        "promo_share": (
+            "SELECT strftime(l_shipdate, '%Y-%m') AS month, "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) "
+            "ELSE 0 END) AS BIGINT) AS promo_cents, "
+            "CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS total_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY month"
+        ),
+        # supplier ledger profile per nation (broadcast dim lookup)
+        "supplier_nation_balance": (
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+            "CAST(SUM(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS bal_cents, "
+            "CAST(MAX(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS max_bal_cents "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name"
         ),
         # MODE per group over integer cents (ties toward the smaller value)
         "grouped_mode": (

@@ -1443,6 +1443,144 @@ def q_nation_revenue(sf_dir: str):
     )
 
 
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14-shaped promotion share: per ship MONTH, the integer-cents
+    revenue from PROMO-type parts vs total — lineitem ⋈ part as a
+    partitioned hash join of two large sides (part is ~0.2×lineitem at
+    any scale — never a broadcast), revenue quantized per row before any
+    aggregation.
+
+    Scale shape: ONE hash(partkey) join, then a per-batch month×flag
+    partial aggregate so the final groupby sees ≤ months rows per batch."""
+    from ray.data.aggregate import Sum
+
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        month = np.datetime_as_string(
+            (us // 86_400_000_000).astype("datetime64[D]").astype("datetime64[M]"),
+            unit="M",
+        )
+        return pa.table(
+            {
+                "partkey": t["l_partkey"].cast(pa.int64()),
+                "month": pa.array(month.astype(str), pa.string()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def prep_p(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partkey": t["p_partkey"].cast(pa.int64()),
+                "is_promo": pc.equal(t["p_type"], "PROMO"),
+            }
+        )
+
+    j = li.map_batches(prep_li, batch_format="pyarrow").join(
+        part.map_batches(prep_p, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        promo = t["is_promo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy().astype(np.int64)
+        g = pa.table(
+            {
+                "month": t["month"],
+                "promo_cents": pa.array(promo * cents, pa.int64()),
+                "total_cents": pa.array(cents, pa.int64()),
+                "n_items": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        ).group_by("month").aggregate(
+            [("promo_cents", "sum"), ("total_cents", "sum"), ("n_items", "sum")]
+        )
+        return g.rename_columns(
+            ["month", "promo_cents", "total_cents", "n_items"]
+        ).cast(
+            pa.schema(
+                [
+                    ("month", pa.string()),
+                    ("promo_cents", pa.int64()),
+                    ("total_cents", pa.int64()),
+                    ("n_items", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
+def q_supplier_nation_balance(sf_dir: str):
+    """Supplier ledger profile per nation: supplier count, total and max
+    account balance (integer cents) grouped through the broadcast
+    nation dimension — the dimension-lookup aggregate over the one
+    fact table no other query touches.
+
+    Scale shape: no shuffle of the fact side beyond the final tiny
+    groupby — the 25-row nation dim rides the closure as a numpy take
+    and balances are quantized per row."""
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Max, Sum
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    n_name = np.empty(int(nk.max()) + 1, dtype=object)
+    n_name[nk] = np.asarray(nat["n_name"], dtype=object)
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = t["s_nationkey"].cast(pa.int64()).to_numpy()
+        cents = np.floor(t["s_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = pa.table(
+            {
+                "n_name": pa.array(n_name[key], pa.string()),
+                "n_suppliers": pa.array(np.ones(len(key), np.int64), pa.int64()),
+                "bal_cents": pa.array(cents, pa.int64()),
+                "max_bal_cents": pa.array(cents, pa.int64()),
+            }
+        ).group_by("n_name").aggregate(
+            [("n_suppliers", "sum"), ("bal_cents", "sum"), ("max_bal_cents", "max")]
+        )
+        return g.rename_columns(
+            ["n_name", "n_suppliers", "bal_cents", "max_bal_cents"]
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("bal_cents", alias_name="bal_cents"),
+            Max("max_bal_cents", alias_name="max_bal_cents"),
+        )
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

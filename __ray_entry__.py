@@ -972,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paginated_scan": A.q_paginated_scan,  # new in r4 — UI offset page
         "cross_snapshot_diff": T.q_cross_snapshot_diff,  # new in r4 — crawl diff
         "doc_ttr": T.q_doc_ttr,  # new in r4 — lexical diversity
+        "vocab_stats": T.q_vocab_stats,  # new in r4 — Heaps/Zipf corpus profile
         "corr_matrix": A.q_corr_matrix,  # new in r4 — integer correlation
         "funnel_steps": A.q_funnel_steps,  # new in r4 — ordered funnel
         "time_weighted_avg": A.q_time_weighted_avg,  # new in r4 — trapezoid TWA
@@ -2158,6 +2159,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # per-source vocabulary profile (exact distinct + hapax; shared tokenizer)
+        "vocab_stats": (
+            "WITH tok AS (SELECT source, "
+            "unnest(string_split(lower(text), ' ')) AS token FROM documents), "
+            "c AS (SELECT source, token, COUNT(*) AS n FROM tok "
+            "WHERE token <> '' GROUP BY source, token) "
+            "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax "
+            "FROM c GROUP BY source"
         ),
         # TPC-H Q14-shaped promo revenue share per ship month
         "promo_share": (

@@ -4854,3 +4854,78 @@ def q_doc_ttr(sf_dir: str):
         )
 
     return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+def q_vocab_stats(sf_dir: str):
+    """Vocabulary statistics per source: total token count, EXACT distinct
+    vocabulary size, and hapax-legomena count (tokens seen exactly once)
+    — the Heaps'-law / Zipf-tail corpus profile a curation pass reads
+    before choosing dedup and filter thresholds.  Tokenizer shared with
+    ``q_token_counts`` (lowercase, single-space split, empties dropped).
+
+    Scale shape: per-batch (source, token) value_counts COMBINER shrinks
+    the exchange to batch-distinct pairs; one groupby sums partials into
+    exact per-pair counts; a second per-batch combiner folds pairs into
+    per-source (total, distinct, hapax) triples so the final groupby is
+    |sources| rows.  Exact distinct without a distinct-state actor —
+    the same two-stage shape as ``q_top_tokens_per_source``."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        tbl = pa.table({"source": src.take(parent), "token": flat})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        g = pa.TableGroupBy(tbl, ["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "n"]).cast(
+            pa.schema(
+                [("source", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+            )
+        )
+
+    exact = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.int64)
+        g = pa.table(
+            {
+                "source": t["source"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_distinct": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                "n_hapax": pa.array((n == 1).astype(np.int64), pa.int64()),
+            }
+        ).group_by("source").aggregate(
+            [("n_tokens", "sum"), ("n_distinct", "sum"), ("n_hapax", "sum")]
+        )
+        return g.rename_columns(["source", "n_tokens", "n_distinct", "n_hapax"]).cast(
+            pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_tokens", pa.int64()),
+                    ("n_distinct", pa.int64()),
+                    ("n_hapax", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        exact.map_batches(fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_hapax", alias_name="n_hapax"),
+        )
+    )

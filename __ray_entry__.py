@@ -990,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": A.q_nation_revenue,  # new in r4 — Q5-shaped multiway join
         "promo_share": A.q_promo_share,  # new in r4 — Q14-shaped part join
         "supplier_nation_balance": A.q_supplier_nation_balance,  # new in r4
+        "order_size_hist": A.q_order_size_hist,  # new in r4 — group-size dist
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2159,6 +2160,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # distribution of group sizes (lineitems per order)
+        "order_size_hist": (
+            "WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT k AS items_per_order, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM c GROUP BY k"
         ),
         # per-source vocabulary profile (exact distinct + hapax; shared tokenizer)
         "vocab_stats": (

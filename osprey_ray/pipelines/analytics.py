@@ -1581,6 +1581,50 @@ def q_supplier_nation_balance(sf_dir: str):
     )
 
 
+def q_order_size_hist(sf_dir: str):
+    """Distribution of GROUP SIZES: how many orders have k lineitems, for
+    each k — the two-level aggregation (count per key, then histogram of
+    the counts) that profiles key skew before choosing a partitioning.
+
+    Scale shape: per-batch orderkey value_counts combiner → one groupby
+    makes per-order counts exact → per-batch value_counts of k → a
+    |distinct k|-row final groupby.  Both exchanges move combiner
+    output, never raw rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def per_order(t: pa.Table) -> pa.Table:
+        vc = t["l_orderkey"].cast(pa.int64()).combine_chunks().value_counts()
+        return pa.table(
+            {
+                "orderkey": vc.field("values"),
+                "k": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(per_order, batch_format="pyarrow")
+        .groupby("orderkey")
+        .aggregate(Sum("k", alias_name="k"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        vc = t["k"].cast(pa.int64()).combine_chunks().value_counts()
+        return pa.table(
+            {
+                "items_per_order": vc.field("values"),
+                "n_orders": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        exact.map_batches(hist, batch_format="pyarrow")
+        .groupby("items_per_order")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

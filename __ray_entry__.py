@@ -991,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_share": A.q_promo_share,  # new in r4 — Q14-shaped part join
         "supplier_nation_balance": A.q_supplier_nation_balance,  # new in r4
         "order_size_hist": A.q_order_size_hist,  # new in r4 — group-size dist
+        "copurchase_pairs": A.q_copurchase_pairs,  # new in r4 — market basket
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2160,6 +2161,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # market-basket co-purchase pair counts (unordered, p1 < p2)
+        "copurchase_pairs": (
+            "WITH dp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+            "FROM lineitem), "
+            "p AS (SELECT a.pk AS p1, b.pk AS p2 FROM dp a "
+            "JOIN dp b ON a.ok = b.ok AND a.pk < b.pk) "
+            "SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n FROM p "
+            "GROUP BY p1, p2 ORDER BY n DESC, p1, p2 LIMIT 20"
         ),
         # distribution of group sizes (lineitems per order)
         "order_size_hist": (

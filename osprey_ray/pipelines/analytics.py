@@ -1625,6 +1625,70 @@ def q_order_size_hist(sf_dir: str):
     )
 
 
+def q_copurchase_pairs(sf_dir: str, top_n: int = 20):
+    """Market-basket co-occurrence: the ``top_n`` most frequent UNORDERED
+    part pairs bought in the same order (ties toward smaller part ids) —
+    the co-purchase graph edge-weighting step of a recommender.
+
+    Scale shape: ONE hash(orderkey) exchange keeps each basket whole;
+    per partition, pairs are generated by a stride loop bounded by the
+    LARGEST basket (baskets are small — TPC-H orders hold ≤7 lineitems —
+    so the loop runs a handful of vectorized passes, never per row), a
+    per-partition Arrow group_by pre-counts pairs, and only distinct
+    (p1, p2, n) partials hit the final exchange.  ``p1 < p2`` falls out
+    of the within-basket sort, so no canonicalization pass."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    empty = pa.schema([("p1", pa.int64()), ("p2", pa.int64()), ("n", pa.int64())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok_s, pk_s = ok[order], pk[order]
+        # distinct (order, part): a part listed twice in one order is one
+        # basket membership (twin: SELECT DISTINCT)
+        keep = np.ones(len(ok_s), dtype=bool)
+        keep[1:] = (ok_s[1:] != ok_s[:-1]) | (pk_s[1:] != pk_s[:-1])
+        ok_s, pk_s = ok_s[keep], pk_s[keep]
+        n = len(ok_s)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ok_s[1:] != ok_s[:-1]])
+        )
+        k_max = int(np.diff(np.append(starts, n)).max()) if n else 0
+        p1_parts, p2_parts = [], []
+        for d in range(1, k_max):
+            if d >= n:
+                break
+            m = ok_s[d:] == ok_s[:-d]
+            if not m.any():
+                break
+            p1_parts.append(pk_s[:-d][m])
+            p2_parts.append(pk_s[d:][m])
+        if not p1_parts:
+            return empty.empty_table()
+        tbl = pa.table(
+            {
+                "p1": pa.array(np.concatenate(p1_parts), pa.int64()),
+                "p2": pa.array(np.concatenate(p2_parts), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(tbl, ["p1", "p2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p1", "p2", "n"]).cast(pa.schema(empty))
+
+    return (
+        _by_key_partition(ds, "l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["p1", "p2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "p1", "p2"], descending=[True, False, False])
+        .limit(top_n)
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

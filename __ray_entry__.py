@@ -992,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_balance": A.q_supplier_nation_balance,  # new in r4
         "order_size_hist": A.q_order_size_hist,  # new in r4 — group-size dist
         "copurchase_pairs": A.q_copurchase_pairs,  # new in r4 — market basket
+        "dow_hour_heatmap": A.q_dow_hour_heatmap,  # new in r4 — seasonality grid
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2161,6 +2162,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # calendar seasonality grid (DuckDB dayofweek: 0 = Sunday)
+        "dow_hour_heatmap": (
+            "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "
+            "CAST(hour(ts) AS BIGINT) AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY dow, hour"
         ),
         # market-basket co-purchase pair counts (unordered, p1 < p2)
         "copurchase_pairs": (

@@ -1689,6 +1689,41 @@ def q_copurchase_pairs(sf_dir: str, top_n: int = 20):
     )
 
 
+def q_dow_hour_heatmap(sf_dir: str):
+    """Seasonality heatmap: event counts per (day-of-week, hour-of-day) —
+    the calendar decomposition behind traffic-shaped alert thresholds
+    (DuckDB's ``dayofweek`` convention: 0 = Sunday; the engine matches
+    it with ``(epoch_days + 4) % 7`` since 1970-01-01 was a Thursday).
+
+    Scale shape: pure per-batch value_counts combiner on a composite
+    dow*24+hour int — the final groupby sees ≤168 rows per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        code = pa.array(dow * 24 + hour, pa.int64())
+        vc = code.value_counts()
+        c = vc.field("values").to_numpy()
+        return pa.table(
+            {
+                "dow": pa.array(c // 24, pa.int64()),
+                "hour": pa.array(c % 24, pa.int64()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(buckets, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

@@ -1014,6 +1014,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_engine_events": A.q_rule_engine_events,
         "tumbling_hourly": A.q_tumbling_hourly,
         "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
+        "timeseries_day": lambda sf_dir: A.q_timeseries(sf_dir, "day"),  # r4
+        "timeseries_week": lambda sf_dir: A.q_timeseries(sf_dir, "week"),  # r4
         "sliding_window_counts": A.q_sliding_window_counts,
         "session_counts": A.q_session_counts,
         "cep_sequence": A.q_cep_sequence,
@@ -1567,6 +1569,18 @@ def oracle_sql() -> dict[str, str]:
         # the Druid granularity ladder's finest step (druid.py:147-166)
         "timeseries_minute": (
             "SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS bucket_s, "
+            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # the rest of the Druid granularity ladder (druid.py:147-223)
+        "timeseries_day": (
+            "SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS bucket_s, "
+            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "timeseries_week": (
+            "SELECT event_type, "
+            "((CAST(floor(epoch(ts)) AS BIGINT) - 345600) // 604800) * 604800 + 345600 AS bucket_s, "
             "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
             "FROM events GROUP BY 1, 2"
         ),

@@ -993,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_size_hist": A.q_order_size_hist,  # new in r4 — group-size dist
         "copurchase_pairs": A.q_copurchase_pairs,  # new in r4 — market basket
         "dow_hour_heatmap": A.q_dow_hour_heatmap,  # new in r4 — seasonality grid
+        "customer_rfm": A.q_customer_rfm,  # new in r4 — RFM feature triple
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2176,6 +2177,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # RFM feature triple per customer (recency vs corpus max order date)
+        "customer_rfm": (
+            "WITH m AS (SELECT MAX(epoch_us(o_orderdate)) AS md FROM orders) "
+            "SELECT o_custkey AS custkey, "
+            "CAST((md - MAX(epoch_us(o_orderdate))) // 86400000000 AS BIGINT) "
+            "AS recency_days, "
+            "CAST(COUNT(*) AS BIGINT) AS frequency, "
+            "CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS monetary_cents "
+            "FROM orders, m GROUP BY o_custkey, md"
         ),
         # calendar seasonality grid (DuckDB dayofweek: 0 = Sunday)
         "dow_hour_heatmap": (

@@ -1724,6 +1724,57 @@ def q_dow_hour_heatmap(sf_dir: str):
     )
 
 
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation inputs per customer: Recency (whole days between
+    the customer's last order and the corpus max order date), Frequency
+    (order count), Monetary (total order value in integer cents) — the
+    standard churn/value feature triple.
+
+    Scale shape: pass 1 is a scalar Max (combiner tree, one row to the
+    driver — broadcast back inside the closure); pass 2 is ONE
+    groupby(custkey) with three combiner-backed aggregates; recency
+    arithmetic runs vectorized on the already-aggregated rows."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": t["o_custkey"].cast(pa.int64()),
+                "od_us": t["o_orderdate"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    md_us = int(prepped.aggregate(Max("od_us"))["max(od_us)"])  # scalar to driver
+
+    agg = prepped.groupby("custkey").aggregate(
+        Max("od_us", alias_name="last_us"),
+        Count(alias_name="frequency"),
+        Sum("cents", alias_name="monetary_cents"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        last = t["last_us"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "custkey": t["custkey"].cast(pa.int64()),
+                "recency_days": pa.array(
+                    (md_us - last) // 86_400_000_000, pa.int64()
+                ),
+                "frequency": t["frequency"].cast(pa.int64()),
+                "monetary_cents": t["monetary_cents"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

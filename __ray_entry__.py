@@ -994,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": A.q_copurchase_pairs,  # new in r4 — market basket
         "dow_hour_heatmap": A.q_dow_hour_heatmap,  # new in r4 — seasonality grid
         "customer_rfm": A.q_customer_rfm,  # new in r4 — RFM feature triple
+        "order_lead_time": A.q_order_lead_time,  # new in r4 — Q12-ish lead time
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2177,6 +2178,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # shipping lead time per priority (DuckDB // truncates; engine matches)
+        "order_lead_time": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000) "
+            "AS BIGINT) AS total_lead_days, "
+            "CAST(MAX((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000) "
+            "AS BIGINT) AS max_lead_days "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         # RFM feature triple per customer (recency vs corpus max order date)
         "customer_rfm": (

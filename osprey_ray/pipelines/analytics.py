@@ -1775,6 +1775,78 @@ def q_customer_rfm(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_order_lead_time(sf_dir: str):
+    """Shipping lead time per order priority: item count, total and max
+    whole-day lag between each lineitem's ship date and its order's
+    order date — the fulfillment-latency audit (TPC-H Q12's time
+    arithmetic over the Q4 join).
+
+    Scale shape: ONE hash(orderkey) join of two pruned projections, then
+    a per-batch priority partial so the final groupby sees ≤|priorities|
+    rows per batch.  Day division matches DuckDB's truncating ``//`` via
+    sign*(abs//n) (negative lags can't floor differently)."""
+    from ray.data.aggregate import Max, Sum
+
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["l_orderkey"].cast(pa.int64()),
+                "ship_us": t["l_shipdate"].cast(pa.int64()),
+            }
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "od_us": t["o_orderdate"].cast(pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    j = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["ship_us"].to_numpy().astype(np.int64) - t["od_us"].to_numpy().astype(
+            np.int64
+        )
+        days = np.sign(d) * (np.abs(d) // 86_400_000_000)
+        g = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_items": pa.array(np.ones(len(days), np.int64), pa.int64()),
+                "total_lead_days": pa.array(days, pa.int64()),
+                "max_lead_days": pa.array(days, pa.int64()),
+            }
+        ).group_by("o_orderpriority").aggregate(
+            [("n_items", "sum"), ("total_lead_days", "sum"), ("max_lead_days", "max")]
+        )
+        return g.rename_columns(
+            ["o_orderpriority", "n_items", "total_lead_days", "max_lead_days"]
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("total_lead_days", alias_name="total_lead_days"),
+            Max("max_lead_days", alias_name="max_lead_days"),
+        )
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

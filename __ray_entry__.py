@@ -995,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_heatmap": A.q_dow_hour_heatmap,  # new in r4 — seasonality grid
         "customer_rfm": A.q_customer_rfm,  # new in r4 — RFM feature triple
         "order_lead_time": A.q_order_lead_time,  # new in r4 — Q12-ish lead time
+        "user_streaks": A.q_user_streaks,  # new in r4 — consecutive-day islands
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2178,6 +2179,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # consecutive-active-day streaks (islands over DISTINCT days)
+        "user_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts)//86400000000 AS dayn FROM events), "
+            "r AS (SELECT user_id, dayn, dayn - row_number() OVER "
+            "(PARTITION BY user_id ORDER BY dayn) AS grp FROM d), "
+            "s AS (SELECT user_id, COUNT(*) AS len FROM r GROUP BY user_id, grp) "
+            "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, "
+            "CAST(MAX(len) AS BIGINT) AS max_streak FROM s GROUP BY user_id"
         ),
         # shipping lead time per priority (DuckDB // truncates; engine matches)
         "order_lead_time": (

@@ -1847,6 +1847,61 @@ def q_order_lead_time(sf_dir: str):
     )
 
 
+def q_user_streaks(sf_dir: str):
+    """Activity streaks: per user, the count of distinct active days and
+    the LONGEST run of consecutive days — the engagement-streak metric
+    (the calendar-gap sibling of :func:`q_event_runs`' type islands).
+
+    Scale shape: ONE hash(user) exchange; per partition a lexsort,
+    consecutive (user, day) dedup, a ``diff != 1`` boundary test for
+    streak starts, and the same reduceat fold as
+    :func:`q_interval_coverage` — no Python per row.  Twin: the
+    ``dayn - row_number()`` islands trick over DISTINCT days."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_active_days", pa.int64()),
+            ("max_streak", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        dayn = (t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000).astype(np.int64)
+        order = np.lexsort((dayn, uid))
+        uid_s, day_s = uid[order], dayn[order]
+        keep = np.ones(len(uid_s), dtype=bool)
+        keep[1:] = (uid_s[1:] != uid_s[:-1]) | (day_s[1:] != day_s[:-1])
+        uid_s, day_s = uid_s[keep], day_s[keep]
+        n = len(uid_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid_s[1:] != uid_s[:-1]) | (day_s[1:] - day_s[:-1] != 1)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        run_uid = uid_s[starts]
+        unew = np.empty(len(run_uid), dtype=bool)
+        unew[0] = True
+        unew[1:] = run_uid[1:] != run_uid[:-1]
+        ustarts = np.flatnonzero(unew)
+        return pa.table(
+            {
+                "user_id": pa.array(run_uid[ustarts], pa.int64()),
+                "n_active_days": pa.array(
+                    np.add.reduceat(lens, ustarts).astype(np.int64), pa.int64()
+                ),
+                "max_streak": pa.array(
+                    np.maximum.reduceat(lens, ustarts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

@@ -996,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": A.q_customer_rfm,  # new in r4 — RFM feature triple
         "order_lead_time": A.q_order_lead_time,  # new in r4 — Q12-ish lead time
         "user_streaks": A.q_user_streaks,  # new in r4 — consecutive-day islands
+        "bounce_sessions": A.q_bounce_sessions,  # new in r4 — bounce decomposition
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2179,6 +2180,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
+        ),
+        # bounce-session decomposition (30-min gap; session_counts convention)
+        "bounce_sessions": (
+            "WITH b AS (SELECT user_id, ts, CASE WHEN "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > 1800000000 "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "g AS (SELECT user_id, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS grp FROM b), "
+            "s AS (SELECT user_id, grp, COUNT(*) AS len "
+            "FROM g GROUP BY user_id, grp) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, "
+            "CAST(MAX(len) AS BIGINT) AS max_session_events "
+            "FROM s GROUP BY user_id"
         ),
         # consecutive-active-day streaks (islands over DISTINCT days)
         "user_streaks": (

@@ -1902,6 +1902,64 @@ def q_user_streaks(sf_dir: str):
     return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
+def q_bounce_sessions(sf_dir: str):
+    """Bounce-rate inputs: per user, session count under the 30-minute
+    inactivity gap (``q_session_counts``' convention), the number of
+    BOUNCE sessions (exactly one event), and the longest session in
+    events — the engagement-quality decomposition a funnel report
+    divides.
+
+    Scale shape: same ONE hash(user) exchange + lexsort as
+    ``q_session_counts``; session lengths come from one boundary diff
+    and the per-user fold is two reduceats."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    G = 1_800_000_000
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("n_bounce", pa.int64()),
+            ("max_session_events", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        n = len(uid_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid_s[1:] != uid_s[:-1]) | (ts_s[1:] - ts_s[:-1] > G)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        sess_uid = uid_s[starts]
+        unew = np.empty(len(sess_uid), dtype=bool)
+        unew[0] = True
+        unew[1:] = sess_uid[1:] != sess_uid[:-1]
+        ustarts = np.flatnonzero(unew)
+        return pa.table(
+            {
+                "user_id": pa.array(sess_uid[ustarts], pa.int64()),
+                "n_sessions": pa.array(
+                    np.diff(np.append(ustarts, len(sess_uid))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_bounce": pa.array(
+                    np.add.reduceat((lens == 1).astype(np.int64), ustarts), pa.int64()
+                ),
+                "max_session_events": pa.array(
+                    np.maximum.reduceat(lens, ustarts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

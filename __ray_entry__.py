@@ -997,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lead_time": A.q_order_lead_time,  # new in r4 — Q12-ish lead time
         "user_streaks": A.q_user_streaks,  # new in r4 — consecutive-day islands
         "bounce_sessions": A.q_bounce_sessions,  # new in r4 — bounce decomposition
+        "user_type_diversity": A.q_user_type_diversity,  # new in r4 — breadth hist
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2249,6 +2250,14 @@ def oracle_sql() -> dict[str, str]:
             "WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k "
             "FROM lineitem GROUP BY l_orderkey) "
             "SELECT k AS items_per_order, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM c GROUP BY k"
+        ),
+        # engagement-breadth histogram: (user, day) pairs by distinct-type count
+        "user_type_diversity": (
+            "WITH c AS (SELECT user_id, epoch_us(ts)//86400000000 AS dayn, "
+            "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k "
+            "FROM events GROUP BY user_id, dayn) "
+            "SELECT k AS n_types, CAST(COUNT(*) AS BIGINT) AS n_user_days "
             "FROM c GROUP BY k"
         ),
         # per-source vocabulary profile (exact distinct + hapax; shared tokenizer)

@@ -1960,6 +1960,61 @@ def q_bounce_sessions(sf_dir: str):
     return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
+def q_user_type_diversity(sf_dir: str):
+    """Behavioral diversity distribution: for every (user, active day),
+    how many DISTINCT event types did the user touch — histogrammed as
+    n_types → n_user_days (the DISTINCT-counting sibling of
+    :func:`q_order_size_hist`; keyed per day so k actually varies).
+
+    Scale shape: per-batch DISTINCT (user, day, type) combiner (dedup
+    inside the batch costs one Arrow group-by), one keyed groupby
+    collapses cross-batch duplicates, a second keyed Count yields per
+    (user, day) k, and the final groupby sees ≤|type domain| rows per
+    batch."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def distinct_triples(t: pa.Table) -> pa.Table:
+        dayn = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "user_id": t["user_id"].cast(pa.int64()),
+                    "dayn": dayn,
+                    "event_type": t["event_type"],
+                }
+            ),
+            ["user_id", "dayn", "event_type"],
+        ).aggregate([([], "count_all")])
+        return g.drop_columns(["count_all"])
+
+    # a key's triple-rows can straddle a block boundary after the sort-based
+    # groupby, so k must come from a keyed Count, not a per-batch value_counts
+    per_user_day = (
+        ds.map_batches(distinct_triples, batch_format="pyarrow")
+        .groupby(["user_id", "dayn", "event_type"])
+        .aggregate(Count(alias_name="_dup"))
+        .groupby(["user_id", "dayn"])
+        .aggregate(Count(alias_name="k"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        vc = t["k"].cast(pa.int64()).combine_chunks().value_counts()
+        return pa.table(
+            {
+                "n_types": vc.field("values"),
+                "n_user_days": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        per_user_day.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_types")
+        .aggregate(Sum("n_user_days", alias_name="n_user_days"))
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

@@ -998,6 +998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": A.q_user_streaks,  # new in r4 — consecutive-day islands
         "bounce_sessions": A.q_bounce_sessions,  # new in r4 — bounce decomposition
         "user_type_diversity": A.q_user_type_diversity,  # new in r4 — breadth hist
+        "big_orders": A.q_big_orders,  # new in r4 — Q18-shaped HAVING + enrich
+        "top_unshipped": A.q_top_unshipped,  # new in r4 — Q3-shaped top-10
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2259,6 +2261,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id, dayn) "
             "SELECT k AS n_types, CAST(COUNT(*) AS BIGINT) AS n_user_days "
             "FROM c GROUP BY k"
+        ),
+        # TPC-H Q18-shaped large-volume customers (HAVING filter then enrich)
+        "big_orders": (
+            "WITH q AS (SELECT l_orderkey AS orderkey, "
+            "CAST(SUM(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) "
+            "AS qty100 FROM lineitem GROUP BY 1), "
+            "b AS (SELECT orderkey, qty100 FROM q WHERE qty100 > 25000) "
+            "SELECT c_name, orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+            "CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS total_cents, qty100 "
+            "FROM b JOIN orders ON orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        # TPC-H Q3-shaped shipping-priority top-10
+        "top_unshipped": (
+            "SELECT l_orderkey AS orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+            "o_orderpriority AS priority, "
+            "CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-15' "
+            "AND l_shipdate > TIMESTAMP '1998-06-15' "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue_cents DESC, orderkey LIMIT 10"
         ),
         # per-source vocabulary profile (exact distinct + hapax; shared tokenizer)
         "vocab_stats": (

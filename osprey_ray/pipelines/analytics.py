@@ -2015,6 +2015,178 @@ def q_user_type_diversity(sf_dir: str):
     )
 
 
+def q_big_orders(sf_dir: str, min_qty100: int = 25_000):
+    """TPC-H Q18-shaped large-volume-customer report: orders whose total
+    quantity exceeds a threshold, with the customer name attached —
+    the HAVING-filter-then-enrich join pattern (reference Q18 shape:
+    ui_api TopN over a grouped measure, druid.py:256-311 analogue).
+
+    Scale shape: lineitem is pre-aggregated per batch by orderkey
+    (combiner) before ONE keyed groupby; the HAVING filter drops ~98% of
+    orders BEFORE either join, so both hash joins move only the
+    qualifying keys plus the (orders, customer) dimensions.  Quantity is
+    quantized to integer centi-units per ROW so the unordered partial
+    sums hash-match DuckDB."""
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def pre_li(t: pa.Table) -> pa.Table:
+        q100 = np.floor(t["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = pa.table(
+            {"orderkey": t["l_orderkey"].cast(pa.int64()), "q100": pa.array(q100)}
+        ).group_by("orderkey").aggregate([("q100", "sum")])
+        return g.rename_columns(["orderkey", "q100"]).cast(
+            pa.schema([("orderkey", pa.int64()), ("q100", pa.int64())])
+        )
+
+    big = (
+        li.map_batches(pre_li, batch_format="pyarrow")
+        .groupby("orderkey")
+        .aggregate(Sum("q100", alias_name="qty100"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["qty100"], min_qty100)),
+            batch_format="pyarrow",
+        )
+    )
+    big = _pin_schema(
+        big, pa.schema([("orderkey", pa.int64()), ("qty100", pa.int64())])
+    )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "custkey": t["o_custkey"].cast(pa.int64()),
+                "orderdate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+                "total_cents": pa.array(cents),
+            }
+        )
+
+    def prep_c(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": t["c_custkey"].cast(pa.int64()),
+                "c_name": t["c_name"].cast(pa.string()),
+            }
+        )
+
+    P = _join_partitions()
+    j = big.join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    j = _pin_schema(
+        j,
+        pa.schema(
+            [
+                ("orderkey", pa.int64()),
+                ("qty100", pa.int64()),
+                ("custkey", pa.int64()),
+                ("orderdate", pa.string()),
+                ("total_cents", pa.int64()),
+            ]
+        ),
+    )
+    j = j.join(
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    return j.select_columns(["c_name", "orderkey", "orderdate", "total_cents", "qty100"])
+
+
+def q_top_unshipped(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-15"):
+    """TPC-H Q3-shaped shipping-priority report: the 10 highest-revenue
+    orders from one market segment that were PLACED before the cutoff
+    but still have lineitems SHIPPING after it.
+
+    Scale shape: every side is filtered AT THE BATCH before any
+    exchange (lineitem by shipdate, orders by orderdate, customer by
+    segment), lineitem revenue is pre-aggregated per batch by orderkey,
+    the two hash joins move only qualifying rows, and the final top-10
+    is a keyed groupby followed by a sort on the already-small grouped
+    result.  Revenue is quantized to integer cents per row."""
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    cutoff_us = int(pd.Timestamp(cutoff).value // 1_000)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def pre_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"].cast(pa.int64()), cutoff_us))
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = pa.table(
+            {"orderkey": t["l_orderkey"].cast(pa.int64()), "cents": pa.array(cents)}
+        ).group_by("orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["orderkey", "cents"]).cast(
+            pa.schema([("orderkey", pa.int64()), ("cents", pa.int64())])
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"].cast(pa.int64()), cutoff_us))
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "custkey": t["o_custkey"].cast(pa.int64()),
+                "orderdate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+                "priority": t["o_orderpriority"].cast(pa.string()),
+            }
+        )
+
+    def prep_c(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], segment))
+        return pa.table({"custkey": t["c_custkey"].cast(pa.int64())})
+
+    P = _join_partitions()
+    oc = orders.map_batches(prep_o, batch_format="pyarrow").join(
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    oc = _pin_schema(
+        oc,
+        pa.schema(
+            [
+                ("orderkey", pa.int64()),
+                ("custkey", pa.int64()),
+                ("orderdate", pa.string()),
+                ("priority", pa.string()),
+            ]
+        ),
+    ).drop_columns(["custkey"])
+    j = li.map_batches(pre_li, batch_format="pyarrow").join(
+        oc,
+        join_type="inner",
+        num_partitions=P,
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    agg = (
+        j.groupby(["orderkey", "orderdate", "priority"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    return agg.sort(["revenue_cents", "orderkey"], descending=[True, False]).limit(10)
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

@@ -1000,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_diversity": A.q_user_type_diversity,  # new in r4 — breadth hist
         "big_orders": A.q_big_orders,  # new in r4 — Q18-shaped HAVING + enrich
         "top_unshipped": A.q_top_unshipped,  # new in r4 — Q3-shaped top-10
+        "attribution": A.q_attribution,  # new in r4 — last-click self-asof
+        "event_type_share": A.q_event_type_share,  # new in r4 — ppm share
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2288,6 +2290,31 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-06-15' "
             "GROUP BY 1, 2, 3 "
             "ORDER BY revenue_cents DESC, orderkey LIMIT 10"
+        ),
+        # last-click attribution: most recent prior click within 7 days
+        "attribution": (
+            "WITH e AS (SELECT event_id, user_id, ts, event_type FROM events "
+            "WHERE event_type IN ('click','purchase')), "
+            "w AS (SELECT event_id, ts, event_type, "
+            "last_value(CASE WHEN event_type='click' THEN event_id END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cid, "
+            "last_value(CASE WHEN event_type='click' THEN ts END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cts "
+            "FROM e) "
+            "SELECT event_id AS purchase_id, "
+            "CAST(COALESCE(CASE WHEN epoch_us(ts) - epoch_us(cts) "
+            "<= 604800000000 THEN cid END, -1) AS BIGINT) AS click_id "
+            "FROM w WHERE event_type='purchase'"
+        ),
+        # per-(user, type) count and exact integer ppm share of user's total
+        "event_type_share": (
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+            "SELECT user_id, event_type, n, "
+            "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
+            "AS BIGINT) AS share_ppm FROM c"
         ),
         # per-source vocabulary profile (exact distinct + hapax; shared tokenizer)
         "vocab_stats": (

@@ -2187,6 +2187,131 @@ def q_top_unshipped(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-
     return agg.sort(["revenue_cents", "orderkey"], descending=[True, False]).limit(10)
 
 
+def q_attribution(sf_dir: str, window_days: int = 7):
+    """Last-click attribution: for every purchase event, the most recent
+    PRIOR click by the same user within ``window_days`` (ordered by
+    (ts, event_id) so ties are deterministic; -1 when no click
+    qualifies) — the self-as-of-join marketing-attribution pattern.
+
+    Scale shape: each batch is filtered to the two relevant types
+    before the ONE hash(user) exchange; per partition a lexsort and a
+    composite-offset ``maximum.accumulate`` forward-fill (user ordinal ×
+    (n+1) keeps fills from crossing user boundaries) resolve every
+    purchase in O(n log n) with no Python per row."""
+    W = np.int64(window_days) * 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "ts": t["ts"].cast(pa.int64()),
+                "is_click": pc.equal(t["event_type"], "click"),
+            }
+        )
+
+    empty = pa.schema([("purchase_id", pa.int64()), ("click_id", pa.int64())])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        isc = t["is_click"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, isc = uid[order], ts[order], eid[order], isc[order]
+        n = len(uid)
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        uord = np.cumsum(new_u) - 1
+        # composite forward-fill key: numpy int64 wraps silently — guard
+        assert (int(uord[-1]) + 1) * (n + 1) < 2**63, "attribution key overflows"
+        base = uord.astype(np.int64) * np.int64(n + 1)
+        val = np.where(isc, base + np.arange(n, dtype=np.int64) + 1, base)
+        m_prev = np.empty(n, dtype=np.int64)
+        m_prev[0] = -1
+        np.maximum.accumulate(val[:-1], out=m_prev[1:])
+        has = m_prev >= base + 1
+        cidx = np.where(has, m_prev - base - 1, 0)
+        sel = ~isc  # purchases
+        h = has[sel]
+        ci = cidx[sel]
+        in_window = h & (ts[sel] - ts[ci] <= W)
+        click_id = np.where(in_window, eid[ci], np.int64(-1))
+        return pa.table(
+            {"purchase_id": pa.array(eid[sel]), "click_id": pa.array(click_id)}
+        )
+
+    return _by_user_partition(ds.map_batches(pre, batch_format="pyarrow")).map_groups(
+        per_part, batch_format="pyarrow"
+    )
+
+
+def q_event_type_share(sf_dir: str):
+    """Per-(user, event_type) activity count plus its exact integer
+    parts-per-million share of the user's total — the percent-of-total
+    window pattern (share in ppm so the unordered distributed sum
+    hash-matches the SQL window twin exactly, no float division).
+
+    Scale shape: a per-batch (user, type) count combiner collapses each
+    batch to ≤|users×types| partial rows BEFORE the one hash(user)
+    exchange; per partition two Arrow group_bys and a searchsorted map
+    compute totals and shares with no Python per row."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"user_id": t["user_id"].cast(pa.int64()), "event_type": t["event_type"]}
+        ).group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n"]).cast(
+            pa.schema(
+                [("user_id", pa.int64()), ("event_type", pa.string()), ("n", pa.int64())]
+            )
+        )
+
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("share_ppm", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        g = t.select(["user_id", "event_type", "n"]).group_by(
+            ["user_id", "event_type"]
+        ).aggregate([("n", "sum")])
+        u = g["user_id"].to_numpy().astype(np.int64)
+        n = g["n_sum"].to_numpy().astype(np.int64)
+        tu = g.group_by("user_id").aggregate([("n_sum", "sum")])
+        tu_u = tu["user_id"].to_numpy().astype(np.int64)
+        tu_tot = tu["n_sum_sum"].to_numpy().astype(np.int64)
+        o = np.argsort(tu_u)
+        tot = tu_tot[o][np.searchsorted(tu_u[o], u)]
+        assert len(n) == 0 or int(n.max()) * 1_000_000 < 2**63, "ppm overflows"
+        share = n * np.int64(1_000_000) // tot
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pa.array(n),
+                "share_ppm": pa.array(share),
+            }
+        )
+
+    return _by_user_partition(ds.map_batches(pre, batch_format="pyarrow")).map_groups(
+        per_part, batch_format="pyarrow"
+    )
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

@@ -1002,6 +1002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped": A.q_top_unshipped,  # new in r4 — Q3-shaped top-10
         "attribution": A.q_attribution,  # new in r4 — last-click self-asof
         "event_type_share": A.q_event_type_share,  # new in r4 — ppm share
+        "dod_change": A.q_dod_change,  # new in r4 — day-over-day LAG rollup
+        "length_buckets": T.q_length_buckets,  # new in r4 — pow2 length hist
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2315,6 +2317,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, n, "
             "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
             "AS BIGINT) AS share_ppm FROM c"
+        ),
+        # day-over-day change: per (type, day) count with previous observed day
+        "dod_change": (
+            "WITH c AS (SELECT event_type, epoch_us(ts)//86400000000 AS dayn, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+            "SELECT event_type, dayn, n, "
+            "CAST(COALESCE(LAG(n) OVER (PARTITION BY event_type "
+            "ORDER BY dayn), -1) AS BIGINT) AS prev_n FROM c"
+        ),
+        # token-length power-of-2 histogram per source (bit_length(ntok)-1)
+        "length_buckets": (
+            "WITH tok AS (SELECT source, "
+            "len(string_split(text, ' ')) AS ntok FROM documents) "
+            "SELECT source, "
+            "CAST(length(format('{:b}', ntok)) - 1 AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(ntok) AS BIGINT) AS total_tokens "
+            "FROM tok GROUP BY 1, 2"
         ),
         # per-source vocabulary profile (exact distinct + hapax; shared tokenizer)
         "vocab_stats": (

@@ -2312,6 +2312,55 @@ def q_event_type_share(sf_dir: str):
     )
 
 
+def q_dod_change(sf_dir: str):
+    """Day-over-day traffic change: per (event_type, day) the event count
+    and the PREVIOUS observed day's count (-1 when none) — the
+    trend/anomaly-detection precursor (LAG over a keyed daily rollup).
+
+    Scale shape: a per-batch (type, day) count combiner collapses each
+    batch to ≤|types × days-in-batch| rows before the one keyed groupby;
+    the grouped result is DOMAIN-bounded (|types| × |calendar days|,
+    independent of row count), so the per-type lag runs as a map_groups
+    over ≤|types| tiny groups."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        dayn = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
+        g = pa.table({"event_type": t["event_type"], "dayn": dayn}).group_by(
+            ["event_type", "dayn"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "dayn", "n"]).cast(
+            pa.schema(
+                [("event_type", pa.string()), ("dayn", pa.int64()), ("n", pa.int64())]
+            )
+        )
+
+    daily = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["event_type", "dayn"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def lag_in_type(t: pa.Table) -> pa.Table:
+        day = t["dayn"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        o = np.argsort(day)
+        day, n = day[o], n[o]
+        prev = np.empty(len(n), dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = n[:-1]
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "dayn": pa.array(day),
+                "n": pa.array(n),
+                "prev_n": pa.array(prev),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(lag_in_type, batch_format="pyarrow")
+
+
 # the events table's closed event-type domain (TESTDATA.md); q_pivot_counts
 # asserts every observed type is in this list so a schema drift fails loudly
 # instead of silently dropping a column

@@ -4929,3 +4929,54 @@ def q_vocab_stats(sf_dir: str):
             Sum("n_hapax", alias_name="n_hapax"),
         )
     )
+
+
+def q_length_buckets(sf_dir: str):
+    """Token-length power-of-2 histogram per source: documents bucketed
+    by ``bit_length(n_tokens) - 1`` with doc counts and total tokens —
+    the batch-scheduling / padding-waste profile a training-data
+    pipeline sizes its sequence buckets from.
+
+    Scale shape: one vectorized split + ``np.frexp`` per batch (frexp's
+    exponent is the EXACT integer bit length for any int < 2**53 — no
+    float-log2 boundary risk), a per-batch (source, bucket) combiner,
+    then a domain-bounded keyed groupby (|sources| x ~60 buckets)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], pattern=" ")),
+            pa.int64(),
+        ).to_numpy()
+        # bit_length - 1, exactly: frexp(n) = (m, e) with n = m * 2**e
+        bucket = (np.frexp(ntok.astype(np.float64))[1] - 1).astype(np.int64)
+        g = pa.table(
+            {
+                "source": t["source"],
+                "bucket": pa.array(bucket),
+                "ntok": pa.array(ntok),
+            }
+        ).group_by(["source", "bucket"]).aggregate(
+            [("ntok", "count"), ("ntok", "sum")]
+        )
+        return g.rename_columns(["source", "bucket", "n_docs", "total_tokens"]).cast(
+            pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("bucket", pa.int64()),
+                    ("n_docs", pa.int64()),
+                    ("total_tokens", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+        )
+    )

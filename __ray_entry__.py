@@ -1004,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": A.q_event_type_share,  # new in r4 — ppm share
         "dod_change": A.q_dod_change,  # new in r4 — day-over-day LAG rollup
         "length_buckets": T.q_length_buckets,  # new in r4 — pow2 length hist
+        "session_conversion": A.q_session_conversion,  # new in r4 — entry funnel
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2317,6 +2318,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, n, "
             "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
             "AS BIGINT) AS share_ppm FROM c"
+        ),
+        # session conversion by entry event type (30-min gap sessions)
+        "session_conversion": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_start FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "g AS (SELECT user_id, sid, "
+            "first(event_type ORDER BY ts, event_id) AS entry_type, "
+            "MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv "
+            "FROM s GROUP BY 1, 2) "
+            "SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(SUM(conv) AS BIGINT) AS n_converted FROM g GROUP BY 1"
         ),
         # day-over-day change: per (type, day) count with previous observed day
         "dod_change": (

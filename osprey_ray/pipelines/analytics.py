@@ -2312,6 +2312,62 @@ def q_event_type_share(sf_dir: str):
     )
 
 
+def q_session_conversion(sf_dir: str):
+    """Session conversion by entry point: 30-minute-gap sessions
+    (:func:`q_session_counts`' convention) grouped by the event type of
+    the session's FIRST event, with how many of them contain a purchase
+    — the landing-page conversion table of a funnel report.
+
+    Scale shape: the same ONE hash(user) exchange + lexsort as
+    :func:`q_bounce_sessions`; entry types are a take at session starts,
+    conversion is one ``add.reduceat``, and a per-partition Arrow
+    group_by collapses to ≤|types| partial rows before the final
+    domain-bounded groupby."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    G = 1_800_000_000
+    empty = pa.schema(
+        [
+            ("entry_type", pa.string()),
+            ("n_sessions", pa.int64()),
+            ("n_converted", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        et = t["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        n = len(uid_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid_s[1:] != uid_s[:-1]) | (ts_s[1:] - ts_s[:-1] > G)
+        starts = np.flatnonzero(new)
+        is_purch = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)[order]
+        conv = (np.add.reduceat(is_purch.astype(np.int64), starts) > 0).astype(np.int64)
+        entry = et.take(pa.array(order[starts]))
+        g = pa.table(
+            {"entry_type": entry, "one": pa.array(np.ones(len(starts), np.int64)), "conv": pa.array(conv)}
+        ).group_by("entry_type").aggregate([("one", "sum"), ("conv", "sum")])
+        return g.rename_columns(["entry_type", "n_sessions", "n_converted"]).cast(
+            empty
+        )
+
+    return (
+        _by_user_partition(ds)
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("entry_type")
+        .aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("n_converted", alias_name="n_converted"),
+        )
+    )
+
+
 def q_dod_change(sf_dir: str):
     """Day-over-day traffic change: per (event_type, day) the event count
     and the PREVIOUS observed day's count (-1 when none) — the

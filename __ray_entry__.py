@@ -1005,6 +1005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dod_change": A.q_dod_change,  # new in r4 — day-over-day LAG rollup
         "length_buckets": T.q_length_buckets,  # new in r4 — pow2 length hist
         "session_conversion": A.q_session_conversion,  # new in r4 — entry funnel
+        "event_transitions": A.q_event_transitions,  # new in r4 — Markov counts
+        "best_docs_per_source": T.q_best_docs_per_source,  # new in r4 — top-k/group
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2318,6 +2320,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, n, "
             "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
             "AS BIGINT) AS share_ppm FROM c"
+        ),
+        # consecutive event-type transition counts per user timeline
+        "event_transitions": (
+            "WITH w AS (SELECT user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM w "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        # top-5 docs per source by integer content score (tokens - 2*stopwords)
+        "best_docs_per_source": (
+            "WITH s AS (SELECT doc_id, source, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) - "
+            f"2*CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"x -> x IN {_STOP_SQL})) AS BIGINT) AS score FROM documents), "
+            "r AS (SELECT source, doc_id, score, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY score DESC, doc_id) AS rnk FROM s) "
+            "SELECT source, doc_id, score, CAST(rnk AS BIGINT) AS rnk "
+            "FROM r WHERE rnk <= 5"
         ),
         # session conversion by entry event type (30-min gap sessions)
         "session_conversion": (

@@ -2312,6 +2312,51 @@ def q_event_type_share(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order behavior model: counts of consecutive event-type
+    transitions (prev → curr) within each user's (ts, event_id)-ordered
+    timeline — the events-table sibling of the transcripts'
+    ``tool_transitions`` Markov matrix.
+
+    Scale shape: ONE hash(user) exchange; per partition a lexsort, a
+    dictionary encode, and a ``np.unique`` over composite int codes
+    (|types|² ≤ 25 keys) — the final groupby sees ≤|types|² rows per
+    partition."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    empty = pa.schema(
+        [("from_type", pa.string()), ("to_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        L = len(enc.dictionary)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, codes_s = uid[order], codes[order]
+        same = uid_s[1:] == uid_s[:-1]
+        key = codes_s[:-1][same] * L + codes_s[1:][same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "from_type": enc.dictionary.take(pa.array(uk // L)),
+                "to_type": enc.dictionary.take(pa.array(uk % L)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        _by_user_partition(ds)
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_session_conversion(sf_dir: str):
     """Session conversion by entry point: 30-minute-gap sessions
     (:func:`q_session_counts`' convention) grouped by the event type of

@@ -4980,3 +4980,80 @@ def q_length_buckets(sf_dir: str):
             Sum("total_tokens", alias_name="total_tokens"),
         )
     )
+
+
+def q_best_docs_per_source(sf_dir: str, k: int = 5):
+    """Grouped top-k curation: the ``k`` best documents per source by an
+    integer content score (tokens minus twice the stopwords —
+    :func:`q_doc_quality`'s signals folded to one rankable number) —
+    the per-bucket shortlist step of a curation pipeline.
+
+    Scale shape: each batch keeps only its own top-k per source
+    (partial top-k bounds the shuffle to ≤ k·|sources| rows per batch);
+    the final per-source merge is a map_groups over the domain-bounded
+    |sources| keys."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+    stop_list = tuple(sorted(STOPWORDS))
+    empty = pa.schema(
+        [
+            ("source", pa.string()),
+            ("doc_id", pa.int64()),
+            ("score", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_stop = pc.is_in(
+            pc.utf8_lower(toks.flatten()), value_set=pa.array(stop_list)
+        ).to_numpy(zero_copy_only=False)
+        offsets = np.asarray(toks.offsets)
+        offsets = offsets - offsets[0]
+        cums = np.concatenate([[0], np.cumsum(is_stop.astype(np.int64))])
+        n_stop = cums[offsets[1:]] - cums[offsets[:-1]]
+        score = n_tok - 2 * n_stop
+        src = t["source"].combine_chunks().dictionary_encode()
+        scode = np.asarray(src.indices).astype(np.int64)
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((did, -score, scode))
+        sc_s = scode[order]
+        new = np.empty(len(sc_s), dtype=bool)
+        if len(sc_s):
+            new[0] = True
+            new[1:] = sc_s[1:] != sc_s[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        pos = np.arange(len(sc_s)) - starts[run_id]
+        keep = order[pos < k]
+        return pa.table(
+            {
+                "source": t["source"].take(pa.array(keep)),
+                "doc_id": pa.array(did[keep]),
+                "score": pa.array(score[keep]),
+            }
+        )
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        score = t["score"].to_numpy().astype(np.int64)
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((did, -score))[:k]
+        return pa.table(
+            {
+                "source": t["source"].take(pa.array(order)),
+                "doc_id": pa.array(did[order]),
+                "score": pa.array(score[order]),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )

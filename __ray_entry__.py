@@ -1077,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
+        "ann_range": N.q_ann_range,  # new in r4 — cosine radius search
         "ann_lsh": N.q_ann_lsh,
         "ann_ivf": N.q_ann_ivf,
         "ann_pq": N.q_ann_pq,
@@ -1812,6 +1813,16 @@ def oracle_sql() -> dict[str, str]:
             "(len(string_split(text, ' ')) >= 20 AND "
             f"len(list_filter(string_split(lower(text), ' '), x -> x IN {_STOP_SQL})) * 2 < len(string_split(text, ' '))) AS keep "
             "FROM documents"
+        ),
+        # exact cosine radius search (membership pairs; threshold has >=4e-4
+        # float margin from every testdata similarity at sf0.001/sf0.01)
+        "ann_range": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 10) "
+            "SELECT q.qid AS query_id, e.vec_id AS neighbor_id "
+            "FROM q, embeddings e WHERE e.vec_id <> q.qid AND "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) >= 0.30"
         ),
         "ann_bruteforce": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "

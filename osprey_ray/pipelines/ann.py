@@ -274,6 +274,40 @@ def _join_partitions() -> int:
     return max(2, cpus // 4)
 
 
+def q_ann_range(sf_dir: str, threshold: float = 0.30, n_queries: int = 10):
+    """Exact cosine RANGE search: every (query, vector) pair with
+    similarity ≥ ``threshold`` (self-matches excluded) — the radius
+    variant of :func:`q_ann_bruteforce` a retrieval pipeline uses when
+    it needs "everything this similar", not a fixed k.
+
+    Output is membership pairs only (ints), so hash parity with the SQL
+    twin needs no float column; the default threshold sits ≥ 4e-4 from
+    every similarity in the testdata, far beyond the ~1e-15 summation-
+    order ulp gap between numpy's matmul and DuckDB's
+    list_cosine_similarity.
+
+    Scale shape: queries are a broadcast O(n_queries × dim) closure; one
+    streaming pass emits each batch's qualifying pairs — no top-k state,
+    no driver merge, result size bounded by the radius."""
+    q_ids, q_m = _query_set(sf_dir, n_queries)
+    qn = _normalize(q_m)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        sims = _normalize(m) @ qn.T  # (batch, nq)
+        hit = sims >= threshold  # (batch, nq)
+        bi, qi = np.nonzero(hit)
+        keep = ids[bi] != q_ids[qi]
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids[qi[keep]], pa.int64()),
+                "neighbor_id": pa.array(ids[bi[keep]], pa.int64()),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(emit, batch_format="pyarrow")
+
+
 def q_ann_lsh(sf_dir: str, k: int = 5, n_queries: int = 10):
     """LSH-bucketed ANN + recall vs brute force — distributed end-to-end
     (VERDICT r1 item #4): bucket rows are matched against the (tiny,

@@ -1007,6 +1007,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion": A.q_session_conversion,  # new in r4 — entry funnel
         "event_transitions": A.q_event_transitions,  # new in r4 — Markov counts
         "best_docs_per_source": T.q_best_docs_per_source,  # new in r4 — top-k/group
+        "monthly_active": A.q_monthly_active,  # new in r4 — exact MAU ladder
+        "part_supplier_breadth": A.q_part_supplier_breadth,  # new in r4 — Q16-ish
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2331,6 +2333,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, n, "
             "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
             "AS BIGINT) AS share_ppm FROM c"
+        ),
+        # monthly active users (exact distinct) + event volume
+        "monthly_active": (
+            "WITH p AS (SELECT strftime(ts, '%Y-%m') AS month, user_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+            "SELECT month, CAST(COUNT(*) AS BIGINT) AS mau, "
+            "CAST(SUM(n) AS BIGINT) AS n_events FROM p GROUP BY 1"
+        ),
+        # TPC-H Q16-shaped: distinct (part, supplier) relationships per part type
+        "part_supplier_breadth": (
+            "WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+            "j AS (SELECT p_type, l_partkey FROM d "
+            "JOIN part ON l_partkey = p_partkey), "
+            "pp AS (SELECT p_type, l_partkey, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+            "FROM j GROUP BY 1, 2) "
+            "SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(n_pairs) AS BIGINT) AS n_pairs FROM pp GROUP BY 1"
         ),
         # consecutive event-type transition counts per user timeline
         "event_transitions": (

@@ -2312,6 +2312,132 @@ def q_event_type_share(sf_dir: str):
     )
 
 
+def q_monthly_active(sf_dir: str):
+    """Monthly active users: exact distinct users per calendar month plus
+    the raw event count — THE standard engagement metric.
+
+    Scale shape: per-batch DISTINCT (month, user) combiner (plus a
+    per-batch event tally), one keyed groupby collapses cross-batch
+    duplicates, and the final count sees ≤|months × users| pair rows —
+    the same two-stage exact-distinct ladder as
+    :func:`q_user_type_diversity`."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t["ts"], format="%Y-%m")
+        g = pa.table(
+            {"month": month, "user_id": t["user_id"].cast(pa.int64())}
+        ).group_by(["month", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["month", "user_id", "n_events"]).cast(
+            pa.schema(
+                [("month", pa.string()), ("user_id", pa.int64()), ("n_events", pa.int64())]
+            )
+        )
+
+    per_pair = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["month", "user_id"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.select(["month", "n_events"]).group_by("month").aggregate(
+            [("n_events", "count"), ("n_events", "sum")]
+        )
+        return g.rename_columns(["month", "mau", "n_events"]).cast(
+            pa.schema(
+                [("month", pa.string()), ("mau", pa.int64()), ("n_events", pa.int64())]
+            )
+        )
+
+    return (
+        per_pair.map_batches(fold, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("mau", alias_name="mau"), Sum("n_events", alias_name="n_events"))
+    )
+
+
+def q_part_supplier_breadth(sf_dir: str):
+    """TPC-H Q16-shaped supplier breadth: per part type, how many DISTINCT
+    (part, supplier) relationships and distinct parts appear in lineitem
+    — the assortment-coverage metric, a DISTINCT count measured THROUGH
+    a join.
+
+    Scale shape: lineitem collapses to distinct (part, supplier) pairs
+    per batch before one keyed groupby dedups them globally; the part
+    dimension attaches by broadcast p_partkey → p_type lookup (part is
+    small relative to lineitem at every scale, and only two columns
+    ride the closure); the final groupby is domain-bounded."""
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Count
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    ptype = np.empty(int(pk.max()) + 1, dtype=object)
+    ptype[pk] = np.asarray(part["p_type"].to_pylist(), dtype=object)
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "partkey": t["l_partkey"].cast(pa.int64()),
+                "suppkey": t["l_suppkey"].cast(pa.int64()),
+            }
+        ).group_by(["partkey", "suppkey"]).aggregate([([], "count_all")])
+        return g.drop_columns(["count_all"])
+
+    dedup = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["partkey", "suppkey"])
+        .aggregate(Count(alias_name="_dup"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        key = t["partkey"].to_numpy().astype(np.int64)
+        tp = pa.array(ptype[key], pa.string())
+        # distinct parts inside this batch-slice: pairs arrive grouped by
+        # (partkey, suppkey), a part's pairs may straddle blocks — count
+        # firsts per (type, part) here, dedup residue is impossible since
+        # the upstream groupby emits each (part, supp) exactly once and
+        # n_parts is recomputed from per-part firsts below
+        g = pa.table(
+            {"p_type": tp, "partkey": pa.array(key), "one": pa.array(np.ones(len(key), np.int64))}
+        ).group_by(["p_type", "partkey"]).aggregate([("one", "sum")])
+        return g.rename_columns(["p_type", "partkey", "n_pairs"]).cast(
+            pa.schema(
+                [("p_type", pa.string()), ("partkey", pa.int64()), ("n_pairs", pa.int64())]
+            )
+        )
+
+    per_part_rows = (
+        dedup.map_batches(fold, batch_format="pyarrow")
+        .groupby(["p_type", "partkey"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.select(["p_type", "n_pairs"]).group_by("p_type").aggregate(
+            [("n_pairs", "count"), ("n_pairs", "sum")]
+        )
+        return g.rename_columns(["p_type", "n_parts", "n_pairs"]).cast(
+            pa.schema(
+                [("p_type", pa.string()), ("n_parts", pa.int64()), ("n_pairs", pa.int64())]
+            )
+        )
+
+    return (
+        per_part_rows.map_batches(hist, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(Sum("n_parts", alias_name="n_parts"), Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
 def q_event_transitions(sf_dir: str):
     """First-order behavior model: counts of consecutive event-type
     transitions (prev → curr) within each user's (ts, event_id)-ordered

@@ -1009,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_docs_per_source": T.q_best_docs_per_source,  # new in r4 — top-k/group
         "monthly_active": A.q_monthly_active,  # new in r4 — exact MAU ladder
         "part_supplier_breadth": A.q_part_supplier_breadth,  # new in r4 — Q16-ish
+        "dup_families": T.q_dup_families,  # new in r4 — dedup-yield histogram
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2333,6 +2334,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, n, "
             "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
             "AS BIGINT) AS share_ppm FROM c"
+        ),
+        # prefix-duplicate family size histogram (md5 of first 64 chars)
+        "dup_families": (
+            "WITH f AS (SELECT md5(substr(text, 1, 64)) AS h, "
+            "CAST(COUNT(*) AS BIGINT) AS k FROM documents GROUP BY 1) "
+            "SELECT k AS family_size, CAST(COUNT(*) AS BIGINT) AS n_families "
+            "FROM f GROUP BY 1"
         ),
         # monthly active users (exact distinct) + event volume
         "monthly_active": (

@@ -5057,3 +5057,46 @@ def q_best_docs_per_source(sf_dir: str, k: int = 5):
         .groupby("source")
         .map_groups(merge_topk, batch_format="pyarrow")
     )
+
+
+def q_dup_families(sf_dir: str, prefix_chars: int = 64):
+    """Prefix-duplicate family profile: docs keyed by the md5 of their
+    first ``prefix_chars`` characters, histogrammed by family size — the
+    boilerplate/template detector (shared openings are the classic
+    near-dup symptom exact full-text dedup misses; k=1 families are
+    unique openings).
+
+    Scale shape: per-row md5 over a bounded prefix (the digest IS the
+    work, kept md5 for SQL parity), one keyed groupby to family counts,
+    then a per-batch value_counts combiner before the final
+    domain-bounded groupby — the same two-stage histogram ladder as
+    ``q_order_size_hist``."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(t["text"], 0, prefix_chars)
+        dig = [hashlib.md5(x.encode()).hexdigest() for x in pref.to_pylist()]
+        return pa.table({"text_md5": pa.array(dig, pa.string())})
+
+    fam = (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Count(alias_name="k"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        vc = t["k"].cast(pa.int64()).combine_chunks().value_counts()
+        return pa.table(
+            {
+                "family_size": vc.field("values"),
+                "n_families": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        fam.map_batches(hist, batch_format="pyarrow")
+        .groupby("family_size")
+        .aggregate(Sum("n_families", alias_name="n_families"))
+    )

@@ -2367,20 +2367,15 @@ def q_part_supplier_breadth(sf_dir: str):
 
     Scale shape: lineitem collapses to distinct (part, supplier) pairs
     per batch before one keyed groupby dedups them globally; the part
-    dimension attaches by broadcast p_partkey → p_type lookup (part is
-    small relative to lineitem at every scale, and only two columns
-    ride the closure); the final groupby is domain-bounded."""
-    import pyarrow.parquet as _pq
-
+    dimension attaches by a partitioned hash join (part is ~0.2× of
+    lineitem at EVERY scale — never a broadcast, the same stance as
+    :func:`q_promo_share`); the final groupby is domain-bounded."""
     from ray.data.aggregate import Count
 
-    part = _pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    )
-    pk = part["p_partkey"].to_numpy().astype(np.int64)
-    ptype = np.empty(int(pk.max()) + 1, dtype=object)
-    ptype[pk] = np.asarray(part["p_type"].to_pylist(), dtype=object)
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
 
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
@@ -2397,17 +2392,32 @@ def q_part_supplier_breadth(sf_dir: str):
         .groupby(["partkey", "suppkey"])
         .aggregate(Count(alias_name="_dup"))
     )
+    dedup = _pin_schema(
+        dedup,
+        pa.schema(
+            [("partkey", pa.int64()), ("suppkey", pa.int64()), ("_dup", pa.int64())]
+        ),
+    ).drop_columns(["_dup", "suppkey"])
+
+    def prep_p(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partkey": t["p_partkey"].cast(pa.int64()),
+                "p_type": t["p_type"].cast(pa.string()),
+            }
+        )
+
+    j = dedup.join(
+        part.map_batches(prep_p, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
 
     def fold(t: pa.Table) -> pa.Table:
-        key = t["partkey"].to_numpy().astype(np.int64)
-        tp = pa.array(ptype[key], pa.string())
-        # distinct parts inside this batch-slice: pairs arrive grouped by
-        # (partkey, suppkey), a part's pairs may straddle blocks — count
-        # firsts per (type, part) here, dedup residue is impossible since
-        # the upstream groupby emits each (part, supp) exactly once and
-        # n_parts is recomputed from per-part firsts below
-        g = pa.table(
-            {"p_type": tp, "partkey": pa.array(key), "one": pa.array(np.ones(len(key), np.int64))}
+        g = t.select(["p_type", "partkey"]).append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))
         ).group_by(["p_type", "partkey"]).aggregate([("one", "sum")])
         return g.rename_columns(["p_type", "partkey", "n_pairs"]).cast(
             pa.schema(
@@ -2416,7 +2426,7 @@ def q_part_supplier_breadth(sf_dir: str):
         )
 
     per_part_rows = (
-        dedup.map_batches(fold, batch_format="pyarrow")
+        j.map_batches(fold, batch_format="pyarrow")
         .groupby(["p_type", "partkey"])
         .aggregate(Sum("n_pairs", alias_name="n_pairs"))
     )

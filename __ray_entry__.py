@@ -1010,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_active": A.q_monthly_active,  # new in r4 — exact MAU ladder
         "part_supplier_breadth": A.q_part_supplier_breadth,  # new in r4 — Q16-ish
         "dup_families": T.q_dup_families,  # new in r4 — dedup-yield histogram
+        "key_skew": A.q_key_skew,  # new in r4 — hot-key salting audit
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2334,6 +2335,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, n, "
             "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
             "AS BIGINT) AS share_ppm FROM c"
+        ),
+        # key-distribution skew audit over per-user event counts
+        "key_skew": (
+            "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+            "CAST(MAX(n) AS BIGINT) AS max_n, "
+            "CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n, "
+            "CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n, "
+            "CAST(SUM(n) AS BIGINT) AS total FROM c"
         ),
         # prefix-duplicate family size histogram (md5 of first 64 chars)
         "dup_families": (

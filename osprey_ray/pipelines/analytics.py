@@ -2312,6 +2312,72 @@ def q_event_type_share(sf_dir: str):
     )
 
 
+def q_key_skew(sf_dir: str, key: str = "user_id"):
+    """Key-distribution skew audit: over the per-``key`` event counts,
+    the key cardinality, hottest key's count, exact discrete p50/p99
+    (rank ceil(n·q) — `quantile_disc` parity, see
+    :func:`q_event_quantiles`), and total rows — the profile that
+    decides whether a stage needs hot-key salting (the repo's own
+    ``stages/salted.py`` trigger condition, reference SURVEY §2.9).
+
+    Scale shape: per-batch key-count combiner → one keyed groupby to
+    per-key counts → a per-batch COUNT-OF-COUNTS combiner collapses
+    those to ≤|distinct count values| rows (domain-bounded: count
+    magnitudes, not keys), so the exact quantile fold touches a tiny
+    histogram, never the key set."""
+    ds = _read(sf_dir, "events", [key])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = pa.table({"k": t[key].cast(pa.int64())}).group_by("k").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["k", "n"]).cast(
+            pa.schema([("k", pa.int64()), ("n", pa.int64())])
+        )
+
+    per_key = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def cc(t: pa.Table) -> pa.Table:
+        vc = t["n"].cast(pa.int64()).combine_chunks().value_counts()
+        return pa.table(
+            {
+                "n": vc.field("values"),
+                "n_keys": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        per_key.map_batches(cc, batch_format="pyarrow")
+        .groupby("n")
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+        .to_pandas()  # ≤|distinct count magnitudes| rows — tiny at any scale
+    )
+    v = hist["n"].to_numpy().astype(np.int64)
+    m = hist["n_keys"].to_numpy().astype(np.int64)
+    o = np.argsort(v)
+    v, m = v[o], m[o]
+    cum = np.cumsum(m)
+    n_keys = int(cum[-1]) if len(cum) else 0
+
+    def pick(q: float) -> int:
+        r = max(int(np.ceil(n_keys * q)), 1)
+        return int(v[np.searchsorted(cum, r, side="left")])
+
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "max_n": pa.array([int(v[-1]) if len(v) else 0], pa.int64()),
+            "p50_n": pa.array([pick(0.5)], pa.int64()),
+            "p99_n": pa.array([pick(0.99)], pa.int64()),
+            "total": pa.array([int((v * m).sum())], pa.int64()),
+        }
+    )
+
+
 def q_monthly_active(sf_dir: str):
     """Monthly active users: exact distinct users per calendar month plus
     the raw event count — THE standard engagement metric.

@@ -1011,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_breadth": A.q_part_supplier_breadth,  # new in r4 — Q16-ish
         "dup_families": T.q_dup_families,  # new in r4 — dedup-yield histogram
         "key_skew": A.q_key_skew,  # new in r4 — hot-key salting audit
+        "revenue_concentration": A.q_revenue_concentration,  # new in r4 — whales
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2335,6 +2336,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, n, "
             "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
             "AS BIGINT) AS share_ppm FROM c"
+        ),
+        # per-nation revenue total + hottest-customer ppm share
+        "revenue_concentration": (
+            "WITH rev AS (SELECT o_custkey AS custkey, "
+            "CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) "
+            "AS BIGINT)) AS BIGINT) AS cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1), "
+            "pcn AS (SELECT c_nationkey AS nk, custkey, cents "
+            "FROM rev JOIN customer ON custkey = c_custkey), "
+            "r AS (SELECT nk, custkey, cents, "
+            "ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents DESC, custkey) "
+            "AS rn, SUM(cents) OVER (PARTITION BY nk) AS total FROM pcn) "
+            "SELECT n_name, CAST(total AS BIGINT) AS total_cents, "
+            "custkey AS top_custkey, CAST(cents AS BIGINT) AS top_cents, "
+            "CAST(cents*1000000 // total AS BIGINT) AS top_share_ppm "
+            "FROM r JOIN nation ON nk = n_nationkey WHERE rn = 1"
         ),
         # key-distribution skew audit over per-user event counts
         "key_skew": (

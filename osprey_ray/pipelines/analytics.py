@@ -2312,6 +2312,174 @@ def q_event_type_share(sf_dir: str):
     )
 
 
+def q_revenue_concentration(sf_dir: str):
+    """Revenue concentration: per nation, total integer-cents revenue,
+    the single highest-revenue customer (ties to the smaller custkey)
+    and that customer's exact ppm share — the whale-account risk report
+    (and the relational twin of :func:`q_key_skew`'s hot-key question).
+
+    Scale shape: the Q5 join ladder (lineitem pre-aggregated by
+    orderkey before its hash join with orders; per-customer revenue via
+    one keyed groupby; customer's nation attached by a second hash
+    join); then a per-batch PARTIAL top-1 + total per nation collapses
+    each batch to ≤|nations| candidate rows, so the exact final merge
+    runs over a domain-bounded set."""
+    import pyarrow.parquet as _pq
+
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk_arr = nat["n_nationkey"].to_numpy().astype(np.int64)
+    n_name = np.empty(int(nk_arr.max()) + 1, dtype=object)
+    n_name[nk_arr] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def pre_li(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = pa.table(
+            {"orderkey": t["l_orderkey"].cast(pa.int64()), "cents": pa.array(cents)}
+        ).group_by("orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["orderkey", "cents"]).cast(
+            pa.schema([("orderkey", pa.int64()), ("cents", pa.int64())])
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "custkey": t["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    def prep_c(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": t["c_custkey"].cast(pa.int64()),
+                "nationkey": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    P = _join_partitions()
+    j = li.map_batches(pre_li, batch_format="pyarrow").join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    j = _pin_schema(
+        j,
+        pa.schema(
+            [("orderkey", pa.int64()), ("cents", pa.int64()), ("custkey", pa.int64())]
+        ),
+    )
+
+    def pre_cust(t: pa.Table) -> pa.Table:
+        g = t.select(["custkey", "cents"]).group_by("custkey").aggregate(
+            [("cents", "sum")]
+        )
+        return g.rename_columns(["custkey", "cents"]).cast(
+            pa.schema([("custkey", pa.int64()), ("cents", pa.int64())])
+        )
+
+    per_cust = (
+        j.map_batches(pre_cust, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    per_cust = _pin_schema(
+        per_cust, pa.schema([("custkey", pa.int64()), ("cents", pa.int64())])
+    )
+    jc = per_cust.join(
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    cand_schema = pa.schema(
+        [
+            ("nationkey", pa.int64()),
+            ("total_partial", pa.int64()),
+            ("top_custkey", pa.int64()),
+            ("top_cents", pa.int64()),
+        ]
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        nk = t["nationkey"].to_numpy().astype(np.int64)
+        ck = t["custkey"].to_numpy().astype(np.int64)
+        cents = t["cents"].to_numpy().astype(np.int64)
+        order = np.lexsort((ck, -cents, nk))
+        nk_s = nk[order]
+        new = np.empty(len(nk_s), dtype=bool)
+        new[0] = True
+        new[1:] = nk_s[1:] != nk_s[:-1]
+        first = order[np.flatnonzero(new)]
+        totals = pa.table(
+            {"nationkey": pa.array(nk), "cents": pa.array(cents)}
+        ).group_by("nationkey").aggregate([("cents", "sum")])
+        tot_nk = totals["nationkey"].to_numpy().astype(np.int64)
+        tot = totals["cents_sum"].to_numpy().astype(np.int64)
+        o2 = np.argsort(tot_nk)
+        # `first` rows are one per nation, sorted by nation — align totals
+        return pa.table(
+            {
+                "nationkey": pa.array(tot_nk[o2]),
+                "total_partial": pa.array(tot[o2]),
+                "top_custkey": pa.array(ck[first]),
+                "top_cents": pa.array(cents[first]),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("n_name", pa.string()),
+            ("total_cents", pa.int64()),
+            ("top_custkey", pa.int64()),
+            ("top_cents", pa.int64()),
+            ("top_share_ppm", pa.int64()),
+        ]
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        nk = int(t["nationkey"][0].as_py())
+        total = int(pc.sum(t["total_partial"]).as_py())
+        ck = t["top_custkey"].to_numpy().astype(np.int64)
+        cents = t["top_cents"].to_numpy().astype(np.int64)
+        o = np.lexsort((ck, -cents))[0]
+        # Python int math — a numpy int64 product would wrap silently here
+        assert int(cents[o]) * 1_000_000 < 2**63, "ppm overflows"
+        return pa.table(
+            {
+                "n_name": pa.array([n_name[nk]], pa.string()),
+                "total_cents": pa.array([total], pa.int64()),
+                "top_custkey": pa.array([int(ck[o])], pa.int64()),
+                "top_cents": pa.array([int(cents[o])], pa.int64()),
+                "top_share_ppm": pa.array(
+                    [int(cents[o]) * 1_000_000 // total], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        jc.map_batches(partial_top, batch_format="pyarrow")
+        .groupby("nationkey")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def q_key_skew(sf_dir: str, key: str = "user_id"):
     """Key-distribution skew audit: over the per-``key`` event counts,
     the key cardinality, hottest key's count, exact discrete p50/p99

@@ -918,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": N.q_embedding_centroids,
         "embedding_quantize": N.q_embedding_quantize,
         "frame_sample": M.q_frame_sample,
+        "audio_chunks": M.q_audio_chunks,  # new in r4 — strided ASR windows
         "multimodal_decode": M.q_multimodal_decode,
         "model_scoring": _model_scoring,
         "chunk_documents": T.q_chunk_documents,  # new in r4 — needs a first row
@@ -2974,6 +2975,18 @@ def oracle_sql() -> dict[str, str]:
             "v AS (SELECT doc_id, n_frames, GREATEST(n_frames // 8, 1) AS stride FROM m) "
             "SELECT doc_id, CAST(i.i * stride AS BIGINT) AS frame_idx "
             "FROM v, (SELECT unnest(range(8)) AS i) i WHERE i.i * stride < n_frames"
+        ),
+        # strided audio windows over the fake-media audio rows (strlen =
+        # byte length, matching len(payload) on the utf-8-encoded text)
+        "audio_chunks": (
+            "WITH a AS (SELECT doc_id, "
+            "CAST(strlen(text) * 8 AS BIGINT) AS dur "
+            "FROM documents WHERE doc_id % 3 = 1), "
+            "u AS (SELECT doc_id, dur, "
+            "unnest(range((dur + 1999) // 2000)) AS i FROM a) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "CAST(i * 2000 AS BIGINT) AS start_ms, "
+            "CAST(LEAST(i * 2000 + 5000, dur) AS BIGINT) AS end_ms FROM u"
         ),
         # rows-only (non-SQL-expressible): hll_distinct, ann_lsh, ann_ivf,
         # flagship_verdicts, streaming_verdicts

@@ -130,3 +130,51 @@ def q_frame_sample(sf_dir: str):
     return q_multimodal_decode(sf_dir).map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
     )
+
+
+class AudioChunker:
+    """Strided audio-chunking stage (actor pool): split each audio row
+    into fixed-length overlapping windows — the ASR/embedding front-end
+    (Whisper-style 30 s windows; scaled down here so the testdata's fake
+    durations produce multi-chunk rows).  A real deployment opens the
+    resampler once in ``__init__``; the window arithmetic below IS the
+    real logic (pure integers), so the stage is hash-verified."""
+
+    CHUNK_MS = 5_000
+    STRIDE_MS = 2_000
+
+    def __init__(self):
+        self.codec = "fake-v1"  # real path: soundfile/libav handle
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mime = t["mime"].to_pandas().to_numpy(dtype=object)
+        keep = np.array([m.startswith("audio/") for m in mime], dtype=bool)
+        ids = t["doc_id"].to_numpy()[keep]
+        # fake duration: 8 ms per payload byte (deterministic, twin uses
+        # octet_length(text)*8 — payloads are the utf-8 doc text)
+        dur = t["payload_bytes"].to_numpy()[keep].astype(np.int64) * 8
+        n = (dur + self.STRIDE_MS - 1) // self.STRIDE_MS
+        doc = np.repeat(ids, n)
+        d = np.repeat(dur, n)
+        off = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n)[:-1]]), n
+        )
+        start = off * self.STRIDE_MS
+        end = np.minimum(start + self.CHUNK_MS, d)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "chunk_idx": pa.array(off, pa.int64()),
+                "start_ms": pa.array(start, pa.int64()),
+                "end_ms": pa.array(end, pa.int64()),
+            }
+        )
+
+
+def q_audio_chunks(sf_dir: str):
+    """Decode → audio-chunk pipeline: the audio sibling of
+    :func:`q_frame_sample` — typed metadata from the decode actor pool
+    feeds the chunker pool; one row per (doc, window)."""
+    return q_multimodal_decode(sf_dir).map_batches(
+        AudioChunker, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )

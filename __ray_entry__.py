@@ -722,6 +722,31 @@ FROM t GROUP BY conv_id
 """
 
 
+def _conv_context_cutoff(sf_dir: str):
+    """Context-budget truncation report per conversation; engine in
+    ``pipelines/transcripts.py`` (running-char cutoff + packing loss)."""
+    from osprey_ray.pipelines.transcripts import conv_context_cutoff
+
+    return conv_context_cutoff(_transcript_dataset(sf_dir))
+
+
+def _conv_context_cutoff_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (SELECT * FROM raw WHERE dup_rn = 1),
+c AS (SELECT conv_id, turn_idx,
+      SUM(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COALESCE(MIN(CASE WHEN cum > 2000 THEN turn_idx END), -1) AS BIGINT) AS cutoff_idx,
+       CAST(COALESCE(MAX(CASE WHEN cum <= 2000 THEN cum END), 0) AS BIGINT) AS chars_within
+FROM c GROUP BY conv_id
+"""
+
+
 def _qa_pairs(sf_dir: str):
     """Instruction-pair extraction from transcripts (user turn followed by
     assistant turn → one Q/A training example); engine in
@@ -959,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": A.q_rollup_agg,  # new in r4 — ROLLUP grouping sets
         "conv_render": _conv_render,  # new in r4 — SFT example rendering
         "conv_stats": _conv_stats,  # new in r4 — transcript profile
+        "conv_context_cutoff": _conv_context_cutoff,  # new in r4 — budget trunc
         "full_outer_join": A.q_full_outer_join,  # new in r4 — native full outer
         "train_val_split": T.q_train_val_split,  # new in r4 — split manifest
         "ntile_rank": A.q_ntile_rank,  # new in r4 — NTILE + percent_rank
@@ -1983,6 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         # transcript-native SFT prep: rendered-example digest + profile
         "conv_render": _conv_render_oracle_sql(),
         "conv_stats": _conv_stats_oracle_sql(),
+        "conv_context_cutoff": _conv_context_cutoff_oracle_sql(),
         # sparse per-(user,hour) series alignment via native full outer
         "full_outer_join": (
             "WITH a AS (SELECT user_id, epoch_us(ts)//3600000000*3600000000 AS hour_us, "

@@ -527,3 +527,68 @@ def conv_turn_gap(dataset_dir: str):
         )
 
     return _route_by_conv(ds).map_groups(gaps, batch_format="pyarrow")
+
+
+_CUTOFF_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("cutoff_idx", pa.int64()),
+        ("chars_within", pa.int64()),
+    ]
+)
+
+
+def conv_context_cutoff(dataset_dir: str, budget_chars: int = 2000):
+    """Context-window truncation report: per conversation (keep-first
+    dedup, turn order), the first turn_idx whose running char total
+    exceeds ``budget_chars`` (-1 if the whole conversation fits) and the
+    chars that DO fit — the SFT packing-loss estimate for a fixed
+    context budget.
+
+    Scale shape: the single conv exchange every transcript op shares;
+    per partition one sort, one segment-cumsum, and one
+    ``minimum.reduceat`` argfirst — no text leaves the partition, no
+    Python per row."""
+    ds = _read_turns(dataset_dir, ["conv_id", "turn_idx", "text", "ts"])
+
+    def cutoff(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CUTOFF_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy().astype(np.int64)
+        keep = np.ones(len(conv), dtype=bool)
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+        t = t.filter(pa.array(keep))
+        conv, tix = conv[keep], tix[keep]
+        n = len(conv)
+        starts = np.concatenate([[0], np.nonzero(conv[1:] != conv[:-1])[0] + 1])
+        ends = np.append(starts[1:], n)
+        run_id = np.repeat(np.arange(len(starts)), ends - starts)
+        nchars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        cum = np.cumsum(nchars)
+        base = cum[starts] - nchars[starts]
+        within = cum - base[run_id]
+        over_pos = np.where(within > budget_chars, np.arange(n), 2 * n)
+        first_over = np.minimum.reduceat(over_pos, starts)
+        has_cut = first_over < 2 * n
+        cutoff_idx = np.where(has_cut, tix[np.minimum(first_over, n - 1)], -1)
+        at_start = has_cut & (first_over == starts)
+        prev = np.maximum(np.minimum(first_over, n) - 1, 0)
+        fits_all = within[ends - 1]
+        chars_within = np.where(
+            has_cut, np.where(at_start, 0, within[prev]), fits_all
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "n_turns": pa.array(ends - starts, pa.int64()),
+                "cutoff_idx": pa.array(cutoff_idx.astype(np.int64), pa.int64()),
+                "chars_within": pa.array(chars_within.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _route_by_conv(ds).map_groups(cutoff, batch_format="pyarrow")

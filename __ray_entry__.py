@@ -1039,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_families": T.q_dup_families,  # new in r4 — dedup-yield histogram
         "key_skew": A.q_key_skew,  # new in r4 — hot-key salting audit
         "revenue_concentration": A.q_revenue_concentration,  # new in r4 — whales
+        "cube_agg": A.q_cube_agg,  # new in r4 — one-pass CUBE grouping sets
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2364,6 +2365,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, n, "
             "CAST(n*1000000 // SUM(n) OVER (PARTITION BY user_id) "
             "AS BIGINT) AS share_ppm FROM c"
+        ),
+        # one-pass CUBE over (event_type, day-of-week); rolled dims = 'ALL'/-1
+        "cube_agg": (
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+            "CAST(COALESCE(dayofweek(ts), -1) AS BIGINT) AS dow, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS value_cents "
+            "FROM events GROUP BY CUBE(event_type, dayofweek(ts))"
         ),
         # per-nation revenue total + hottest-customer ppm share
         "revenue_concentration": (

@@ -2312,6 +2312,68 @@ def q_event_type_share(sf_dir: str):
     )
 
 
+def q_cube_agg(sf_dir: str):
+    """One-pass CUBE: counts and integer-cents value sums for all four
+    grouping sets of (event_type, day-of-week) — (both, type-only,
+    dow-only, grand total) — rolled dimensions encoded as 'ALL' / -1 so
+    no NULL ambiguity reaches the hash compare.
+
+    Scale shape: each batch emits its 4 grouping-set partials in one
+    pass (4 Arrow group_bys over ≤|types × 7| keys — the multi-set
+    combiner CUBE needs so the exchange moves ≤ 4·|sets| rows per batch,
+    not 4× the data)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("dow", pa.int64()),
+            ("n", pa.int64()),
+            ("value_cents", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # DuckDB dayofweek(ts): 0 = Sunday; epoch day 0 (1970-01-01) was a
+        # Thursday = 4
+        dayn = pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000)
+        dow = pc.subtract(
+            pc.add(dayn, 4), pc.multiply(pc.divide(pc.add(dayn, 4), 7), 7)
+        )
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+        )
+        base = pa.table({"event_type": t["event_type"], "dow": dow, "cents": cents})
+        outs = []
+        for et_all, dow_all in [
+            (False, False),
+            (False, True),
+            (True, False),
+            (True, True),
+        ]:
+            tt = base
+            if et_all:
+                tt = tt.set_column(
+                    0, "event_type", pa.array(["ALL"] * tt.num_rows, pa.string())
+                )
+            if dow_all:
+                tt = tt.set_column(
+                    1, "dow", pa.array(np.full(tt.num_rows, -1), pa.int64())
+                )
+            g = tt.group_by(["event_type", "dow"]).aggregate(
+                [("cents", "count"), ("cents", "sum")]
+            )
+            outs.append(
+                g.rename_columns(["event_type", "dow", "n", "value_cents"]).cast(schema)
+            )
+        return pa.concat_tables(outs)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
 def q_revenue_concentration(sf_dir: str):
     """Revenue concentration: per nation, total integer-cents revenue,
     the single highest-revenue customer (ties to the smaller custkey)

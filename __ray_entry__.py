@@ -928,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osprey_ray.pipelines import analytics as A
     from osprey_ray.pipelines import ann as N
     from osprey_ray.pipelines import multimodal as M
+    from osprey_ray.pipelines import relational as R
     from osprey_ray.pipelines import scoring as SC
     from osprey_ray.pipelines import textops as T
 
@@ -937,6 +938,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 50), so the queries that have never received a driver CORRECTNESS
         # row — or whose SQL twin landed after their last sampling — go
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
+        "cust_order_dist": R.q_cust_order_dist,  # new in r4 — Q13 left-join hist
+        "small_qty_revenue": R.q_small_qty_revenue,  # new in r4 — Q17 threshold
+        "disjunctive_revenue": R.q_disjunctive_revenue,  # new in r4 — Q19 bands
+        "idle_rich_customers": R.q_idle_rich_customers,  # new in r4 — Q22 anti
+        "top_returners": R.q_top_returners,  # new in r4 — Q10 top-20 enrich
+        "top_supplier": R.q_top_supplier,  # new in r4 — Q15 max-with-ties
+        "priority_pending": R.q_priority_pending,  # new in r4 — Q4 EXISTS count
+        "market_share": R.q_market_share,  # new in r4 — Q8 ppm share
+        "cheapest_supplier": R.q_cheapest_supplier,  # new in r4 — Q2 argmin
         "streaming_verdict_sql": _streaming_verdict_sql,
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -1530,6 +1540,119 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # TPC-H Q13-shaped: non-urgent order-count distribution incl. zero bucket
+        "cust_order_dist": (
+            "WITH cnt AS (SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS k "
+            "FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1) "
+            "SELECT CAST(COALESCE(k, 0) AS BIGINT) AS n_orders, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers "
+            "FROM customer LEFT JOIN cnt ON c_custkey = ck GROUP BY 1"
+        ),
+        # TPC-H Q17-shaped: qty < 0.2*avg(qty per part) as exact integer
+        # cross-multiply 5*qty100*n < sum_qty100 (no float threshold)
+        "small_qty_revenue": (
+            "WITH b AS (SELECT l_partkey AS pk, "
+            "CAST(floor(l_quantity*100+0.5) AS BIGINT) AS qty100, "
+            "CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#23'), "
+            "s AS (SELECT pk, CAST(SUM(qty100) AS BIGINT) AS sq, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY pk) "
+            "SELECT CAST(COALESCE(SUM(CASE WHEN 5*qty100*n < sq THEN cents END), 0) "
+            "AS BIGINT) AS revenue_cents, "
+            "CAST(COALESCE(SUM(CASE WHEN 5*qty100*n < sq THEN 1 END), 0) AS BIGINT) "
+            "AS n_items FROM b JOIN s USING (pk)"
+        ),
+        # TPC-H Q19-shaped disjunctive (brand, size, qty-band) predicate
+        "disjunctive_revenue": (
+            "WITH j AS (SELECT p_brand AS brand, p_size AS size, "
+            "CAST(floor(l_quantity*100+0.5) AS BIGINT) AS qty100, "
+            "CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT) AS cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey) "
+            "SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items FROM j WHERE "
+            "(brand = 'Brand#12' AND size <= 5 AND qty100 BETWEEN 100 AND 1100) OR "
+            "(brand = 'Brand#23' AND size <= 10 AND qty100 BETWEEN 1000 AND 2000) OR "
+            "(brand = 'Brand#34' AND size <= 15 AND qty100 BETWEEN 2000 AND 3000)"
+        ),
+        # TPC-H Q22-shaped: above-positive-average balance AND no URGENT
+        # order, threshold as integer cross-multiply cents*n > sum
+        "idle_rich_customers": (
+            "WITH pos AS (SELECT "
+            "CAST(SUM(CAST(floor(c_acctbal*100+0.5) AS BIGINT)) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_acctbal > 0), "
+            "r AS (SELECT c_custkey, c_nationkey, "
+            "CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS cents "
+            "FROM customer, pos "
+            "WHERE CAST(floor(c_acctbal*100+0.5) AS BIGINT) * n > s "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM(cents) AS BIGINT) AS bal_cents FROM r GROUP BY 1"
+        ),
+        # TPC-H Q10-shaped: top 20 returned-revenue customers, enriched
+        "top_returners": (
+            "WITH r AS (SELECT o_custkey AS ck, "
+            "CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) "
+            "AS BIGINT) AS cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' GROUP BY 1) "
+            "SELECT ck AS custkey, c_name, n_name, cents AS revenue_cents "
+            "FROM r JOIN customer ON ck = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "ORDER BY cents DESC, ck LIMIT 20"
+        ),
+        # TPC-H Q15-shaped: quarter revenue per supplier, max WITH ties
+        "top_supplier": (
+            "WITH r AS (SELECT l_suppkey AS sk, "
+            "CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) "
+            "AS BIGINT) AS cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+            "SELECT sk AS suppkey, s_name, cents AS revenue_cents "
+            "FROM r JOIN supplier ON sk = s_suppkey "
+            "WHERE cents = (SELECT MAX(cents) FROM r)"
+        ),
+        # TPC-H Q4-shaped: EXISTS(correlated late-shipment) per priority
+        "priority_pending": (
+            "SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate) GROUP BY 1"
+        ),
+        # TPC-H Q8-shaped: NATION_7's ppm share of ASIA-customer revenue per
+        # year; ppm through HUGEINT (BIGINT*1e6 overflows at scale)
+        "market_share": (
+            "WITH j AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, "
+            "CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT) AS cents, "
+            "s_nationkey AS snat "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+            "g AS (SELECT yr, CAST(SUM(cents) AS BIGINT) AS total_cents, "
+            "CAST(SUM(CASE WHEN snat = 7 THEN cents ELSE 0 END) AS BIGINT) "
+            "AS nation_cents FROM j GROUP BY yr) "
+            "SELECT yr AS year, total_cents, nation_cents, "
+            "CAST((CAST(nation_cents AS HUGEINT) * 1000000) // total_cents "
+            "AS BIGINT) AS share_ppm FROM g"
+        ),
+        # TPC-H Q2-adapted: argmin(price, suppkey) per small part via the
+        # same composite int64 the engine reduces with (cents*2^20 + suppkey)
+        "cheapest_supplier": (
+            "WITH m AS (SELECT l_partkey AS pk, "
+            "MIN(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) * 1048576 "
+            "+ l_suppkey) AS comp FROM lineitem GROUP BY 1) "
+            "SELECT pk AS partkey, p_name, "
+            "CAST(comp // 1048576 AS BIGINT) AS price_cents, "
+            "CAST(comp % 1048576 AS BIGINT) AS suppkey, s_name "
+            "FROM m JOIN part ON pk = p_partkey "
+            "JOIN supplier ON comp % 1048576 = s_suppkey "
+            "WHERE p_size <= 10"
+        ),
         # 25% sampling threshold = 2^62 over the splitmix64(event_id) rank
         "sample_turns": (
             "WITH " + _splitmix64_ctes("events", "event_type", "event_id")

@@ -947,6 +947,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_pending": R.q_priority_pending,  # new in r4 — Q4 EXISTS count
         "market_share": R.q_market_share,  # new in r4 — Q8 ppm share
         "cheapest_supplier": R.q_cheapest_supplier,  # new in r4 — Q2 argmin
+        "oov_rate": T.q_oov_rate,  # new in r4 — vocab coverage audit
+        "editsim_neardup": T.q_editsim_neardup,  # new in r4 — Levenshtein verify
+        "out_of_order": A.q_out_of_order,  # new in r4 — watermark-lag audit
+        "embedding_inertia": N.q_embedding_inertia,  # new in r4 — cluster quality
         "streaming_verdict_sql": _streaming_verdict_sql,
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -1652,6 +1656,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM m JOIN part ON pk = p_partkey "
             "JOIN supplier ON comp % 1048576 = s_suppkey "
             "WHERE p_size <= 10"
+        ),
+        # vocab-coverage audit: top-1000 vocab (token_counts ordering) then
+        # per-doc OOV counts; zero-token docs never appear (GROUP BY over
+        # the nonempty-token set)
+        "oov_rate": (
+            "WITH tk AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+            "unnest(string_split(lower(text), ' ')) AS tok FROM documents) "
+            "WHERE tok <> ''), "
+            "vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM tk "
+            "GROUP BY tok ORDER BY n DESC, tok LIMIT 1000)), "
+            "per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab) "
+            "THEN 1 END), 0) AS BIGINT) AS n_oov FROM tk GROUP BY doc_id) "
+            "SELECT doc_id, n_tokens, n_oov, "
+            "CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm FROM per"
+        ),
+        # SimHash pigeonhole candidates verified by BYTE-level Levenshtein
+        # (DuckDB levenshtein/strlen are byte-based; engine DP matches)
+        "editsim_neardup": (
+            f"WITH sh AS ({_SIMHASH_SQL}), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) "
+            "SELECT doc_a, doc_b, "
+            "CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist, "
+            "CAST(greatest(strlen(da.text), strlen(db.text)) AS BIGINT) AS max_len "
+            "FROM p JOIN documents da ON doc_a = da.doc_id "
+            "JOIN documents db ON doc_b = db.doc_id "
+            "WHERE 100 * levenshtein(da.text, db.text) "
+            "<= 30 * greatest(strlen(da.text), strlen(db.text))"
+        ),
+        # arrival-order inversion audit (event_id = arrival sequence):
+        # strict-prefix running max per user, lateness vs that watermark
+        "out_of_order": (
+            "WITH w AS (SELECT user_id, ts, MAX(ts) OVER ("
+            "PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CASE WHEN ts < pm THEN 1 ELSE 0 END) AS BIGINT) AS n_late, "
+            "CAST(COALESCE(MAX(CASE WHEN ts < pm THEN "
+            "epoch_us(pm) - epoch_us(ts) END), 0) AS BIGINT) AS max_lateness_us "
+            "FROM w GROUP BY user_id"
+        ),
+        # per-label inertia vs the truncating-integer-mean centroid, all
+        # in exact milli-unit int64 (embedding_centroids quantization)
+        "embedding_inertia": (
+            "WITH dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, label, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 "
+            "+ 0.5) AS BIGINT) AS q FROM embeddings, dims), "
+            "c AS (SELECT label, dim, "
+            "CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS BIGINT) AS cm "
+            "FROM u GROUP BY label, dim), "
+            "d AS (SELECT u.label, u.vec_id, "
+            "CAST(SUM((u.q - c.cm) * (u.q - c.cm)) AS BIGINT) AS dist "
+            "FROM u JOIN c ON u.label = c.label AND u.dim = c.dim "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+            "CAST(SUM(dist) AS BIGINT) AS inertia FROM d GROUP BY label"
         ),
         # 25% sampling threshold = 2^62 over the splitmix64(event_id) rank
         "sample_turns": (

@@ -4061,3 +4061,75 @@ def q_gap_fill_ma(sf_dir: str, window: int = 3):
         )
 
     return agg.repartition(1).map_batches(grid, batch_format="pyarrow")
+
+
+def q_out_of_order(sf_dir: str):
+    """Arrival-order inversion audit: per user, over events in ARRIVAL
+    order (event_id is the monotone arrival sequence), how many events
+    carry a timestamp EARLIER than some previously-arrived event, and the
+    worst such lateness — the measurement that sizes a streaming job's
+    watermark delay (SURVEY §2.9: late-drop policy; the streaming engine's
+    allowed-lateness parameter is exactly a quantile of this
+    distribution).
+
+    Scale shape: ONE hash(user) exchange, then per partition a lexsort +
+    SEGMENTED running max (the composite-offset trick from
+    :func:`_segmented_range_counts`, chunked so shifted values always fit
+    int64) — no Python per row or per user."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_late", pa.int64()),
+            ("max_lateness_us", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        n = len(uid_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid_s[1:] != uid_s[:-1]
+        gidx = np.cumsum(new) - 1  # 0..G-1, ascending (sorted by user)
+        tmin = int(ts_s.min())
+        base = ts_s - tmin
+        span = int(base.max()) + 1
+        max_g = max(1, (2**62) // span - 1)
+        cm = np.empty(n, dtype=np.int64)
+        n_groups = int(gidx[-1]) + 1
+        for g0 in range(0, n_groups, max_g):
+            i0 = np.searchsorted(gidx, g0, side="left")
+            i1 = np.searchsorted(gidx, g0 + max_g, side="left")
+            off = (gidx[i0:i1] - g0) * span
+            cm[i0:i1] = np.maximum.accumulate(base[i0:i1] + off) - off
+        # strict-prefix max: shift right within each segment; segment heads
+        # have no predecessor and are never late
+        pm = np.empty(n, dtype=np.int64)
+        pm[1:] = cm[:-1]
+        pm[new] = -1  # sentinel: head rows compare ts > -1 -> never late
+        late = base < pm
+        lateness = np.where(late, pm - base, 0)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "n_late": pa.array(
+                    np.add.reduceat(late.astype(np.int64), starts), pa.int64()
+                ),
+                "max_lateness_us": pa.array(
+                    np.maximum.reduceat(lateness, starts), pa.int64()
+                ),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")

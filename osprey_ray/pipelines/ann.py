@@ -2095,3 +2095,67 @@ def q_kcore(sf_dir: str, k: int = 5, core_k: int = 3, rounds: int = 8):
     return degrees(edges).map_batches(
         lambda t: t.rename_columns(["node", "core_degree"]), batch_format="pyarrow"
     )
+
+
+def q_embedding_inertia(sf_dir: str, scale: int = 1000):
+    """Clustering-quality report: per label, the vector count and the
+    integer-exact within-cluster inertia (sum of squared L2 distances to
+    the label's quantized centroid) — the evaluation step that pairs with
+    :func:`q_embedding_centroids` / the k-means family (elbow-curve /
+    assignment-quality audits before committing a clustering).
+
+    All arithmetic is int64 in milli-units: components quantized per row
+    (``floor(x*1000+0.5)``), centroid = truncating integer mean (DuckDB
+    ``//``), distances and sums exact integers — so the engine and the
+    SQL twin agree bit-for-bit regardless of shuffle order.
+
+    Scale shape: pass 1 reuses the per-(label, dim) combiner (shuffle
+    moves ≤ |labels|×dim rows per batch, never vectors); the centroid
+    matrix (|labels|×dim int64) broadcasts in the task closure; pass 2 is
+    a stateless scan emitting per-batch per-label partials into a
+    |labels|-row groupby.  int64 bound: milli-unit diffs ≤ ~2e4 → 64-dim
+    row dist ≤ ~2.6e10; asserted against overflow at the partial sum."""
+    from ray.data.aggregate import Sum
+
+    cents = q_embedding_centroids(sf_dir, scale=scale).take_all()
+    labels = sorted({r["label"] for r in cents})
+    dim = max(r["dim"] for r in cents) + 1
+    lab_pos = {l: i for i, l in enumerate(labels)}
+    C = np.zeros((len(labels), dim), dtype=np.int64)
+    for r in cents:
+        C[lab_pos[r["label"]], r["dim"]] = r["centroid_milli"]
+    lab_arr = np.array(labels, dtype=np.int64)
+
+    ds = _read_emb(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(t)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(lab_arr, lab)
+        diff = q - C[pos]
+        d = np.einsum("ij,ij->i", diff, diff)
+        assert len(d) == 0 or int(d.max()) < 2**63 // max(len(d), 1), (
+            "inertia partial-sum overflow"
+        )
+        order = np.argsort(lab, kind="stable")
+        lab_s, d_s = lab[order], d[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        return pa.table(
+            {
+                "label": pa.array(lab_s[starts], pa.int64()),
+                "inertia": pa.array(np.add.reduceat(d_s, starts), pa.int64()),
+                "n_vectors": pa.array(
+                    np.diff(np.append(starts, len(lab_s))), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_vectors", alias_name="n_vectors"),
+            Sum("inertia", alias_name="inertia"),
+        )
+    )

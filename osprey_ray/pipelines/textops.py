@@ -5100,3 +5100,152 @@ def q_dup_families(sf_dir: str, prefix_chars: int = 64):
         .groupby("family_size")
         .aggregate(Sum("n_families", alias_name="n_families"))
     )
+
+
+def q_oov_rate(sf_dir: str, vocab_k: int = 1000):
+    """Tokenizer-vocabulary coverage audit: per document, the token count
+    and the count/ppm share of tokens OUTSIDE the corpus's top-``vocab_k``
+    vocabulary — the OOV-rate gate a tokenizer-training pipeline runs
+    before committing to a vocab size (reference analogue: the
+    frequency-bucketed quality signals of SURVEY §2.6 grouped counts).
+
+    Scale shape: pass 1 is the token-histogram combiner + tiny top-K sort
+    (the driver holds vocab_k strings, broadcast in the task closure);
+    pass 2 is one stateless vectorized scan — per-batch ``is_in`` against
+    the vocab plus two bincounts, no shuffle at all.  Zero-token documents
+    are dropped (they have no defined OOV share), matching the twin."""
+    top = q_token_counts(sf_dir, top_n=vocab_k).to_pandas()["token"].tolist()
+    vocab = pa.array(sorted(top), pa.string())
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_oov", pa.int64()), ("oov_ppm", pa.int64())]
+    )
+
+    def per(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        known = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+        nt = np.bincount(idx[nonempty], minlength=t.num_rows)
+        no = np.bincount(idx[nonempty & ~known], minlength=t.num_rows)
+        keep = nt > 0
+        ids = t["doc_id"].to_numpy().astype(np.int64)[keep]
+        nt, no = nt[keep], no[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_oov": pa.array(no, pa.int64()),
+                "oov_ppm": pa.array(no * 1_000_000 // nt, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per, batch_format="pyarrow")
+
+
+def _lev_bytes(a: bytes, b: bytes) -> int:
+    """Byte-level Levenshtein distance (DuckDB's ``levenshtein`` operates
+    on BYTES, not codepoints — verified ``levenshtein('é','a') = 2``).
+    Row-vectorized DP: the insertion carry ``min_k<=j (cur[k] + j - k)``
+    is ``j + cummin(cur - j)``, so each row is O(len) numpy ops."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    A = np.frombuffer(a, np.uint8)
+    B = np.frombuffer(b, np.uint8)
+    lb = len(B)
+    j = np.arange(lb + 1, dtype=np.int64)
+    prev = j.copy()
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(len(A)):
+        cur[0] = i + 1
+        np.minimum(prev[1:] + 1, prev[:-1] + (B != A[i]), out=cur[1:])
+        np.minimum(cur, np.minimum.accumulate(cur - j) + j, out=cur)
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def q_editsim_neardup(sf_dir: str, max_hamming: int = 3, dist_pct: int = 30):
+    """Edit-similarity near-duplicate pairs: SimHash pigeonhole candidates
+    (100% recall within ``max_hamming`` bits — :func:`q_simhash_pairs`)
+    verified by BYTE-level Levenshtein distance at ``10*dist <=
+    dist_pct/10 * max(strlen)`` — the verify metric used when
+    shingle-Jaccard is too coarse (short docs, heavy templating).
+
+    Scale shape: candidates come from the distributed pigeonhole path
+    (per-bucket caps bound the pair count by design); the verify follows
+    minhash's sparse-candidate regime — texts gathered with ONE broadcast
+    ``is_in`` filter scan over documents (no join, no pair-keyed
+    exchange), DP verify on the gathered pairs.  Above the caps the
+    distributed single-join attach (q_minhash_neardup's other regime)
+    is the documented growth path."""
+    import ray
+
+    schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("lev_dist", pa.int64()), ("max_len", pa.int64())]
+    )
+    cand = q_simhash_pairs(sf_dir, max_hamming=max_hamming)
+    if not isinstance(cand, pa.Table):  # Dataset at larger candidate counts
+        cand = pa.Table.from_pylist(cand.take_all(), schema=cand.schema().base_schema)
+    if cand.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(schema.empty_table())
+    a = cand["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = cand["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    need_set = pa.array(np.unique(np.concatenate([a, b])), pa.int64())
+
+    def gather(t: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=need_set)
+        t = t.filter(m)
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "__t": t["text"]}
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    gt = pa.concat_tables(
+        [
+            p
+            for p in ray.get(
+                ds.map_batches(gather, batch_format="pyarrow").to_arrow_refs()
+            )
+            if p.num_rows
+        ]
+    )
+    gids = gt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(gids)
+    gids = gids[order]
+    texts = [
+        x.encode("utf-8")
+        for x in np.asarray(gt["__t"].to_numpy(zero_copy_only=False), dtype=object)[
+            order
+        ]
+    ]
+    ia, ib = np.searchsorted(gids, a), np.searchsorted(gids, b)
+    dist = np.array(
+        [_lev_bytes(texts[x], texts[y]) for x, y in zip(ia, ib)], dtype=np.int64
+    )
+    mlen = np.array(
+        [max(len(texts[x]), len(texts[y])) for x, y in zip(ia, ib)], dtype=np.int64
+    )
+    # integer threshold: dist/max_len <= dist_pct/100  <=>  100*dist <= dist_pct*max_len
+    sel = 100 * dist <= dist_pct * mlen
+    return pa.table(
+        {
+            "doc_a": pa.array(a[sel], pa.int64()),
+            "doc_b": pa.array(b[sel], pa.int64()),
+            "lev_dist": pa.array(dist[sel], pa.int64()),
+            "max_len": pa.array(mlen[sel], pa.int64()),
+        }
+    )

@@ -951,6 +951,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editsim_neardup": T.q_editsim_neardup,  # new in r4 — Levenshtein verify
         "out_of_order": A.q_out_of_order,  # new in r4 — watermark-lag audit
         "embedding_inertia": N.q_embedding_inertia,  # new in r4 — cluster quality
+        "key_skew": A.q_key_skew,  # new in r4 — hot-key salting audit
+        "revenue_concentration": A.q_revenue_concentration,  # new in r4 — whales
+        "cube_agg": A.q_cube_agg,  # new in r4 — one-pass CUBE grouping sets
+        "column_profile": A.q_column_profile,  # new in r4 — table audit
+        "benford": A.q_benford,  # new in r4 — first-digit audit
+        "ols_slope": A.q_ols_slope,  # new in r4 — integer regression
+        "type_gini": A.q_type_gini,  # new in r4 — behavioral concentration
+        "types_listagg": A.q_types_listagg,  # new in r4 — ordered LISTAGG
+        "ks_drift": A.q_ks_drift,  # new in r4 — exact KS drift statistic
+        "unpivot_wide": A.q_unpivot_wide,  # new in r4 — wide→long melt
+        "asof_forward": A.q_asof_forward,  # new in r4 — forward as-of join
         "streaming_verdict_sql": _streaming_verdict_sql,
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -1051,9 +1062,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_active": A.q_monthly_active,  # new in r4 — exact MAU ladder
         "part_supplier_breadth": A.q_part_supplier_breadth,  # new in r4 — Q16-ish
         "dup_families": T.q_dup_families,  # new in r4 — dedup-yield histogram
-        "key_skew": A.q_key_skew,  # new in r4 — hot-key salting audit
-        "revenue_concentration": A.q_revenue_concentration,  # new in r4 — whales
-        "cube_agg": A.q_cube_agg,  # new in r4 — one-pass CUBE grouping sets
         "anti_join": A.q_anti_join,  # new in r4 — native left_anti
         "semi_join": A.q_semi_join,  # new in r4 — native left_semi
         "rolling_window": A.q_rolling_window,  # new in r4 — ROWS frame
@@ -2561,6 +2569,91 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS value_cents "
             "FROM events GROUP BY CUBE(event_type, dayofweek(ts))"
+        ),
+        # per-column table audit: rows / nulls / exact distincts
+        "column_profile": (
+            "SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null, "
+            "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events "
+            "UNION ALL SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), "
+            "COUNT(DISTINCT ts) FROM events "
+            "UNION ALL SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), "
+            "COUNT(DISTINCT user_id) FROM events "
+            "UNION ALL SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type), "
+            "COUNT(DISTINCT event_type) FROM events "
+            "UNION ALL SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), "
+            "COUNT(DISTINCT value) FROM events "
+            "UNION ALL SELECT 'props', COUNT(*), COUNT(*) - COUNT(props), "
+            "COUNT(DISTINCT props) FROM events "
+            "ORDER BY 1"
+        ),
+        # Benford first-digit audit over integer cents
+        "benford": (
+            "SELECT substr(CAST(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) "
+            "AS VARCHAR), 1, 1) AS digit, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM orders GROUP BY 1"
+        ),
+        # integer-exact per-flag OLS slope in truncated ppm (HUGEINT math)
+        "ols_slope": (
+            "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n, "
+            "SUM(CAST(CAST(floor(l_quantity*100+0.5) AS BIGINT) AS HUGEINT)) AS sx, "
+            "SUM(CAST(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS HUGEINT)) AS sy, "
+            "SUM(CAST(CAST(floor(l_quantity*100+0.5) AS BIGINT) AS HUGEINT) * "
+            "CAST(CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS HUGEINT)) AS sxy, "
+            "SUM(CAST(CAST(floor(l_quantity*100+0.5) AS BIGINT) AS HUGEINT) * "
+            "CAST(CAST(floor(l_quantity*100+0.5) AS BIGINT) AS HUGEINT)) AS sxx "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CAST((n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx) AS BIGINT) "
+            "AS slope_ppm FROM m"
+        ),
+        # exact per-user Gini impurity of the event-type mix (truncated ppm)
+        "type_gini": (
+            "WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k "
+            "FROM events GROUP BY 1, 2), "
+            "u AS (SELECT user_id, SUM(k) AS n, SUM(k*k) AS ssq FROM c GROUP BY 1) "
+            "SELECT user_id, CAST(n AS BIGINT) AS n_events, "
+            "CAST((n*n - ssq) * 1000000 // (n*n) AS BIGINT) AS gini_ppm FROM u"
+        ),
+        # ordered LISTAGG of distinct event types per (user, day)
+        "types_listagg": (
+            "SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
+            "string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # exact two-sample KS drift on the cents grid (integer numerator)
+        "ks_drift": (
+            "WITH q AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v, "
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a, "
+            "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b "
+            "FROM events WHERE event_type IN ('click', 'error')), "
+            "g AS (SELECT v, SUM(a) AS na, SUM(b) AS nb FROM q GROUP BY v), "
+            "c AS (SELECT SUM(na) OVER (ORDER BY v) AS ca, "
+            "SUM(nb) OVER (ORDER BY v) AS cb FROM g), "
+            "t AS (SELECT (SELECT CAST(SUM(na) AS BIGINT) FROM g) AS n_a, "
+            "(SELECT CAST(SUM(nb) AS BIGINT) FROM g) AS n_b), "
+            "d AS (SELECT (SELECT CAST(MAX(ABS(ca*(SELECT n_b FROM t) - "
+            "cb*(SELECT n_a FROM t))) AS BIGINT) FROM c) AS d_num) "
+            "SELECT n_a, n_b, d_num, "
+            "CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm "
+            "FROM t, d"
+        ),
+        # UNPIVOT: per-flag aggregate triple melted to (flag, metric, value)
+        "unpivot_wide": (
+            "WITH w AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS qty_cents, "
+            "CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS price_cents "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w "
+            "UNION ALL SELECT l_returnflag, 'qty_cents', qty_cents FROM w "
+            "UNION ALL SELECT l_returnflag, 'price_cents', price_cents FROM w"
+        ),
+        # FORWARD as-of: click → next purchase of the same user
+        "asof_forward": (
+            "SELECT e.event_id, e.user_id, p.ts AS next_purchase_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') e "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND p.ts >= e.ts"
         ),
         # per-nation revenue total + hottest-customer ppm share
         "revenue_concentration": (

@@ -938,6 +938,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 50), so the queries that have never received a driver CORRECTNESS
         # row — or whose SQL twin landed after their last sampling — go
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
+        "volume_shipping": R.q_volume_shipping,  # new in r4 — Q7 bi-national flows
+        "product_profit": R.q_product_profit,  # new in r4 — Q9 profit rollup
+        "important_parts": R.q_important_parts,  # new in r4 — Q11 global-share
+        "seasonal_suppliers": R.q_seasonal_suppliers,  # new in r4 — Q20 nested semi
+        "waiting_suppliers": R.q_waiting_suppliers,  # new in r4 — Q21 sole-late
         "cust_order_dist": R.q_cust_order_dist,  # new in r4 — Q13 left-join hist
         "small_qty_revenue": R.q_small_qty_revenue,  # new in r4 — Q17 threshold
         "disjunctive_revenue": R.q_disjunctive_revenue,  # new in r4 — Q19 bands
@@ -1552,6 +1557,81 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # TPC-H Q7-shaped: revenue between two nations per year, both ways
+        "volume_shipping": (
+            "WITH j AS (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(o_orderdate) AS BIGINT) AS l_year, "
+            "CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT) AS cents "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE (s_nationkey = 3 AND c_nationkey = 12) "
+            "OR (s_nationkey = 12 AND c_nationkey = 3)) "
+            "SELECT supp_nation, cust_nation, l_year, "
+            "CAST(SUM(cents) AS BIGINT) AS revenue_cents FROM j GROUP BY 1,2,3"
+        ),
+        # TPC-H Q9-shaped: exact centi-cent profit per (supplier nation, year);
+        # p_retailprice stands in for ps_supplycost (no partsupp table)
+        "product_profit": (
+            "WITH j AS (SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)*100 "
+            "- CAST(floor(p_retailprice*100+0.5) AS BIGINT) "
+            "* CAST(floor(l_quantity*100+0.5) AS BIGINT) AS amount "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%widget%') "
+            "SELECT nation, o_year, "
+            "CAST(SUM(CAST(amount AS HUGEINT)) AS BIGINT) AS profit_centicents "
+            "FROM j GROUP BY 1,2"
+        ),
+        # TPC-H Q11-shaped: parts above a ppm share of one nation's total
+        # lineitem value; HUGEINT cross-multiply (BIGINT*1e6 wraps at scale)
+        "important_parts": (
+            "WITH v AS (SELECT l_partkey AS partkey, "
+            "CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE s_nationkey = 12 GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(value_cents) AS HUGEINT) AS tot FROM v) "
+            "SELECT partkey, value_cents FROM v, t "
+            "WHERE CAST(value_cents AS HUGEINT) * 1000000 > 5000 * tot"
+        ),
+        # TPC-H Q20-shaped: suppliers with >1/7 of their 'blue%'-part volume
+        # shipped in 1997 (nested aggregate + semi-join; no availqty column)
+        "seasonal_suppliers": (
+            "WITH q AS (SELECT l_suppkey AS suppkey, "
+            "CAST(SUM(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) "
+            "AS qty100_total, "
+            "CAST(SUM(CASE WHEN year(l_shipdate)=1997 THEN "
+            "CAST(floor(l_quantity*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS qty100_year "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE 'blue%' GROUP BY 1) "
+            "SELECT suppkey, s_name, qty100_year, qty100_total "
+            "FROM q JOIN supplier ON suppkey = s_suppkey "
+            "WHERE 7*qty100_year > qty100_total"
+        ),
+        # TPC-H Q21-shaped: sole-late supplier of multi-supplier orders
+        # (l_shipdate > o_orderdate + 30d stands in for receipt>commit)
+        "waiting_suppliers": (
+            "WITH f AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+            "MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY "
+            "THEN 1 ELSE 0 END) AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1,2), "
+            "g AS (SELECT ok, COUNT(*) AS ns, SUM(late) AS nl FROM f GROUP BY 1), "
+            "w AS (SELECT sk FROM f JOIN g USING (ok) "
+            "WHERE late = 1 AND ns > 1 AND nl = 1), "
+            "c AS (SELECT sk AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM w GROUP BY 1) "
+            "SELECT suppkey, s_name, numwait FROM c "
+            "JOIN supplier ON suppkey = s_suppkey "
+            "ORDER BY numwait DESC, suppkey LIMIT 20"
+        ),
         # TPC-H Q13-shaped: non-urgent order-count distribution incl. zero bucket
         "cust_order_dist": (
             "WITH cnt AS (SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS k "

@@ -907,3 +907,686 @@ def q_cheapest_supplier(sf_dir: str, max_size: int = 10):
         on=("suppkey",),
         aggregator_ray_remote_args={"num_cpus": 0},
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7: bi-national shipping volume per year
+# ---------------------------------------------------------------------------
+
+
+def q_volume_shipping(sf_dir: str, nation_a: int = 3, nation_b: int = 12):
+    """TPC-H Q7-shaped volume shipping: revenue flowing between two
+    nations (supplier side vs customer side, both directions) per order
+    year.
+
+    Scale shape: the market_share stance — three chained hash joins
+    (nation-filtered supplier slice, orders, nation-filtered customer
+    slice); both dimension slices are pinned (sparse join sides leave
+    schema-less empty blocks otherwise) and pre-filtered to the two
+    nations so the exchanges carry ~2/25 of each table; the 25-row
+    nation-name map rides the closure; per-batch (snat,cnat,year)
+    partials collapse before the ≤ 2×|years| groupby."""
+    import pyarrow.parquet as _pq
+
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    pair = {nation_a, nation_b}
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        return pa.table(
+            {
+                "suppkey": t["l_suppkey"].cast(pa.int64()),
+                "orderkey": t["l_orderkey"].cast(pa.int64()),
+                "cents": pa.array(_cents(ep * (1.0 - disc))),
+            }
+        )
+
+    def prep_s(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].to_numpy().astype(np.int64)
+        keep = (sn == nation_a) | (sn == nation_b)
+        return pa.table(
+            {
+                "suppkey": t["s_suppkey"].cast(pa.int64()),
+                "snat": pa.array(sn),
+            }
+        ).filter(pa.array(keep))
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        yr = (
+            us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "custkey": t["o_custkey"].cast(pa.int64()),
+                "l_year": pa.array(yr),
+            }
+        )
+
+    def prep_c(t: pa.Table) -> pa.Table:
+        cn = t["c_nationkey"].to_numpy().astype(np.int64)
+        keep = (cn == nation_a) | (cn == nation_b)
+        return pa.table(
+            {
+                "custkey": t["c_custkey"].cast(pa.int64()),
+                "cnat": pa.array(cn),
+            }
+        ).filter(pa.array(keep))
+
+    P = _join_partitions()
+    supp_slice = _pin_schema(
+        supp.map_batches(prep_s, batch_format="pyarrow"),
+        pa.schema([("suppkey", pa.int64()), ("snat", pa.int64())]),
+    )
+    ls = li.map_batches(prep_li, batch_format="pyarrow").join(
+        supp_slice,
+        join_type="inner",
+        num_partitions=P,
+        on=("suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    ls = _pin_schema(
+        ls,
+        pa.schema(
+            [("suppkey", pa.int64()), ("orderkey", pa.int64()),
+             ("cents", pa.int64()), ("snat", pa.int64())]
+        ),
+    ).drop_columns(["suppkey"])
+    lso = ls.join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    lso = _pin_schema(
+        lso,
+        pa.schema(
+            [("orderkey", pa.int64()), ("cents", pa.int64()), ("snat", pa.int64()),
+             ("custkey", pa.int64()), ("l_year", pa.int64())]
+        ),
+    ).drop_columns(["orderkey"])
+    cust_slice = _pin_schema(
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        pa.schema([("custkey", pa.int64()), ("cnat", pa.int64())]),
+    )
+    full = lso.join(
+        cust_slice,
+        join_type="inner",
+        num_partitions=P,
+        on=("custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def per_pair(t: pa.Table) -> pa.Table:
+        sn = t["snat"].to_numpy()
+        cn = t["cnat"].to_numpy()
+        keep = sn != cn  # cross-nation flows only (both slices pre-filtered)
+        return _partial(
+            pa.table(
+                {
+                    "snat": t["snat"],
+                    "cnat": t["cnat"],
+                    "l_year": t["l_year"],
+                    "revenue_cents": t["cents"],
+                }
+            ).filter(pa.array(keep)),
+            ["snat", "cnat", "l_year"], [("revenue_cents", "sum")],
+            ["snat", "cnat", "l_year", "revenue_cents"],
+            pa.schema(
+                [("snat", pa.int64()), ("cnat", pa.int64()),
+                 ("l_year", pa.int64()), ("revenue_cents", pa.int64())]
+            ),
+        )
+
+    rows = (
+        full.map_batches(per_pair, batch_format="pyarrow")
+        .groupby(["snat", "cnat", "l_year"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (nname[r["snat"]], nname[r["cnat"]], r["l_year"]))
+    return pa.table(
+        {
+            "supp_nation": pa.array([nname[r["snat"]] for r in rows], pa.string()),
+            "cust_nation": pa.array([nname[r["cnat"]] for r in rows], pa.string()),
+            "l_year": pa.array([r["l_year"] for r in rows], pa.int64()),
+            "revenue_cents": pa.array(
+                [r["revenue_cents"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-line profit per (supplier nation, year)
+# ---------------------------------------------------------------------------
+
+
+def q_product_profit(sf_dir: str, name_frag: str = "widget"):
+    """TPC-H Q9-shaped product profit: for parts whose name contains
+    ``name_frag``, per-(supplier-nation, order-year) profit.  The
+    testdata has no partsupp, so ``p_retailprice`` stands in for
+    ps_supplycost; profit is kept EXACT in integer centi-cents:
+    ``100*cents(extprice*(1-disc)) - cents(retailprice)*qty100``.
+
+    Scale shape: three chained hash joins — the name-filtered part
+    slice (pinned, carries retail cents), orders (year), supplier
+    (nation) — dimension tables never broadcast (they scale with SF);
+    per-batch (nation, year) partials collapse before the tiny final
+    groupby.  Per-row amounts are ~1e9 so int64 partial sums hold to
+    ~1e9 rows per group-partial; the DuckDB twin sums in HUGEINT and
+    casts down, bit-equal while the total fits BIGINT."""
+    import pyarrow.parquet as _pq
+
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pydict()
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        return pa.table(
+            {
+                "partkey": t["l_partkey"].cast(pa.int64()),
+                "orderkey": t["l_orderkey"].cast(pa.int64()),
+                "suppkey": t["l_suppkey"].cast(pa.int64()),
+                "rev_cents": pa.array(_cents(ep * (1.0 - disc))),
+                "qty100": pa.array(_cents(t["l_quantity"].to_numpy())),
+            }
+        )
+
+    def prep_p(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], name_frag))
+        return pa.table(
+            {
+                "partkey": t["p_partkey"].cast(pa.int64()),
+                "retail_cents": pa.array(_cents(t["p_retailprice"].to_numpy())),
+            }
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        yr = (
+            us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_year": pa.array(yr),
+            }
+        )
+
+    def prep_s(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "suppkey": t["s_suppkey"].cast(pa.int64()),
+                "snat": t["s_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    P = _join_partitions()
+    part_slice = _pin_schema(
+        part.map_batches(prep_p, batch_format="pyarrow"),
+        pa.schema([("partkey", pa.int64()), ("retail_cents", pa.int64())]),
+    )
+    lp = li.map_batches(prep_li, batch_format="pyarrow").join(
+        part_slice,
+        join_type="inner",
+        num_partitions=P,
+        on=("partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    lp = _pin_schema(
+        lp,
+        pa.schema(
+            [("partkey", pa.int64()), ("orderkey", pa.int64()),
+             ("suppkey", pa.int64()), ("rev_cents", pa.int64()),
+             ("qty100", pa.int64()), ("retail_cents", pa.int64())]
+        ),
+    ).drop_columns(["partkey"])
+    lpo = lp.join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    lpo = _pin_schema(
+        lpo,
+        pa.schema(
+            [("orderkey", pa.int64()), ("suppkey", pa.int64()),
+             ("rev_cents", pa.int64()), ("qty100", pa.int64()),
+             ("retail_cents", pa.int64()), ("o_year", pa.int64())]
+        ),
+    ).drop_columns(["orderkey"])
+    full = lpo.join(
+        supp.map_batches(prep_s, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def per_group(t: pa.Table) -> pa.Table:
+        rev = t["rev_cents"].to_numpy()
+        retail = t["retail_cents"].to_numpy()
+        qty = t["qty100"].to_numpy()
+        if len(rev):
+            # exact integer profit; numpy wraps silently -> assert bound
+            assert (
+                int(rev.max()) * 100 < 2**62
+                and int(retail.max()) * int(qty.max()) < 2**62
+            ), "q9 centi-cent overflow"
+        amount = rev * 100 - retail * qty
+        return _partial(
+            pa.table(
+                {
+                    "snat": t["snat"],
+                    "o_year": t["o_year"],
+                    "profit_centicents": pa.array(amount),
+                }
+            ),
+            ["snat", "o_year"], [("profit_centicents", "sum")],
+            ["snat", "o_year", "profit_centicents"],
+            pa.schema(
+                [("snat", pa.int64()), ("o_year", pa.int64()),
+                 ("profit_centicents", pa.int64())]
+            ),
+        )
+
+    rows = (
+        full.map_batches(per_group, batch_format="pyarrow")
+        .groupby(["snat", "o_year"])
+        .aggregate(Sum("profit_centicents", alias_name="profit_centicents"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (nname[r["snat"]], r["o_year"]))
+    return pa.table(
+        {
+            "nation": pa.array([nname[r["snat"]] for r in rows], pa.string()),
+            "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+            "profit_centicents": pa.array(
+                [r["profit_centicents"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11: globally-important parts for one nation's suppliers
+# ---------------------------------------------------------------------------
+
+
+def q_important_parts(sf_dir: str, nationkey: int = 12, frac_ppm: int = 5000):
+    """TPC-H Q11-shaped importance filter: per-part lineitem value
+    (extendedprice cents) supplied by one nation's suppliers, keeping
+    parts whose value exceeds ``frac_ppm`` ppm of the nation's total —
+    the group-share-vs-global-scalar-subquery shape (no partsupp in the
+    testdata, so observed lineitem value stands in for availqty*cost).
+
+    Scale shape: one hash join against the nation-filtered supplier
+    slice (pinned), per-batch per-part partials before the keyed
+    groupby; the global total is a second tiny aggregate over the
+    per-part values whose exact Python-int threshold ``(frac_ppm *
+    total) // 1e6`` is broadcast into the filter (int64 ``value*1e6``
+    would wrap at ~9e12 cents; ``value > thr`` is exactly equivalent —
+    the twin proves it in HUGEINT)."""
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partkey": t["l_partkey"].cast(pa.int64()),
+                "suppkey": t["l_suppkey"].cast(pa.int64()),
+                "cents": pa.array(_cents(t["l_extendedprice"].to_numpy())),
+            }
+        )
+
+    def prep_s(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"], nationkey))
+        return pa.table({"suppkey": t["s_suppkey"].cast(pa.int64())})
+
+    supp_slice = _pin_schema(
+        supp.map_batches(prep_s, batch_format="pyarrow"),
+        pa.schema([("suppkey", pa.int64())]),
+    )
+    j = li.map_batches(prep_li, batch_format="pyarrow").join(
+        supp_slice,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def partial_val(t: pa.Table) -> pa.Table:
+        return _partial(
+            pa.table({"partkey": t["partkey"], "value_cents": t["cents"]}),
+            ["partkey"], [("value_cents", "sum")], ["partkey", "value_cents"],
+            pa.schema([("partkey", pa.int64()), ("value_cents", pa.int64())]),
+        )
+
+    per_part = (
+        j.map_batches(partial_val, batch_format="pyarrow")
+        .groupby("partkey")
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+        .materialize()  # consumed twice: total scalar + threshold filter
+    )
+    total = sum(
+        int(b["value_cents"].to_numpy().sum())
+        for b in per_part.select_columns(["value_cents"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    # value*1e6 > frac_ppm*total  <=>  value > (frac_ppm*total)//1e6, exact
+    thr = (frac_ppm * total) // 1_000_000
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["value_cents"], thr))
+
+    rows = per_part.map_batches(keep, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["value_cents"], r["partkey"]))
+    return pa.table(
+        {
+            "partkey": pa.array([r["partkey"] for r in rows], pa.int64()),
+            "value_cents": pa.array([r["value_cents"] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: suppliers whose shipments of a part family concentrate in one year
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_suppliers(sf_dir: str, prefix: str = "blue",
+                         year: int = 1997, mult: int = 7):
+    """TPC-H Q20-shaped nested semi-join: among suppliers who shipped any
+    part whose name starts with ``prefix``, keep those whose ``year``
+    shipment quantity exceeds ``1/mult`` of their all-time quantity for
+    those parts (no partsupp/availqty in the testdata, so the excess-stock
+    threshold becomes a concentration threshold over shipped quantity —
+    same nested-aggregate + semi-join composition).
+
+    Scale shape: one hash join against the prefix-filtered part slice
+    (pinned), per-batch per-supplier (total, in-year) partials before the
+    keyed groupby, exact integer threshold ``mult*qy > qt``, then a hash
+    join to attach s_name — supplier is never broadcast."""
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        yr = (
+            us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        q = _cents(t["l_quantity"].to_numpy())
+        return pa.table(
+            {
+                "partkey": t["l_partkey"].cast(pa.int64()),
+                "suppkey": t["l_suppkey"].cast(pa.int64()),
+                "qt": pa.array(q),
+                "qy": pa.array(np.where(yr == year, q, 0)),
+            }
+        )
+
+    def prep_p(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.starts_with(t["p_name"], prefix))
+        return pa.table({"partkey": t["p_partkey"].cast(pa.int64())})
+
+    def prep_s(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "suppkey": t["s_suppkey"].cast(pa.int64()),
+                "s_name": t["s_name"].cast(pa.string()),
+            }
+        )
+
+    P = _join_partitions()
+    part_slice = _pin_schema(
+        part.map_batches(prep_p, batch_format="pyarrow"),
+        pa.schema([("partkey", pa.int64())]),
+    )
+    j = li.map_batches(prep_li, batch_format="pyarrow").join(
+        part_slice,
+        join_type="inner",
+        num_partitions=P,
+        on=("partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def per_supp(t: pa.Table) -> pa.Table:
+        return _partial(
+            pa.table(
+                {
+                    "suppkey": t["suppkey"],
+                    "qty100_total": t["qt"],
+                    "qty100_year": t["qy"],
+                }
+            ),
+            ["suppkey"], [("qty100_total", "sum"), ("qty100_year", "sum")],
+            ["suppkey", "qty100_total", "qty100_year"],
+            pa.schema(
+                [("suppkey", pa.int64()), ("qty100_total", pa.int64()),
+                 ("qty100_year", pa.int64())]
+            ),
+        )
+
+    agg = (
+        j.map_batches(per_supp, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(
+            Sum("qty100_total", alias_name="qty100_total"),
+            Sum("qty100_year", alias_name="qty100_year"),
+        )
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        qy = t["qty100_year"].to_numpy()
+        qt = t["qty100_total"].to_numpy()
+        if len(qy):
+            assert int(qy.max()) * mult < 2**63, "q20 threshold overflow"
+        return t.filter(pa.array(mult * qy > qt))
+
+    kept = _pin_schema(
+        agg.map_batches(keep, batch_format="pyarrow"),
+        pa.schema(
+            [("suppkey", pa.int64()), ("qty100_total", pa.int64()),
+             ("qty100_year", pa.int64())]
+        ),
+    )
+    rows = kept.join(
+        supp.map_batches(prep_s, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    ).take_all()
+    rows.sort(key=lambda r: r["suppkey"])
+    return pa.table(
+        {
+            "suppkey": pa.array([r["suppkey"] for r in rows], pa.int64()),
+            "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+            "qty100_year": pa.array([r["qty100_year"] for r in rows], pa.int64()),
+            "qty100_total": pa.array(
+                [r["qty100_total"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21: suppliers who were the sole late shipper of multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+def q_waiting_suppliers(sf_dir: str, late_days: int = 30, top_n: int = 20):
+    """TPC-H Q21-shaped double-correlated EXISTS/NOT-EXISTS: count, per
+    supplier, the multi-supplier orders where that supplier shipped late
+    (> ``late_days`` after the order date — the testdata has no
+    commit/receipt dates) and NO other supplier in the order did.
+
+    Scale shape: one hash(orderkey) join to attach o_orderdate, a
+    per-batch (orderkey, suppkey) any-late combiner, ONE keyed exchange
+    on orderkey whose partition callback vectorizes the per-order
+    supplier/late counts (lexsort + run-length, never per-key Python),
+    a per-batch count combiner before the per-supplier groupby, and a
+    hash join to attach s_name; only the ≤|suppliers| counts reach the
+    driver for the tie-broken top-k."""
+    from osprey_ray.pipelines.analytics import _by_key_partition
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    late_us = late_days * 86_400 * 1_000_000
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["l_orderkey"].cast(pa.int64()),
+                "suppkey": t["l_suppkey"].cast(pa.int64()),
+                "ship_us": t["l_shipdate"].cast(pa.int64()),
+            }
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "od_us": t["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    P = _join_partitions()
+    j = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        late = (
+            t["ship_us"].to_numpy() > t["od_us"].to_numpy() + late_us
+        ).astype(np.int64)
+        return _partial(
+            pa.table(
+                {"orderkey": t["orderkey"], "suppkey": t["suppkey"],
+                 "late": pa.array(late)}
+            ),
+            ["orderkey", "suppkey"], [("late", "max")],
+            ["orderkey", "suppkey", "late"],
+            pa.schema(
+                [("orderkey", pa.int64()), ("suppkey", pa.int64()),
+                 ("late", pa.int64())]
+            ),
+        )
+
+    # collapse duplicate (orderkey, suppkey) pairs globally so the
+    # per-order callback sees each supplier once
+    pairs = (
+        j.map_batches(flag, batch_format="pyarrow")
+        .groupby(["orderkey", "suppkey"])
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def sole_late(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__kp"])
+        ok = t["orderkey"].to_numpy()
+        if len(ok) == 0:
+            return pa.table({"suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        order = np.argsort(ok, kind="stable")
+        ok_s = ok[order]
+        sk = t["suppkey"].to_numpy()[order]
+        late = t["late"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
+        cnts = np.diff(np.r_[starts, len(ok_s)])
+        n_late = np.add.reduceat(late, starts)
+        keep = (late == 1) & (np.repeat(cnts, cnts) > 1) & (
+            np.repeat(n_late, cnts) == 1
+        )
+        kept = sk[keep]
+        u, c = np.unique(kept, return_counts=True)
+        return pa.table(
+            {"suppkey": pa.array(u), "numwait": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        _by_key_partition(pairs, "orderkey")
+        .map_groups(sole_late, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+    counts = _pin_schema(
+        counts, pa.schema([("suppkey", pa.int64()), ("numwait", pa.int64())])
+    )
+
+    def prep_s(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "suppkey": t["s_suppkey"].cast(pa.int64()),
+                "s_name": t["s_name"].cast(pa.string()),
+            }
+        )
+
+    rows = counts.join(
+        supp.map_batches(prep_s, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    ).take_all()
+    rows.sort(key=lambda r: (-r["numwait"], r["suppkey"]))
+    rows = rows[:top_n]
+    return pa.table(
+        {
+            "suppkey": pa.array([r["suppkey"] for r in rows], pa.int64()),
+            "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+            "numwait": pa.array([r["numwait"] for r in rows], pa.int64()),
+        }
+    )

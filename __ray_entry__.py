@@ -938,6 +938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 50), so the queries that have never received a driver CORRECTNESS
         # row — or whose SQL twin landed after their last sampling — go
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
+        "percentile_cont": A.q_percentile_cont,  # new in r4 — interpolated quantile
+        "session_paths": A.q_session_paths,  # new in r4 — entry-path mining
+        "k_anonymity": A.q_k_anonymity,  # new in r4 — privacy suppression audit
         "volume_shipping": R.q_volume_shipping,  # new in r4 — Q7 bi-national flows
         "product_profit": R.q_product_profit,  # new in r4 — Q9 profit rollup
         "important_parts": R.q_important_parts,  # new in r4 — Q11 global-share
@@ -1557,6 +1560,52 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # PERCENTILE_CONT in exact integer quarter-cents: result*4 =
+        # 4*v[lo] + rem*(v[lo+1]-v[lo]) at lo=(n-1)k//4, rem=(n-1)k%4
+        "percentile_cont": (
+            "WITH c AS (SELECT event_type AS et, "
+            "CAST(floor(value*100+0.5) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT et, cents, "
+            "ROW_NUMBER() OVER (PARTITION BY et ORDER BY cents) AS rn, "
+            "COUNT(*) OVER (PARTITION BY et) AS n FROM c), "
+            "b AS (SELECT DISTINCT et, n FROM s), "
+            "p AS (SELECT b.et, b.n, k.k, ((b.n-1)*k.k)//4 + 1 AS lo_rn, "
+            "((b.n-1)*k.k)%4 AS rem FROM b, (VALUES (1),(2),(3)) k(k)), "
+            "v AS (SELECT p.et, p.n, p.k, 4*slo.cents "
+            "+ p.rem*(COALESCE(shi.cents, slo.cents) - slo.cents) AS q "
+            "FROM p JOIN s slo ON p.et = slo.et AND slo.rn = p.lo_rn "
+            "LEFT JOIN s shi ON p.et = shi.et AND shi.rn = p.lo_rn + 1) "
+            "SELECT et AS event_type, CAST(MAX(n) AS BIGINT) AS n, "
+            "CAST(MAX(CASE WHEN k=1 THEN q END) AS BIGINT) AS p25_qcents, "
+            "CAST(MAX(CASE WHEN k=2 THEN q END) AS BIGINT) AS p50_qcents, "
+            "CAST(MAX(CASE WHEN k=3 THEN q END) AS BIGINT) AS p75_qcents "
+            "FROM v GROUP BY 1"
+        ),
+        # top-20 session entry paths (first 3 event types per 30-min session)
+        "session_paths": (
+            "WITH l AS (SELECT user_id AS u, ts, event_id AS eid, event_type AS et, "
+            "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "s AS (SELECT u, ts, eid, et, SUM(brk) OVER (PARTITION BY u "
+            "ORDER BY ts, eid ROWS UNBOUNDED PRECEDING) AS sess FROM l), "
+            "r AS (SELECT u, sess, et, ROW_NUMBER() OVER (PARTITION BY u, sess "
+            "ORDER BY ts, eid) AS rn FROM s), "
+            "p AS (SELECT STRING_AGG(et, '>' ORDER BY rn) AS path FROM r "
+            "WHERE rn <= 3 GROUP BY u, sess) "
+            "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p "
+            "GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"
+        ),
+        # k-anonymity suppression audit over (lang, source, n_chars//512)
+        "k_anonymity": (
+            "WITH g AS (SELECT lang, source, n_chars//512 AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1,2,3) "
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(SUM(CASE WHEN n_docs < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_small_groups, "
+            "CAST(SUM(CASE WHEN n_docs < 5 THEN n_docs ELSE 0 END) AS BIGINT) "
+            "AS n_docs_suppressed FROM g GROUP BY 1,2"
+        ),
         # TPC-H Q7-shaped: revenue between two nations per year, both ways
         "volume_shipping": (
             "WITH j AS (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "

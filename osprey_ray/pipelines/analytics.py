@@ -4689,3 +4689,170 @@ def q_asof_forward(sf_dir: str):
     return _by_key_partition(
         ds.map_batches(tag, batch_format="pyarrow"), "key"
     ).map_groups(asof_part, batch_format="pandas")
+
+
+def q_percentile_cont(sf_dir: str):
+    """Interpolated per-type percentiles (PERCENTILE_CONT p25/p50/p75) of
+    ``value``, kept EXACT in integer quarter-cents: at 0-based position
+    ``pos=(n-1)k/4`` the result×4 is ``4·v[lo] + rem·(v[lo+1]-v[lo])``
+    with ``lo=(n-1)k//4, rem=(n-1)k%4`` — no float interpolation, so the
+    DuckDB twin (same arithmetic over ROW_NUMBER order statistics) is
+    bit-identical.  Complements ``q_event_quantiles`` (discrete rule).
+
+    Scale shape: the group key is a BOUNDED enum (event_type), so one
+    vectorized sort per group is the right shape; for unbounded keys
+    you'd switch to the sketch path (``quantile_sketch``)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def qs(t: pa.Table) -> pa.Table:
+        v = np.sort(
+            np.floor(
+                t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+                * 100.0 + 0.5
+            ).astype(np.int64)
+        )
+        n = len(v)
+
+        def pick(k: int) -> int:
+            lo, rem = divmod((n - 1) * k, 4)
+            base = 4 * int(v[lo])
+            return base + rem * (int(v[lo + 1]) - int(v[lo])) if rem else base
+
+        return pa.table(
+            {
+                "event_type": pa.array([t["event_type"][0].as_py()], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "p25_qcents": pa.array([pick(1)], pa.int64()),
+                "p50_qcents": pa.array([pick(2)], pa.int64()),
+                "p75_qcents": pa.array([pick(3)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(qs, batch_format="pyarrow")
+
+
+def q_session_paths(sf_dir: str, gap_s: int = 1800, depth: int = 3,
+                    top_n: int = 20):
+    """Sequence mining: the top-k entry paths — the first ``depth`` event
+    types of each 30-minute session, joined with '>' — across all
+    sessions (the classic navigation-path report).
+
+    Scale shape: ONE hash(user) exchange; the partition callback
+    sessionizes vectorized (lexsort + gap diffs masked at user
+    boundaries) and builds every path with numpy char concat (no
+    per-session Python), emitting per-partition path partials; a tiny
+    groupby(path) sum and a driver top-k over ≤|distinct paths| rows
+    finish, tie-broken (count desc, path asc) to match the twin's
+    ORDER BY."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    G = gap_s * 1_000_000
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"path": pa.array([], pa.string()),
+                          "n_sessions": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        et_s = et[order].astype("U")
+        n = len(uid_s)
+        start = np.empty(n, dtype=bool)
+        start[0] = True
+        start[1:] = (uid_s[1:] != uid_s[:-1]) | (np.diff(ts_s) > G)
+        starts = np.flatnonzero(start)
+        lens = np.diff(np.append(starts, n))
+        path = et_s[starts]
+        for d in range(1, depth):
+            has = lens >= d + 1
+            nxt = et_s[np.minimum(starts + d, n - 1)]
+            path = np.where(has, np.char.add(np.char.add(path, ">"), nxt), path)
+        u, c = np.unique(path, return_counts=True)
+        return pa.table(
+            {"path": pa.array(u.tolist(), pa.string()),
+             "n_sessions": pa.array(c.astype(np.int64))}
+        )
+
+    rows = (
+        _by_user_partition(ds)
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-r["n_sessions"], r["path"]))
+    rows = rows[:top_n]
+    return pa.table(
+        {
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "n_sessions": pa.array([r["n_sessions"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_k_anonymity(sf_dir: str, k: int = 5, bucket_chars: int = 512):
+    """Privacy suppression audit: treating ``(lang, source,
+    n_chars//bucket)`` as the quasi-identifier, report per (lang,
+    source) how many quasi-identifier groups fall below ``k`` members
+    and how many documents those small groups would suppress — the
+    k-anonymity pre-release check a training-data pipeline runs before
+    publishing per-slice statistics.
+
+    Scale shape: per-batch partial counts by the full quasi-tuple, one
+    keyed groupby over the (bounded-ish) tuple space, then a second
+    per-batch rollup to (lang, source) — the all-rows table never
+    reaches the driver."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        b = (t["n_chars"].to_numpy().astype(np.int64)) // bucket_chars
+        return pa.table(
+            {"lang": t["lang"], "source": t["source"], "bucket": pa.array(b),
+             "n_docs": pa.array(np.ones(len(b), dtype=np.int64))}
+        ).group_by(["lang", "source", "bucket"]).aggregate(
+            [("n_docs", "sum")]
+        ).rename_columns(["lang", "source", "bucket", "n_docs"]).cast(
+            pa.schema([("lang", pa.string()), ("source", pa.string()),
+                       ("bucket", pa.int64()), ("n_docs", pa.int64())])
+        )
+
+    per_group = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["lang", "source", "bucket"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy()
+        small = nd < k
+        return pa.table(
+            {
+                "lang": t["lang"], "source": t["source"],
+                "n_groups": pa.array(np.ones(len(nd), dtype=np.int64)),
+                "n_small_groups": pa.array(small.astype(np.int64)),
+                "n_docs_suppressed": pa.array(np.where(small, nd, 0)),
+            }
+        ).group_by(["lang", "source"]).aggregate(
+            [("n_groups", "sum"), ("n_small_groups", "sum"),
+             ("n_docs_suppressed", "sum")]
+        ).rename_columns(
+            ["lang", "source", "n_groups", "n_small_groups",
+             "n_docs_suppressed"]
+        ).cast(
+            pa.schema([("lang", pa.string()), ("source", pa.string()),
+                       ("n_groups", pa.int64()), ("n_small_groups", pa.int64()),
+                       ("n_docs_suppressed", pa.int64())])
+        )
+
+    return (
+        per_group.map_batches(rollup, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_groups", alias_name="n_groups"),
+            Sum("n_small_groups", alias_name="n_small_groups"),
+            Sum("n_docs_suppressed", alias_name="n_docs_suppressed"),
+        )
+    )

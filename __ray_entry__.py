@@ -938,6 +938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 50), so the queries that have never received a driver CORRECTNESS
         # row — or whose SQL twin landed after their last sampling — go
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
+        "brand_coverage": R.q_brand_coverage,  # new in r4 — relational division
+        "fully_shipped": R.q_fully_shipped,  # new in r4 — FOR-ALL per group
         "percentile_cont": A.q_percentile_cont,  # new in r4 — interpolated quantile
         "session_paths": A.q_session_paths,  # new in r4 — entry-path mining
         "k_anonymity": A.q_k_anonymity,  # new in r4 — privacy suppression audit
@@ -1560,6 +1562,25 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # relational division: customers covering ALL brands in the set
+        "brand_coverage": (
+            "WITH cb AS (SELECT DISTINCT o_custkey AS ck, p_brand AS b "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_brand IN ('Brand#12','Brand#23')) "
+            "SELECT CAST(ck AS BIGINT) AS custkey FROM cb "
+            "GROUP BY 1 HAVING COUNT(*) = 2"
+        ),
+        # FOR-ALL per group: orders with every lineitem shipped <=60d,
+        # counted per priority
+        "fully_shipped": (
+            "WITH f AS (SELECT l_orderkey AS ok, o_orderpriority AS priority, "
+            "MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END) AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1,2) "
+            "SELECT priority, CAST(SUM(1 - late) AS BIGINT) AS n_full, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM f GROUP BY 1"
+        ),
         # PERCENTILE_CONT in exact integer quarter-cents: result*4 =
         # 4*v[lo] + rem*(v[lo+1]-v[lo]) at lo=(n-1)k//4, rem=(n-1)k%4
         "percentile_cont": (

@@ -1590,3 +1590,222 @@ def q_waiting_suppliers(sf_dir: str, late_days: int = 30, top_n: int = 20):
             "numwait": pa.array([r["numwait"] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational division: customers covering ALL brands in a set
+# ---------------------------------------------------------------------------
+
+
+def q_brand_coverage(sf_dir: str, brands: tuple = ("Brand#12", "Brand#23")):
+    """Relational division (the FOR ALL quantifier): customers who have
+    purchased at least one part of EVERY brand in ``brands`` — the
+    classic shape no single join expresses (division = distinct
+    pairs → per-group coverage count → equality filter).
+
+    Scale shape: one hash join against the brand-filtered part slice
+    (pinned), one hash(orderkey) join to attach custkey, per-batch
+    DISTINCT (custkey, brand) partials collapse duplicate pairs before
+    the keyed exchange, a Max-combine dedup groupby, then a per-batch
+    coverage count — only |qualifying customers| rows reach the
+    driver."""
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    need = len(brands)
+    bidx = {b: i for i, b in enumerate(brands)}
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def prep_p(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["p_brand"], value_set=pa.array(list(brands))))
+        bi = np.array([bidx[b] for b in t["p_brand"].to_pylist()], dtype=np.int64)
+        return pa.table(
+            {"partkey": t["p_partkey"].cast(pa.int64()), "brand_i": pa.array(bi)}
+        )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partkey": t["l_partkey"].cast(pa.int64()),
+                "orderkey": t["l_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "custkey": t["o_custkey"].cast(pa.int64()),
+            }
+        )
+
+    P = _join_partitions()
+    part_slice = _pin_schema(
+        part.map_batches(prep_p, batch_format="pyarrow"),
+        pa.schema([("partkey", pa.int64()), ("brand_i", pa.int64())]),
+    )
+    lp = li.map_batches(prep_li, batch_format="pyarrow").join(
+        part_slice,
+        join_type="inner",
+        num_partitions=P,
+        on=("partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    lp = _pin_schema(
+        lp,
+        pa.schema(
+            [("partkey", pa.int64()), ("orderkey", pa.int64()),
+             ("brand_i", pa.int64())]
+        ),
+    ).drop_columns(["partkey"])
+    lpo = lp.join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=P,
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    # per-batch partial: OR each customer's brand bits into one int64 mask
+    # (need ≤ 63 brands); the global combine must also be OR, so it runs
+    # as ONE keyed partition callback below — Ray's Max would lose bits
+    # whenever two partials carry different subsets
+    def pair_partial_or(t: pa.Table) -> pa.Table:
+        ck = t["custkey"].to_numpy()
+        bit = (np.int64(1) << t["brand_i"].to_numpy()).astype(np.int64)
+        if len(ck) == 0:
+            return pa.table({"custkey": pa.array([], pa.int64()),
+                             "mask": pa.array([], pa.int64())})
+        order = np.argsort(ck, kind="stable")
+        ck_s, bit_s = ck[order], bit[order]
+        starts = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        mask = np.bitwise_or.reduceat(bit_s, starts)
+        return pa.table(
+            {"custkey": pa.array(ck_s[starts]), "mask": pa.array(mask)}
+        )
+
+    from osprey_ray.pipelines.analytics import _by_key_partition
+
+    def or_reduce(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__kp"])
+        ck = t["custkey"].to_numpy()
+        if len(ck) == 0:
+            return pa.table({"custkey": pa.array([], pa.int64())})
+        m = t["mask"].to_numpy()
+        order = np.argsort(ck, kind="stable")
+        ck_s, m_s = ck[order], m[order]
+        starts = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        full = np.bitwise_or.reduceat(m_s, starts)
+        want = (np.int64(1) << need) - 1
+        keep = full == want
+        return pa.table({"custkey": pa.array(ck_s[starts][keep])})
+
+    pairs = lpo.map_batches(pair_partial_or, batch_format="pyarrow")
+    rows = (
+        _by_key_partition(pairs, "custkey")
+        .map_groups(or_reduce, batch_format="pyarrow")
+        .take_all()
+    )
+    cks = sorted(r["custkey"] for r in rows)
+    return pa.table({"custkey": pa.array(cks, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Universal quantifier per group: fully-on-time orders per priority
+# ---------------------------------------------------------------------------
+
+
+def q_fully_shipped(sf_dir: str, within_days: int = 60):
+    """FOR-ALL per group: orders where EVERY lineitem shipped within
+    ``within_days`` of the order date, counted per order priority (the
+    fill-rate report — a universal quantifier folded into one Max
+    combiner, no correlated subquery at runtime).
+
+    Scale shape: one hash(orderkey) join, per-batch (orderkey → any
+    late) Max partials, keyed groupby, then a per-batch priority rollup;
+    the priority table (≤5 rows) is the only driver materialization."""
+    from osprey_ray.pipelines.ann import _join_partitions
+    from osprey_ray.pipelines.textops import _pin_schema
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    late_us = within_days * 86_400 * 1_000_000
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["l_orderkey"].cast(pa.int64()),
+                "ship_us": t["l_shipdate"].cast(pa.int64()),
+            }
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "od_us": t["o_orderdate"].cast(pa.int64()),
+                "priority": t["o_orderpriority"].cast(pa.string()),
+            }
+        )
+
+    j = li.map_batches(prep_li, batch_format="pyarrow").join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        late = (
+            t["ship_us"].to_numpy() > t["od_us"].to_numpy() + late_us
+        ).astype(np.int64)
+        return _partial(
+            pa.table(
+                {"orderkey": t["orderkey"], "priority": t["priority"],
+                 "late": pa.array(late)}
+            ),
+            ["orderkey", "priority"], [("late", "max")],
+            ["orderkey", "priority", "late"],
+            pa.schema(
+                [("orderkey", pa.int64()), ("priority", pa.string()),
+                 ("late", pa.int64())]
+            ),
+        )
+
+    per_order = (
+        j.map_batches(flag, batch_format="pyarrow")
+        .groupby(["orderkey", "priority"])
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        late = t["late"].to_numpy()
+        return _partial(
+            pa.table(
+                {
+                    "priority": t["priority"],
+                    "n_full": pa.array((1 - late).astype(np.int64)),
+                    "n_orders": pa.array(np.ones(len(late), dtype=np.int64)),
+                }
+            ),
+            ["priority"], [("n_full", "sum"), ("n_orders", "sum")],
+            ["priority", "n_full", "n_orders"],
+            pa.schema(
+                [("priority", pa.string()), ("n_full", pa.int64()),
+                 ("n_orders", pa.int64())]
+            ),
+        )
+
+    return (
+        per_order.map_batches(rollup, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(
+            Sum("n_full", alias_name="n_full"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )

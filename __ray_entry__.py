@@ -1659,17 +1659,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(amount AS HUGEINT)) AS BIGINT) AS profit_centicents "
             "FROM j GROUP BY 1,2"
         ),
-        # TPC-H Q11-shaped: parts above a ppm share of one nation's total
-        # lineitem value; HUGEINT cross-multiply (BIGINT*1e6 wraps at scale)
+        # TPC-H Q11-shaped: parts above 2x the nation's mean per-part value
+        # (scale-free threshold); HUGEINT cross-multiply (value*n wraps)
         "important_parts": (
             "WITH v AS (SELECT l_partkey AS partkey, "
             "CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) "
             "AS value_cents FROM lineitem "
             "JOIN supplier ON l_suppkey = s_suppkey "
             "WHERE s_nationkey = 12 GROUP BY 1), "
-            "t AS (SELECT CAST(SUM(value_cents) AS HUGEINT) AS tot FROM v) "
+            "t AS (SELECT CAST(SUM(value_cents) AS HUGEINT) AS tot, "
+            "CAST(COUNT(*) AS HUGEINT) AS n FROM v) "
             "SELECT partkey, value_cents FROM v, t "
-            "WHERE CAST(value_cents AS HUGEINT) * 1000000 > 5000 * tot"
+            "WHERE CAST(value_cents AS HUGEINT) * n > 2 * tot"
         ),
         # TPC-H Q20-shaped: suppliers with >1/7 of their 'blue%'-part volume
         # shipped in 1997 (nested aggregate + semi-join; no availqty column)

@@ -1249,20 +1249,22 @@ def q_product_profit(sf_dir: str, name_frag: str = "widget"):
 # ---------------------------------------------------------------------------
 
 
-def q_important_parts(sf_dir: str, nationkey: int = 12, frac_ppm: int = 5000):
+def q_important_parts(sf_dir: str, nationkey: int = 12, mult: int = 2):
     """TPC-H Q11-shaped importance filter: per-part lineitem value
     (extendedprice cents) supplied by one nation's suppliers, keeping
-    parts whose value exceeds ``frac_ppm`` ppm of the nation's total —
-    the group-share-vs-global-scalar-subquery shape (no partsupp in the
-    testdata, so observed lineitem value stands in for availqty*cost).
+    parts whose value exceeds ``mult``× the nation's mean per-part value
+    — the group-share-vs-global-scalar-subquery shape (no partsupp in
+    the testdata, so observed lineitem value stands in for
+    availqty*cost; the mean-multiple threshold is scale-free, where
+    TPC-H's fixed fraction empties as |part| grows).
 
     Scale shape: one hash join against the nation-filtered supplier
     slice (pinned), per-batch per-part partials before the keyed
-    groupby; the global total is a second tiny aggregate over the
-    per-part values whose exact Python-int threshold ``(frac_ppm *
-    total) // 1e6`` is broadcast into the filter (int64 ``value*1e6``
-    would wrap at ~9e12 cents; ``value > thr`` is exactly equivalent —
-    the twin proves it in HUGEINT)."""
+    groupby; the global (total, n) pair is a second tiny aggregate over
+    the per-part values whose exact Python-int threshold ``(mult *
+    total) // n`` is broadcast into the filter (int64 ``value*n`` would
+    wrap at scale; ``value > thr`` is exactly equivalent — the twin
+    proves it in HUGEINT)."""
     from osprey_ray.pipelines.ann import _join_partitions
     from osprey_ray.pipelines.textops import _pin_schema
 
@@ -1307,14 +1309,14 @@ def q_important_parts(sf_dir: str, nationkey: int = 12, frac_ppm: int = 5000):
         .aggregate(Sum("value_cents", alias_name="value_cents"))
         .materialize()  # consumed twice: total scalar + threshold filter
     )
-    total = sum(
-        int(b["value_cents"].to_numpy().sum())
-        for b in per_part.select_columns(["value_cents"]).iter_batches(
-            batch_format="pyarrow"
-        )
-    )
-    # value*1e6 > frac_ppm*total  <=>  value > (frac_ppm*total)//1e6, exact
-    thr = (frac_ppm * total) // 1_000_000
+    total, n_parts = 0, 0
+    for b in per_part.select_columns(["value_cents"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += int(b["value_cents"].to_numpy().sum())
+        n_parts += b.num_rows
+    # value*n > mult*total  <=>  value > (mult*total)//n, exact (floor id.)
+    thr = (mult * total) // max(n_parts, 1)
 
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["value_cents"], thr))
@@ -1526,13 +1528,11 @@ def q_waiting_suppliers(sf_dir: str, late_days: int = 30, top_n: int = 20):
             ),
         )
 
-    # collapse duplicate (orderkey, suppkey) pairs globally so the
-    # per-order callback sees each supplier once
-    pairs = (
-        j.map_batches(flag, batch_format="pyarrow")
-        .groupby(["orderkey", "suppkey"])
-        .aggregate(Max("late", alias_name="late"))
-    )
+    # the keyed exchange below co-locates every row of an orderkey, so
+    # duplicate (orderkey, suppkey) pairs collapse INSIDE the partition
+    # callback — per-batch Max partials above already shrank them; a
+    # global pre-groupby would be a second all-to-all for nothing
+    pairs = j.map_batches(flag, batch_format="pyarrow")
 
     def sole_late(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__kp"])
@@ -1540,10 +1540,17 @@ def q_waiting_suppliers(sf_dir: str, late_days: int = 30, top_n: int = 20):
         if len(ok) == 0:
             return pa.table({"suppkey": pa.array([], pa.int64()),
                              "numwait": pa.array([], pa.int64())})
-        order = np.argsort(ok, kind="stable")
-        ok_s = ok[order]
-        sk = t["suppkey"].to_numpy()[order]
-        late = t["late"].to_numpy()[order]
+        order = np.lexsort((t["suppkey"].to_numpy(), ok))
+        ok_d = ok[order]
+        sk_d = t["suppkey"].to_numpy()[order]
+        late_d = t["late"].to_numpy()[order]
+        # dedup (orderkey, suppkey) keeping max(late) via reduceat
+        pstart = np.flatnonzero(
+            np.r_[True, (ok_d[1:] != ok_d[:-1]) | (sk_d[1:] != sk_d[:-1])]
+        )
+        ok_s = ok_d[pstart]
+        sk = sk_d[pstart]
+        late = np.maximum.reduceat(late_d, pstart)
         starts = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
         cnts = np.diff(np.r_[starts, len(ok_s)])
         n_late = np.add.reduceat(late, starts)

@@ -938,6 +938,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 50), so the queries that have never received a driver CORRECTNESS
         # row — or whose SQL twin landed after their last sampling — go
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
+        "streaming_verdict_sql": _streaming_verdict_sql,
+        "rules_ab_diff": _rules_ab_diff,
+        "flagship_label_sql": _flagship_label_sql,
+        "embedding_centroids": N.q_embedding_centroids,
+        "embedding_quantize": N.q_embedding_quantize,
+        "frame_sample": M.q_frame_sample,
+        "audio_chunks": M.q_audio_chunks,  # new in r4 — strided ASR windows
+        "multimodal_decode": M.q_multimodal_decode,
+        "model_scoring": _model_scoring,
         "brand_coverage": R.q_brand_coverage,  # new in r4 — relational division
         "fully_shipped": R.q_fully_shipped,  # new in r4 — FOR-ALL per group
         "percentile_cont": A.q_percentile_cont,  # new in r4 — interpolated quantile
@@ -972,15 +981,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": A.q_ks_drift,  # new in r4 — exact KS drift statistic
         "unpivot_wide": A.q_unpivot_wide,  # new in r4 — wide→long melt
         "asof_forward": A.q_asof_forward,  # new in r4 — forward as-of join
-        "streaming_verdict_sql": _streaming_verdict_sql,
-        "rules_ab_diff": _rules_ab_diff,
-        "flagship_label_sql": _flagship_label_sql,
-        "embedding_centroids": N.q_embedding_centroids,
-        "embedding_quantize": N.q_embedding_quantize,
-        "frame_sample": M.q_frame_sample,
-        "audio_chunks": M.q_audio_chunks,  # new in r4 — strided ASR windows
-        "multimodal_decode": M.q_multimodal_decode,
-        "model_scoring": _model_scoring,
         "chunk_documents": T.q_chunk_documents,  # new in r4 — needs a first row
         "jaccard_neardup": T.q_jaccard_neardup,  # new in r4 — needs a first row
         "kmeans_assign": N.q_kmeans_assign,  # new in r4 — needs a first row

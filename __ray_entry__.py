@@ -947,6 +947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_chunks": M.q_audio_chunks,  # new in r4 — strided ASR windows
         "multimodal_decode": M.q_multimodal_decode,
         "model_scoring": _model_scoring,
+        "embedding_gram": N.q_embedding_gram,  # new in r4 — exact X'X partials
+        "contrastive_pairs": T.q_contrastive_pairs,  # new in r4 — two-view split
         "brand_coverage": R.q_brand_coverage,  # new in r4 — relational division
         "fully_shipped": R.q_fully_shipped,  # new in r4 — FOR-ALL per group
         "percentile_cont": A.q_percentile_cont,  # new in r4 — interpolated quantile
@@ -1562,6 +1564,28 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # SimCSE-style two-view midpoint split, verified via view md5s
+        "contrastive_pairs": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), "
+            "k AS (SELECT doc_id, toks, n, (n + 1) // 2 AS ka FROM s) "
+            "SELECT doc_id, CAST(ka AS BIGINT) AS n_tokens_a, "
+            "CAST(n - ka AS BIGINT) AS n_tokens_b, "
+            "md5(COALESCE(array_to_string(toks[1:ka], ' '), '')) AS view_a_md5, "
+            "md5(COALESCE(array_to_string(toks[ka+1:n], ' '), '')) AS view_b_md5 "
+            "FROM k"
+        ),
+        # exact quantized Gram matrix over the embedding list column
+        "embedding_gram": (
+            "WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 65) t(i)), "
+            "q AS (SELECT vec_id, d.i, "
+            "CAST(floor(CAST(embedding[d.i] AS DOUBLE)*1000000+0.5) AS BIGINT) AS qx "
+            "FROM embeddings, d) "
+            "SELECT a.i AS i, b.i AS j, "
+            "CAST(SUM(CAST(a.qx AS HUGEINT) * b.qx) AS BIGINT) AS sum_xy "
+            "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "GROUP BY 1, 2"
+        ),
         # relational division: customers covering ALL brands in the set
         "brand_coverage": (
             "WITH cb AS (SELECT DISTINCT o_custkey AS ck, p_brand AS b "

@@ -2159,3 +2159,53 @@ def q_embedding_inertia(sf_dir: str, scale: int = 1000):
             Sum("inertia", alias_name="inertia"),
         )
     )
+
+
+def q_embedding_gram(sf_dir: str, scale: int = 1_000_000):
+    """Exact quantized Gram (cross-moment) matrix of the embedding
+    columns: per dimension pair (i ≤ j), ``sum over vectors of
+    q_i * q_j`` with ``q = floor(x*scale + 0.5)`` int64 — the
+    order-independent integer form of X'X that PCA/whitening starts
+    from (float dot products are addition-order-dependent; an engine
+    shuffle and DuckDB would disagree in ULPs).
+
+    Scale shape: each batch computes its dense int64 matmul ``Q.T @ Q``
+    (BLAS-shaped, dim² ints) and emits only the 2080 upper-triangle
+    partials; the combine is a driver-side Python-int accumulation over
+    the bounded per-batch partial stream (dim²/2 values per BATCH, not
+    per row) — no keyed shuffle at all, and the arbitrary-precision
+    accumulator never wraps where an int64 tree would past ~9e18 (the
+    twin sums in HUGEINT for the same reason)."""
+    ds = _read_emb(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, m = _to_matrix(t)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        n, dim = q.shape
+        g = q.T @ q  # int64 matmul; exact
+        iu, ju = np.triu_indices(dim)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64) + 1),
+                "j": pa.array(ju.astype(np.int64) + 1),
+                "sum_xy": pa.array(g[iu, ju]),
+            }
+        )
+
+    acc: dict[tuple[int, int], int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        ii = b["i"].to_numpy()
+        jj = b["j"].to_numpy()
+        ss = b["sum_xy"].to_numpy()
+        for x, y, s in zip(ii.tolist(), jj.tolist(), ss.tolist()):
+            acc[(x, y)] = acc.get((x, y), 0) + s
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "i": pa.array([k[0] for k in keys], pa.int64()),
+            "j": pa.array([k[1] for k in keys], pa.int64()),
+            "sum_xy": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )

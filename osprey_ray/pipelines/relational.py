@@ -1473,16 +1473,15 @@ def q_waiting_suppliers(sf_dir: str, late_days: int = 30, top_n: int = 20):
     per-batch (orderkey, suppkey) any-late combiner, ONE keyed exchange
     on orderkey whose partition callback vectorizes the per-order
     supplier/late counts (lexsort + run-length, never per-key Python),
-    a per-batch count combiner before the per-supplier groupby, and a
-    hash join to attach s_name; only the ≤|suppliers| counts reach the
-    driver for the tie-broken top-k."""
+    a per-batch count combiner before the per-supplier groupby; only the
+    ≤|sole-late suppliers| counts reach the driver for the tie-broken
+    top-k, and s_name is fetched for just the winners with a
+    row-group-pruned filtered read (no supplier-wide join)."""
     from osprey_ray.pipelines.analytics import _by_key_partition
     from osprey_ray.pipelines.ann import _join_partitions
-    from osprey_ray.pipelines.textops import _pin_schema
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
     late_us = late_days * 86_400 * 1_000_000
 
     def prep_li(t: pa.Table) -> pa.Table:
@@ -1569,31 +1568,31 @@ def q_waiting_suppliers(sf_dir: str, late_days: int = 30, top_n: int = 20):
         .groupby("suppkey")
         .aggregate(Sum("numwait", alias_name="numwait"))
     )
-    counts = _pin_schema(
-        counts, pa.schema([("suppkey", pa.int64()), ("numwait", pa.int64())])
-    )
-
-    def prep_s(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "suppkey": t["s_suppkey"].cast(pa.int64()),
-                "s_name": t["s_name"].cast(pa.string()),
-            }
-        )
-
-    rows = counts.join(
-        supp.map_batches(prep_s, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=P,
-        on=("suppkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    ).take_all()
+    # top-k BEFORE the name attach: only the winning ≤ top_n keys need
+    # s_name, so a row-group-pruned filtered read replaces a full hash
+    # join against supplier (and is trivially empty-safe)
+    rows = counts.take_all()
     rows.sort(key=lambda r: (-r["numwait"], r["suppkey"]))
     rows = rows[:top_n]
+    import pyarrow.parquet as _pq
+
+    keys = [r["suppkey"] for r in rows]
+    names: dict[int, str] = {}
+    if keys:
+        nt = _pq.read_table(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name"],
+            filters=[("s_suppkey", "in", keys)],
+        )
+        names = dict(
+            zip(nt["s_suppkey"].to_pylist(), nt["s_name"].to_pylist())
+        )
     return pa.table(
         {
             "suppkey": pa.array([r["suppkey"] for r in rows], pa.int64()),
-            "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+            "s_name": pa.array(
+                [names[r["suppkey"]] for r in rows], pa.string()
+            ),
             "numwait": pa.array([r["numwait"] for r in rows], pa.int64()),
         }
     )

@@ -5249,3 +5249,61 @@ def q_editsim_neardup(sf_dir: str, max_hamming: int = 3, dist_pct: int = 30):
             "max_len": pa.array(mlen[sel], pa.int64()),
         }
     )
+
+
+def q_contrastive_pairs(sf_dir: str):
+    """Two-view contrastive pair generation (the SimCSE/dropout-free
+    "cropping" variant a contrastive-pretraining pipeline prepares):
+    split each doc's whitespace token sequence at the midpoint
+    ``k = ceil(n/2)`` and emit both views — hash-verified via the md5 of
+    each view, the ``q_fim_transform`` strategy.
+
+    Fully vectorized and embarrassingly parallel (stateless map, no
+    shuffle): one split_pattern per batch and two variable-slice
+    gather+joins via the cumsum-delta index trick; only the md5 of the
+    re-serialized views is per-row (irreducible per-doc text work, the
+    exact_dedup precedent)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def gather_join(values: pa.Array, starts: np.ndarray, lens: np.ndarray):
+        total = int(lens.sum())
+        new_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=new_off[1:])
+        idx = np.ones(total, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            s_nz, l_nz = starts[nz], lens[nz]
+            pos = new_off[:-1][nz]
+            idx[pos[0]] = s_nz[0]
+            idx[pos[1:]] = s_nz[1:] - (s_nz[:-1] + l_nz[:-1]) + 1
+            np.cumsum(idx, out=idx)
+        vals = values.take(pa.array(idx, pa.int64()))
+        return pc.cast(
+            pc.binary_join(pa.LargeListArray.from_arrays(new_off, vals), " "),
+            pa.string(),
+        )
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets).astype(np.int64)
+        n = off[1:] - off[:-1]
+        k = (n + 1) // 2
+        base = off[:-1]
+        va = gather_join(toks.values, base, k)
+        vb = gather_join(toks.values, base + k, n - k)
+        da = [hashlib.md5(x.encode()).hexdigest() for x in va.to_pylist()]
+        db = [hashlib.md5(x.encode()).hexdigest() for x in vb.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens_a": pa.array(k, pa.int64()),
+                "n_tokens_b": pa.array(n - k, pa.int64()),
+                "view_a_md5": pa.array(da, pa.string()),
+                "view_b_md5": pa.array(db, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

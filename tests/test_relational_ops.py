@@ -270,3 +270,89 @@ def test_gap_fill_dense_grid(ray_session):
     # gap filling actually inserted zero rows
     assert (df.n == 0).any()
     assert (df.trailing_sum >= df.n).all()
+
+
+def test_fully_shipped_partitions_orders(ray_session):
+    """n_full <= n_orders per priority, and the priority totals cover
+    exactly the orders that have at least one lineitem."""
+    from osprey_ray.pipelines.relational import q_fully_shipped
+
+    df = q_fully_shipped(SF_DIR).to_pandas()
+    assert (df.n_full <= df.n_orders).all()
+    want = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert df.n_orders.sum() == want
+
+
+def test_brand_coverage_antitone_in_brand_set(ray_session):
+    """Requiring MORE brands can only shrink the qualifying set."""
+    from osprey_ray.pipelines.relational import q_brand_coverage
+
+    two = set(q_brand_coverage(SF_DIR).to_pandas().custkey)
+    one = set(
+        q_brand_coverage(SF_DIR, brands=("Brand#12",)).to_pandas().custkey
+    )
+    assert two <= one
+
+
+def test_waiting_suppliers_zero_horizon_counts_multisupplier(ray_session):
+    """With late_days large enough no lineitem is late -> empty result."""
+    from osprey_ray.pipelines.relational import q_waiting_suppliers
+
+    out = q_waiting_suppliers(SF_DIR, late_days=100_000)
+    assert out.num_rows == 0
+
+
+def test_session_paths_totals_match_session_count(ray_session):
+    """Sum of path counts (unlimited top_n) equals the total number of
+    sessions from the independent sessionizer."""
+    from osprey_ray.pipelines.analytics import q_session_counts, q_session_paths
+
+    paths = q_session_paths(SF_DIR, top_n=10**9)
+    n_paths = sum(paths["n_sessions"].to_pylist())
+    sess = q_session_counts(SF_DIR).to_pandas()
+    assert n_paths == sess.n_sessions.sum()
+
+
+def test_percentile_cont_brackets_disc(ray_session):
+    """The interpolated p50 lies within the discrete neighbourhood and
+    respects p25 <= p50 <= p75."""
+    from osprey_ray.pipelines.analytics import q_percentile_cont
+
+    df = q_percentile_cont(SF_DIR).to_pandas()
+    assert (df.p25_qcents <= df.p50_qcents).all()
+    assert (df.p50_qcents <= df.p75_qcents).all()
+
+
+def test_embedding_gram_diagonal_nonnegative(ray_session):
+    from osprey_ray.pipelines.ann import q_embedding_gram
+
+    df = q_embedding_gram(SF_DIR).to_pandas()
+    diag = df[df.i == df.j]
+    assert len(diag) == 64 and (diag.sum_xy >= 0).all()
+    assert len(df) == 64 * 65 // 2
+
+
+def test_contrastive_pairs_split_exact(ray_session):
+    """View token counts partition the doc's token count, and the two
+    view hashes reproduce a direct recomputation on a sample."""
+    import hashlib
+
+    from osprey_ray.pipelines.textops import q_contrastive_pairs
+
+    df = q_contrastive_pairs(SF_DIR).to_pandas().set_index("doc_id")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' LIMIT 20"
+    ).df()
+    for _, row in docs.iterrows():
+        toks = row.text.split(" ")
+        k = (len(toks) + 1) // 2
+        got = df.loc[row.doc_id]
+        assert got.n_tokens_a == k and got.n_tokens_b == len(toks) - k
+        assert got.view_a_md5 == hashlib.md5(
+            " ".join(toks[:k]).encode()
+        ).hexdigest()
+        assert got.view_b_md5 == hashlib.md5(
+            " ".join(toks[k:]).encode()
+        ).hexdigest()

@@ -949,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_scoring": _model_scoring,
         "embedding_gram": N.q_embedding_gram,  # new in r4 — exact X'X partials
         "contrastive_pairs": T.q_contrastive_pairs,  # new in r4 — two-view split
+        "ohlc_hourly": A.q_ohlc_hourly,  # new in r4 — argmin/argmax per group
         "brand_coverage": R.q_brand_coverage,  # new in r4 — relational division
         "fully_shipped": R.q_fully_shipped,  # new in r4 — FOR-ALL per group
         "percentile_cont": A.q_percentile_cont,  # new in r4 — interpolated quantile
@@ -1564,6 +1565,20 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # per-hour OHLC: open/close by total (ts, event_id) order
+        "ohlc_hourly": (
+            "WITH c AS (SELECT event_id, ts, "
+            "CAST(floor(value*100+0.5) AS BIGINT) AS cents, "
+            "epoch_us(ts)//3600000000*3600000000 AS hour_us FROM events), "
+            "r AS (SELECT hour_us, cents, "
+            "ROW_NUMBER() OVER (PARTITION BY hour_us ORDER BY ts, event_id) AS rn_a, "
+            "ROW_NUMBER() OVER (PARTITION BY hour_us ORDER BY ts DESC, event_id DESC) AS rn_d "
+            "FROM c) "
+            "SELECT hour_us, MAX(CASE WHEN rn_a=1 THEN cents END) AS open_cents, "
+            "MAX(cents) AS high_cents, MIN(cents) AS low_cents, "
+            "MAX(CASE WHEN rn_d=1 THEN cents END) AS close_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1"
+        ),
         # SimCSE-style two-view midpoint split, verified via view md5s
         "contrastive_pairs": (
             "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks, "

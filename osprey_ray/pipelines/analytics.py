@@ -4856,3 +4856,99 @@ def q_k_anonymity(sf_dir: str, k: int = 5, bucket_chars: int = 512):
             Sum("n_docs_suppressed", alias_name="n_docs_suppressed"),
         )
     )
+
+
+def q_ohlc_hourly(sf_dir: str):
+    """Per-hour OHLC rollup of ``events.value`` — open/close are the
+    first/last cents by the total (ts, event_id) order (full tie-break,
+    so the result is deterministic under any shuffle), high/low are
+    min/max: the argmin/argmax-per-group shape the standard Sum/Min/Max
+    combiners can't express.
+
+    Scale shape: every batch reduces to AT MOST one candidate row per
+    hour it touches (within-batch lexsort picks the batch's open/close
+    candidates; min/max/count fold alongside), so the keyed exchange
+    moves |hours|×|batches| candidate rows, never events; one final
+    vectorized per-partition pass folds candidates per hour."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"hour_us": pa.array([], pa.int64()), "ts_o": pa.array([], pa.int64()),
+             "eid_o": pa.array([], pa.int64()), "open_cents": pa.array([], pa.int64()),
+             "ts_c": pa.array([], pa.int64()), "eid_c": pa.array([], pa.int64()),
+             "close_cents": pa.array([], pa.int64()), "low_cents": pa.array([], pa.int64()),
+             "high_cents": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        hour = (ts // HOUR) * HOUR
+        order = np.lexsort((eid, ts, hour))
+        h_s, ts_s, eid_s, c_s = hour[order], ts[order], eid[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        ends = np.r_[starts[1:], len(h_s)] - 1
+        lo = np.minimum.reduceat(c_s, starts)
+        hi = np.maximum.reduceat(c_s, starts)
+        n = np.diff(np.r_[starts, len(h_s)])
+        return pa.table(
+            {
+                "hour_us": pa.array(h_s[starts]),
+                "ts_o": pa.array(ts_s[starts]),
+                "eid_o": pa.array(eid_s[starts]),
+                "open_cents": pa.array(c_s[starts]),
+                "ts_c": pa.array(ts_s[ends]),
+                "eid_c": pa.array(eid_s[ends]),
+                "close_cents": pa.array(c_s[ends]),
+                "low_cents": pa.array(lo),
+                "high_cents": pa.array(hi),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__kp"])
+        empty = pa.table(
+            {"hour_us": pa.array([], pa.int64()), "open_cents": pa.array([], pa.int64()),
+             "high_cents": pa.array([], pa.int64()), "low_cents": pa.array([], pa.int64()),
+             "close_cents": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        h = t["hour_us"].to_numpy()
+        # open candidate order: (hour, ts_o, eid_o); close: (hour, -ts_c...)
+        o_ord = np.lexsort((t["eid_o"].to_numpy(), t["ts_o"].to_numpy(), h))
+        h_o = h[o_ord]
+        o_starts = np.flatnonzero(np.r_[True, h_o[1:] != h_o[:-1]])
+        c_ord = np.lexsort((t["eid_c"].to_numpy(), t["ts_c"].to_numpy(), h))
+        h_c = h[c_ord]
+        c_ends = np.r_[np.flatnonzero(np.r_[True, h_c[1:] != h_c[:-1]])[1:],
+                       len(h_c)] - 1
+        lo_ord = np.argsort(h, kind="stable")
+        h_l = h[lo_ord]
+        l_starts = np.flatnonzero(np.r_[True, h_l[1:] != h_l[:-1]])
+        lo = np.minimum.reduceat(t["low_cents"].to_numpy()[lo_ord], l_starts)
+        hi = np.maximum.reduceat(t["high_cents"].to_numpy()[lo_ord], l_starts)
+        n = np.add.reduceat(t["n"].to_numpy()[lo_ord], l_starts)
+        return pa.table(
+            {
+                "hour_us": pa.array(h_o[o_starts]),
+                "open_cents": pa.array(t["open_cents"].to_numpy()[o_ord][o_starts]),
+                "high_cents": pa.array(hi),
+                "low_cents": pa.array(lo),
+                "close_cents": pa.array(t["close_cents"].to_numpy()[c_ord][c_ends]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return (
+        _by_key_partition(
+            ds.map_batches(partial, batch_format="pyarrow"), "hour_us"
+        ).map_groups(fold, batch_format="pyarrow")
+    )

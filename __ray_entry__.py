@@ -950,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": N.q_embedding_gram,  # new in r4 — exact X'X partials
         "contrastive_pairs": T.q_contrastive_pairs,  # new in r4 — two-view split
         "ohlc_hourly": A.q_ohlc_hourly,  # new in r4 — argmin/argmax per group
+        "linear_interp": A.q_linear_interp,  # new in r4 — exact rational gap fill
         "brand_coverage": R.q_brand_coverage,  # new in r4 — relational division
         "fully_shipped": R.q_fully_shipped,  # new in r4 — FOR-ALL per group
         "percentile_cont": A.q_percentile_cont,  # new in r4 — interpolated quantile
@@ -1565,6 +1566,34 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # exact-rational hourly gap fill (num/den, no float division)
+        "linear_interp": (
+            "WITH r AS (SELECT event_type AS et, epoch_us(ts)//3600000000 AS hh, "
+            "CAST(SUM(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1,2), "
+            "b AS (SELECT et, MIN(hh) AS lo, MAX(hh) AS hi FROM r GROUP BY 1), "
+            "g AS (SELECT et, UNNEST(generate_series(lo, hi)) AS hh FROM b), "
+            "j AS (SELECT g.et, g.hh, r.cents FROM g "
+            "LEFT JOIN r ON g.et = r.et AND g.hh = r.hh), "
+            "w AS (SELECT et, hh, cents, "
+            "last_value(cents IGNORE NULLS) OVER (PARTITION BY et ORDER BY hh "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp, "
+            "last_value(CASE WHEN cents IS NOT NULL THEN hh END IGNORE NULLS) "
+            "OVER (PARTITION BY et ORDER BY hh "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp, "
+            "first_value(cents IGNORE NULLS) OVER (PARTITION BY et ORDER BY hh "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn, "
+            "first_value(CASE WHEN cents IS NOT NULL THEN hh END IGNORE NULLS) "
+            "OVER (PARTITION BY et ORDER BY hh "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn FROM j) "
+            "SELECT et AS event_type, hh*3600000000 AS hour_us, "
+            "CAST(CASE WHEN cents IS NOT NULL THEN cents "
+            "ELSE vp*(tn-hh)+vn*(hh-tp) END AS BIGINT) AS num_cents, "
+            "CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE tn-tp END AS BIGINT) "
+            "AS den, "
+            "CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled "
+            "FROM w"
+        ),
         # per-hour OHLC: open/close by total (ts, event_id) order
         "ohlc_hourly": (
             "WITH c AS (SELECT event_id, ts, "

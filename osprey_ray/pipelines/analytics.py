@@ -4952,3 +4952,76 @@ def q_ohlc_hourly(sf_dir: str):
             ds.map_batches(partial, batch_format="pyarrow"), "hour_us"
         ).map_groups(fold, batch_format="pyarrow")
     )
+
+
+def q_linear_interp(sf_dir: str):
+    """Gap-filled hourly series with EXACT linear interpolation: per
+    (event_type, hour) cents totals on each type's full [min,max] hour
+    grid (edge hours are present by construction); missing interior
+    hours carry the interpolation as an exact integer rational
+    ``num/den`` (``num = v_prev*(t_next-t) + v_next*(t-t_prev)``,
+    ``den = t_next-t_prev`` in hours — no float division, so the twin
+    matches bit-for-bit), present hours carry ``value/1``.
+
+    Scale shape: per-batch (type, hour) partials collapse events before
+    the keyed groupby (≤ |types|×|hours| rows); the grid walk is one
+    vectorized searchsorted per BOUNDED type group — the same
+    bounded-enum stance as ``q_event_quantiles``."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    HOUR = 3_600_000_000
+
+    def pre(t: pa.Table) -> pa.Table:
+        hh = t["ts"].cast(pa.int64()).to_numpy() // HOUR
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return (
+            pa.table(
+                {"event_type": t["event_type"], "hh": pa.array(hh),
+                 "cents": pa.array(cents)}
+            )
+            .group_by(["event_type", "hh"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["event_type", "hh", "cents"])
+            .cast(pa.schema([("event_type", pa.string()), ("hh", pa.int64()),
+                             ("cents", pa.int64())]))
+        )
+
+    # one exchange total: per-batch partials are ≤ |types|×|hours| rows,
+    # so the per-type callback folds duplicate hours itself (reduceat)
+    # instead of paying a second (type, hour) sort-shuffle first
+    hourly = ds.map_batches(pre, batch_format="pyarrow")
+
+    def interp(t: pa.Table) -> pa.Table:
+        et = t["event_type"][0].as_py()
+        hh0 = t["hh"].to_numpy()
+        v0 = t["cents"].to_numpy()
+        order = np.argsort(hh0, kind="stable")
+        hh0, v0 = hh0[order], v0[order]
+        starts = np.flatnonzero(np.r_[True, hh0[1:] != hh0[:-1]])
+        hh = hh0[starts]
+        v = np.add.reduceat(v0, starts)
+        grid = np.arange(hh[0], hh[-1] + 1, dtype=np.int64)
+        # index of the present hour at-or-before / at-or-after each grid hour
+        ip = np.searchsorted(hh, grid, side="right") - 1
+        inn = np.searchsorted(hh, grid, side="left")
+        present = (inn < len(hh)) & (hh[np.minimum(inn, len(hh) - 1)] == grid)
+        tp, vp = hh[ip], v[ip]
+        tn = hh[np.minimum(inn, len(hh) - 1)]
+        vn = v[np.minimum(inn, len(hh) - 1)]
+        num = np.where(
+            present, vn, vp * (tn - grid) + vn * (grid - tp)
+        )
+        den = np.where(present, 1, tn - tp)
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(grid), pa.string()),
+                "hour_us": pa.array(grid * HOUR),
+                "num_cents": pa.array(num.astype(np.int64)),
+                "den": pa.array(den.astype(np.int64)),
+                "filled": pa.array((~present).astype(np.int64)),
+            }
+        )
+
+    return hourly.groupby("event_type").map_groups(interp, batch_format="pyarrow")

@@ -951,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_pairs": T.q_contrastive_pairs,  # new in r4 — two-view split
         "ohlc_hourly": A.q_ohlc_hourly,  # new in r4 — argmin/argmax per group
         "linear_interp": A.q_linear_interp,  # new in r4 — exact rational gap fill
+        "weighted_median": A.q_weighted_median,  # new in r4 — weighted order stat
         "brand_coverage": R.q_brand_coverage,  # new in r4 — relational division
         "fully_shipped": R.q_fully_shipped,  # new in r4 — FOR-ALL per group
         "percentile_cont": A.q_percentile_cont,  # new in r4 — interpolated quantile
@@ -1566,6 +1567,21 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # quantity-weighted median price per return flag (lower median)
+        "weighted_median": (
+            "WITH c AS (SELECT l_returnflag AS rf, "
+            "CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS cents, "
+            "CAST(floor(l_quantity*100+0.5) AS BIGINT) AS w FROM lineitem), "
+            "d AS (SELECT rf, cents, CAST(SUM(w) AS BIGINT) AS w "
+            "FROM c GROUP BY 1,2), "
+            "o AS (SELECT rf, cents, "
+            "SUM(w) OVER (PARTITION BY rf ORDER BY cents) AS cw, "
+            "SUM(w) OVER (PARTITION BY rf) AS tw FROM d) "
+            "SELECT rf AS l_returnflag, "
+            "CAST(MIN(CASE WHEN 2*cw >= tw THEN cents END) AS BIGINT) "
+            "AS wmedian_cents, "
+            "CAST(MAX(tw) AS BIGINT) AS total_qty100 FROM o GROUP BY 1"
+        ),
         # exact-rational hourly gap fill (num/den, no float division)
         "linear_interp": (
             "WITH r AS (SELECT event_type AS et, epoch_us(ts)//3600000000 AS hh, "

@@ -5025,3 +5025,103 @@ def q_linear_interp(sf_dir: str):
         )
 
     return hourly.groupby("event_type").map_groups(interp, batch_format="pyarrow")
+
+
+def q_weighted_median(sf_dir: str, bucket: int = 4096):
+    """Quantity-weighted median lineitem price per return flag — the
+    weighted order statistic (lower weighted median: smallest price
+    whose doubled cumulative quantity reaches the total), exact in
+    integer cents/qty100 so the window-function twin is bit-identical.
+
+    Scale shape: prices are near-unique, so co-locating each flag's
+    values (the bounded-enum sort stance) would sort ~n/3 rows per
+    group; instead the classic TWO-PASS exact selection: pass 1 builds
+    a (flag, cents//bucket) coarse weighted histogram (per-batch
+    partials -> tiny groupby) and the driver locates each flag's
+    crossing bucket + the cumulative weight below it; pass 2 re-scans
+    only rows INSIDE each flag's crossing bucket (broadcast dict) and
+    the driver finishes on ≤ flags×bucket exact rows — the
+    ``q_adaptive_filter`` broadcast shape, never a big shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def quant(t: pa.Table):
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        w = np.floor(t["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return cents, w
+
+    def coarse(t: pa.Table) -> pa.Table:
+        cents, w = quant(t)
+        return (
+            pa.table(
+                {"rf": t["l_returnflag"], "b": pa.array(cents // bucket),
+                 "w": pa.array(w)}
+            )
+            .group_by(["rf", "b"])
+            .aggregate([("w", "sum")])
+            .rename_columns(["rf", "b", "w"])
+            .cast(pa.schema([("rf", pa.string()), ("b", pa.int64()),
+                             ("w", pa.int64())]))
+        )
+
+    h = (
+        ds.map_batches(coarse, batch_format="pyarrow")
+        .groupby(["rf", "b"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()  # tiny: ≤ |flags| × (max_cents/bucket) rows
+    )
+    h = h.sort_values(["rf", "b"]).reset_index(drop=True)
+    cross: dict[str, tuple[int, int, int]] = {}  # rf -> (bucket, below, tw)
+    for rf, grp in h.groupby("rf", sort=False):
+        cw = grp["w"].cumsum().to_numpy()
+        tw = int(cw[-1])
+        k = int(np.searchsorted(2 * cw, tw, side="left"))
+        below = int(cw[k - 1]) if k else 0
+        cross[rf] = (int(grp["b"].to_numpy()[k]), below, tw)
+
+    xb = {rf: v[0] for rf, v in cross.items()}
+
+    def fine(t: pa.Table) -> pa.Table:
+        cents, w = quant(t)
+        rf = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        tgt = np.full(len(rf), -1, dtype=np.int64)
+        for key, tb in xb.items():  # |flags| iterations, vectorized inside
+            tgt[rf == key] = tb
+        keep = cents // bucket == tgt
+        return (
+            pa.table(
+                {"rf": pa.array(rf[keep]), "cents": pa.array(cents[keep]),
+                 "w": pa.array(w[keep])}
+            )
+            .group_by(["rf", "cents"])
+            .aggregate([("w", "sum")])
+            .rename_columns(["rf", "cents", "w"])
+            .cast(pa.schema([("rf", pa.string()), ("cents", pa.int64()),
+                             ("w", pa.int64())]))
+        )
+
+    f = (
+        ds.map_batches(fine, batch_format="pyarrow")
+        .groupby(["rf", "cents"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()  # ≤ |flags| × bucket exact rows
+    )
+    f = f.sort_values(["rf", "cents"]).reset_index(drop=True)
+    out_rf, out_med, out_tw = [], [], []
+    for rf in sorted(cross):
+        b0, below, tw = cross[rf]
+        grp = f[f.rf == rf]
+        cw = below + grp["w"].cumsum().to_numpy()
+        k = int(np.searchsorted(2 * cw, tw, side="left"))
+        out_rf.append(rf)
+        out_med.append(int(grp["cents"].to_numpy()[k]))
+        out_tw.append(tw)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_rf, pa.string()),
+            "wmedian_cents": pa.array(out_med, pa.int64()),
+            "total_qty100": pa.array(out_tw, pa.int64()),
+        }
+    )

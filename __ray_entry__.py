@@ -952,6 +952,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_hourly": A.q_ohlc_hourly,  # new in r4 — argmin/argmax per group
         "linear_interp": A.q_linear_interp,  # new in r4 — exact rational gap fill
         "weighted_median": A.q_weighted_median,  # new in r4 — weighted order stat
+        "cep_absence": A.q_cep_absence,  # new in r4 — CEP negation pattern
+        "scd2_intervals": A.q_scd2_intervals,  # new in r4 — SCD2 change tracking
+        "cdc_upsert": A.q_cdc_upsert,  # new in r4 — CDC log compaction
+        "ewma_hourly": A.q_ewma_hourly,  # new in r4 — exact-integer EWMA
         "brand_coverage": R.q_brand_coverage,  # new in r4 — relational division
         "fully_shipped": R.q_fully_shipped,  # new in r4 — FOR-ALL per group
         "percentile_cont": A.q_percentile_cont,  # new in r4 — interpolated quantile
@@ -1567,6 +1571,52 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # CEP negation: errors with no purchase in the next 600 s
+        "cep_absence": (
+            "SELECT e.user_id AS user_id, COUNT(*) AS n_unanswered "
+            "FROM events e "
+            "WHERE e.event_type = 'error' AND NOT EXISTS ("
+            "SELECT 1 FROM events p WHERE p.user_id = e.user_id "
+            "AND p.event_type = 'purchase' AND p.ts > e.ts "
+            "AND p.ts <= e.ts + INTERVAL 600 SECOND) "
+            "GROUP BY 1"
+        ),
+        # SCD2 validity intervals from the event-type change log
+        "scd2_intervals": (
+            "WITH o AS (SELECT user_id, event_type, ts, event_id, "
+            "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_t FROM events), "
+            "r AS (SELECT user_id, event_type, ts AS vf, event_id AS "
+            "start_event_id FROM o WHERE prev_t IS NULL OR prev_t <> event_type) "
+            "SELECT user_id, event_type, "
+            "CAST(epoch_us(vf) AS BIGINT) AS valid_from_us, "
+            "CAST(COALESCE(epoch_us(LEAD(vf) OVER w), 9999999999999999) "
+            "AS BIGINT) AS valid_to_us, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS version, start_event_id "
+            "FROM r WINDOW w AS (PARTITION BY user_id ORDER BY vf, start_event_id)"
+        ),
+        # CDC compaction: last mutation per (user, type), deletes drop the key
+        "cdc_upsert": (
+            "WITH m AS (SELECT user_id, event_type, event_id, "
+            "CAST(floor(value*100+0.5) AS BIGINT) AS value_cents, "
+            "(event_id % 10 = 0) AS is_del, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "SELECT user_id, event_type, value_cents, "
+            "event_id AS last_event_id FROM m WHERE rn = 1 AND NOT is_del"
+        ),
+        # exact-integer EWMA (alpha = 1/2 per hour, 16-hour truncation)
+        "ewma_hourly": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(epoch_us(ts)//3600000000*3600 AS BIGINT) AS h, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+            "SELECT a.event_type AS event_type, a.h AS hour_s, "
+            "CAST(SUM(b.n * (CAST(1 AS BIGINT) << "
+            "CAST(15 - (a.h - b.h)//3600 AS INT))) AS BIGINT) AS ewma_num "
+            "FROM c a JOIN c b ON b.event_type = a.event_type "
+            "AND b.h <= a.h AND b.h >= a.h - 15*3600 "
+            "GROUP BY 1, 2"
+        ),
         # quantity-weighted median price per return flag (lower median)
         "weighted_median": (
             "WITH c AS (SELECT l_returnflag AS rf, "

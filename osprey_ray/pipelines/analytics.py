@@ -5125,3 +5125,256 @@ def q_weighted_median(sf_dir: str, bucket: int = 4096):
             "total_qty100": pa.array(out_tw, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: CEP negation, SCD2 change tracking, CDC compaction,
+# exact-integer EWMA
+# ---------------------------------------------------------------------------
+
+
+def _segmented_probe_counts(
+    ts_s: np.ndarray,
+    gidx: np.ndarray,
+    amask: np.ndarray,
+    pmask: np.ndarray,
+    W: int,
+    max_g: int | None = None,
+) -> np.ndarray:
+    """For every anchor row (``amask``) the count of probe rows (``pmask``)
+    in the SAME group with ts in the half-open window ``(a_ts, a_ts + W]``
+    — the "B follows A within W" CEP primitive.  Same composite-offset +
+    group-chunking scheme as ``_segmented_range_counts`` (offsets stay in
+    int64 for any group count).  Inputs must be group-then-ts sorted."""
+    n = len(ts_s)
+    out = np.zeros(int(amask.sum()), dtype=np.int64)
+    if n == 0 or len(out) == 0:
+        return out
+    span = np.int64(ts_s.max() - ts_s.min() + W + 2)
+    base = ts_s - ts_s.min()
+    n_groups = int(gidx[-1]) + 1
+    if max_g is None:
+        max_g = max(1, int(np.iinfo(np.int64).max // int(span)) - 1)
+    a_cum = np.cumsum(amask) - 1  # anchor rank per row (valid where amask)
+    for g0 in range(0, n_groups, max_g):
+        i0 = np.searchsorted(gidx, g0, side="left")
+        i1 = np.searchsorted(gidx, g0 + max_g, side="left")
+        shifted = base[i0:i1] + (gidx[i0:i1] - g0) * span
+        am, pm = amask[i0:i1], pmask[i0:i1]
+        probes = shifted[pm]
+        a_shift = shifted[am]
+        lo = np.searchsorted(probes, a_shift, side="right")
+        hi = np.searchsorted(probes, a_shift + W, side="right")
+        out[a_cum[i0:i1][am]] = hi - lo
+    return out
+
+
+def q_cep_absence(sf_dir: str, window_s: int = 600):
+    """CEP absence / negation pattern: per user, the number of 'error'
+    events with NO 'purchase' in the following ``window_s`` seconds
+    (strictly after the error, inclusive at error+W).  The complement of
+    q_cep_sequence — the reference's rule DSL expresses "A not followed by
+    B" via label expiry (SURVEY §2.4); here it's a first-class operator.
+    Only users with at least one unanswered error are emitted."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    W = int(window_s) * 1_000_000
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_unanswered": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, et_s = uid[order], ts[order], et[order]
+        n = len(uid_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = uid_s[1:] != uid_s[:-1]
+        gidx = np.cumsum(change) - 1
+        amask = et_s == "error"
+        if not amask.any():
+            return empty
+        pmask = et_s == "purchase"
+        counts = _segmented_probe_counts(ts_s, gidx, amask, pmask, W)
+        unanswered = counts == 0
+        # per-user sum of unanswered errors (bincount over anchor groups)
+        a_g = gidx[amask]
+        per_user = np.bincount(a_g[unanswered], minlength=int(gidx[-1]) + 1)
+        keep = np.flatnonzero(per_user > 0)
+        starts = np.flatnonzero(change)
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts][keep], pa.int64()),
+                "n_unanswered": pa.array(per_user[keep], pa.int64()),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD2 (slowly-changing-dimension type 2) interval construction from a
+    change log: per user, consecutive runs of equal ``event_type`` (ordered
+    by ts, event_id) collapse to one validity interval
+    ``[valid_from_us, valid_to_us)`` with a per-user version counter; the
+    open current run carries the classic warehouse open-interval sentinel
+    (9999999999999999 µs) so the output is NULL-free and hash-stable.  One
+    hash(user) exchange, then
+    fully vectorized run detection per partition — the classic warehouse
+    merge re-expressed as a Ray keyed exchange."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+                "version": pa.array([], pa.int64()),
+                "start_event_id": pa.array([], pa.int64()),
+            })
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s, et_s = uid[order], ts[order], eid[order], et[order]
+        n = len(uid_s)
+        uchange = np.empty(n, dtype=bool)
+        uchange[0] = True
+        uchange[1:] = uid_s[1:] != uid_s[:-1]
+        rchange = uchange | np.concatenate(([True], et_s[1:] != et_s[:-1]))
+        starts = np.flatnonzero(rchange)
+        run_uid = uid_s[starts]
+        run_vf = ts_s[starts]
+        nruns = len(starts)
+        # per-user version counter over runs
+        ru_change = np.empty(nruns, dtype=bool)
+        ru_change[0] = True
+        ru_change[1:] = run_uid[1:] != run_uid[:-1]
+        ru_starts = np.flatnonzero(ru_change)
+        ru_idx = np.cumsum(ru_change) - 1
+        version = np.arange(nruns, dtype=np.int64) - ru_starts[ru_idx] + 1
+        # valid_to = next run's valid_from within the same user, else NULL
+        vt = np.empty(nruns, dtype=np.int64)
+        vt[:-1] = run_vf[1:]
+        vt[-1] = 0
+        last_of_user = np.concatenate((ru_change[1:], [True]))
+        SENT = 9_999_999_999_999_999
+        return pa.table(
+            {
+                "user_id": pa.array(run_uid, pa.int64()),
+                "event_type": pa.array(et_s[starts], pa.string()),
+                "valid_from_us": pa.array(run_vf, pa.int64()),
+                "valid_to_us": pa.array(
+                    np.where(last_of_user, SENT, vt), pa.int64()),
+                "version": pa.array(version, pa.int64()),
+                "start_event_id": pa.array(eid_s[starts], pa.int64()),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
+def q_cdc_upsert(sf_dir: str):
+    """CDC log compaction (latest-wins upsert + delete): the event stream is
+    a mutation log keyed by (user_id, event_type) — a row with
+    ``event_id % 10 == 0`` is a DELETE marker, any other row upserts
+    ``value_cents``.  The compacted table is the last mutation per key
+    (by ts, event_id) when that mutation is not a delete.  One keyed
+    exchange, vectorized last-row-per-group per partition — the Kafka
+    compacted-topic / Delta MERGE shape."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value_cents": pa.array([], pa.int64()),
+                "last_event_id": pa.array([], pa.int64()),
+            })
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+        ).to_numpy()
+        order = np.lexsort((eid, ts, et, uid))
+        uid_s, eid_s, et_s, cents_s = uid[order], eid[order], et[order], cents[order]
+        n = len(uid_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (uid_s[1:] != uid_s[:-1]) | (et_s[1:] != et_s[:-1])
+        # last row of each (user, type) group
+        last = np.concatenate((change[1:], [True]))
+        keep = last & (eid_s % 10 != 0)
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[keep], pa.int64()),
+                "event_type": pa.array(et_s[keep], pa.string()),
+                "value_cents": pa.array(cents_s[keep], pa.int64()),
+                "last_event_id": pa.array(eid_s[keep], pa.int64()),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
+
+
+def q_ewma_hourly(sf_dir: str, window_h: int = 16):
+    """Exponentially-weighted hourly event volume per type, EXACT integer
+    arithmetic: for each present hour h,
+    ``ewma_num = sum over d in [0, 15] of count(h - d) * 2**(15 - d)``
+    (alpha = 1/2 per hour, truncated at 16 hours; absent hours contribute
+    zero).  Hourly counts come from a per-batch combiner + small global
+    groupby (bounded by |types| x |hours| — at 10^12 turns this is still
+    ~1e5 rows); the decay dot-product is 16 vectorized searchsorted probes
+    per type.  The float-free EWMA means Ray and DuckDB hash-match."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    K = int(window_h)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.multiply(
+            pc.divide(pc.divide(t["ts"].cast(pa.int64()), 1_000_000), 3600), 3600
+        )
+        g = (
+            pa.table({"event_type": t["event_type"], "hour_s": hour})
+            .group_by(["event_type", "hour_s"])
+            .aggregate([("hour_s", "count")])
+        )
+        return g.rename_columns(["event_type", "hour_s", "n_partial"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_s"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()  # bounded: |event types| x |hours in stream|
+    )
+    counts = counts.sort_values(["event_type", "hour_s"]).reset_index(drop=True)
+    out_t, out_h, out_v = [], [], []
+    for etype, grp in counts.groupby("event_type", sort=True):
+        H = grp["hour_s"].to_numpy()
+        C = grp["n"].to_numpy()
+        acc = np.zeros(len(H), dtype=np.int64)
+        for d in range(K):
+            # which anchors have an hour exactly d hours back?
+            probe = H - d * 3600
+            j = np.searchsorted(H, probe)
+            ok = (j < len(H)) & (H[np.minimum(j, len(H) - 1)] == probe)
+            acc[ok] += C[j[ok]] << (K - 1 - d)
+        out_t.extend([etype] * len(H))
+        out_h.extend(H.tolist())
+        out_v.extend(acc.tolist())
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "hour_s": pa.array(out_h, pa.int64()),
+            "ewma_num": pa.array(out_v, pa.int64()),
+        }
+    )

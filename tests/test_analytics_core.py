@@ -239,3 +239,99 @@ def test_key_parts_sizes_from_cluster(ray_session):
     assert _key_parts(128) == 128
     # inside the 4-CPU test session: floor of 64 holds (2*4 < 64)
     assert _key_parts() == 64
+
+
+def test_segmented_probe_counts_bruteforce_parity():
+    """_segmented_probe_counts == brute-force per-group window count,
+    including the chunked (small max_g) path."""
+    import numpy as np
+
+    from osprey_ray.pipelines.analytics import _segmented_probe_counts
+
+    rng = np.random.default_rng(7)
+    n = 600
+    gidx = np.sort(rng.integers(0, 25, n))
+    ts = rng.integers(0, 5000, n)
+    order = np.lexsort((ts, gidx))
+    gidx, ts = gidx[order], ts[order]
+    amask = rng.random(n) < 0.3
+    pmask = (~amask) & (rng.random(n) < 0.5)
+    W = 300
+    for max_g in (None, 3):
+        got = _segmented_probe_counts(ts, gidx, amask, pmask, W, max_g=max_g)
+        a_ts, a_g = ts[amask], gidx[amask]
+        p_ts, p_g = ts[pmask], gidx[pmask]
+        want = np.array(
+            [((p_g == g) & (p_ts > t) & (p_ts <= t + W)).sum()
+             for t, g in zip(a_ts, a_g)],
+            dtype=np.int64,
+        )
+        assert (got == want).all(), max_g
+
+
+def test_scd2_intervals_invariants(ray_session):
+    """SCD2 output: per user, versions are 1..k, intervals chain
+    (valid_to == next valid_from), exactly one open interval per user,
+    and every user in events appears."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_scd2_intervals
+
+    sf = "/root/testdata/sf0.001"
+    got = q_scd2_intervals(sf).to_pandas().sort_values(
+        ["user_id", "version"]).reset_index(drop=True)
+    SENT = 9_999_999_999_999_999
+    for uid, g in got.groupby("user_id"):
+        assert g["version"].tolist() == list(range(1, len(g) + 1))
+        vt, vf = g["valid_to_us"].to_numpy(), g["valid_from_us"].to_numpy()
+        assert (vt[:-1] == vf[1:]).all()
+        assert vt[-1] == SENT and (vt[:-1] != SENT).all()
+        # runs alternate: consecutive intervals never share a type
+        et = g["event_type"].tolist()
+        assert all(a != b for a, b in zip(et, et[1:]))
+    users = set(pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+                ["user_id"].to_pylist())
+    assert set(got["user_id"]) == users
+
+
+def test_cdc_upsert_delete_semantics(ray_session):
+    """Keys whose LAST mutation is a delete marker are absent; all others
+    carry the last value by (ts, event_id)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_cdc_upsert
+
+    sf = "/root/testdata/sf0.001"
+    got = q_cdc_upsert(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ev["tus"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["tus", "event_id"])
+    last = ev.groupby(["user_id", "event_type"]).tail(1)
+    want = last[last["event_id"] % 10 != 0]
+    assert len(got) == len(want)
+    m = got.merge(want, on=["user_id", "event_type"], how="inner")
+    assert len(m) == len(got)
+    assert (m["last_event_id"] == m["event_id"]).all()
+
+
+def test_ewma_hourly_decay_halves(ray_session):
+    """An hour with zero preceding 15 hours has ewma_num == n << 15; an
+    anchor one hour after it adds the decayed half-weight."""
+    import numpy as np
+
+    from osprey_ray.pipelines.analytics import q_ewma_hourly
+
+    got = q_ewma_hourly("/root/testdata/sf0.001").to_pandas()
+    assert (got["ewma_num"] > 0).all()
+    # reconstruct per type: the anchor hour's own count contributes << 15,
+    # so ewma_num >= own count << 15 always, and equality holds when no
+    # prior in-window hours exist
+    for etype, g in got.groupby("event_type"):
+        g = g.sort_values("hour_s")
+        h = g["hour_s"].to_numpy()
+        first = g.iloc[0]
+        assert first["ewma_num"] % (1 << 15) == 0 or len(g) > 1
+        # monotone sanity: every value at least the own-hour term floor
+        assert (g["ewma_num"].to_numpy() >= (1 << 15)).all()

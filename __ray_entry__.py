@@ -1151,6 +1151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": T.q_doc_surprisal,
         # similarity search over embeddings
         "ann_bruteforce": N.q_ann_bruteforce,
+        "hybrid_rrf": N.q_hybrid_rrf,  # new in r4 — sparse+dense RRF fusion
+        "bfs_levels": N.q_bfs_levels,  # new in r4 — k-hop graph traversal
         "ann_range": N.q_ann_range,  # new in r4 — cosine radius search
         "ann_lsh": N.q_ann_lsh,
         "ann_ivf": N.q_ann_ivf,
@@ -2336,6 +2338,74 @@ def oracle_sql() -> dict[str, str]:
             "FROM q, embeddings e WHERE e.vec_id <> q.qid AND "
             "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
             "CAST(e.embedding AS DOUBLE[])) >= 0.30"
+        ),
+        # sparse+dense hybrid: BM25 rank (top-30) fused with exact-cosine
+        # rank (top-30) by integer-scaled Reciprocal Rank Fusion
+        "hybrid_rrf": (
+            "WITH qm(query, qid) AS (VALUES ('filter batch scan', 0), "
+            "('hash join merge', 1), ('stream window sort', 2)), "
+            "qt(query, term) AS (VALUES "
+            "('filter batch scan', 'filter'), ('filter batch scan', 'batch'), "
+            "('filter batch scan', 'scan'), ('hash join merge', 'hash'), "
+            "('hash join merge', 'join'), ('hash join merge', 'merge'), "
+            "('stream window sort', 'stream'), ('stream window sort', 'window'), "
+            "('stream window sort', 'sort')), "
+            "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id), "
+            "st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS ltot FROM dl), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+            "JOIN (SELECT DISTINCT term FROM qt) USING (term) GROUP BY doc_id, term), "
+            "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "sc AS (SELECT qt.query, tf.doc_id, "
+            "SUM((((st.n_docs * 1000000) // df.df) * tf.tf * 22 * st.ltot) "
+            "// (10 * tf.tf * st.ltot + 3 * st.ltot + 9 * dl.dl * st.n_docs)) "
+            "AS score_scaled "
+            "FROM qt JOIN tf USING (term) JOIN df USING (term) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st "
+            "GROUP BY qt.query, tf.doc_id), "
+            "lex AS (SELECT query, doc_id, rl FROM (SELECT sc.*, ROW_NUMBER() "
+            "OVER (PARTITION BY query ORDER BY score_scaled DESC, doc_id) AS rl "
+            "FROM sc) WHERE rl <= 30), "
+            "vs AS (SELECT qm.query, e.vec_id AS doc_id, ROW_NUMBER() OVER ("
+            "PARTITION BY qm.query ORDER BY list_cosine_similarity("
+            "CAST(qv.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) "
+            "DESC, e.vec_id) AS rv "
+            "FROM qm JOIN embeddings qv ON qv.vec_id = qm.qid "
+            "CROSS JOIN embeddings e WHERE e.vec_id <> qm.qid), "
+            "vec AS (SELECT query, doc_id, rv FROM vs WHERE rv <= 30), "
+            "fused AS (SELECT COALESCE(l.query, v.query) AS query, "
+            "COALESCE(l.doc_id, v.doc_id) AS doc_id, "
+            "CASE WHEN l.rl IS NOT NULL AND v.rv IS NOT NULL THEN "
+            "(1000000000000 * (120 + l.rl + v.rv)) // ((60 + l.rl) * (60 + v.rv)) "
+            "WHEN l.rl IS NOT NULL THEN 1000000000000 // (60 + l.rl) "
+            "ELSE 1000000000000 // (60 + v.rv) END AS score_scaled "
+            "FROM lex l FULL OUTER JOIN vec v "
+            "ON l.query = v.query AND l.doc_id = v.doc_id), "
+            "r AS (SELECT fused.*, ROW_NUMBER() OVER (PARTITION BY query "
+            "ORDER BY score_scaled DESC, doc_id) AS rnk FROM fused) "
+            "SELECT query, doc_id, CAST(score_scaled AS BIGINT) AS score_scaled, "
+            "CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10"
+        ),
+        # k-hop BFS min-levels over the directed exact kNN graph
+        "bfs_levels": (
+            "WITH RECURSIVE dims AS (SELECT unnest(range(64)) AS dim), "
+            "u AS (SELECT vec_id, dim, "
+            "CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q "
+            "FROM embeddings, dims), "
+            "d AS (SELECT ua.vec_id AS vid, ub.vec_id AS nid, "
+            "CAST(SUM((ua.q - ub.q) * (ua.q - ub.q)) AS BIGINT) AS dist "
+            "FROM u ua JOIN u ub ON ua.dim = ub.dim AND ua.vec_id <> ub.vec_id "
+            "GROUP BY ua.vec_id, ub.vec_id), "
+            "knn AS (SELECT vid, nid FROM (SELECT vid, nid, "
+            "ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, nid) AS rnk "
+            "FROM d) WHERE rnk <= 5), "
+            "bfs(node, lvl) AS ("
+            "SELECT vec_id, 0 FROM embeddings WHERE vec_id < 3 "
+            "UNION "
+            "SELECT k.nid, b.lvl + 1 FROM bfs b JOIN knn k ON k.vid = b.node "
+            "WHERE b.lvl < 3) "
+            "SELECT node, CAST(MIN(lvl) AS BIGINT) AS level FROM bfs GROUP BY node"
         ),
         "ann_bruteforce": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "

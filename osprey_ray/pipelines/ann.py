@@ -2209,3 +2209,126 @@ def q_embedding_gram(sf_dir: str, scale: int = 1_000_000):
             "sum_xy": pa.array([acc[k] for k in keys], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: hybrid retrieval fusion + graph traversal
+# ---------------------------------------------------------------------------
+
+
+def q_hybrid_rrf(sf_dir: str, k_each: int = 30, k_out: int = 10, rrf_k: int = 60):
+    """Hybrid search via Reciprocal Rank Fusion: fuse a LEXICAL ranking
+    (BM25 over documents) with a VECTOR ranking (exact cosine over the
+    aligned embeddings — doc_id == vec_id in this corpus) with the
+    standard RRF score ``sum over lists of 1/(60 + rank)``, computed in
+    exact integer arithmetic (``score_scaled = floor(1e12 * score)``; the
+    distinct rationals here differ by ≥ 1.5e-8, so the scaled-int order
+    equals the exact-fraction order) — the modern retrieval-stack shape
+    (sparse + dense, fused by rank not score, so no score calibration).
+
+    Scale shape: both input rankings are the existing distributed
+    pipelines, each delivering only nq x k_each rows to the driver; the
+    fusion itself is O(nq x 2 k_each) — independent of corpus size."""
+    from osprey_ray.pipelines.textops import BM25_QUERIES, q_bm25_topk
+
+    nq = len(BM25_QUERIES)
+    lex = q_bm25_topk(sf_dir, k=k_each).to_pandas()
+    vec = q_ann_bruteforce(sf_dir, k=k_each, n_queries=nq)
+    if hasattr(vec, "to_pandas"):
+        vec = vec.to_pandas()
+    SCALE = 10**12
+    K = int(rrf_k)
+    out_q, out_d, out_s, out_r = [], [], [], []
+    for qi, qtext in enumerate(BM25_QUERIES):
+        rl = {
+            int(d): int(r)
+            for d, r in lex.loc[lex["query"] == qtext, ["doc_id", "rnk"]]
+            .itertuples(index=False)
+        }
+        rv = {
+            int(d): int(r)
+            for d, r in vec.loc[vec["query_id"] == qi, ["neighbor_id", "rank"]]
+            .itertuples(index=False)
+        }
+        scored = []
+        for d in set(rl) | set(rv):
+            if d in rl and d in rv:
+                d1, d2 = K + rl[d], K + rv[d]
+                s = SCALE * (d1 + d2) // (d1 * d2)
+            elif d in rl:
+                s = SCALE // (K + rl[d])
+            else:
+                s = SCALE // (K + rv[d])
+            scored.append((-s, d))
+        scored.sort()
+        for r, (negs, d) in enumerate(scored[:k_out], start=1):
+            out_q.append(qtext)
+            out_d.append(d)
+            out_s.append(-negs)
+            out_r.append(r)
+    return pa.table(
+        {
+            "query": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score_scaled": pa.array(out_s, pa.int64()),
+            "rnk": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+def q_bfs_levels(
+    sf_dir: str,
+    n_seeds: int = 3,
+    max_depth: int = 3,
+    k: int = 5,
+    max_rows: int = EXACT_NEARDUP_MAX_ROWS,
+):
+    """k-hop BFS over the directed kNN graph: min level (<= max_depth)
+    from the seed set ``vec_id < n_seeds`` — semantic frontier expansion
+    ("everything within 3 hops of these seed docs"), the graph-traversal
+    primitive next to PageRank (global) and connected components
+    (equivalence).
+
+    Each round is ONE distributed scan of the edge Dataset filtering on
+    the broadcast frontier (`np.isin` per batch); only the new frontier
+    ids return to the driver, so driver state is bounded by the reachable
+    set.  The kNN builder is the gated exact one (inherits ``max_rows``);
+    at corpus scale feed the same loop an approximate ANN graph and swap
+    the broadcast frontier for a keyed-exchange join + groupby-min per
+    round (the q_pagerank distributed regime) once the frontier outgrows
+    a broadcast."""
+    edges = (
+        q_knn_graph(sf_dir, k=k, max_rows=max_rows)
+        .select_columns(["vec_id", "neighbor_id"])
+        .materialize()
+    )
+    levels: dict[int, int] = {s: 0 for s in range(int(n_seeds))}
+    frontier = np.array(sorted(levels), dtype=np.int64)
+    for lvl in range(1, int(max_depth) + 1):
+        fr = frontier  # captured by value in the per-round closure
+
+        def hop(t: pa.Table, fr=fr) -> pa.Table:
+            src = t["vec_id"].to_numpy()
+            m = np.isin(src, fr)
+            return pa.table(
+                {"nid": pc.unique(t.filter(pa.array(m))["neighbor_id"])}
+            )
+
+        reached = edges.map_batches(hop, batch_format="pyarrow").to_pandas()
+        new = np.unique(reached["nid"].to_numpy().astype(np.int64))
+        new = new[~np.isin(new, np.array(sorted(levels), dtype=np.int64))]
+        if len(new) == 0:
+            break
+        for nd in new.tolist():
+            levels[nd] = lvl
+        frontier = new
+    nodes = np.array(sorted(levels), dtype=np.int64)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "level": pa.array(
+                np.array([levels[int(v)] for v in nodes], dtype=np.int64),
+                pa.int64(),
+            ),
+        }
+    )

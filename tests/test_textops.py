@@ -1684,3 +1684,57 @@ def test_doc_ttr_bounds(ray_session):
     assert (df.ttr_ppm <= 1_000_000).all()
     assert (df.n_types <= df.n_tokens).all()
     assert (df.n_types > 0).all()
+
+
+def test_hybrid_rrf_scaled_order_equals_fraction_order(ray_session):
+    """The int64-scaled RRF score induces exactly the order of the true
+    rational RRF score for every candidate pair, and fused top-10 covers
+    only docs present in at least one input ranking."""
+    from fractions import Fraction
+
+    from osprey_ray.pipelines.ann import q_ann_bruteforce, q_hybrid_rrf
+    from osprey_ray.pipelines.textops import BM25_QUERIES, q_bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = q_hybrid_rrf(sf).to_pandas()
+    lex = q_bm25_topk(sf, k=30).to_pandas()
+    vec = q_ann_bruteforce(sf, k=30, n_queries=len(BM25_QUERIES)).to_pandas()
+    for qi, qtext in enumerate(BM25_QUERIES):
+        rl = dict(lex.loc[lex["query"] == qtext, ["doc_id", "rnk"]].to_numpy())
+        rv = dict(
+            vec.loc[vec["query_id"] == qi, ["neighbor_id", "rank"]].to_numpy()
+        )
+        exact = {}
+        for d in set(rl) | set(rv):
+            s = Fraction(0)
+            if d in rl:
+                s += Fraction(1, 60 + int(rl[d]))
+            if d in rv:
+                s += Fraction(1, 60 + int(rv[d]))
+            exact[d] = s
+        want = sorted(exact, key=lambda d: (-exact[d], d))[:10]
+        g = got[got["query"] == qtext].sort_values("rnk")
+        assert g["doc_id"].tolist() == want
+        # scaled score order must agree with the exact-fraction order
+        sc = g["score_scaled"].tolist()
+        assert sc == sorted(sc, reverse=True)
+
+
+def test_bfs_levels_frontier_invariants(ray_session):
+    """Seeds at level 0; every level-l node (l>0) has an in-edge from some
+    level-(l-1) node and no in-edge from any node at level < l-1."""
+    from osprey_ray.pipelines.ann import q_bfs_levels, q_knn_graph
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bfs_levels(sf).to_pandas()
+    edges = q_knn_graph(sf).to_pandas()[["vec_id", "neighbor_id"]]
+    lv = dict(got[["node", "level"]].to_numpy())
+    assert lv[0] == 0 and lv[1] == 0 and lv[2] == 0
+    assert got["level"].max() <= 3
+    preds = edges.groupby("neighbor_id")["vec_id"].agg(set).to_dict()
+    for node, level in lv.items():
+        if level == 0:
+            continue
+        p_levels = {lv[p] for p in preds.get(node, set()) if p in lv}
+        assert (level - 1) in p_levels
+        assert not any(pl < level - 1 for pl in p_levels)

@@ -952,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_hourly": A.q_ohlc_hourly,  # new in r4 — argmin/argmax per group
         "linear_interp": A.q_linear_interp,  # new in r4 — exact rational gap fill
         "weighted_median": A.q_weighted_median,  # new in r4 — weighted order stat
+        "readability": T.q_readability,  # new in r4 — exact-rational Flesch
         "cep_absence": A.q_cep_absence,  # new in r4 — CEP negation pattern
         "scd2_intervals": A.q_scd2_intervals,  # new in r4 — SCD2 change tracking
         "cdc_upsert": A.q_cdc_upsert,  # new in r4 — CDC log compaction
@@ -1573,6 +1574,18 @@ def oracle_sql() -> dict[str, str]:
     from osprey_ray.pipelines import textops as T
 
     return {
+        # exact-rational Flesch reading ease (FRE*1000 = fre_num/fre_den)
+        "readability": (
+            "SELECT doc_id, "
+            "GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS words, "
+            "GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences, "
+            "GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) "
+            "AS syllables, "
+            "CAST(206835*sentences*words - 1015*words*words "
+            "- 84600*syllables*sentences AS BIGINT) AS fre_num, "
+            "CAST(sentences*words AS BIGINT) AS fre_den "
+            "FROM documents"
+        ),
         # CEP negation: errors with no purchase in the next 600 s
         "cep_absence": (
             "SELECT e.user_id AS user_id, COUNT(*) AS n_unanswered "

@@ -5307,3 +5307,45 @@ def q_contrastive_pairs(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per document in EXACT rational form: with
+    W = whitespace tokens, S = sentence-ending punctuation runs
+    ``[.!?]+`` (min 1), Y = vowel-group syllable proxy ``[aeiouy]+``
+    over the lowercased text (min 1),
+
+        FRE = 206.835 - 1.015 * W/S - 84.6 * Y/W
+
+    emitted as the integer pair ``(fre_num, fre_den)`` with
+    ``fre_num = 206835*S*W - 1015*W^2 - 84600*Y*S`` and
+    ``fre_den = S*W`` (FRE*1000 = fre_num/fre_den) — float-free, so the
+    DuckDB twin hash-matches and downstream filters compare fractions by
+    cross-multiplication.  One stateless vectorized scan: three
+    `pc.count_substring_regex` kernels per batch, no shuffle at all."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        W = pc.count_substring_regex(txt, pattern=r"\S+").to_numpy().astype(np.int64)
+        S = pc.count_substring_regex(txt, pattern=r"[.!?]+").to_numpy().astype(np.int64)
+        Y = pc.count_substring_regex(
+            pc.utf8_lower(txt), pattern=r"[aeiouy]+"
+        ).to_numpy().astype(np.int64)
+        W = np.maximum(W, 1)
+        S = np.maximum(S, 1)
+        Y = np.maximum(Y, 1)
+        num = 206835 * S * W - 1015 * W * W - 84600 * Y * S
+        den = S * W
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "words": pa.array(W, pa.int64()),
+                "sentences": pa.array(S, pa.int64()),
+                "syllables": pa.array(Y, pa.int64()),
+                "fre_num": pa.array(num, pa.int64()),
+                "fre_den": pa.array(den, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -1738,3 +1738,37 @@ def test_bfs_levels_frontier_invariants(ray_session):
         p_levels = {lv[p] for p in preds.get(node, set()) if p in lv}
         assert (level - 1) in p_levels
         assert not any(pl < level - 1 for pl in p_levels)
+
+
+def test_readability_clamps_and_exact_fraction(ray_session):
+    """W/S/Y clamp to >=1 on degenerate docs and fre_num/fre_den equals the
+    directly-computed Flesch numerator/denominator for a known sentence."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from osprey_ray.pipelines import textops as T
+
+    # deterministic micro-corpus through the same scan kernel
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["The cat sat on the mat.", "", "zzz zz!"], pa.string()),
+        }
+    )
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    got = T.q_readability(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 0: W=6, S=1, Y = vowel groups in "the cat sat on the mat." = 6
+    r0 = got.iloc[0]
+    assert (r0["words"], r0["sentences"], r0["syllables"]) == (6, 1, 6)
+    assert r0["fre_num"] == 206835 * 6 - 1015 * 36 - 84600 * 6
+    assert r0["fre_den"] == 6
+    # doc 1 (empty): everything clamps to 1
+    r1 = got.iloc[1]
+    assert (r1["words"], r1["sentences"], r1["syllables"]) == (1, 1, 1)
+    # doc 2: no vowels, no sentence punct beyond '!' run
+    r2 = got.iloc[2]
+    assert (r2["words"], r2["sentences"], r2["syllables"]) == (2, 1, 1)

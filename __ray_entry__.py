@@ -436,6 +436,74 @@ def _streaming_verdict_sql(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_absence(sf_dir: str):
+    """The engine's watermark-driven CEP absence stream, hash-verified:
+    StreamingJob with an AbsenceAlert pattern (exec turn with no mail turn
+    of the same conversation within 600 s) over the segment log — timers
+    armed/disarmed across epoch cuts, snapshotted with the shard state,
+    fired on watermark passage + final flush — paired with a NOT EXISTS
+    DuckDB twin over the same transcripts."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from osprey_ray.expr import col
+    from osprey_ray.rules import AbsenceAlert, RuleSpec
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        absences=[
+            AbsenceAlert(
+                "exec_unanswered",
+                first=col("tool") == "exec",
+                second=col("tool") == "mail",
+                window_seconds=600.0,
+            )
+        ]
+    )
+    out = tempfile.mkdtemp(prefix="osprey_absq_")
+    try:
+        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        t = job.absence_stream_table()
+        return pa.table(
+            {
+                "pattern": t["pattern"],
+                "conv_id": t["conv_id"],
+                "first_ts_us": t["first_ts"].cast(pa.int64()),
+                "deadline_us": t["deadline"].cast(pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_absence_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, tool, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, tool, epoch_us(ts) AS tus FROM raw WHERE dup_rn = 1
+)
+SELECT 'exec_unanswered' AS pattern, e.conv_id AS conv_id,
+       CAST(e.tus AS BIGINT) AS first_ts_us,
+       CAST(e.tus + 600000000 AS BIGINT) AS deadline_us
+FROM t e
+WHERE e.tool = 'exec' AND NOT EXISTS (
+  SELECT 1 FROM t m
+  WHERE m.conv_id = e.conv_id AND m.tool = 'mail'
+    AND m.tus > e.tus AND m.tus <= e.tus + 600000000)
+"""
+
+
 _QUERY_FILTER_TEXT = "RuleSpam and TextLen > 50 or RuleVelocity"
 
 
@@ -939,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row — or whose SQL twin landed after their last sampling — go
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
         "streaming_verdict_sql": _streaming_verdict_sql,
+        "streaming_absence": _streaming_absence,  # new in r4 — CEP timers
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -2087,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windows": _streaming_windows_oracle_sql(),
         "flagship_verdict_sql": _flagship_verdict_oracle_sql(),
         "streaming_verdict_sql": _flagship_verdict_oracle_sql(),
+        "streaming_absence": _streaming_absence_oracle_sql(),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),
         # label loop (HasLabel + write-after-classify) replayed in SQL

@@ -240,6 +240,30 @@ class HasLabel:
     manual: str = "either"  # 'yes' | 'no' | 'either'
 
 
+@dataclass
+class AbsenceAlert:
+    """CEP absence / negation timer: a turn matching ``first`` arms an
+    event-time timer at ``ts + window_seconds``; a later turn of the SAME
+    conversation matching ``second`` with ``ts in (first_ts, deadline]``
+    disarms it; timers still armed when the watermark passes their
+    deadline fire an ALERT on the absence stream.
+
+    The reference expresses "A not followed by B" with a timed label that
+    B's rule removes before expiry (labels.py:17-66 ``expires_after`` +
+    remove effects); here it is a first-class watermark-driven emission —
+    like window aggregates, an alert is a STREAM row, never a per-turn
+    column, because the answer does not exist at the turn that armed it.
+
+    ``first`` / ``second`` are stateless Exprs over the turn's columns and
+    stage-1 features (state-dependent predicates would make the armed set
+    depend on evaluation order across shards)."""
+
+    name: str
+    first: Expr
+    second: Expr
+    window_seconds: float
+
+
 StatefulFeature = (
     IncrementWindow | TumblingCount | SessionWindow | SequenceMatch | HasLabel
     | WindowCount | KvCache
@@ -260,6 +284,7 @@ class RuleSpec:
     stateful: list[StatefulFeature] = field(default_factory=list)
     rules: list[Rule] = field(default_factory=list)
     triggers: list[WhenRules] = field(default_factory=list)
+    absences: list[AbsenceAlert] = field(default_factory=list)
 
     def stateful_names(self) -> list[str]:
         out: list[str] = []
@@ -304,6 +329,15 @@ class RuleSpec:
             if r.name in rules:
                 raise ValueError(f"duplicate rule {r.name}")
             rules.add(r.name)
+        ab_names = set()
+        for a in self.absences:
+            if a.name in ab_names:
+                raise ValueError(f"duplicate absence alert {a.name}")
+            ab_names.add(a.name)
+            if a.window_seconds <= 0:
+                raise ValueError(
+                    f"absence alert {a.name}: window_seconds must be > 0"
+                )
         for t in self.triggers:
             for rn in t.rules_any:
                 if rn not in rules:
@@ -325,12 +359,14 @@ class RuleSpec:
             stateful=list(self.stateful),
             rules=list(self.rules),
             triggers=list(self.triggers),
+            absences=list(self.absences),
         )
         for o in others:
             out.features += o.features
             out.stateful += o.stateful
             out.rules += o.rules
             out.triggers += o.triggers
+            out.absences += o.absences
         out.validate()
         return out
 
@@ -343,6 +379,8 @@ class RuleSpec:
         requires ``gate`` (e.g. ``col('role') == 'tool'``), so the whole
         file's rules only fire for matching rows — dispatch becomes a
         vectorized mask, not control flow."""
+        from osprey_ray.expr import and_
+
         return RuleSpec(
             features=self.features,
             stateful=self.stateful,
@@ -350,6 +388,13 @@ class RuleSpec:
                 Rule(r.name, [gate] + list(r.when_all), r.description) for r in self.rules
             ],
             triggers=self.triggers,
+            # gate both absence predicates: a gated file's timers only arm
+            # and disarm on its own rows
+            absences=[
+                AbsenceAlert(a.name, and_(gate, a.first), and_(gate, a.second),
+                             a.window_seconds)
+                for a in self.absences
+            ],
         )
 
     def uses_labels(self) -> bool:
@@ -376,5 +421,10 @@ class RuleSpec:
         # kernel classes (exactly what ships them to Ray actors today)
         payload = cloudpickle.dumps(
             (self.features, self.stateful, self.rules, self.triggers)
+            if not self.absences
+            # absences extend the tuple only when present so pre-absence
+            # manifests keep their recorded hashes valid for resume
+            else (self.features, self.stateful, self.rules, self.triggers,
+                  self.absences)
         )
         return hashlib.blake2b(payload, digest_size=16).hexdigest()

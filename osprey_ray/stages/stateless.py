@@ -125,6 +125,18 @@ class StatelessStage:
                 out_cols[f"__sfv_{sf.name}"] = _as_array(sf.value.eval_batch(ctx), ctx.n)
             # SessionWindow / HasLabel / WindowCount need no stage-1 predicate
 
+        # absence-timer arm/disarm predicates → hidden bool columns (the
+        # __sf_ prefix keeps them out of the evaluated output); the shard's
+        # tracker reads these instead of re-evaluating the Exprs, so raw
+        # input columns never need to survive stage 1
+        for ab in getattr(spec, "absences", ()):
+            out_cols[f"__sf_ab__{ab.name}__a"] = _bool_operand(
+                _as_array(ab.first.eval_batch(ctx), ctx.n)
+            )
+            out_cols[f"__sf_ab__{ab.name}__b"] = _bool_operand(
+                _as_array(ab.second.eval_batch(ctx), ctx.n)
+            )
+
         # rule pre-folds over stateless conjuncts
         for rp in self.rule_plans:
             if rp.stateless:

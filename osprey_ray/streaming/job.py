@@ -209,6 +209,16 @@ class StreamingJob:
         self.hot_convs = (
             frozenset(hot_convs) if (hot_convs and not spec.uses_labels()) else frozenset()
         )
+        if getattr(spec, "absences", None) and self.hot_convs:
+            # sub-key routing spreads ONE conversation's rows across shards,
+            # but an absence timer must see that conversation's whole stream
+            # to disarm correctly.  Supporting both needs driver-merged
+            # absence partials (the hot open-window protocol); until then,
+            # reject loudly rather than mis-fire alerts.
+            raise NotImplementedError(
+                "AbsenceAlert patterns are not supported together with "
+                "hot-conversation sub-key routing (hot_convs)"
+            )
         self.hot_block_turns = hot_block_turns
         self.hot_states: dict = {}          # conv_id -> carry state
         self.hot_open_windows: dict = {}    # same keying as shard open_windows
@@ -462,6 +472,11 @@ class StreamingJob:
                 "routing is active: label feedback is sequential per "
                 "conversation and incompatible with the sub-key exchange"
             )
+        if self.hot_convs and getattr(spec, "absences", None):
+            raise ValueError(
+                "cannot hot-swap AbsenceAlert patterns in while "
+                "hot-conversation sub-key routing is active (see __init__)"
+            )
         self.spec = spec
         self.stage1 = compile_stateless(spec)
         self._cur_hash = spec.content_hash()
@@ -598,6 +613,8 @@ class StreamingJob:
                 label_outputs=[s.get("labels_file") for s in stats],
                 window_outputs=[s.get("windows_file") for s in stats]
                 + ([hot["windows_file"]] if hot else []),
+                absence_outputs=[s.get("absence_file") for s in stats],
+                open_absences=sum(s.get("open_absences", 0) for s in stats),
                 open_windows=sum(s.get("open_windows", 0) for s in stats)
                 + len(self.hot_open_windows),
                 snapshots=snap_paths,
@@ -663,6 +680,30 @@ class StreamingJob:
         tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
         return tbl.sort_by(
             [("window", "ascending"), ("conv_id", "ascending"), ("start", "ascending")]
+        )
+
+    def absence_stream_table(self) -> pa.Table:
+        """Committed absence-alert emissions (one row per fired timer —
+        rules.AbsenceAlert), manifest order."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for e in range(self.last_committed_epoch() + 1):
+            p = self._manifest_path(e)
+            if os.path.exists(p):
+                for f in json.load(open(p)).get("absence_outputs", []):
+                    if f:
+                        files.append(os.path.join(self.data_dir, f))
+        if not files:
+            from osprey_ray.streaming.absence import ALERT_SCHEMA
+
+            return ALERT_SCHEMA.empty_table()
+        tbl = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        )
+        return tbl.sort_by(
+            [("pattern", "ascending"), ("conv_id", "ascending"),
+             ("first_ts", "ascending")]
         )
 
     def results_table(self) -> pa.Table:

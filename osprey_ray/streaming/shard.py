@@ -165,6 +165,11 @@ class StateShard:
         #   ("t", feature, conv_id, bucket_start_us) -> count
         #   ("s", feature, conv_id, session_id) -> [start_us, end_us, count]
         self.open_windows: dict[tuple, list | int] = {}
+        # armed absence timers (rules.AbsenceAlert), fired when the
+        # watermark passes their deadline:
+        #   (pattern, conv_id) -> sorted int64 array of armed first-ts
+        self.absences = list(getattr(spec, "absences", []))
+        self.pending_absences: dict[tuple, np.ndarray] = {}
 
     def update_spec(self, spec: RuleSpec, salt_block_rows: int | None = None) -> bool:
         """Hot-swap the compiled ruleset at an epoch boundary (the etcd-watch
@@ -189,6 +194,11 @@ class StateShard:
         live = {s.name for s in self.tumbling} | {s.name for s in self.sessions}
         self.open_windows = {
             k: v for k, v in self.open_windows.items() if k[1] in live
+        }
+        self.absences = list(getattr(spec, "absences", []))
+        live_ab = {a.name for a in self.absences}
+        self.pending_absences = {
+            k: v for k, v in self.pending_absences.items() if k[0] in live_ab
         }
         return True
 
@@ -252,6 +262,15 @@ class StateShard:
         failures: dict[str, str] = {}
         if released is not None and released.num_rows:
             released = sort_and_dedup(released, self.states)
+            if self.absences:
+                # arm/disarm timers on the full released slice BEFORE hot/
+                # whale carving — absence tracking only needs (conv, ts,
+                # stateless masks), and the whole conversation routes to
+                # this shard (AbsenceAlert + hot_convs sub-key routing is
+                # rejected at job construction)
+                from osprey_ray.streaming.absence import track_slice
+
+                track_slice(self.pending_absences, released, self.absences)
             if self.hot_convs:
                 released, hot_summaries = self._hold_hot_blocks(released, epoch)
             whale_refs: list = []
@@ -305,6 +324,19 @@ class StateShard:
                     lambda: self._write_atomic(epoch, win_tbl, prefix="windows"),
                     failures,
                 )
+        absence_path = None
+        if self.absences:
+            from osprey_ray.streaming.absence import emit_due_specs
+
+            ab_tbl = emit_due_specs(
+                self.pending_absences, self.absences, watermark_us
+            )
+            if write and ab_tbl is not None:
+                absence_path = self._guarded_write(
+                    "absence",
+                    lambda: self._write_atomic(epoch, ab_tbl, prefix="absence"),
+                    failures,
+                )
         if failures:
             # every healthy stream has written its (invisible) file; the
             # driver sees this error, skips the manifest, and the epoch
@@ -322,7 +354,11 @@ class StateShard:
             "file": out_path,
             "labels_file": labels_path,
             "windows_file": windows_path,
+            "absence_file": absence_path,
             "open_windows": len(self.open_windows),
+            "open_absences": int(
+                sum(len(v) for v in self.pending_absences.values())
+            ),
             "hot_summaries": hot_summaries,
         }
 
@@ -589,6 +625,7 @@ class StateShard:
             "pending_schema": self.pending[0].schema if self.pending else None,
             "watermark": self.watermark,
             "open_windows": self.open_windows,
+            "pending_absences": self.pending_absences,
             "spilled": self.spilled,
             "spill_seq": self._spill_seq,
         }
@@ -624,6 +661,7 @@ class StateShard:
         import zlib
 
         self.states, self.open_windows = {}, {}
+        self.pending_absences = {}
         lab_entries: list = []
         pend: list[pa.Table] = []
         wm = None
@@ -640,6 +678,12 @@ class StateShard:
             # open_windows keys are (window_name, conv_id, ...) tuples
             self.open_windows.update(
                 {k: w for k, w in payload.get("open_windows", {}).items() if mine(k[1])}
+            )
+            # armed absence timers re-deal by conv like windows; keys are
+            # (pattern, conv_id) and unique across old shards
+            self.pending_absences.update(
+                {k: v for k, v in payload.get("pending_absences", {}).items()
+                 if mine(k[1])}
             )
             lab_entries.extend(e for e in payload["labels"] if mine(e[0]))
             schema = payload["pending_schema"]
@@ -709,6 +753,7 @@ class StateShard:
         ]
         self.watermark = payload["watermark"]
         self.open_windows = payload.get("open_windows", {})
+        self.pending_absences = payload.get("pending_absences", {})
         self.spilled = payload.get("spilled", [])
         self._spill_seq = payload.get("spill_seq", 0)
         self._consumed_spills = []

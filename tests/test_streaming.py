@@ -856,3 +856,214 @@ def test_streaming_jsonl_segments_match_parquet(stream_data, tmp_path):
     )
     with pytest.raises(ValueError, match="files_per_epoch"):
         bad.epochs()
+
+
+# ---------------------------------------------------------------------------
+# absence timers (rules.AbsenceAlert)
+# ---------------------------------------------------------------------------
+
+
+def _absence_spec(window_s: float = 600.0):
+    from osprey_ray.expr import col
+    from osprey_ray.rules import AbsenceAlert, Feature, RuleSpec
+
+    return RuleSpec(
+        features=[Feature("is_exec", col("tool") == "exec")],
+        absences=[
+            AbsenceAlert(
+                "exec_unanswered",
+                first=col("tool") == "exec",
+                second=col("tool") == "mail",
+                window_seconds=window_s,
+            )
+        ],
+    )
+
+
+def _absence_bruteforce(full, window_s: float = 600.0) -> set:
+    """Row-at-a-time reference: (conv, a_ts_us) of every exec turn with no
+    mail turn of the same conversation in (a, a+W]."""
+    import pyarrow as pa
+
+    from osprey_ray.stages.stateful import sort_and_dedup
+
+    t = sort_and_dedup(full, {}).to_pandas()
+    t["tus"] = t["ts"].astype("int64")
+    W = int(window_s * 1e6)
+    out = set()
+    for cid, g in t.groupby("conv_id"):
+        mails = sorted(g.loc[g["tool"] == "mail", "tus"].tolist())
+        import bisect
+
+        for a in g.loc[g["tool"] == "exec", "tus"]:
+            a = int(a)
+            i = bisect.bisect_right(mails, a)
+            j = bisect.bisect_right(mails, a + W)
+            if i == j:
+                out.add((cid, a))
+    return out
+
+
+def test_absence_stream_matches_bruteforce(stream_data, tmp_path):
+    """Multi-epoch streaming absence alerts == row-at-a-time recompute ==
+    the batch twin."""
+    import pyarrow as pa
+
+    from osprey_ray.streaming.absence import absence_stream_batch
+
+    segs, lmap, full = stream_data
+    spec = _absence_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "ab"), lmap, num_shards=4, files_per_epoch=3
+    )
+    job.run()
+    job.finalize()
+    got = job.absence_stream_table()
+    got_set = set(
+        zip(
+            got["conv_id"].to_pylist(),
+            got["first_ts"].cast(pa.int64()).to_pylist(),
+        )
+    )
+    want = _absence_bruteforce(full)
+    assert got_set == want and got.num_rows == len(want)
+    assert (got["pattern"].to_pylist() or ["exec_unanswered"])[0] == "exec_unanswered"
+    # deadline column = first_ts + W everywhere
+    f = got["first_ts"].cast(pa.int64()).to_numpy()
+    d = got["deadline"].cast(pa.int64()).to_numpy()
+    assert (d - f == 600_000_000).all()
+    # batch twin agrees bit-for-bit on the same keys
+    bt = absence_stream_batch(full, spec.absences)
+    bt_set = set(
+        zip(bt["conv_id"].to_pylist(), bt["first_ts"].cast(pa.int64()).to_pylist())
+    )
+    assert bt_set == want
+
+
+def test_absence_cross_epoch_cancellation_and_boundaries(ray_session, tmp_path):
+    """A disarming B released in a later epoch cancels; B at exactly a+W
+    cancels; B at a+W+1us does not; emission only after the watermark
+    passes the deadline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from osprey_ray.streaming.absence import absence_stream_batch
+
+    W = 600.0
+    US = 1_000_000
+    base = 1_700_000_000 * US
+
+    def turn(cid, idx, ts_us, tool):
+        return {
+            "conv_id": cid, "turn_idx": idx, "ts": ts_us, "tool": tool,
+            "text": "x", "role": "tool",
+        }
+
+    rows = [
+        # c1: exec at t0, mail at exactly t0+W (same epoch) -> disarmed
+        turn("c1", 0, base, "exec"),
+        turn("c1", 1, base + int(W * US), "mail"),
+        # c2: exec at t0, mail at t0+W+1us -> fires
+        turn("c2", 0, base, "exec"),
+        turn("c2", 1, base + int(W * US) + 1, "mail"),
+        # c3: exec at t0 (epoch 1), mail at t0+300s lands in epoch 2 -> disarmed
+        turn("c3", 0, base, "exec"),
+        turn("c3", 1, base + 300 * US, "mail"),
+        # c4: exec with no mail at all -> fires
+        turn("c4", 0, base + 50 * US, "exec"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+            "role": pa.array([r["role"] for r in rows], pa.string()),
+            "tool": pa.array([r["tool"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+        }
+    )
+    # epoch 1 = everything at/below base+100s; epoch 2 = the rest
+    cut = base + 100 * US
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    import pyarrow.compute as pc_
+
+    e1 = t.filter(pc_.less_equal(t["ts"].cast(pa.int64()), cut))
+    e2 = t.filter(pc_.greater(t["ts"].cast(pa.int64()), cut))
+    pq_.write_table(e1, str(seg_dir / "seg-000.parquet"))
+    pq_.write_table(e2, str(seg_dir / "seg-001.parquet"))
+
+    spec = _absence_spec(W)
+    job = StreamingJob(
+        spec,
+        [str(seg_dir / "seg-000.parquet"), str(seg_dir / "seg-001.parquet")],
+        str(tmp_path / "out"),
+        {},
+        num_shards=2,
+        files_per_epoch=1,
+        allowed_lateness_s=0.0,
+    )
+    m = job.run()
+    # before finalize: watermark = max seen ts - lateness; c4's deadline
+    # (base+650s) and c2's (base+600s) have passed by epoch 2's watermark
+    mid = job.absence_stream_table()
+    job.finalize()
+    got = job.absence_stream_table()
+    fired = set(got["conv_id"].to_pylist())
+    assert fired == {"c2", "c4"}
+    assert set(mid["conv_id"].to_pylist()) <= fired
+    # batch twin agrees
+    bt = absence_stream_batch(t, spec.absences)
+    assert set(bt["conv_id"].to_pylist()) == {"c2", "c4"}
+
+
+def test_absence_kill_resume_bit_identical(stream_data, tmp_path):
+    """Armed timers survive checkpoint/restore: a killed+resumed run emits
+    the byte-identical absence stream."""
+    segs, lmap, _ = stream_data
+    spec = _absence_spec()
+
+    ref = StreamingJob(spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=2)
+    ref.run()
+    ref.finalize()
+    want = ref.absence_stream_table()
+
+    out = str(tmp_path / "crash")
+    j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j1.run(stop_after_epoch=3)
+    del j1
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j2.run(resume=True)
+    j2.finalize()
+    got = j2.absence_stream_table()
+    assert got.equals(want)
+
+
+def test_absence_reshard_resume(stream_data, tmp_path):
+    """Resume under a different shard count re-deals armed timers by conv
+    and still emits the identical alert set."""
+    segs, lmap, _ = stream_data
+    spec = _absence_spec()
+    ref = StreamingJob(spec, segs, str(tmp_path / "ref8"), lmap, num_shards=4, files_per_epoch=2)
+    ref.run()
+    ref.finalize()
+    want = ref.absence_stream_table()
+
+    out = str(tmp_path / "reshard")
+    j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j1.run(stop_after_epoch=3)
+    del j1
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=8, files_per_epoch=2)
+    j2.run(resume=True)
+    j2.finalize()
+    got = j2.absence_stream_table()
+    assert got.equals(want)
+
+
+def test_absence_hot_convs_rejected(stream_data, tmp_path):
+    segs, lmap, _ = stream_data
+    with pytest.raises(NotImplementedError, match="hot-conversation"):
+        StreamingJob(
+            _absence_spec(), segs, str(tmp_path / "x"), lmap,
+            num_shards=2, hot_convs={"conv-1"},
+        )

@@ -77,6 +77,7 @@ ORACLES["conv_sessions"] = entrymod._conv_sessions_oracle_sql(SF_DIR)
 ORACLES["tool_transitions"] = entrymod._tool_transitions_oracle_sql(SF_DIR)
 ORACLES["domain_histogram"] = entrymod._domain_histogram_oracle_sql(SF_DIR)
 ORACLES["conv_turn_gap"] = entrymod._conv_turn_gap_oracle_sql(SF_DIR)
+ORACLES["streaming_absence"] = entrymod._streaming_absence_oracle_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

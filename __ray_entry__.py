@@ -483,6 +483,74 @@ def _streaming_absence(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_idle(sf_dir: str):
+    """Conversation-inactivity alerts through the FULL streaming engine:
+    every turn arms a 900 s event-time timer and disarms its conversation's
+    earlier still-open timers (``AbsenceAlert`` with both predicates TRUE),
+    so exactly the turns followed by a silence gap > 900 s — including each
+    conversation's final turn at end-of-input — fire on the watermark.  The
+    reference expresses inactivity with a timed label whose expiry IS the
+    alert (labels.py:17-66 ``expires_after``); here it is a first-class
+    timer emission, snapshotted and rescale-re-dealt like every other shard
+    state.  Twin: NOT EXISTS over the deduped transcript with the same
+    strict (a, a+W] disarm interval."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from osprey_ray.expr import lit
+    from osprey_ray.rules import AbsenceAlert, RuleSpec
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        absences=[
+            AbsenceAlert(
+                "idle", first=lit(True), second=lit(True), window_seconds=900.0
+            )
+        ]
+    )
+    out = tempfile.mkdtemp(prefix="osprey_idleq_")
+    try:
+        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        t = job.absence_stream_table()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "last_ts_us": t["first_ts"].cast(pa.int64()),
+                "fired_at_us": t["deadline"].cast(pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_idle_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, epoch_us(ts) AS tus FROM raw WHERE dup_rn = 1
+)
+SELECT a.conv_id AS conv_id,
+       CAST(a.tus AS BIGINT) AS last_ts_us,
+       CAST(a.tus + 900000000 AS BIGINT) AS fired_at_us
+FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.conv_id = a.conv_id
+    AND b.tus > a.tus AND b.tus <= a.tus + 900000000)
+"""
+
+
 def _streaming_absence_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     d = _transcript_dataset(sf_dir)
     return f"""
@@ -1008,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
         "streaming_verdict_sql": _streaming_verdict_sql,
         "streaming_absence": _streaming_absence,  # new in r4 — CEP timers
+        "streaming_idle": _streaming_idle,  # new in r4 — inactivity timers
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -2157,6 +2226,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_verdict_sql": _flagship_verdict_oracle_sql(),
         "streaming_verdict_sql": _flagship_verdict_oracle_sql(),
         "streaming_absence": _streaming_absence_oracle_sql(),
+        "streaming_idle": _streaming_idle_oracle_sql(),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),
         # label loop (HasLabel + write-after-classify) replayed in SQL

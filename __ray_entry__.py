@@ -634,6 +634,58 @@ FROM x GROUP BY conv_id, sid
 """
 
 
+def _streaming_sum_windows(sf_dir: str):
+    """Weighted tumbling windows through the FULL streaming engine: a
+    ``rules.TumblingSum`` feature (running per-bucket sum of the turn's
+    text length) rides the same watermark-driven window stream as counts —
+    partials merged by max across epochs (the running sum is monotone
+    within a bucket), closed on watermark passage, state evicted.  Twin:
+    GROUP BY SUM over the deduped transcript."""
+    import glob
+    import shutil
+    import tempfile
+
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import Feature, RuleSpec, TumblingSum
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        features=[Feature("TxtLen", fn("StringLength", target=col("text")))],
+        stateful=[
+            TumblingSum("BytesThisHour", value=col("TxtLen"), bucket_seconds=3600)
+        ],
+    )
+    out = tempfile.mkdtemp(prefix="osprey_sumwin_q_")
+    try:
+        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        return job.window_stream_table()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_sum_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, text, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, epoch_us(ts) AS tus, LENGTH(text) AS tl
+  FROM raw WHERE dup_rn = 1
+)
+SELECT 'BytesThisHour' AS "window", conv_id,
+       make_timestamp((tus // 3600000000) * 3600000000) AS "start",
+       make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
+       CAST(SUM(tl) AS BIGINT) AS agg_count
+FROM t GROUP BY conv_id, tus // 3600000000
+"""
+
+
 def _flagship_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB twin of ``_flagship_sql`` over the same transcript parquet.
 
@@ -1077,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_verdict_sql": _streaming_verdict_sql,
         "streaming_absence": _streaming_absence,  # new in r4 — CEP timers
         "streaming_idle": _streaming_idle,  # new in r4 — inactivity timers
+        "streaming_sum_windows": _streaming_sum_windows,  # new in r4 — TumblingSum
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -2227,6 +2280,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_verdict_sql": _flagship_verdict_oracle_sql(),
         "streaming_absence": _streaming_absence_oracle_sql(),
         "streaming_idle": _streaming_idle_oracle_sql(),
+        "streaming_sum_windows": _streaming_sum_windows_oracle_sql(),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),
         # label loop (HasLabel + write-after-classify) replayed in SQL

@@ -34,6 +34,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingSum,
     WindowCount,
 )
 from osprey_ray.state.labels import LabelStore
@@ -100,6 +101,21 @@ class OracleEngine:
                     cnt += 1
                 st[f"t:{sf.name}"] = (bucket, cnt)
                 rctx.features[sf.name] = cnt
+            elif isinstance(sf, TumblingSum):
+                b_us = int(sf.bucket_seconds * 1e6)
+                bucket = ts_us // b_us
+                last_bucket, sm = st.get(f"t:{sf.name}", (None, 0))
+                if bucket != last_bucket:
+                    sm = 0
+                try:
+                    v = sf.value.eval_row(rctx)
+                except ExprError:
+                    v = None
+                if v is not None:
+                    # match stage-1 semantics: int64 cast, negatives → 0
+                    sm += max(int(v), 0)
+                st[f"t:{sf.name}"] = (bucket, sm)
+                rctx.features[sf.name] = sm
             elif isinstance(sf, SessionWindow):
                 g_us = int(sf.gap_seconds * 1e6)
                 last_ts, sid, cnt = st.get(f"s:{sf.name}", (None, 0, 0))

@@ -43,6 +43,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingSum,
     WhenRules,
     WindowCount,
 )
@@ -126,6 +127,7 @@ def kitchen_sink_spec() -> RuleSpec:
             # WindowCount must precede its source window (read = prior turns)
             WindowCount("DomainVelSeen", source="DomainVel", window_seconds=600),
             IncrementWindow("DomainVel", when=col("HasSpamDomain"), window_seconds=600),
+            TumblingSum("ToksThisHour", value=col("NumToks"), bucket_seconds=3600),
             KvCache(
                 "LastSpamText",
                 set_when=col("HasSpamDomain"),

@@ -176,6 +176,24 @@ class TumblingCount:
 
 
 @dataclass
+class TumblingSum:
+    """Running per-bucket SUM of an integer ``value`` expression within the
+    turn's tumbling bucket — the weighted generalization of
+    :class:`TumblingCount` (count = sum of 1s).  Null / failed / negative
+    values contribute 0, so the running sum is monotone within a window;
+    that monotonicity is what lets the streaming shard's window-stream
+    accumulator merge cross-epoch partials by ``max`` exactly like counts
+    (shard.py ``_accumulate_windows``).  The reference expresses weighted
+    velocity by incrementing a counter N times per event on its Redis-ZSET
+    path (example_plugins/src/udfs/cache.py:161-207); here the weight is a
+    first-class vectorized expression."""
+
+    name: str
+    value: Expr
+    bucket_seconds: float
+
+
+@dataclass
 class SessionWindow:
     """Session id (0-based per conversation, new session when the gap from
     the previous turn exceeds ``gap_seconds``) and running count in session.
@@ -265,8 +283,8 @@ class AbsenceAlert:
 
 
 StatefulFeature = (
-    IncrementWindow | TumblingCount | SessionWindow | SequenceMatch | HasLabel
-    | WindowCount | KvCache
+    IncrementWindow | TumblingCount | TumblingSum | SessionWindow
+    | SequenceMatch | HasLabel | WindowCount | KvCache
 )
 
 

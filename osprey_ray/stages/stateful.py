@@ -50,6 +50,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingSum,
     WindowCount,
 )
 from osprey_ray.stages.stateless import RulePlan, split_rules
@@ -206,7 +207,7 @@ def _eval_windows_global(
                 added = added - fl
             lo = np.searchsorted(flag_tp, tp - w_us, side="right")
             sf_vals[sf.name] = np.minimum(added - lo, cap)
-        elif isinstance(sf, TumblingCount):
+        elif isinstance(sf, (TumblingCount, TumblingSum)):
             b_us = np.int64(sf.bucket_seconds * 1e6)
             bucket = ts // b_us
             new_seg = change.copy()
@@ -295,7 +296,7 @@ def eval_released(
         if isinstance(sf, SessionWindow):
             sf_vals[f"{sf.name}__id"] = np.zeros(n, dtype=np.int64)
             sf_vals[f"{sf.name}__count"] = np.zeros(n, dtype=np.int64)
-        elif isinstance(sf, (IncrementWindow, TumblingCount)):
+        elif isinstance(sf, (IncrementWindow, TumblingCount, TumblingSum)):
             sf_vals[sf.name] = np.zeros(n, dtype=np.int64)
         elif isinstance(sf, SequenceMatch):
             sf_vals[sf.name] = np.zeros(n, dtype=bool)
@@ -311,7 +312,14 @@ def eval_released(
     sf_pred: dict[str, np.ndarray] = {}
     kv_carried: dict[str, list[tuple[int, object]]] = {}
     for sf in spec.stateful:
-        if isinstance(sf, (IncrementWindow, TumblingCount, KvCache)):
+        if isinstance(sf, TumblingSum):
+            # int64 weights (stage 1 already clamped nulls/negatives to 0)
+            sf_pred[sf.name] = (
+                pc.fill_null(tbl[f"__sf_{sf.name}"], 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        elif isinstance(sf, (IncrementWindow, TumblingCount, KvCache)):
             sf_pred[sf.name] = (
                 pc.fill_null(tbl[f"__sf_{sf.name}"], False).to_numpy(zero_copy_only=False)
             )
@@ -356,7 +364,7 @@ def eval_released(
                 # bound, cache.py:199-201) so hot keys can't grow state
                 keep_from = np.searchsorted(all_flag, t[-1] - w_us, side="right")
                 st[f"w:{sf.name}"] = all_flag[keep_from:][-sf.max_events_cap :]
-            elif isinstance(sf, TumblingCount):
+            elif isinstance(sf, (TumblingCount, TumblingSum)):
                 b_us = np.int64(sf.bucket_seconds * 1e6)
                 flag = sf_pred[sf.name][s:e]
                 bucket = t // b_us
@@ -777,7 +785,7 @@ def _empty_output(tbl: pa.Table, spec: RuleSpec) -> pa.Table:
         if isinstance(sf, SessionWindow):
             out[f"{sf.name}__id"] = pa.array([], pa.int64())
             out[f"{sf.name}__count"] = pa.array([], pa.int64())
-        elif isinstance(sf, (IncrementWindow, TumblingCount, WindowCount)):
+        elif isinstance(sf, (IncrementWindow, TumblingCount, TumblingSum, WindowCount)):
             out[sf.name] = pa.array([], pa.int64())
         elif isinstance(sf, KvCache):
             vt = tbl.schema.field(f"__sfv_{sf.name}").type

@@ -607,3 +607,33 @@ def test_exchange_resume_skips_finished_partitions(small_data, ray_session, tmp_
     assert sorted(paths3) == sorted(paths2)
     for p, stamp in before.items():
         assert (os.stat(p).st_ino, os.stat(p).st_mtime_ns) == stamp
+
+
+def test_tumbling_sum_matches_oracle_with_weird_weights(small_data):
+    """TumblingSum parity incl. the clamp edge cases: a weight expression
+    that is sometimes negative (clamped to 0, preserving within-bucket
+    monotonicity) and sometimes failed/null (contributes 0)."""
+    from osprey_ray.expr import col, fn, lit
+    from osprey_ray.rules import Feature, Rule, RuleSpec, TumblingSum
+
+    clean, lmap = small_data
+    spec = RuleSpec(
+        features=[
+            Feature("TxtLen", fn("StringLength", target=col("text"))),
+            # negative for short turns; null when tool is null (int - null)
+            Feature("W", col("TxtLen") - lit(40)),
+        ],
+        stateful=[
+            TumblingSum("SumW", value=col("W"), bucket_seconds=3600),
+            TumblingSum("SumLen", value=col("TxtLen"), bucket_seconds=900),
+        ],
+        rules=[Rule("RuleBig", [col("SumW") >= 100], "heavy hour")],
+    )
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, lmap)(t1)
+    got = (
+        out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(oracle_results(clean, spec, lmap))
+    assert_frames_equal(got, want)
+    assert (got["SumW"] >= 0).all() and got["RuleBig"].any()

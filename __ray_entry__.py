@@ -686,6 +686,59 @@ FROM t GROUP BY conv_id, tus // 3600000000
 """
 
 
+def _streaming_max_windows(sf_dir: str):
+    """Per-bucket MAX tumbling windows through the FULL streaming engine: a
+    ``rules.TumblingMax`` feature (running per-hour max of the turn's text
+    length — "largest message this hour") rides the same watermark-driven
+    window stream as counts/sums — the per-turn running max is monotone
+    within a bucket, so cross-epoch partials merge by max, windows close on
+    watermark passage and state is evicted.  Twin: GROUP BY MAX over the
+    deduped transcript."""
+    import glob
+    import shutil
+    import tempfile
+
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import Feature, RuleSpec, TumblingMax
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        features=[Feature("TxtLen", fn("StringLength", target=col("text")))],
+        stateful=[
+            TumblingMax("MaxBytesThisHour", value=col("TxtLen"), bucket_seconds=3600)
+        ],
+    )
+    out = tempfile.mkdtemp(prefix="osprey_maxwin_q_")
+    try:
+        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        return job.window_stream_table()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_max_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, text, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, epoch_us(ts) AS tus, LENGTH(text) AS tl
+  FROM raw WHERE dup_rn = 1
+)
+SELECT 'MaxBytesThisHour' AS "window", conv_id,
+       make_timestamp((tus // 3600000000) * 3600000000) AS "start",
+       make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
+       CAST(MAX(GREATEST(tl, 0)) AS BIGINT) AS agg_count
+FROM t GROUP BY conv_id, tus // 3600000000
+"""
+
+
 def _flagship_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB twin of ``_flagship_sql`` over the same transcript parquet.
 
@@ -1130,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_absence": _streaming_absence,  # new in r4 — CEP timers
         "streaming_idle": _streaming_idle,  # new in r4 — inactivity timers
         "streaming_sum_windows": _streaming_sum_windows,  # new in r4 — TumblingSum
+        "streaming_max_windows": _streaming_max_windows,  # new in r4 — TumblingMax
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -2281,6 +2335,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_absence": _streaming_absence_oracle_sql(),
         "streaming_idle": _streaming_idle_oracle_sql(),
         "streaming_sum_windows": _streaming_sum_windows_oracle_sql(),
+        "streaming_max_windows": _streaming_max_windows_oracle_sql(),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),
         # label loop (HasLabel + write-after-classify) replayed in SQL

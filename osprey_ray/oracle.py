@@ -34,6 +34,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingMax,
     TumblingSum,
     WindowCount,
 )
@@ -116,6 +117,21 @@ class OracleEngine:
                     sm += max(int(v), 0)
                 st[f"t:{sf.name}"] = (bucket, sm)
                 rctx.features[sf.name] = sm
+            elif isinstance(sf, TumblingMax):
+                b_us = int(sf.bucket_seconds * 1e6)
+                bucket = ts_us // b_us
+                last_bucket, mx = st.get(f"t:{sf.name}", (None, 0))
+                if bucket != last_bucket:
+                    mx = 0
+                try:
+                    v = sf.value.eval_row(rctx)
+                except ExprError:
+                    v = None
+                if v is not None:
+                    # match stage-1 semantics: int64 cast, negatives -> 0
+                    mx = max(mx, max(int(v), 0))
+                st[f"t:{sf.name}"] = (bucket, mx)
+                rctx.features[sf.name] = mx
             elif isinstance(sf, SessionWindow):
                 g_us = int(sf.gap_seconds * 1e6)
                 last_ts, sid, cnt = st.get(f"s:{sf.name}", (None, 0, 0))

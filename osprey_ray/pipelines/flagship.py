@@ -43,6 +43,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingMax,
     TumblingSum,
     WhenRules,
     WindowCount,
@@ -128,6 +129,7 @@ def kitchen_sink_spec() -> RuleSpec:
             WindowCount("DomainVelSeen", source="DomainVel", window_seconds=600),
             IncrementWindow("DomainVel", when=col("HasSpamDomain"), window_seconds=600),
             TumblingSum("ToksThisHour", value=col("NumToks"), bucket_seconds=3600),
+            TumblingMax("MaxToksThisHour", value=col("NumToks"), bucket_seconds=3600),
             KvCache(
                 "LastSpamText",
                 set_when=col("HasSpamDomain"),

@@ -194,6 +194,25 @@ class TumblingSum:
 
 
 @dataclass
+class TumblingMax:
+    """Running per-bucket MAX of an integer ``value`` expression within the
+    turn's tumbling bucket — e.g. "largest message this hour".  Null /
+    failed values contribute 0 and negatives are clamped to 0 (stage 1),
+    so the running max is a monotone non-negative series within a window;
+    like :class:`TumblingCount`/:class:`TumblingSum` the window stream
+    merges cross-epoch partials by ``max`` (shard.py
+    ``_accumulate_windows``) and the salted whale path merges block
+    partials by ``max`` (salted.py ``merge_state``).  The reference has no
+    direct analogue — its Redis counter path (example_plugins/src/udfs/
+    cache.py:161-207) only increments — so this is an engine extension in
+    the same family."""
+
+    name: str
+    value: Expr
+    bucket_seconds: float
+
+
+@dataclass
 class SessionWindow:
     """Session id (0-based per conversation, new session when the gap from
     the previous turn exceeds ``gap_seconds``) and running count in session.
@@ -283,8 +302,8 @@ class AbsenceAlert:
 
 
 StatefulFeature = (
-    IncrementWindow | TumblingCount | TumblingSum | SessionWindow
-    | SequenceMatch | HasLabel | WindowCount | KvCache
+    IncrementWindow | TumblingCount | TumblingSum | TumblingMax
+    | SessionWindow | SequenceMatch | HasLabel | WindowCount | KvCache
 )
 
 

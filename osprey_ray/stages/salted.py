@@ -48,6 +48,8 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingMax,
+    TumblingSum,
     WindowCount,
 )
 from osprey_ray.stages.stateful import _conv_codes, eval_released, sort_and_dedup
@@ -78,17 +80,32 @@ def summarize_block(tbl: pa.Table, spec: RuleSpec) -> dict:
             evs = ts[_flag(tbl, f"__sf_{sf.name}")]
             keep_from = np.searchsorted(evs, ts[-1] - w_us, side="right")
             summ[f"w:{sf.name}"] = evs[keep_from:][-sf.max_events_cap :]
-        elif isinstance(sf, TumblingCount):
+        elif isinstance(sf, (TumblingCount, TumblingSum, TumblingMax)):
+            # shared segment-partial shape for the whole tumbling family:
+            # (first_bucket, reduce(first_seg), last_bucket,
+            #  reduce(last_seg), single_segment?) where reduce is count/sum
+            # (merged by +) or max (merged by max) — all three are exact
+            # under block splits because within a bucket the per-turn value
+            # is a running reduction of per-row contributions
             b_us = np.int64(sf.bucket_seconds * 1e6)
-            flag = _flag(tbl, f"__sf_{sf.name}")
+            if isinstance(sf, TumblingCount):
+                vals = _flag(tbl, f"__sf_{sf.name}").astype(np.int64)
+            else:
+                # stage 1 already clamped nulls/negatives to 0 (int64)
+                vals = (
+                    pc.fill_null(tbl[f"__sf_{sf.name}"], 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            reduce = np.max if isinstance(sf, TumblingMax) else np.sum
             bucket = ts // b_us
             new_seg = np.empty(len(ts), dtype=bool)
             new_seg[0] = True
             new_seg[1:] = bucket[1:] != bucket[:-1]
             seg = np.cumsum(new_seg) - 1
             nseg = int(seg[-1]) + 1
-            cnt_first = int(flag[seg == 0].sum())
-            cnt_last = cnt_first if nseg == 1 else int(flag[seg == nseg - 1].sum())
+            cnt_first = int(reduce(vals[seg == 0]))
+            cnt_last = cnt_first if nseg == 1 else int(reduce(vals[seg == nseg - 1]))
             summ[f"t:{sf.name}"] = (int(bucket[0]), cnt_first, int(bucket[-1]), cnt_last, nseg == 1)
         elif isinstance(sf, SessionWindow):
             g_us = np.int64(sf.gap_seconds * 1e6)
@@ -130,11 +147,16 @@ def merge_state(prev: dict | None, summ: dict, spec: RuleSpec) -> dict:
             out[f"w:{sf.name}"] = np.concatenate(
                 [keep, summ[f"w:{sf.name}"]]
             ).astype(np.int64)[-sf.max_events_cap :]
-        elif isinstance(sf, TumblingCount):
+        elif isinstance(sf, (TumblingCount, TumblingSum, TumblingMax)):
             fb, cf, lb, cl, single = summ[f"t:{sf.name}"]
             pv = p.get(f"t:{sf.name}")
             if pv is not None and single and pv[0] == fb:
-                out[f"t:{sf.name}"] = (lb, int(pv[1]) + cl)
+                merged = (
+                    max(int(pv[1]), cl)
+                    if isinstance(sf, TumblingMax)
+                    else int(pv[1]) + cl
+                )
+                out[f"t:{sf.name}"] = (lb, merged)
             else:
                 out[f"t:{sf.name}"] = (lb, cl)
         elif isinstance(sf, SessionWindow):

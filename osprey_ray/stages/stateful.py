@@ -50,6 +50,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingMax,
     TumblingSum,
     WindowCount,
 )
@@ -154,6 +155,36 @@ def _running_segment_count(flag: np.ndarray, new_seg: np.ndarray, carry: int) ->
     return out
 
 
+
+def _running_segment_max(vals: np.ndarray, new_seg: np.ndarray, carry: int) -> np.ndarray:
+    """Running max of non-negative int64 ``vals`` within segments delimited
+    by ``new_seg`` (True = segment starts at that row); ``carry`` seeds the
+    first segment when ``new_seg[0]`` is False.
+
+    Vectorized via the offset trick: add ``seg_id * (max(vals)+1)`` so a
+    plain ``np.maximum.accumulate`` can never leak a value across a segment
+    boundary (later segments sit strictly higher), then subtract the offset
+    back out.  Falls back to a pandas groupby cummax when the composite
+    would overflow int64 (astronomical segment counts x value range)."""
+    n = len(vals)
+    if n == 0:
+        return vals.astype(np.int64)
+    v = vals.astype(np.int64)
+    seg = np.cumsum(new_seg.astype(np.int64))
+    off = int(v.max()) + 1
+    if int(seg[-1]) * off + off < np.iinfo(np.int64).max:
+        r = v + seg * np.int64(off)
+        out = np.maximum.accumulate(r) - seg * np.int64(off)
+    else:  # pragma: no cover - overflow-safe fallback
+        import pandas as pd
+
+        out = pd.Series(v).groupby(seg).cummax().to_numpy()
+    if carry and not new_seg[0]:
+        first = seg == seg[0]
+        out[first] = np.maximum(out[first], carry)
+    return out
+
+
 def _eval_windows_global(
     spec: RuleSpec,
     sf_pred: dict,
@@ -207,12 +238,15 @@ def _eval_windows_global(
                 added = added - fl
             lo = np.searchsorted(flag_tp, tp - w_us, side="right")
             sf_vals[sf.name] = np.minimum(added - lo, cap)
-        elif isinstance(sf, (TumblingCount, TumblingSum)):
+        elif isinstance(sf, (TumblingCount, TumblingSum, TumblingMax)):
             b_us = np.int64(sf.bucket_seconds * 1e6)
             bucket = ts // b_us
             new_seg = change.copy()
             new_seg[1:] |= bucket[1:] != bucket[:-1]
-            sf_vals[sf.name] = _running_segment_count(sf_pred[sf.name], new_seg, 0)
+            if isinstance(sf, TumblingMax):
+                sf_vals[sf.name] = _running_segment_max(sf_pred[sf.name], new_seg, 0)
+            else:
+                sf_vals[sf.name] = _running_segment_count(sf_pred[sf.name], new_seg, 0)
         elif isinstance(sf, SessionWindow):
             g_us = np.int64(sf.gap_seconds * 1e6)
             prev = np.empty(n, dtype=np.int64)
@@ -296,7 +330,7 @@ def eval_released(
         if isinstance(sf, SessionWindow):
             sf_vals[f"{sf.name}__id"] = np.zeros(n, dtype=np.int64)
             sf_vals[f"{sf.name}__count"] = np.zeros(n, dtype=np.int64)
-        elif isinstance(sf, (IncrementWindow, TumblingCount, TumblingSum)):
+        elif isinstance(sf, (IncrementWindow, TumblingCount, TumblingSum, TumblingMax)):
             sf_vals[sf.name] = np.zeros(n, dtype=np.int64)
         elif isinstance(sf, SequenceMatch):
             sf_vals[sf.name] = np.zeros(n, dtype=bool)
@@ -312,7 +346,7 @@ def eval_released(
     sf_pred: dict[str, np.ndarray] = {}
     kv_carried: dict[str, list[tuple[int, object]]] = {}
     for sf in spec.stateful:
-        if isinstance(sf, TumblingSum):
+        if isinstance(sf, (TumblingSum, TumblingMax)):
             # int64 weights (stage 1 already clamped nulls/negatives to 0)
             sf_pred[sf.name] = (
                 pc.fill_null(tbl[f"__sf_{sf.name}"], 0)
@@ -364,7 +398,7 @@ def eval_released(
                 # bound, cache.py:199-201) so hot keys can't grow state
                 keep_from = np.searchsorted(all_flag, t[-1] - w_us, side="right")
                 st[f"w:{sf.name}"] = all_flag[keep_from:][-sf.max_events_cap :]
-            elif isinstance(sf, (TumblingCount, TumblingSum)):
+            elif isinstance(sf, (TumblingCount, TumblingSum, TumblingMax)):
                 b_us = np.int64(sf.bucket_seconds * 1e6)
                 flag = sf_pred[sf.name][s:e]
                 bucket = t // b_us
@@ -372,7 +406,10 @@ def eval_released(
                 new_seg = np.empty(len(t), dtype=bool)
                 new_seg[0] = last_bucket is None or bucket[0] != last_bucket
                 new_seg[1:] = bucket[1:] != bucket[:-1]
-                cnt = _running_segment_count(flag, new_seg, last_count)
+                if isinstance(sf, TumblingMax):
+                    cnt = _running_segment_max(flag, new_seg, last_count)
+                else:
+                    cnt = _running_segment_count(flag, new_seg, last_count)
                 sf_vals[sf.name][s:e] = cnt
                 st[f"t:{sf.name}"] = (bucket[-1], int(cnt[-1]))
             elif isinstance(sf, SessionWindow):
@@ -785,7 +822,7 @@ def _empty_output(tbl: pa.Table, spec: RuleSpec) -> pa.Table:
         if isinstance(sf, SessionWindow):
             out[f"{sf.name}__id"] = pa.array([], pa.int64())
             out[f"{sf.name}__count"] = pa.array([], pa.int64())
-        elif isinstance(sf, (IncrementWindow, TumblingCount, TumblingSum, WindowCount)):
+        elif isinstance(sf, (IncrementWindow, TumblingCount, TumblingSum, TumblingMax, WindowCount)):
             out[sf.name] = pa.array([], pa.int64())
         elif isinstance(sf, KvCache):
             vt = tbl.schema.field(f"__sfv_{sf.name}").type

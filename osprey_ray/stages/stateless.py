@@ -32,6 +32,7 @@ from osprey_ray.rules import (
     RuleSpec,
     SequenceMatch,
     TumblingCount,
+    TumblingMax,
     TumblingSum,
 )
 
@@ -112,10 +113,10 @@ class StatelessStage:
                 out_cols[f"__sf_{sf.name}"] = _bool_operand(
                     _as_array(sf.when.eval_batch(ctx), ctx.n)
                 )
-            elif isinstance(sf, TumblingSum):
+            elif isinstance(sf, (TumblingSum, TumblingMax)):
                 # int64 weight column: null/failed → 0, negatives clamped to
-                # 0 so the running sum stays monotone within a bucket (the
-                # window-stream max-merge invariant)
+                # 0 so the running sum/max stays monotone non-negative within
+                # a bucket (the window-stream max-merge invariant)
                 v = _as_array(sf.value.eval_batch(ctx), ctx.n)
                 v = pc.fill_null(pc.cast(v, pa.int64(), safe=False), 0)
                 out_cols[f"__sf_{sf.name}"] = pc.max_element_wise(

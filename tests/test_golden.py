@@ -637,3 +637,43 @@ def test_tumbling_sum_matches_oracle_with_weird_weights(small_data):
     want = pd.DataFrame(oracle_results(clean, spec, lmap))
     assert_frames_equal(got, want)
     assert (got["SumW"] >= 0).all() and got["RuleBig"].any()
+
+
+def test_tumbling_max_matches_oracle_with_weird_weights(small_data):
+    """TumblingMax parity incl. the clamp edge cases: a value expression
+    that is sometimes negative (clamped to 0) and sometimes failed/null
+    (contributes 0), so the running max stays monotone non-negative within
+    a bucket — the window-stream max-merge invariant."""
+    from osprey_ray.expr import col, fn, lit
+    from osprey_ray.rules import Feature, Rule, RuleSpec, TumblingMax
+
+    clean, lmap = small_data
+    spec = RuleSpec(
+        features=[
+            Feature("TxtLen", fn("StringLength", target=col("text"))),
+            # negative for short turns; null when tool is null (int - null)
+            Feature("W", col("TxtLen") - lit(40)),
+        ],
+        stateful=[
+            TumblingMax("MaxW", value=col("W"), bucket_seconds=3600),
+            TumblingMax("MaxLen", value=col("TxtLen"), bucket_seconds=900),
+        ],
+        rules=[Rule("RuleSpike", [col("MaxW") >= 30], "spiky hour")],
+    )
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, lmap)(t1)
+    got = (
+        out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(oracle_results(clean, spec, lmap))
+    assert_frames_equal(got, want)
+    assert (got["MaxW"] >= 0).all() and got["RuleSpike"].any()
+    # running max is monotone within each contiguous (conv, hour-bucket)
+    # segment in processing order (buckets segment the turn_idx order, and
+    # a non-monotone ts can revisit an hour value in a LATER segment, so we
+    # group by contiguous runs, not by bucket value)
+    tus = got["ts"].astype("datetime64[us]").astype("int64")
+    hb = tus // 3_600_000_000
+    seg = ((got["conv_id"] != got["conv_id"].shift()) | (hb != hb.shift())).cumsum()
+    for _, g in got.groupby(seg, sort=False):
+        assert g["MaxW"].is_monotonic_increasing

@@ -80,6 +80,7 @@ ORACLES["conv_turn_gap"] = entrymod._conv_turn_gap_oracle_sql(SF_DIR)
 ORACLES["streaming_absence"] = entrymod._streaming_absence_oracle_sql(SF_DIR)
 ORACLES["streaming_idle"] = entrymod._streaming_idle_oracle_sql(SF_DIR)
 ORACLES["streaming_sum_windows"] = entrymod._streaming_sum_windows_oracle_sql(SF_DIR)
+ORACLES["streaming_max_windows"] = entrymod._streaming_max_windows_oracle_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

@@ -739,6 +739,62 @@ FROM t GROUP BY conv_id, tus // 3600000000
 """
 
 
+def _streaming_distinct_windows(sf_dir: str):
+    """Per-bucket DISTINCT-CARDINALITY tumbling windows through the FULL
+    streaming engine: a ``rules.TumblingDistinct`` feature (distinct tools
+    used per conversation-hour; nulls contribute nothing, count saturates
+    at a cap with the exact set carried below it) rides the watermark
+    -driven window stream — the per-turn running distinct count is
+    monotone within a bucket, so cross-epoch partials merge by max.
+    Windows nothing contributed to (all tools null) are never opened, so
+    the twin excludes zero-distinct buckets (HAVING > 0).  Twin: GROUP BY
+    COUNT(DISTINCT tool) over the deduped transcript."""
+    import glob
+    import shutil
+    import tempfile
+
+    from osprey_ray.expr import col
+    from osprey_ray.rules import RuleSpec, TumblingDistinct
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        features=[],
+        stateful=[
+            TumblingDistinct("ToolsThisHour", value=col("tool"), bucket_seconds=3600)
+        ],
+    )
+    out = tempfile.mkdtemp(prefix="osprey_dwin_q_")
+    try:
+        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        return job.window_stream_table()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_distinct_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, tool, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, epoch_us(ts) AS tus, tool
+  FROM raw WHERE dup_rn = 1
+)
+SELECT 'ToolsThisHour' AS "window", conv_id,
+       make_timestamp((tus // 3600000000) * 3600000000) AS "start",
+       make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS agg_count
+FROM t GROUP BY conv_id, tus // 3600000000
+HAVING COUNT(DISTINCT tool) > 0
+"""
+
+
 def _flagship_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB twin of ``_flagship_sql`` over the same transcript parquet.
 
@@ -1184,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_idle": _streaming_idle,  # new in r4 — inactivity timers
         "streaming_sum_windows": _streaming_sum_windows,  # new in r4 — TumblingSum
         "streaming_max_windows": _streaming_max_windows,  # new in r4 — TumblingMax
+        "streaming_distinct_windows": _streaming_distinct_windows,  # new in r4
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -2336,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_idle": _streaming_idle_oracle_sql(),
         "streaming_sum_windows": _streaming_sum_windows_oracle_sql(),
         "streaming_max_windows": _streaming_max_windows_oracle_sql(),
+        "streaming_distinct_windows": _streaming_distinct_windows_oracle_sql(),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),
         # label loop (HasLabel + write-after-classify) replayed in SQL

@@ -34,6 +34,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingDistinct,
     TumblingMax,
     TumblingSum,
     WindowCount,
@@ -132,6 +133,36 @@ class OracleEngine:
                     mx = max(mx, max(int(v), 0))
                 st[f"t:{sf.name}"] = (bucket, mx)
                 rctx.features[sf.name] = mx
+            elif isinstance(sf, TumblingDistinct):
+                b_us = int(sf.bucket_seconds * 1e6)
+                bucket = ts_us // b_us
+                last_bucket, dcnt, seen = st.get(
+                    f"t:{sf.name}", (None, 0, frozenset())
+                )
+                if bucket != last_bucket:
+                    dcnt, seen = 0, frozenset()
+                try:
+                    v = sf.value.eval_row(rctx)
+                except ExprError:
+                    v = None
+                cap = sf.max_distinct_cap
+                if v is not None and seen is not None and dcnt < cap:
+                    # match stage-1 string-cast semantics (Arrow casts
+                    # bools to "true"/"false"); use string value exprs to
+                    # avoid float-format parity edges
+                    if isinstance(v, bool):
+                        sv = "true" if v else "false"
+                    elif isinstance(v, str):
+                        sv = v
+                    else:
+                        sv = str(v)
+                    if sv not in seen:
+                        seen = frozenset(seen | {sv})
+                        dcnt += 1
+                        if dcnt >= cap:
+                            seen = None  # saturated: count pinned at cap
+                st[f"t:{sf.name}"] = (bucket, dcnt, seen)
+                rctx.features[sf.name] = dcnt
             elif isinstance(sf, SessionWindow):
                 g_us = int(sf.gap_seconds * 1e6)
                 last_ts, sid, cnt = st.get(f"s:{sf.name}", (None, 0, 0))

@@ -43,6 +43,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingDistinct,
     TumblingMax,
     TumblingSum,
     WhenRules,
@@ -130,6 +131,11 @@ def kitchen_sink_spec() -> RuleSpec:
             IncrementWindow("DomainVel", when=col("HasSpamDomain"), window_seconds=600),
             TumblingSum("ToksThisHour", value=col("NumToks"), bucket_seconds=3600),
             TumblingMax("MaxToksThisHour", value=col("NumToks"), bucket_seconds=3600),
+            TumblingDistinct("ToolsThisHour", value=col("tool"), bucket_seconds=3600),
+            # cap=3 saturates on real data → exercises the pinned-count path
+            TumblingDistinct(
+                "ToolsCapped", value=col("tool"), bucket_seconds=3600, max_distinct_cap=3
+            ),
             KvCache(
                 "LastSpamText",
                 set_when=col("HasSpamDomain"),

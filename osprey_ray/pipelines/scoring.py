@@ -403,10 +403,13 @@ def q_text_classifier(sf_dir: str, iters: int = 50):
     w, b, _ = train_text_classifier(sf_dir, iters=iters)
     ref = ray.put((w, b))
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # size the scorer pool from the cluster, not a constant — a pinned
+    # concurrency=2 would bound the stage regardless of node count
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     return ds.map_batches(
         TrainedClassifierScorer,
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=2,
+        concurrency=max(2, cpus // 2),
         fn_constructor_kwargs={"weights_ref": ref},
     )

@@ -213,6 +213,29 @@ class TumblingMax:
 
 
 @dataclass
+class TumblingDistinct:
+    """Running per-bucket DISTINCT CARDINALITY of a string ``value``
+    expression within the turn's tumbling bucket — e.g. "distinct tools
+    used this hour".  Null / failed values contribute nothing.  The count
+    saturates at ``max_distinct_cap``: once a bucket has seen cap distinct
+    values the running count is pinned to cap and the seen-set is dropped
+    (state per open bucket is bounded by cap strings, so a whale
+    conversation cannot grow unbounded state — the same bound philosophy
+    as IncrementWindow.max_events_cap).  Saturation is split-invariant:
+    below cap the carried set is exact, at cap the count can never move
+    again, so block/epoch splits commute with the merge.  Like the rest of
+    the tumbling family the running value is monotone within a bucket, so
+    cross-epoch window partials merge by max.  The reference's per-event
+    Redis counters (example_plugins/src/udfs/cache.py:161-207) have no
+    distinct variant — engine extension in the same family."""
+
+    name: str
+    value: Expr
+    bucket_seconds: float
+    max_distinct_cap: int = 1024
+
+
+@dataclass
 class SessionWindow:
     """Session id (0-based per conversation, new session when the gap from
     the previous turn exceeds ``gap_seconds``) and running count in session.
@@ -303,7 +326,8 @@ class AbsenceAlert:
 
 StatefulFeature = (
     IncrementWindow | TumblingCount | TumblingSum | TumblingMax
-    | SessionWindow | SequenceMatch | HasLabel | WindowCount | KvCache
+    | TumblingDistinct | SessionWindow | SequenceMatch | HasLabel
+    | WindowCount | KvCache
 )
 
 

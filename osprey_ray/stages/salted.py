@@ -48,6 +48,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingDistinct,
     TumblingMax,
     TumblingSum,
     WindowCount,
@@ -107,6 +108,36 @@ def summarize_block(tbl: pa.Table, spec: RuleSpec) -> dict:
             cnt_first = int(reduce(vals[seg == 0]))
             cnt_last = cnt_first if nseg == 1 else int(reduce(vals[seg == nseg - 1]))
             summ[f"t:{sf.name}"] = (int(bucket[0]), cnt_first, int(bucket[-1]), cnt_last, nseg == 1)
+        elif isinstance(sf, TumblingDistinct):
+            # distinct variant of the tumbling segment-partial: the partial
+            # is the exact SET of values in the boundary segments (bounded
+            # by one bucket's distinct count; merge unions, then drops the
+            # set once the cap saturates — split-invariant because a
+            # saturated count can never move again)
+            b_us = np.int64(sf.bucket_seconds * 1e6)
+            col0 = tbl[f"__sf_{sf.name}"].combine_chunks()
+            enc = col0 if pa.types.is_dictionary(col0.type) else pc.dictionary_encode(col0)
+            codes = pc.fill_null(enc.indices.cast(pa.int64()), -1).to_numpy(
+                zero_copy_only=False
+            )
+            dstrs = enc.dictionary.to_pylist()
+            bucket = ts // b_us
+            new_seg = np.empty(len(ts), dtype=bool)
+            new_seg[0] = True
+            new_seg[1:] = bucket[1:] != bucket[:-1]
+            seg = np.cumsum(new_seg) - 1
+            nseg = int(seg[-1]) + 1
+
+            def _seg_set(mask, codes=codes, dstrs=dstrs):
+                cs = codes[mask]
+                u = np.unique(cs[cs >= 0])
+                return frozenset(dstrs[int(c)] for c in u)
+
+            set_first = _seg_set(seg == 0)
+            set_last = set_first if nseg == 1 else _seg_set(seg == nseg - 1)
+            summ[f"t:{sf.name}"] = (
+                int(bucket[0]), set_first, int(bucket[-1]), set_last, nseg == 1,
+            )
         elif isinstance(sf, SessionWindow):
             g_us = np.int64(sf.gap_seconds * 1e6)
             gaps = np.diff(ts) > g_us
@@ -159,6 +190,20 @@ def merge_state(prev: dict | None, summ: dict, spec: RuleSpec) -> dict:
                 out[f"t:{sf.name}"] = (lb, merged)
             else:
                 out[f"t:{sf.name}"] = (lb, cl)
+        elif isinstance(sf, TumblingDistinct):
+            fb, s_f, lb, s_l, single = summ[f"t:{sf.name}"]
+            pv = p.get(f"t:{sf.name}")  # (bucket, count, seen|None)
+            cap = sf.max_distinct_cap
+            if pv is not None and single and pv[0] == fb:
+                if pv[2] is None:  # already saturated — pinned at cap
+                    out[f"t:{sf.name}"] = (lb, cap, None)
+                else:
+                    u = frozenset(pv[2] | s_l)
+                    c = min(len(u), cap)
+                    out[f"t:{sf.name}"] = (lb, c, None if c >= cap else u)
+            else:
+                c = min(len(s_l), cap)
+                out[f"t:{sf.name}"] = (lb, c, None if c >= cap else s_l)
         elif isinstance(sf, SessionWindow):
             internal, tail = summ[f"s:{sf.name}"]
             g_us = np.int64(sf.gap_seconds * 1e6)

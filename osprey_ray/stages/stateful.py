@@ -50,6 +50,7 @@ from osprey_ray.rules import (
     SequenceMatch,
     SessionWindow,
     TumblingCount,
+    TumblingDistinct,
     TumblingMax,
     TumblingSum,
     WindowCount,
@@ -238,13 +239,22 @@ def _eval_windows_global(
                 added = added - fl
             lo = np.searchsorted(flag_tp, tp - w_us, side="right")
             sf_vals[sf.name] = np.minimum(added - lo, cap)
-        elif isinstance(sf, (TumblingCount, TumblingSum, TumblingMax)):
+        elif isinstance(sf, (TumblingCount, TumblingSum, TumblingMax, TumblingDistinct)):
             b_us = np.int64(sf.bucket_seconds * 1e6)
             bucket = ts // b_us
             new_seg = change.copy()
             new_seg[1:] |= bucket[1:] != bucket[:-1]
             if isinstance(sf, TumblingMax):
                 sf_vals[sf.name] = _running_segment_max(sf_pred[sf.name], new_seg, 0)
+            elif isinstance(sf, TumblingDistinct):
+                # first-occurrence flags precomputed for exactly this
+                # (conv, bucket) segmentation; running count, capped
+                sf_vals[sf.name] = np.minimum(
+                    _running_segment_count(
+                        sf_pred[sf.name + "__first"].astype(np.int64), new_seg, 0
+                    ),
+                    sf.max_distinct_cap,
+                )
             else:
                 sf_vals[sf.name] = _running_segment_count(sf_pred[sf.name], new_seg, 0)
         elif isinstance(sf, SessionWindow):
@@ -330,7 +340,9 @@ def eval_released(
         if isinstance(sf, SessionWindow):
             sf_vals[f"{sf.name}__id"] = np.zeros(n, dtype=np.int64)
             sf_vals[f"{sf.name}__count"] = np.zeros(n, dtype=np.int64)
-        elif isinstance(sf, (IncrementWindow, TumblingCount, TumblingSum, TumblingMax)):
+        elif isinstance(
+            sf, (IncrementWindow, TumblingCount, TumblingSum, TumblingMax, TumblingDistinct)
+        ):
             sf_vals[sf.name] = np.zeros(n, dtype=np.int64)
         elif isinstance(sf, SequenceMatch):
             sf_vals[sf.name] = np.zeros(n, dtype=bool)
@@ -344,9 +356,34 @@ def eval_released(
             sf_vals[sf.name] = np.full(n, default, dtype=bool)
 
     sf_pred: dict[str, np.ndarray] = {}
+    sf_dict: dict[str, list] = {}
     kv_carried: dict[str, list[tuple[int, object]]] = {}
     for sf in spec.stateful:
-        if isinstance(sf, (TumblingSum, TumblingMax)):
+        if isinstance(sf, TumblingDistinct):
+            # dictionary-encode the string value column once per batch:
+            # codes (int64, -1 = null) + the dictionary strings for carry
+            # sets, plus a vectorized within-(conv,bucket)-segment
+            # first-occurrence flag (hash-based pandas duplicated on a
+            # composite seg*K+code key, O(n)) — the carry walk only has to
+            # ADJUST the first segment of each conversation slice
+            import pandas as pd
+
+            col0 = tbl[f"__sf_{sf.name}"].combine_chunks()
+            enc = col0 if pa.types.is_dictionary(col0.type) else pc.dictionary_encode(col0)
+            codes_d = pc.fill_null(enc.indices.cast(pa.int64()), -1).to_numpy(
+                zero_copy_only=False
+            )
+            sf_pred[sf.name] = codes_d
+            sf_dict[sf.name] = enc.dictionary.to_pylist()
+            b_us = np.int64(sf.bucket_seconds * 1e6)
+            bkt = ts // b_us
+            nsg = change.copy()
+            nsg[1:] |= bkt[1:] != bkt[:-1]
+            seg = np.cumsum(nsg.astype(np.int64)) - 1
+            K = np.int64(len(sf_dict[sf.name]) + 2)
+            dup = pd.Series(seg * K + codes_d).duplicated().to_numpy()
+            sf_pred[sf.name + "__first"] = (~dup) & (codes_d >= 0)
+        elif isinstance(sf, (TumblingSum, TumblingMax)):
             # int64 weights (stage 1 already clamped nulls/negatives to 0)
             sf_pred[sf.name] = (
                 pc.fill_null(tbl[f"__sf_{sf.name}"], 0)
@@ -412,6 +449,51 @@ def eval_released(
                     cnt = _running_segment_count(flag, new_seg, last_count)
                 sf_vals[sf.name][s:e] = cnt
                 st[f"t:{sf.name}"] = (bucket[-1], int(cnt[-1]))
+            elif isinstance(sf, TumblingDistinct):
+                b_us = np.int64(sf.bucket_seconds * 1e6)
+                codes_sl = sf_pred[sf.name][s:e]
+                first = sf_pred[sf.name + "__first"][s:e]
+                bucket = t // b_us
+                carry = st.get(f"t:{sf.name}")
+                last_bucket, last_count, seen = (
+                    carry if carry is not None else (None, 0, frozenset())
+                )
+                new_seg = np.empty(len(t), dtype=bool)
+                new_seg[0] = last_bucket is None or bucket[0] != last_bucket
+                new_seg[1:] = bucket[1:] != bucket[:-1]
+                cap = sf.max_distinct_cap
+                cont = not new_seg[0]
+                if cont and seen:
+                    # the carried bucket continues with an exact seen-set:
+                    # unmark first-flags already in it (bounded by the
+                    # distinct values of ONE bucket's opening segment)
+                    first = first.copy()
+                    dstrs = sf_dict[sf.name]
+                    seg_brk = np.flatnonzero(new_seg[1:])
+                    seg_end = int(seg_brk[0]) + 1 if len(seg_brk) else len(t)
+                    for i in np.flatnonzero(first[:seg_end]):
+                        if dstrs[codes_sl[i]] in seen:
+                            first[i] = False
+                cnt = np.minimum(
+                    _running_segment_count(
+                        first.astype(np.int64), new_seg, last_count if cont else 0
+                    ),
+                    cap,
+                )
+                sf_vals[sf.name][s:e] = cnt
+                final_cnt = int(cnt[-1])
+                if final_cnt >= cap:
+                    new_seen = None  # saturated: count pinned, set dropped
+                else:
+                    nz = np.flatnonzero(new_seg)
+                    ls = int(nz[-1]) if len(nz) else 0
+                    cs = codes_sl[ls:]
+                    u = np.unique(cs[cs >= 0])
+                    dstrs = sf_dict[sf.name]
+                    new_seen = frozenset(dstrs[int(c)] for c in u)
+                    if ls == 0 and cont and seen:
+                        new_seen = frozenset(new_seen | seen)
+                st[f"t:{sf.name}"] = (int(bucket[-1]), final_cnt, new_seen)
             elif isinstance(sf, SessionWindow):
                 g_us = np.int64(sf.gap_seconds * 1e6)
                 last_ts, sid0, scnt0 = st.get(f"s:{sf.name}", (None, 0, 0))
@@ -822,7 +904,10 @@ def _empty_output(tbl: pa.Table, spec: RuleSpec) -> pa.Table:
         if isinstance(sf, SessionWindow):
             out[f"{sf.name}__id"] = pa.array([], pa.int64())
             out[f"{sf.name}__count"] = pa.array([], pa.int64())
-        elif isinstance(sf, (IncrementWindow, TumblingCount, TumblingSum, TumblingMax, WindowCount)):
+        elif isinstance(
+            sf,
+            (IncrementWindow, TumblingCount, TumblingSum, TumblingMax, TumblingDistinct, WindowCount),
+        ):
             out[sf.name] = pa.array([], pa.int64())
         elif isinstance(sf, KvCache):
             vt = tbl.schema.field(f"__sfv_{sf.name}").type

@@ -32,6 +32,7 @@ from osprey_ray.rules import (
     RuleSpec,
     SequenceMatch,
     TumblingCount,
+    TumblingDistinct,
     TumblingMax,
     TumblingSum,
 )
@@ -122,6 +123,13 @@ class StatelessStage:
                 out_cols[f"__sf_{sf.name}"] = pc.max_element_wise(
                     v, pa.scalar(0, pa.int64())
                 )
+            elif isinstance(sf, TumblingDistinct):
+                # string value column, nulls preserved (null/failed turns
+                # contribute nothing to the bucket's distinct set)
+                v = _as_array(sf.value.eval_batch(ctx), ctx.n)
+                if not pa.types.is_string(v.type) and not pa.types.is_large_string(v.type):
+                    v = pc.cast(v, pa.string(), safe=False)
+                out_cols[f"__sf_{sf.name}"] = v
             elif isinstance(sf, SequenceMatch):
                 out_cols[f"__sf_{sf.name}"] = _bool_operand(
                     _as_array(sf.first.eval_batch(ctx), ctx.n)

@@ -512,7 +512,7 @@ class StreamingJob:
             return None
         from osprey_ray.stages.salted import merge_state
         from osprey_ray.streaming.shard import emit_closed_windows
-        from osprey_ray.rules import SessionWindow, TumblingCount, TumblingMax, TumblingSum
+        from osprey_ray.rules import SessionWindow, TumblingCount, TumblingDistinct, TumblingMax, TumblingSum
 
         out = {"files": [], "released": 0, "fired": 0, "windows_file": None}
         summaries = [t for s in stats for t in s.get("hot_summaries", [])]
@@ -547,7 +547,7 @@ class StreamingJob:
                             cur[0] = min(cur[0], val[0])
                             cur[1] = max(cur[1], val[1])
                             cur[2] = max(cur[2], val[2])
-        tumbling = [s for s in spec.stateful if isinstance(s, (TumblingCount, TumblingSum, TumblingMax))]
+        tumbling = [s for s in spec.stateful if isinstance(s, (TumblingCount, TumblingSum, TumblingMax, TumblingDistinct))]
         sessions = [s for s in spec.stateful if isinstance(s, SessionWindow)]
         win_tbl = emit_closed_windows(self.hot_open_windows, tumbling, sessions, watermark)
         if write and win_tbl is not None:

@@ -115,7 +115,7 @@ class StateShard:
         stream_write_retries: int = 1,
         fault_injection: dict[str, list[float]] | None = None,
     ):
-        from osprey_ray.rules import SessionWindow, TumblingCount, TumblingMax, TumblingSum
+        from osprey_ray.rules import SessionWindow, TumblingCount, TumblingDistinct, TumblingMax, TumblingSum
 
         self.spec = spec
         self.part = part
@@ -159,7 +159,7 @@ class StateShard:
         self._spill_seq = 0
         self._consumed_spills: list[str] = []
         self.watermark: int = np.iinfo(np.int64).min
-        self.tumbling = [s for s in spec.stateful if isinstance(s, (TumblingCount, TumblingSum, TumblingMax))]
+        self.tumbling = [s for s in spec.stateful if isinstance(s, (TumblingCount, TumblingSum, TumblingMax, TumblingDistinct))]
         self.sessions = [s for s in spec.stateful if isinstance(s, SessionWindow)]
         # open window accumulators, evicted when the watermark passes:
         #   ("t", feature, conv_id, bucket_start_us) -> count
@@ -179,11 +179,11 @@ class StateShard:
         Per-conversation carry state survives the swap; open window
         accumulators whose feature left the spec are dropped (their gap
         config is gone, so they could never close)."""
-        from osprey_ray.rules import SessionWindow, TumblingCount, TumblingMax, TumblingSum
+        from osprey_ray.rules import SessionWindow, TumblingCount, TumblingDistinct, TumblingMax, TumblingSum
 
         self.spec = spec
         self.rule_plans = split_rules(spec)
-        self.tumbling = [s for s in spec.stateful if isinstance(s, (TumblingCount, TumblingSum, TumblingMax))]
+        self.tumbling = [s for s in spec.stateful if isinstance(s, (TumblingCount, TumblingSum, TumblingMax, TumblingDistinct))]
         self.sessions = [s for s in spec.stateful if isinstance(s, SessionWindow)]
         if salt_block_rows is not None:
             self.salt_block_rows = (

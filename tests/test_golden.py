@@ -677,3 +677,36 @@ def test_tumbling_max_matches_oracle_with_weird_weights(small_data):
     seg = ((got["conv_id"] != got["conv_id"].shift()) | (hb != hb.shift())).cumsum()
     for _, g in got.groupby(seg, sort=False):
         assert g["MaxW"].is_monotonic_increasing
+
+
+def test_tumbling_distinct_matches_oracle(small_data):
+    """TumblingDistinct parity: running per-bucket distinct cardinality of
+    a sometimes-null string expression (tool), plus a cap=2 variant to
+    exercise split-invariant saturation (count pinned at cap, set
+    dropped)."""
+    from osprey_ray.expr import col
+    from osprey_ray.rules import Rule, RuleSpec, TumblingDistinct
+
+    clean, lmap = small_data
+    spec = RuleSpec(
+        features=[],
+        stateful=[
+            TumblingDistinct("ToolsHour", value=col("tool"), bucket_seconds=3600),
+            TumblingDistinct(
+                "ToolsCapped", value=col("tool"), bucket_seconds=3600, max_distinct_cap=2
+            ),
+            TumblingDistinct("Texts15m", value=col("text"), bucket_seconds=900),
+        ],
+        rules=[Rule("RuleBusy", [col("ToolsHour") >= 2], "diverse hour")],
+    )
+    t1 = compile_stateless(spec)(clean)
+    out = StatefulPartitionEval(spec, lmap)(t1)
+    got = (
+        out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(oracle_results(clean, spec, lmap))
+    assert_frames_equal(got, want)
+    assert (got["ToolsCapped"] <= 2).all()
+    assert got["RuleBusy"].any()
+    # capped variant == min(uncapped, cap) row-for-row
+    assert (got["ToolsCapped"] == got["ToolsHour"].clip(upper=2)).all()

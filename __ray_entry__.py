@@ -795,6 +795,126 @@ HAVING COUNT(DISTINCT tool) > 0
 """
 
 
+def _streaming_hopping_windows(sf_dir: str):
+    """HOPPING (sliding tumbling) windows via slice composition: 1 h
+    windows hopping every 15 min, per conversation, over text bytes.
+    The streaming engine maintains only the 15-min TUMBLING slices
+    (TumblingSum state per open bucket — the Scotty/Cutty slicing
+    argument: overlapping windows share their slice aggregates, so state
+    is per-slice, not per-window); after the watermark closes slices and
+    the manifests commit, a Ray Data post-stage EXPLODES each slice into
+    the 4 hop windows containing it (vectorized repeat) and groupby-sums
+    per (conv, window_start).  Windows no slice contributed to are never
+    emitted — matching the tumbling family's semantics.  Twin: the same
+    slice→window composition in SQL (bucket GROUP BY, offset cross join,
+    re-GROUP BY)."""
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as _pc
+
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import Feature, RuleSpec, TumblingSum
+    from osprey_ray.streaming import StreamingJob
+
+    HOP_US = 900_000_000
+    M = 4  # window = M * hop = 1 h
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        features=[Feature("TxtLen", fn("StringLength", target=col("text")))],
+        stateful=[TumblingSum("Bytes15m", value=col("TxtLen"), bucket_seconds=900)],
+    )
+    out = tempfile.mkdtemp(prefix="osprey_hopwin_q_")
+    try:
+        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        # manifest-committed slice files → Ray dataset (scale path: the
+        # window stream is already partitioned parquet on disk)
+        files = []
+        for e in range(job.last_committed_epoch() + 1):
+            p = job._manifest_path(e)
+            if os.path.exists(p):
+                for f in json.load(open(p)).get("window_outputs", []):
+                    if f:
+                        files.append(os.path.join(job.data_dir, f))
+        if not files:
+            return pa.table({})
+        ds = rd.read_parquet(files)
+
+        def explode(t: pa.Table) -> pa.Table:
+            st = t["start"].cast(pa.int64()).to_numpy()
+            n = len(st)
+            reps = np.repeat(np.arange(n, dtype=np.int64), M)
+            off = np.tile(np.arange(M, dtype=np.int64) * HOP_US, n)
+            return pa.table(
+                {
+                    "conv_id": t["conv_id"].take(pa.array(reps)),
+                    "ws": pa.array(st[reps] - off, pa.int64()),
+                    "cnt": t["agg_count"].take(pa.array(reps)),
+                }
+            )
+
+        agg = (
+            ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["conv_id", "ws"])
+            .aggregate(Sum("cnt", alias_name="agg_count"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            ws = t["ws"].cast(pa.int64())
+            return pa.table(
+                {
+                    "window": pa.array(["Bytes1hHop15m"] * len(t), pa.string()),
+                    "conv_id": t["conv_id"],
+                    "start": ws.cast(pa.timestamp("us")),
+                    "end": _pc.add(ws, M * HOP_US).cast(pa.timestamp("us")),
+                    "agg_count": t["agg_count"].cast(pa.int64()),
+                }
+            )
+
+        # materialize before the tempdir (and its parquet inputs) vanish —
+        # the hop stream is one row per (conv, window), tiny vs the input
+        return agg.map_batches(finish, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_hopping_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, text, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, epoch_us(ts) AS tus, LENGTH(text) AS tl
+  FROM raw WHERE dup_rn = 1
+), slices AS (
+  SELECT conv_id, tus // 900000000 AS hb, SUM(tl) AS s
+  FROM t GROUP BY 1, 2
+), hops AS (
+  SELECT conv_id, (hb - i) * 900000000 AS ws, s
+  FROM slices CROSS JOIN (VALUES (0), (1), (2), (3)) offs(i)
+)
+SELECT 'Bytes1hHop15m' AS "window", conv_id,
+       make_timestamp(ws) AS "start",
+       make_timestamp(ws + 3600000000) AS "end",
+       CAST(SUM(s) AS BIGINT) AS agg_count
+FROM hops GROUP BY conv_id, ws
+"""
+
+
 def _flagship_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB twin of ``_flagship_sql`` over the same transcript parquet.
 
@@ -1241,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sum_windows": _streaming_sum_windows,  # new in r4 — TumblingSum
         "streaming_max_windows": _streaming_max_windows,  # new in r4 — TumblingMax
         "streaming_distinct_windows": _streaming_distinct_windows,  # new in r4
+        "streaming_hopping_windows": _streaming_hopping_windows,  # new in r4
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -2394,6 +2515,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sum_windows": _streaming_sum_windows_oracle_sql(),
         "streaming_max_windows": _streaming_max_windows_oracle_sql(),
         "streaming_distinct_windows": _streaming_distinct_windows_oracle_sql(),
+        "streaming_hopping_windows": _streaming_hopping_windows_oracle_sql(),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),
         # label loop (HasLabel + write-after-classify) replayed in SQL

@@ -1362,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_max_windows": _streaming_max_windows,  # new in r4 — TumblingMax
         "streaming_distinct_windows": _streaming_distinct_windows,  # new in r4
         "streaming_hopping_windows": _streaming_hopping_windows,  # new in r4
+        "skew_join": A.q_skew_join,  # new in r4 — hybrid hot-key/shuffle join
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -2516,6 +2517,12 @@ def oracle_sql() -> dict[str, str]:
         "streaming_max_windows": _streaming_max_windows_oracle_sql(),
         "streaming_distinct_windows": _streaming_distinct_windows_oracle_sql(),
         "streaming_hopping_windows": _streaming_hopping_windows_oracle_sql(),
+        # skew-aware hybrid join ≡ plain inner join (the hot/cold split is
+        # a physical plan choice, not a semantic one)
+        "skew_join": (
+            "SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        ),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),
         # label loop (HasLabel + write-after-classify) replayed in SQL

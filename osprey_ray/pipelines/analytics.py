@@ -542,6 +542,169 @@ def q_hash_join(sf_dir: str):
     )
 
 
+def _detect_hot_keys(
+    ds,
+    key: str,
+    id_col: str,
+    sample_mod: int = 8,
+    top_k: int = 16,
+    min_factor: float = 1.5,
+) -> np.ndarray:
+    """Deterministic sampled hot-key detection for skew-aware joins: take
+    a ~1/sample_mod row sample (splitmix64 of the row id — reproducible,
+    no RNG state), count keys per batch (Arrow combiner) then globally,
+    and return the top_k keys whose sampled count is ≥ min_factor × the
+    sample's mean per-key count.  The driver only ever sees ≤ top_k keys
+    — at 100 TB the full key histogram never materializes anywhere."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from osprey_ray.pipelines.textops import _splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        rid = t[id_col].cast(pa.int64()).to_numpy().astype(np.uint64)
+        keep = (_splitmix64(rid) % np.uint64(sample_mod)) == 0
+        k = t[key].cast(pa.int64()).to_numpy()[keep]
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    # materialize the per-key sample counts ONCE (one row per sampled key,
+    # object-store-resident) — three consumers below, one fact-table scan
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(_Sum("c", alias_name="n"))
+        .materialize()
+    )
+    top = counts.sort("n", descending=True).limit(top_k).take_all()
+    if not top:
+        return np.empty(0, dtype=np.int64)
+    # mean per-key sampled count: two tiny scalar aggregates
+    total = counts.sum("n")
+    nkeys = counts.count()
+    mean = total / max(nkeys, 1)
+    hot = sorted(r["k"] for r in top if r["n"] >= min_factor * mean)
+    return np.asarray(hot, dtype=np.int64)
+
+
+def q_skew_join(sf_dir: str, hot_keys: np.ndarray | None = None):
+    """Skew-aware hybrid join: events ⋈ customer on user_id=custkey with
+    hot keys routed around the shuffle.  The classic two-path plan a
+    skewed fact table needs at scale (a hash shuffle sends every row of a
+    whale key to ONE aggregator — that task becomes the job):
+
+    1. detect hot keys from a deterministic sample (:func:`_detect_hot_keys`
+       — driver sees ≤ top_k keys, never a histogram);
+    2. dim rows for hot keys (≤ top_k rows) broadcast into the fact-side
+       map_batches, joined inline by searchsorted — whale rows never
+       shuffle;
+    3. everything else takes Ray Data's native hash-shuffle join.
+
+    Results are the UNION of both paths — semantically identical to a
+    plain inner join (the twin), hot set or not.  hot_keys is injectable
+    for tests (synthetic whales must produce bit-identical output to the
+    pure-shuffle plan)."""
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    if hot_keys is None:
+        hot_keys = _detect_hot_keys(ev, "user_id", "event_id")
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    hot_sorted = np.sort(np.asarray(hot_keys, dtype=np.int64))
+
+    import ray.data as rd
+
+    # dim rows for the hot keys, extracted DISTRIBUTEDLY (the driver only
+    # materializes the ≤ top_k matching rows, never the dim table)
+    def keep_hot_dim(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].cast(pa.int64()).to_numpy()
+        return t.filter(pa.array(np.isin(ck, hot_sorted)))
+
+    hot_rows = sorted(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        )
+        .map_batches(keep_hot_dim, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r["c_custkey"],
+    )
+    hk = np.asarray([r["c_custkey"] for r in hot_rows], dtype=np.int64)
+    hname = np.asarray([r["c_name"] for r in hot_rows], dtype=object)
+    hseg = np.asarray([r["c_mktsegment"] for r in hot_rows], dtype=object)
+
+    empty = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("c_name", pa.string()),
+            ("c_mktsegment", pa.string()),
+        ]
+    )
+
+    def hot_path(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy()
+        m = np.isin(uid, hot_sorted)
+        if not m.any():
+            return empty.empty_table()
+        sub = t.filter(pa.array(m))
+        u = sub["user_id"].cast(pa.int64()).to_numpy()
+        pos = np.searchsorted(hk, u)
+        ok = (pos < len(hk)) & (hk[np.minimum(pos, max(len(hk) - 1, 0))] == u)
+        sub, pos = sub.filter(pa.array(ok)), pos[ok]
+        return pa.table(
+            {
+                "event_id": sub["event_id"].cast(pa.int64()),
+                "user_id": sub["user_id"].cast(pa.int64()),
+                "event_type": sub["event_type"],
+                "c_name": pa.array(hname[pos].tolist(), pa.string()),
+                "c_mktsegment": pa.array(hseg[pos].tolist(), pa.string()),
+            }
+        )
+
+    def cold_fact(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy()
+        m = ~np.isin(uid, hot_sorted)
+        sub = t.filter(pa.array(m))
+        return pa.table(
+            {
+                "event_id": sub["event_id"].cast(pa.int64()),
+                "user_id": sub["user_id"].cast(pa.int64()),
+                "event_type": sub["event_type"],
+            }
+        )
+
+    def cold_dim(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].cast(pa.int64()).to_numpy()
+        sub = t.filter(pa.array(~np.isin(ck, hot_sorted)))
+        return pa.table(
+            {
+                "user_id": sub["c_custkey"].cast(pa.int64()),
+                "c_name": sub["c_name"],
+                "c_mktsegment": sub["c_mktsegment"],
+            }
+        )
+
+    dim_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(cold_dim, batch_format="pyarrow")
+    cold = (
+        ev.map_batches(cold_fact, batch_format="pyarrow")
+        .join(
+            dim_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("user_id",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        .select_columns(["event_id", "user_id", "event_type", "c_name", "c_mktsegment"])
+    )
+    hot = _read(sf_dir, "events", ["event_id", "user_id", "event_type"]).map_batches(
+        hot_path, batch_format="pyarrow"
+    )
+    return hot.union(cold)
+
+
 def q_topn_compare(sf_dir: str):
     """TopN with period-over-period comparison (TopNDruidQuery,
     worker/ui_api/osprey/lib/druid.py:224-455): per event_type, count in the

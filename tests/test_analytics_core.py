@@ -335,3 +335,54 @@ def test_ewma_hourly_decay_halves(ray_session):
         assert first["ewma_num"] % (1 << 15) == 0 or len(g) > 1
         # monotone sanity: every value at least the own-hour term floor
         assert (g["ewma_num"].to_numpy() >= (1 << 15)).all()
+
+
+def test_skew_join_hot_path_equals_pure_shuffle(ray_session):
+    """The skew-aware hybrid join is a PHYSICAL plan choice: forcing a
+    synthetic hot set (the 4 busiest user_ids plus one key absent from the
+    dim side) must produce exactly the rows of the pure-shuffle plan
+    (empty hot set), and the hot path must actually carry rows."""
+    import pandas as pd
+
+    from osprey_ray.pipelines.analytics import q_skew_join
+
+    sf = "/root/testdata/sf0.001"
+    pure = (
+        q_skew_join(sf, hot_keys=np.empty(0, dtype=np.int64))
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    hot_keys = np.array([7, 10, 12, 14, 10_000_000], dtype=np.int64)
+    hybrid = (
+        q_skew_join(sf, hot_keys=hot_keys)
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pure, hybrid)
+    # the hot keys exist in the fact table, so the hot path carried rows
+    assert hybrid["user_id"].isin([7, 10, 12, 14]).sum() > 0
+
+
+def test_detect_hot_keys_finds_synthetic_whale(ray_session, tmp_path):
+    """A key with half the fact rows is detected; uniform keys are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osprey_ray.pipelines.analytics import _detect_hot_keys
+
+    n = 40_000
+    whale = np.full(n // 2, 77, dtype=np.int64)
+    cold = np.arange(n // 2, dtype=np.int64) % 997
+    keys = np.concatenate([whale, cold])
+    t = pa.table(
+        {"event_id": pa.array(np.arange(n), pa.int64()),
+         "user_id": pa.array(keys, pa.int64())}
+    )
+    pq.write_table(t, tmp_path / "f.parquet")
+    ds = rd.read_parquet(str(tmp_path / "f.parquet"))
+    hot = _detect_hot_keys(ds, "user_id", "event_id")
+    assert 77 in hot.tolist()
+    assert len(hot) <= 16

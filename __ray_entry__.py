@@ -1363,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_distinct_windows": _streaming_distinct_windows,  # new in r4
         "streaming_hopping_windows": _streaming_hopping_windows,  # new in r4
         "skew_join": A.q_skew_join,  # new in r4 — hybrid hot-key/shuffle join
+        "zonemap_scan": A.q_zonemap_scan,  # new in r4 — partition-pruned read
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -2522,6 +2523,18 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": (
             "SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment "
             "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        ),
+        # partition pruning is a physical plan choice: same interior-day
+        # filter as a plain WHERE over the unpartitioned table
+        "zonemap_scan": (
+            "WITH b AS (SELECT MIN(epoch_us(ts) // 86400000000) + 1 AS lo, "
+            "MAX(epoch_us(ts) // 86400000000) - 1 AS hi FROM events) "
+            "SELECT event_type, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_events "
+            "FROM events, b "
+            "WHERE epoch_us(ts) // 86400000000 BETWEEN b.lo AND b.hi "
+            "GROUP BY event_type"
         ),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
         "rules_ab_diff": _rules_ab_diff_oracle_sql(),

@@ -705,6 +705,81 @@ def q_skew_join(sf_dir: str, hot_keys: np.ndarray | None = None):
     return hot.union(cold)
 
 
+def _zonemap_layout(sf_dir: str, root: str) -> tuple[list[str], list[str], int, int]:
+    """Write the events stream once as day-partitioned parquet (hive
+    layout — the partition value IS the zone map), then pick the interior
+    day range [min_day+1, max_day-1] from the DIRECTORY NAMES alone (no
+    data scan: pruning reads the manifest, not the table).  Returns
+    (all_partition_dirs, pruned_dirs, lo_day, hi_day)."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.divide(t["ts"].cast(pa.int64()), 1_000_000), 86_400)
+        return t.append_column("day_s", day.cast(pa.int64()))
+
+    ds.map_batches(add_day, batch_format="pyarrow").write_parquet(
+        root, partition_cols=["day_s"]
+    )
+    dirs = sorted(_glob.glob(root + "/day_s=*"))
+    days = sorted(int(d.rsplit("=", 1)[1]) for d in dirs)
+    lo, hi = days[0] + 1, days[-1] - 1
+    picked = [d for d in dirs if lo <= int(d.rsplit("=", 1)[1]) <= hi]
+    return dirs, picked, lo, hi
+
+
+def q_zonemap_scan(sf_dir: str):
+    """Partition-pruned time-range scan: revenue cents + row count per
+    event_type over the interior days only, reading ONLY the overlapping
+    hive partitions of a day-partitioned copy of the stream (the boundary
+    days' files never leave storage — prune-at-the-read, SURVEY §6).  The
+    partition directory name is the zone map, so pruning costs a listing,
+    not a scan.  Twin: the same interior-day filter as a plain WHERE over
+    the unpartitioned table (pruning is a physical plan choice)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    root = tempfile.mkdtemp(prefix="osprey_zonemap_")
+    try:
+        _dirs, picked, _lo, _hi = _zonemap_layout(sf_dir, root)
+        # read_parquet with an explicit path list wants files, not dirs:
+        # expand each surviving partition dir to its parquet members
+        import glob as _glob
+
+        files = sorted(f for d in picked for f in _glob.glob(d + "/*.parquet"))
+        pruned = rd.read_parquet(files, columns=["event_type", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+            )
+            g = (
+                pa.table({"event_type": t["event_type"], "cents": cents})
+                .group_by("event_type")
+                .aggregate([("cents", "sum"), ("cents", "count")])
+            )
+            return g.rename_columns(["event_type", "c_sum", "n_part"])
+
+        out = (
+            pruned.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(
+                Sum("c_sum", alias_name="revenue_cents"),
+                Sum("n_part", alias_name="n_events"),
+            )
+        )
+        return out.to_pandas()  # materialize before the scratch dir vanishes
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_topn_compare(sf_dir: str):
     """TopN with period-over-period comparison (TopNDruidQuery,
     worker/ui_api/osprey/lib/druid.py:224-455): per event_type, count in the

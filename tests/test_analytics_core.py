@@ -386,3 +386,15 @@ def test_detect_hot_keys_finds_synthetic_whale(ray_session, tmp_path):
     hot = _detect_hot_keys(ds, "user_id", "event_id")
     assert 77 in hot.tolist()
     assert len(hot) <= 16
+
+
+def test_zonemap_prunes_boundary_partitions(ray_session, tmp_path):
+    """The pruned read must touch strictly fewer partitions than were
+    written (the boundary days' files never leave storage)."""
+    from osprey_ray.pipelines.analytics import _zonemap_layout
+
+    dirs, picked, lo, hi = _zonemap_layout("/root/testdata/sf0.001", str(tmp_path / "z"))
+    assert len(picked) < len(dirs)
+    assert len(picked) == len(dirs) - 2  # exactly the two boundary days drop
+    for d in picked:
+        assert lo <= int(d.rsplit("=", 1)[1]) <= hi

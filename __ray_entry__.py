@@ -1418,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_forward": A.q_asof_forward,  # new in r4 — forward as-of join
         "chunk_documents": T.q_chunk_documents,  # new in r4 — needs a first row
         "jaccard_neardup": T.q_jaccard_neardup,  # new in r4 — needs a first row
+        "prefix_join": T.q_prefix_join,  # new in r4 — exact Jaccard scale path
         "kmeans_assign": N.q_kmeans_assign,  # new in r4 — needs a first row
         "kmeans_refine": N.q_kmeans_refine,  # new in r4 — needs a first row
         "bpe_tokens": T.q_bpe_tokens,  # new in r4 — needs a first row
@@ -2463,6 +2464,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _MINHASH_PAIRS_SQL,
         # the exact variant computes the same exhaustive all-pairs answer
         "jaccard_neardup": _MINHASH_PAIRS_SQL,
+        # prefix filtering is exact, so its twin is the same all-pairs answer
+        "prefix_join": _MINHASH_PAIRS_SQL,
         # connected components over the same exhaustive pair set via a
         # recursive reachability CTE; min reachable id = cluster id,
         # singletons cluster to themselves

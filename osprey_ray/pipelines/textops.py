@@ -419,52 +419,19 @@ def _pin_schema(ds, schema: pa.Schema):
     )
 
 
-def q_minhash_neardup(sf_dir: str, threshold: float = 0.7,
-                      broadcast_cap: int | None = None):
-    """MinHash+LSH near-duplicate pairs: shingle→minhash→band rows →
-    per-partition vectorized bucket pair generation (capped per bucket),
-    then one of two verify regimes picked by the raw candidate count:
-
-    * ``≤ MINHASH_BROADCAST_CAP``: pairs are deduped on the driver and the
-      referenced texts gathered with ONE broadcast ``is_in`` filter scan
-      over the documents table; Jaccard verifies on the driver.  The big
-      side streams through a stateless filter — no join, no pair-keyed
-      exchange, no distributed sort.
-    * above the cap: pair dedup via groupby aggregate → each pair exploded
-      into two (pair, side, doc_id) rows → texts attached by ONE
-      co-partitioned hash join → pairs reassembled per hash partition
-      (lexsort) with n-gram Jaccard verified in place (VERDICT r1 item #2 /
-      r3 single-join restructure).  This is the path that parallelizes the
-      verify loop when candidates number in the millions.
-
-    Both regimes emit identical (doc_a, doc_b, jaccard_pct) rows
-    (forced-fallback parity test)."""
+def _verify_pairs_exact(ds, raw_cand, threshold: float, cap: int):
+    """Shared exact-Jaccard verification of a raw candidate-pair
+    Dataset (doc_a, doc_b int64 rows, duplicates allowed) against the
+    documents Dataset ``ds`` (doc_id, text).  Two regimes by raw
+    candidate count (see q_minhash_neardup, which this was extracted
+    from): driver dedup + ONE broadcast is_in gather scan below
+    ``cap``; pair-exploded single hash join + in-partition verify
+    above it.  Emits sorted (doc_a, doc_b, jaccard_pct)."""
     from ray.data.aggregate import Count
-
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher(), batch_format="pyarrow", batch_size=256)
-
-    # co-locate each (band, band_hash) bucket, then vectorize over the whole
-    # partition instead of one Python callback per bucket
-    def bucket_part(t: pa.Table) -> pa.Table:
-        key = _splitmix64(
-            t["band_hash"].to_numpy().view(np.uint64)
-            ^ _splitmix64(t["band"].to_numpy().astype(np.uint64))
-        )
-        return t.append_column("__bp", pa.array((key % np.uint64(256)).view(np.int64)))
 
     import ray
     import ray.data as rd
 
-    # raw (per-band, capped) candidate pairs, pinned: schema-carrying
-    # blocks for everything downstream + a cheap count for the early exit
-    # and the fast-path decision
-    raw_cand = _pin_schema(
-        bands.map_batches(bucket_part, batch_format="pyarrow")
-        .groupby("__bp")
-        .map_groups(_band_candidate_pairs, batch_format="pyarrow"),
-        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
-    )
     result_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())]
     )
@@ -472,7 +439,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7,
     if n_raw == 0:
         return rd.from_arrow(result_schema.empty_table())
 
-    if n_raw <= (MINHASH_BROADCAST_CAP if broadcast_cap is None else broadcast_cap):
+    if n_raw <= cap:
         # Sparse-candidate fast path (same pattern as embed_neardup_lsh's
         # broadcast-gather verify): the capped pair list is two int64
         # columns — collect it, dedup with np.unique on the driver, gather
@@ -614,6 +581,179 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.7,
         .groupby("__pp")
         .map_groups(verify_part, batch_format="pyarrow")
         .sort(["doc_a", "doc_b"])
+    )
+
+
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.7,
+                      broadcast_cap: int | None = None):
+    """MinHash+LSH near-duplicate pairs: shingle→minhash→band rows →
+    per-partition vectorized bucket pair generation (capped per bucket),
+    then one of two verify regimes picked by the raw candidate count:
+
+    * ``≤ MINHASH_BROADCAST_CAP``: pairs are deduped on the driver and the
+      referenced texts gathered with ONE broadcast ``is_in`` filter scan
+      over the documents table; Jaccard verifies on the driver.  The big
+      side streams through a stateless filter — no join, no pair-keyed
+      exchange, no distributed sort.
+    * above the cap: pair dedup via groupby aggregate → each pair exploded
+      into two (pair, side, doc_id) rows → texts attached by ONE
+      co-partitioned hash join → pairs reassembled per hash partition
+      (lexsort) with n-gram Jaccard verified in place (VERDICT r1 item #2 /
+      r3 single-join restructure).  This is the path that parallelizes the
+      verify loop when candidates number in the millions.
+
+    Both regimes emit identical (doc_a, doc_b, jaccard_pct) rows
+    (forced-fallback parity test)."""
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    bands = ds.map_batches(MinHasher(), batch_format="pyarrow", batch_size=256)
+
+    # co-locate each (band, band_hash) bucket, then vectorize over the whole
+    # partition instead of one Python callback per bucket
+    def bucket_part(t: pa.Table) -> pa.Table:
+        key = _splitmix64(
+            t["band_hash"].to_numpy().view(np.uint64)
+            ^ _splitmix64(t["band"].to_numpy().astype(np.uint64))
+        )
+        return t.append_column("__bp", pa.array((key % np.uint64(256)).view(np.int64)))
+
+    import ray
+    import ray.data as rd
+
+    # raw (per-band, capped) candidate pairs, pinned: schema-carrying
+    # blocks for everything downstream + a cheap count for the early exit
+    # and the fast-path decision
+    raw_cand = _pin_schema(
+        bands.map_batches(bucket_part, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(_band_candidate_pairs, batch_format="pyarrow"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+    return _verify_pairs_exact(
+        ds, raw_cand, threshold,
+        MINHASH_BROADCAST_CAP if broadcast_cap is None else broadcast_cap,
+    )
+
+
+def _prefix_candidate_pairs(t: pa.Table) -> pa.Table:
+    """All (doc_a < doc_b) pairs sharing a prefix gram within this
+    partition, with the Jaccard length filter ``min(|A|,|B|) >=
+    t*max(|A|,|B|)`` applied in-bucket (sizes travel with the prefix
+    rows).  No cap: prefix filtering is an EXACT candidate set — a cap
+    would silently drop true pairs.  A pathological gram shared by k
+    prefixes costs k²/2 pair rows; warn (don't truncate) past 10k."""
+    gram = t["gram"].to_numpy().view(np.uint64)
+    ids = t["doc_id"].to_numpy()
+    sz = t["n_grams"].to_numpy()
+    thr10 = int(t["thr_pct"][0].as_py()) if t.num_rows else 70
+    order = np.lexsort((ids, gram))
+    gram, ids, sz = gram[order], ids[order], sz[order]
+    n = len(ids)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = gram[1:] != gram[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > 10_000:
+            print(f"[prefix-join] hot gram bucket with {m} docs "
+                  f"(frequency-ordered prefixes would shrink it)")
+        iu, ju = np.triu_indices(m, k=1)
+        sa, sb = sz[s:e][iu], sz[s:e][ju]
+        # length filter: J >= t needs min >= t*max (integer-exact at pct)
+        keep = np.minimum(sa, sb) * 100 >= thr10 * np.maximum(sa, sb)
+        a_out.append(ids[s:e][iu][keep])
+        b_out.append(ids[s:e][ju][keep])
+    if not a_out:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+        }
+    )
+
+
+def q_prefix_join(sf_dir: str, threshold: float = 0.7,
+                  broadcast_cap: int | None = None):
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (the AllPairs/PPJoin family — Chaudhuri/Ganti/Kaushik
+    ICDE'06, Bayardo et al. WWW'07, Xiao et al. WWW'08; all public
+    algorithms): the same output as :func:`q_jaccard_neardup` — exact
+    word-3-gram Jaccard pairs at ``threshold`` — WITHOUT its O(n²) row
+    gate.  This is the scale path for *exact* near-dup, complementing
+    the approximate :func:`q_minhash_neardup`.
+
+    Prefix-filtering principle: under ANY fixed global ordering of the
+    gram universe (here: ascending gram hash — ``_shingle_hashes``
+    returns sorted uniques), two sets with J >= t must share at least
+    one gram inside each other's prefix of length |S| - ceil(t*|S|) + 1;
+    pairs never sharing a prefix gram are provably below threshold.  So
+    each doc emits only its prefix grams as (gram, doc_id, size) rows
+    — one shuffle of tiny rows, grouped 256-way by splitmix64(gram) —
+    pairs form vectorized per gram run with the size filter
+    min >= t*max applied in-bucket, and verification reuses the shared
+    minhash machinery (:func:`_verify_pairs_exact`: broadcast-gather
+    below the cap, single hash-join explode above it), which recomputes
+    the true Jaccard, so the emitted pairs are exact.
+
+    Scale note: hash ordering gives correctness with ONE shuffle;
+    PPJoin's document-frequency ordering (rare grams first, smaller
+    buckets) is a drop-in optimization costing one extra df groupby +
+    doc-keyed re-sort — worth it at 100 TB, unnecessary here."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    thr_pct = int(round(threshold * 100))
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        grams, docs, sizes = [], [], []
+        for did, text in zip(ids, t["text"].to_pylist()):
+            hs = _shingle_hashes(text)  # sorted unique uint64
+            n = len(hs)
+            plen = n - int(np.ceil(threshold * n)) + 1
+            grams.append(hs[:plen])
+            docs.append(np.full(plen, did, dtype=np.int64))
+            sizes.append(np.full(plen, n, dtype=np.int64))
+        if not grams:
+            return pa.table(
+                {"gram": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64()),
+                 "thr_pct": pa.array([], pa.int64()),
+                 "__gp": pa.array([], pa.int64())}
+            )
+        g = np.concatenate(grams)
+        out = pa.table(
+            {
+                "gram": pa.array(g, pa.uint64()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "n_grams": pa.array(np.concatenate(sizes), pa.int64()),
+                "thr_pct": pa.array(
+                    np.full(len(g), thr_pct, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+        route = (_splitmix64(g) % np.uint64(256)).view(np.int64)
+        return out.append_column("__gp", pa.array(route))
+
+    raw_cand = _pin_schema(
+        ds.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("__gp")
+        .map_groups(_prefix_candidate_pairs, batch_format="pyarrow"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+    return _verify_pairs_exact(
+        ds, raw_cand, threshold,
+        MINHASH_BROADCAST_CAP if broadcast_cap is None else broadcast_cap,
     )
 
 

@@ -1772,3 +1772,106 @@ def test_readability_clamps_and_exact_fraction(ray_session):
     # doc 2: no vowels, no sentence punct beyond '!' run
     r2 = got.iloc[2]
     assert (r2["words"], r2["sentences"], r2["syllables"]) == (2, 1, 1)
+
+
+def test_prefix_join_equals_exact_jaccard(ray_session, tmp_path):
+    """prefix_join (prefix-filtered, no O(n²) gate) emits exactly the
+    all-pairs exact answer: same chain fixture as the jaccard test (must
+    find A~B and B~C, must NOT find A~C), and frame-for-frame equality
+    with q_jaccard_neardup on the sf0.001 corpus."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import (
+        ngram_jaccard,
+        q_jaccard_neardup,
+        q_prefix_join,
+    )
+
+    toks = [f"w{i:02d}" for i in range(40)]
+    a_text = " ".join(toks)
+    b_text = " ".join(toks[:-2] + ["x0", "x1"])
+    c_text = " ".join([f"y{i}" for i in range(6)] + toks[6:-2] + ["x0", "x1"])
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30, 99], pa.int64()),
+            "text": [a_text, b_text, c_text, "totally different content here now"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": pa.array(
+                [len(a_text), len(b_text), len(c_text), 33], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_prefix_join(str(tmp_path)).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard_pct for r in out.itertuples(index=False)}
+    assert set(got) == {(10, 20), (20, 30)}
+    assert got[(10, 20)] == round(ngram_jaccard(a_text, b_text) * 100)
+
+    want = (
+        q_jaccard_neardup("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    have = (
+        q_prefix_join("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(have, want)
+
+
+def test_prefix_join_distributed_verify_parity(ray_session, tmp_path):
+    """Forcing the above-cap distributed verify path (broadcast_cap=0)
+    yields the same rows as the broadcast-gather fast path."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import q_prefix_join
+
+    toks = [f"w{i:02d}" for i in range(40)]
+    texts = [" ".join(toks), " ".join(toks[:-2] + ["x0", "x1"]),
+             " ".join(toks[2:] + ["z9"]), "all fresh words in this one doc"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    fast = q_prefix_join(str(tmp_path)).to_pandas().reset_index(drop=True)
+    slow = (
+        q_prefix_join(str(tmp_path), broadcast_cap=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow)
+    assert len(fast) >= 1
+
+
+def test_prefix_filter_lemma_randomized():
+    """The symmetric prefix-filtering principle the candidate stage relies
+    on: under a fixed global order, any two sets with J >= t share a gram
+    inside BOTH prefixes of length |S| - ceil(t|S|) + 1 (Bayardo et al.
+    WWW'07 / Xiao et al. WWW'08).  Randomized brute-force over small
+    universes — zero missed pairs allowed."""
+    import math
+    import random
+
+    rng = random.Random(123)
+    for _ in range(4000):
+        t = rng.choice([0.5, 0.6, 0.7, 0.8, 0.9])
+        univ = list(range(25))
+        A = set(rng.sample(univ, rng.randint(1, 10)))
+        B = set(rng.sample(univ, rng.randint(1, 10)))
+        j = len(A & B) / len(A | B)
+        if j >= t:
+            sa, sb = sorted(A), sorted(B)
+            pa_ = set(sa[: len(sa) - math.ceil(t * len(sa)) + 1])
+            pb_ = set(sb[: len(sb) - math.ceil(t * len(sb)) + 1])
+            assert pa_ & pb_, (t, sa, sb, j)

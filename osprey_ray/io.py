@@ -65,3 +65,55 @@ def read_transcripts_jsonl(path: str) -> "rd.Dataset":
     return ds.map_batches(
         lambda t: t.cast(TRANSCRIPT_SCHEMA), batch_format="pyarrow"
     )
+
+
+def read_parquet_union_by_name(roots: list[str]) -> "rd.Dataset":
+    """Schema-evolution read: union several Parquet roots whose schemas
+    differ by ADDED columns (the common evolution: a later snapshot grew
+    a field).  The union schema is assembled from file FOOTERS only (one
+    ``pq.read_schema`` per root — metadata, never data), each root is
+    read with its own schema, and a per-batch pad stage appends the
+    root's missing columns as typed nulls so every block carries the
+    full union schema.  Conflicting types for a same-named column error
+    loudly rather than coercing silently."""
+    import glob as _glob
+    import os
+
+    schemas = []
+    for r in roots:
+        first = sorted(_glob.glob(os.path.join(r, "*.parquet"))) or [r]
+        schemas.append(pq.read_schema(first[0]).remove_metadata())
+    by_name: dict[str, pa.Field] = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name in by_name and by_name[f.name].type != f.type:
+                raise TypeError(
+                    f"schema evolution conflict on column {f.name!r}: "
+                    f"{by_name[f.name].type} vs {f.type}"
+                )
+            by_name.setdefault(f.name, f)
+    union = pa.schema(list(by_name.values()))
+
+    def pad(missing: list[str]):
+        def _pad(t: pa.Table) -> pa.Table:
+            for name in missing:
+                t = t.append_column(
+                    name, pa.nulls(t.num_rows, union.field(name).type)
+                )
+            return t.select([f.name for f in union])
+
+        return _pad
+
+    parts = []
+    for r, sch in zip(roots, schemas):
+        ds = rd.read_parquet(r, schema=sch)
+        missing = [f.name for f in union if sch.get_field_index(f.name) < 0]
+        parts.append(
+            ds.map_batches(pad(missing), batch_format="pyarrow")
+            if missing
+            else ds.map_batches(pad([]), batch_format="pyarrow")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -92,6 +92,117 @@ def q_rule_engine_events(sf_dir: str):
     )
 
 
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution read: two snapshots of the events stream written
+    under DIFFERENT schemas (v1: event_id/ts/event_type only — the early
+    logger; v2: + the later-added ``value`` column), unified by
+    :func:`osprey_ray.io.read_parquet_union_by_name` (union schema from
+    file footers, per-root typed-null padding — no data scan to discover
+    schemas, no silent coercion) and aggregated across the seam: per
+    event_type, total rows, rows missing ``value``, and the cents sum
+    over rows that have it.  The v1/v2 split is deterministic
+    (event_id parity) so the twin reproduces it with CASE arms over the
+    unpartitioned table."""
+    import shutil
+    import tempfile
+
+    from osprey_ray.io import read_parquet_union_by_name
+
+    root = tempfile.mkdtemp(prefix="osprey_schemaevo_")
+    try:
+        ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+        def v1(t: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(t["event_id"].cast(pa.int64()), 1), 0)
+            return t.filter(m).select(["event_id", "ts", "event_type"])
+
+        def v2(t: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(t["event_id"].cast(pa.int64()), 1), 1)
+            return t.filter(m)
+
+        ds.map_batches(v1, batch_format="pyarrow").write_parquet(root + "/v1")
+        ds.map_batches(v2, batch_format="pyarrow").write_parquet(root + "/v2")
+
+        unified = read_parquet_union_by_name([root + "/v1", root + "/v2"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            has = t["value"].is_valid()
+            cents = pc.if_else(
+                has,
+                pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                        pa.int64()),
+                pa.scalar(0, pa.int64()),
+            )
+            g = (
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "c": cents,
+                        "m": pc.cast(pc.invert(has), pa.int64()),
+                    }
+                )
+                .group_by("event_type")
+                .aggregate([("c", "sum"), ("m", "sum"), ("m", "count")])
+            )
+            return g.rename_columns(["event_type", "c_sum", "m_sum", "n_part"])
+
+        out = (
+            unified.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(
+                Sum("c_sum", alias_name="value_cents"),
+                Sum("m_sum", alias_name="n_missing_value"),
+                Sum("n_part", alias_name="n_events"),
+            )
+        )
+        return out.to_pandas()  # materialize before the scratch dir vanishes
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_dead_letter(sf_dir: str):
+    """Dead-letter routing: the rule DSL's per-row error accounting
+    (``__error_count``, reference executor.py custom feature) used as a
+    ROUTER — rows whose feature evaluation raised errors (here: the
+    divide-by-zero rows of ``ratio = value / k_val``) are tagged
+    ``dlq`` and carry their error count; healthy rows tag ``ok``.  A
+    production sink would fan these to separate outputs (the streaming
+    shard's MultiOutputSink shape); the query returns the routing table
+    so the twin can verify the error semantics themselves: the DLQ is
+    exactly the k=0 rows.  Errors never poison neighbors — evaluation is
+    vectorized but error masks are per-row."""
+    spec = RuleSpec(
+        features=[
+            Feature("k_val", fn("JsonData", target=col("props"), path="$.k",
+                                required=False, coerce_type="int")),
+            Feature("ratio", col("value") / col("k_val")),
+        ],
+        rules=[],
+    )
+
+    def run(t: pa.Table) -> pa.Table:
+        ctx = EvalContext(t)
+        for f in spec.features:
+            arr = f.expr.eval_batch(ctx)
+            ctx.features[f.name] = (
+                arr if isinstance(arr, pa.Array) else arr.combine_chunks()
+            )
+        n_err = ctx.error_count.astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "n_errors": pa.array(n_err, pa.int64()),
+                "route": pc.if_else(
+                    pa.array(n_err > 0), pa.scalar("dlq"), pa.scalar("ok")
+                ),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "value", "props"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 def q_tumbling_hourly(sf_dir: str):
     """Tumbling-window aggregate: per (event_type, 1h bucket) count and
     integer-cents value sum.  Pre-aggregates inside map_batches (one row per

@@ -1,6 +1,7 @@
 """Pure-numpy core tests for analytics helpers (no Ray session needed)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from osprey_ray.pipelines.analytics import _segmented_range_counts
@@ -422,3 +423,63 @@ def test_merge_join_partition_invariance(ray_session):
     )
     pd.testing.assert_frame_equal(one, many)
     assert one["n_items"].sum() > 0
+
+
+def test_union_by_name_pads_and_rejects_conflicts(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+
+    from osprey_ray.io import read_parquet_union_by_name
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}), str(tmp_path / "a/x.parquet")
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()), "v": pa.array([9.5], pa.float64())}),
+        str(tmp_path / "b/x.parquet"),
+    )
+    got = (
+        read_parquet_union_by_name([str(tmp_path / "a"), str(tmp_path / "b")])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["id", "v"]
+    assert got["v"].isna().tolist() == [True, True, False]
+
+    (tmp_path / "c").mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array(["s"], pa.string())}), str(tmp_path / "c/x.parquet")
+    )
+    with pytest.raises(TypeError, match="conflict on column 'id'"):
+        read_parquet_union_by_name([str(tmp_path / "a"), str(tmp_path / "c")])
+
+
+def test_dead_letter_routes_div_zero_rows(ray_session, tmp_path):
+    """Rows with k=0 (divide-by-zero in the ratio feature) land in the
+    DLQ with n_errors=1; healthy neighbors in the same batch are 'ok'."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_dead_letter
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "event_type": ["a", "b", "c"],
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": ['{"k": 5}', '{"k": 0}', '{"k": 7}'],
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        q_dead_letter(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["route"].tolist() == ["ok", "dlq", "ok"]
+    assert got["n_errors"].tolist() == [0, 1, 0]

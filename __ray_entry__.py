@@ -1122,6 +1122,36 @@ def _conv_stats(sf_dir: str):
     return conv_stats(_transcript_dataset(sf_dir))
 
 
+def _sft_mask_spans(sf_dir: str):
+    """Per-turn token spans + loss mask for SFT packing; engine in
+    ``pipelines/transcripts.py`` (vectorized per-conversation prefix
+    sums over the split-on-space token convention)."""
+    from osprey_ray.pipelines.transcripts import sft_mask_spans
+
+    return sft_mask_spans(_transcript_dataset(sf_dir))
+
+
+def _sft_mask_spans_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (SELECT * FROM raw WHERE dup_rn = 1),
+tok AS (
+  SELECT conv_id, turn_idx, role,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+  FROM t)
+SELECT conv_id, turn_idx, role,
+  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start,
+  CAST(SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end,
+  CASE WHEN role <> 'assistant' THEN 1 ELSE 0 END AS masked
+FROM tok
+"""
+
+
 def _conv_stats_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     d = _transcript_dataset(sf_dir)
     return f"""
@@ -1456,6 +1486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": A.q_rollup_agg,  # new in r4 — ROLLUP grouping sets
         "conv_render": _conv_render,  # new in r4 — SFT example rendering
         "conv_stats": _conv_stats,  # new in r4 — transcript profile
+        "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "conv_context_cutoff": _conv_context_cutoff,  # new in r4 — budget trunc
         "full_outer_join": A.q_full_outer_join,  # new in r4 — native full outer
         "train_val_split": T.q_train_val_split,  # new in r4 — split manifest
@@ -1530,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_engine_events": A.q_rule_engine_events,
         "dead_letter": A.q_dead_letter,  # new in r4 — error-routing side output
         "schema_evolution": A.q_schema_evolution,  # new in r4 — union-by-name read
+        "compact_files": A.q_compact_files,  # new in r4 — small-file compaction
         "tumbling_hourly": A.q_tumbling_hourly,
         "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
         "timeseries_day": lambda sf_dir: A.q_timeseries(sf_dir, "day"),  # r4
@@ -2559,6 +2591,16 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
         ),
+        # same exclusive-prefix-cumsum binning over per-day row counts;
+        # n_rows checked against the rewritten files' footers
+        "compact_files": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n "
+            "FROM events GROUP BY day), "
+            "c AS (SELECT day, n, COALESCE(SUM(n) OVER (ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM d) "
+            "SELECT prev // 2000 AS bin, COUNT(*) AS n_inputs, "
+            "CAST(SUM(n) AS BIGINT) AS n_rows FROM c GROUP BY bin"
+        ),
         # the v1/v2 snapshot split is event_id parity; v1 lacks `value`,
         # so its rows count as missing and contribute no cents
         "schema_evolution": (
@@ -3056,6 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         # transcript-native SFT prep: rendered-example digest + profile
         "conv_render": _conv_render_oracle_sql(),
         "conv_stats": _conv_stats_oracle_sql(),
+        "sft_mask_spans": _sft_mask_spans_oracle_sql(),
         "conv_context_cutoff": _conv_context_cutoff_oracle_sql(),
         # sparse per-(user,hour) series alignment via native full outer
         "full_outer_join": (

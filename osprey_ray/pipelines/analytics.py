@@ -92,6 +92,81 @@ def q_rule_engine_events(sf_dir: str):
     )
 
 
+def q_compact_files(sf_dir: str, target_rows: int = 2000):
+    """Small-file compaction: the events stream written day-partitioned
+    (many small files — the classic streaming-sink pathology) is
+    compacted into ~``target_rows``-row output files.  The PLAN comes
+    from file footers only (``pq.ParquetFile(...).metadata.num_rows``
+    per member — metadata reads, the table itself never moves for
+    planning); consecutive days are assigned to bins by exclusive-prefix
+    cumulative row count // target (deterministic, order = day asc).
+    The REWRITE is one streaming Dataset pass: every row maps to its
+    bin via a broadcast day→bin dict and lands in ``bin=N`` hive
+    partitions — no driver loop over bins, no per-bin re-read.  The
+    returned manifest (bin, n_inputs, n_rows) counts rows from the
+    REWRITTEN output's footers, so the twin (same prefix-sum binning in
+    SQL window functions) verifies the rewrite, not just the plan."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    root = tempfile.mkdtemp(prefix="osprey_compact_")
+    try:
+        dirs, _picked, _lo, _hi = _zonemap_layout(sf_dir, root + "/in")
+        days = np.array([int(d.rsplit("=", 1)[1]) for d in dirs], dtype=np.int64)
+        order = np.argsort(days)
+        days = days[order]
+        dirs = [dirs[i] for i in order]
+        rows = np.array(
+            [
+                sum(
+                    pqt.ParquetFile(f).metadata.num_rows
+                    for f in _glob.glob(d + "/*.parquet")
+                )
+                for d in dirs
+            ],
+            dtype=np.int64,
+        )
+        prev = np.concatenate([[0], np.cumsum(rows)[:-1]])
+        bins = prev // np.int64(target_rows)
+        day_to_bin = dict(zip(days.tolist(), bins.tolist()))
+
+        files = sorted(f for d in dirs for f in _glob.glob(d + "/*.parquet"))
+
+        def tag(t: pa.Table) -> pa.Table:
+            day = (
+                pc.divide(pc.divide(t["ts"].cast(pa.int64()), 1_000_000), 86_400)
+                .cast(pa.int64())
+                .to_numpy()
+            )
+            b = np.array([day_to_bin[int(x)] for x in np.unique(day)])
+            # vectorized lookup: unique days per batch are few
+            u = np.unique(day)
+            idx = np.searchsorted(u, day)
+            return t.append_column("bin", pa.array(b[idx], pa.int64()))
+
+        rd.read_parquet(files).map_batches(tag, batch_format="pyarrow").drop_columns(
+            ["day_s"]
+        ).write_parquet(root + "/out", partition_cols=["bin"])
+
+        out_rows = []
+        for bd in sorted(_glob.glob(root + "/out/bin=*")):
+            b = int(bd.rsplit("=", 1)[1])
+            n = sum(
+                pqt.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(bd + "/*.parquet")
+            )
+            out_rows.append((b, int((bins == b).sum()), n))
+        import pandas as pd
+
+        return pd.DataFrame(out_rows, columns=["bin", "n_inputs", "n_rows"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_schema_evolution(sf_dir: str):
     """Schema-evolution read: two snapshots of the events stream written
     under DIFFERENT schemas (v1: event_id/ts/event_type only — the early

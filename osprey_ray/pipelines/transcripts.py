@@ -592,3 +592,67 @@ def conv_context_cutoff(dataset_dir: str, budget_chars: int = 2000):
         )
 
     return _route_by_conv(ds).map_groups(cutoff, batch_format="pyarrow")
+
+
+_SFT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tok_start", pa.int64()),
+        ("tok_end", pa.int64()),
+        ("masked", pa.int64()),
+    ]
+)
+
+
+def sft_mask_spans(dataset_dir: str):
+    """SFT packing prep: per turn, the token-offset span it occupies in
+    the rendered conversation and whether its loss is MASKED (everything
+    that isn't an assistant turn — the standard instruction-tuning loss
+    mask).  Token convention is split-on-single-space (``n_tok = 1 +
+    count(' ')``) so the DuckDB twin reproduces counts exactly with
+    ``length(text) - length(replace(text,' ','')) + 1``; spans are
+    per-conversation exclusive prefix sums over turn order after
+    keep-first dedup.  Downstream, a packer concatenates conversations
+    and carries (tok_start, tok_end, masked) through to the trainer's
+    loss mask — this op is the distributed span computation, all
+    vectorized (one cumsum + reduceat per partition)."""
+    ds = _read_turns(dataset_dir, ["conv_id", "turn_idx", "role", "text", "ts"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SFT_SCHEMA.empty_table()
+        t = t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tix = t["turn_idx"].to_numpy()
+        keep = np.ones(len(conv), dtype=bool)
+        keep[1:] = (conv[1:] != conv[:-1]) | (tix[1:] != tix[:-1])
+        t = t.filter(pa.array(keep))
+        conv, tix = conv[keep], tix[keep]
+        role = t["role"].to_numpy(zero_copy_only=False)
+        n_tok = (
+            pc.count_substring(pc.cast(t["text"], pa.large_string()), " ")
+            .to_numpy()
+            .astype(np.int64)
+            + 1
+        )
+        starts = np.concatenate([[0], np.nonzero(conv[1:] != conv[:-1])[0] + 1])
+        counts = np.diff(np.append(starts, len(conv)))
+        excl = np.cumsum(n_tok) - n_tok
+        base = np.repeat(excl[starts], counts)
+        tok_start = excl - base
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(tix.astype(np.int32), pa.int32()),
+                "role": pa.array(role, pa.string()),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "tok_end": pa.array(tok_start + n_tok, pa.int64()),
+                "masked": pa.array((role != "assistant").astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _route_by_conv(ds).map_groups(spans, batch_format="pyarrow")

@@ -1450,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": T.q_chunk_documents,  # new in r4 — needs a first row
         "jaccard_neardup": T.q_jaccard_neardup,  # new in r4 — needs a first row
         "prefix_join": T.q_prefix_join,  # new in r4 — exact Jaccard scale path
+        "containment_join": T.q_containment_join,  # new in r4 — near-superset pairs
         "kmeans_assign": N.q_kmeans_assign,  # new in r4 — needs a first row
         "kmeans_refine": N.q_kmeans_refine,  # new in r4 — needs a first row
         "bpe_tokens": T.q_bpe_tokens,  # new in r4 — needs a first row
@@ -2501,6 +2502,18 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_neardup": _MINHASH_PAIRS_SQL,
         # prefix filtering is exact, so its twin is the same all-pairs answer
         "prefix_join": _MINHASH_PAIRS_SQL,
+        # asymmetric containment at t=0.8: ordered pairs, score over |A|
+        "containment_join": (
+            "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, "
+            "list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS grams "
+            "FROM d) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(floor(100.0 * len(list_intersect(a.grams, b.grams)) / len(a.grams) + 0.5) AS BIGINT) AS containment_pct "
+            "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id "
+            "WHERE len(list_intersect(a.grams, b.grams)) * 10 >= 8 * len(a.grams)"
+        ),
         # connected components over the same exhaustive pair set via a
         # recursive reachability CTE; min reachable id = cluster id,
         # singletons cluster to themselves

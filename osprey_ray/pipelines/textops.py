@@ -334,6 +334,14 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def ngram_containment(a: str, b: str, k: int = 3) -> float:
+    """Containment of a IN b: |Sa ∩ Sb| / |Sa| (asymmetric; the
+    contamination-detection score — Sa never empty: _shingle_hashes
+    returns [0] for tokenless text)."""
+    sa, sb = set(_shingle_hashes(a, k).tolist()), set(_shingle_hashes(b, k).tolist())
+    return len(sa & sb) / len(sa)
+
+
 # Cap on docs considered per (band, band_hash) bucket: a degenerate bucket
 # (e.g. an all-identical corpus) would otherwise emit O(n²) pairs.  Truncation
 # is counted and surfaced in the task log.
@@ -419,21 +427,34 @@ def _pin_schema(ds, schema: pa.Schema):
     )
 
 
-def _verify_pairs_exact(ds, raw_cand, threshold: float, cap: int):
-    """Shared exact-Jaccard verification of a raw candidate-pair
+def _verify_pairs_exact(ds, raw_cand, threshold: float, cap: int,
+                        metric: str = "jaccard",
+                        out_col: str = "jaccard_pct"):
+    """Shared exact similarity verification of a raw candidate-pair
     Dataset (doc_a, doc_b int64 rows, duplicates allowed) against the
     documents Dataset ``ds`` (doc_id, text).  Two regimes by raw
     candidate count (see q_minhash_neardup, which this was extracted
     from): driver dedup + ONE broadcast is_in gather scan below
     ``cap``; pair-exploded single hash join + in-partition verify
-    above it.  Emits sorted (doc_a, doc_b, jaccard_pct)."""
+    above it.  ``metric`` picks the pair score: symmetric Jaccard
+    (unordered pairs) or CONTAINMENT |A∩B|/|A| (ordered pairs — doc_a
+    is the contained side, so (a,b) and (b,a) are distinct rows).
+    Emits sorted (doc_a, doc_b, <out_col>)."""
+    if metric == "jaccard":
+        pair_fn = ngram_jaccard
+        set_fn = lambda x, y: (len(x & y) / len(x | y)) if (x or y) else 1.0
+    elif metric == "containment":
+        pair_fn = ngram_containment
+        set_fn = lambda x, y: len(x & y) / len(x)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     from ray.data.aggregate import Count
 
     import ray
     import ray.data as rd
 
     result_schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())]
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), (out_col, pa.int64())]
     )
     n_raw = raw_cand.count()
     if n_raw == 0:
@@ -487,20 +508,13 @@ def _verify_pairs_exact(ds, raw_cand, threshold: float, cap: int):
         # one shingle set per unique doc, then set ops per pair
         sets = [set(_shingle_hashes(x).tolist()) for x in gtexts]
         ia, ib = np.searchsorted(gids, a), np.searchsorted(gids, b)
-        j = np.array(
-            [
-                (len(sets[x] & sets[y]) / len(sets[x] | sets[y]))
-                if (sets[x] or sets[y])
-                else 1.0
-                for x, y in zip(ia, ib)
-            ]
-        )
+        j = np.array([set_fn(sets[x], sets[y]) for x, y in zip(ia, ib)])
         keep = j >= threshold
         tbl = pa.table(
             {
                 "doc_a": pa.array(a[keep], pa.int64()),
                 "doc_b": pa.array(b[keep], pa.int64()),
-                "jaccard_pct": pa.array(
+                out_col: pa.array(
                     np.rint(j[keep] * 100).astype(np.int64), pa.int64()
                 ),
             }
@@ -551,7 +565,7 @@ def _verify_pairs_exact(ds, raw_cand, threshold: float, cap: int):
     def verify_part(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "jaccard_pct": pa.array([], pa.int64())}
+             out_col: pa.array([], pa.int64())}
         )
         if t.num_rows == 0:
             return empty
@@ -565,14 +579,14 @@ def _verify_pairs_exact(ds, raw_cand, threshold: float, cap: int):
         assert len(a) % 2 == 0 and (side[0::2] == 0).all() and (side[1::2] == 1).all()
         pa_ids, pb_ids = a[0::2], b[0::2]
         j = np.array(
-            [ngram_jaccard(x, y) for x, y in zip(texts[0::2], texts[1::2])]
+            [pair_fn(x, y) for x, y in zip(texts[0::2], texts[1::2])]
         )
         keep = j >= threshold
         return pa.table(
             {
                 "doc_a": pa.array(pa_ids[keep], pa.int64()),
                 "doc_b": pa.array(pb_ids[keep], pa.int64()),
-                "jaccard_pct": pa.array(np.rint(j[keep] * 100).astype(np.int64), pa.int64()),
+                out_col: pa.array(np.rint(j[keep] * 100).astype(np.int64), pa.int64()),
             }
         )
 
@@ -680,6 +694,113 @@ def _prefix_candidate_pairs(t: pa.Table) -> pa.Table:
             "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
             "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
         }
+    )
+
+
+def _containment_candidate_pairs(t: pa.Table) -> pa.Table:
+    """Ordered candidate pairs (a contained-side, b any co-occurring
+    doc) within this partition's gram runs: a ranges over docs whose
+    PREFIX holds the gram, b over every doc containing it.  Exact by
+    the asymmetric prefix lemma (if |A∩B| ≥ t|A|, A's prefix of length
+    |A| - ceil(t|A|) + 1 must hit B somewhere)."""
+    gram = t["gram"].to_numpy().view(np.uint64)
+    ids = t["doc_id"].to_numpy()
+    inpref = t["in_prefix"].to_numpy().astype(bool)
+    order = np.lexsort((ids, gram))
+    gram, ids, inpref = gram[order], ids[order], inpref[order]
+    n = len(ids)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = gram[1:] != gram[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        run_ids = ids[s:e]
+        p_ids = run_ids[inpref[s:e]]
+        if len(p_ids) == 0 or len(run_ids) < 2:
+            continue
+        if len(run_ids) > 10_000:
+            print(f"[containment-join] hot gram bucket with {len(run_ids)} docs")
+        a = np.repeat(p_ids, len(run_ids))
+        b = np.tile(run_ids, len(p_ids))
+        keep = a != b
+        a_out.append(a[keep])
+        b_out.append(b[keep])
+    if not a_out:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+        }
+    )
+
+
+def q_containment_join(sf_dir: str, threshold: float = 0.8,
+                       broadcast_cap: int | None = None):
+    """Exact CONTAINMENT join: ordered pairs (doc_a, doc_b) where at
+    least ``threshold`` of doc_a's word-3-gram set also appears in
+    doc_b — the asymmetric contamination-detection score (an eval doc
+    embedded inside a training doc scores ~100% containment while its
+    Jaccard can be arbitrarily low, so a Jaccard join misses it; cf.
+    the decontamination ops, which need an explicit blocklist — this
+    finds near-supersets with no prior list).
+
+    Same one-shuffle shape as :func:`q_prefix_join`, with the
+    asymmetric lemma: each doc's grams are emitted ONCE as (gram,
+    doc_id, in_prefix) rows — ``in_prefix`` marks the first
+    |S| - ceil(t|S|) + 1 grams in hash order — and a candidate (a, b)
+    forms when a's PREFIX gram co-occurs with ANY gram row of b.
+    Verification recomputes true containment from the texts via the
+    shared :func:`_verify_pairs_exact` machinery (metric='containment',
+    ordered pairs preserved)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        grams, docs, pref = [], [], []
+        for did, text in zip(ids, t["text"].to_pylist()):
+            hs = _shingle_hashes(text)
+            n = len(hs)
+            plen = n - int(np.ceil(threshold * n)) + 1
+            grams.append(hs)
+            docs.append(np.full(n, did, dtype=np.int64))
+            flag = np.zeros(n, dtype=np.int64)
+            flag[:plen] = 1
+            pref.append(flag)
+        if not grams:
+            return pa.table(
+                {"gram": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "in_prefix": pa.array([], pa.int64()),
+                 "__gp": pa.array([], pa.int64())}
+            )
+        g = np.concatenate(grams)
+        out = pa.table(
+            {
+                "gram": pa.array(g, pa.uint64()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "in_prefix": pa.array(np.concatenate(pref), pa.int64()),
+            }
+        )
+        route = (_splitmix64(g) % np.uint64(256)).view(np.int64)
+        return out.append_column("__gp", pa.array(route))
+
+    raw_cand = _pin_schema(
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("__gp")
+        .map_groups(_containment_candidate_pairs, batch_format="pyarrow"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+    return _verify_pairs_exact(
+        ds, raw_cand, threshold,
+        MINHASH_BROADCAST_CAP if broadcast_cap is None else broadcast_cap,
+        metric="containment", out_col="containment_pct",
     )
 
 

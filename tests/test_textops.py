@@ -1875,3 +1875,63 @@ def test_prefix_filter_lemma_randomized():
             pa_ = set(sa[: len(sa) - math.ceil(t * len(sa)) + 1])
             pb_ = set(sb[: len(sb) - math.ceil(t * len(sb)) + 1])
             assert pa_ & pb_, (t, sa, sb, j)
+
+
+def test_containment_join_finds_near_superset(ray_session, tmp_path):
+    """A short eval doc embedded verbatim inside a long training doc has
+    ~100% containment (eval ⊂ train) and is found in that direction ONLY
+    — while its Jaccard is far below any dedup threshold (the case a
+    symmetric join misses).  Also: two identical docs contain each other
+    (both ordered pairs), unrelated docs never appear."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.textops import ngram_containment, q_containment_join
+
+    eval_toks = [f"e{i}" for i in range(10)]
+    train_toks = [f"t{i}" for i in range(80)] + eval_toks + [f"u{i}" for i in range(80)]
+    dup = "same words in both of these documents exactly"
+    texts = [
+        " ".join(eval_toks),          # 1: contained in 2
+        " ".join(train_toks),         # 2: the superset
+        dup,                          # 3, 4: mutual containment
+        dup,
+        "nothing shared with anyone here at all",  # 5
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_containment_join(str(tmp_path)).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.containment_pct for r in out.itertuples(index=False)}
+    assert set(got) == {(1, 2), (3, 4), (4, 3)}
+    assert got[(1, 2)] == round(ngram_containment(texts[0], texts[1]) * 100) == 100
+    assert got[(3, 4)] == got[(4, 3)] == 100
+
+    # forcing the distributed verify path must agree
+    slow = q_containment_join(str(tmp_path), broadcast_cap=0).to_pandas()
+    sgot = {(r.doc_a, r.doc_b): r.containment_pct for r in slow.itertuples(index=False)}
+    assert sgot == got
+
+
+def test_containment_prefix_lemma_randomized():
+    """Asymmetric prefix lemma: if |A∩B| >= t|A| then A's prefix of
+    length |A| - ceil(t|A|) + 1 (in the global order) intersects B."""
+    import math
+    import random
+
+    rng = random.Random(321)
+    for _ in range(4000):
+        t = rng.choice([0.5, 0.7, 0.8, 0.9, 1.0])
+        univ = list(range(25))
+        A = set(rng.sample(univ, rng.randint(1, 10)))
+        B = set(rng.sample(univ, rng.randint(1, 10)))
+        if len(A & B) >= t * len(A):
+            sa = sorted(A)
+            pa_ = set(sa[: len(sa) - math.ceil(t * len(sa)) + 1])
+            assert pa_ & B, (t, sa, sorted(B))

@@ -1563,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dead_letter": A.q_dead_letter,  # new in r4 — error-routing side output
         "schema_evolution": A.q_schema_evolution,  # new in r4 — union-by-name read
         "compact_files": A.q_compact_files,  # new in r4 — small-file compaction
+        "custom_udaf": A.q_custom_udaf,  # new in r4 — UDAF plugin surface
         "tumbling_hourly": A.q_tumbling_hourly,
         "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
         "timeseries_day": lambda sf_dir: A.q_timeseries(sf_dir, "day"),  # r4
@@ -2603,6 +2604,14 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
+        ),
+        # the registered demo aggregates in plain SQL: geometric mean of
+        # the positive values, max-min span
+        "custom_udaf": (
+            "SELECT event_type, "
+            "exp(avg(CASE WHEN value > 0 THEN ln(value) END)) AS geomean, "
+            "max(value) - min(value) AS span "
+            "FROM events GROUP BY event_type"
         ),
         # same exclusive-prefix-cumsum binning over per-day row counts;
         # n_rows checked against the rewritten files' footers

@@ -92,6 +92,20 @@ def q_rule_engine_events(sf_dir: str):
     )
 
 
+def q_custom_udaf(sf_dir: str):
+    """The UDAF plugin surface exercised end-to-end: the two registered
+    demo aggregates (``geomean`` — state (Σ ln x, n); ``span`` — state
+    (min, max)) driven by :func:`osprey_ray.kernels.aggregates.run_udaf`
+    over events grouped by event_type.  Twin: ``exp(avg(ln(value)))``
+    over the positive values and ``max - min`` in plain SQL.  The
+    associative-merge contract is what makes a user aggregate safe at
+    any partition count (invariance test in test_kernels)."""
+    from osprey_ray.kernels.aggregates import run_udaf
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return run_udaf(ds, "event_type", "value", ["geomean", "span"])
+
+
 def q_compact_files(sf_dir: str, target_rows: int = 2000):
     """Small-file compaction: the events stream written day-partitioned
     (many small files — the classic streaming-sink pathology) is

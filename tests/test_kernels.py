@@ -271,3 +271,47 @@ def test_experiment_full_semantics():
         {"name": "exp", "buckets": ("control", "treatment"), "bucket_sizes": (50.0, 50.0)},
     )
     assert b == r
+
+
+def test_udaf_registry_and_partition_invariance(ray_session):
+    """UDAF surface: unknown names error with the known list; geomean
+    matches numpy on a fixture; results are identical at 1 vs many
+    input blocks (the associative-merge contract)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from osprey_ray.kernels.aggregates import get_udaf, list_udafs, run_udaf
+
+    with pytest.raises(KeyError, match="unknown udaf 'nope'"):
+        get_udaf("nope")
+    assert {"geomean", "span"} <= set(list_udafs())
+
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(0.1, 9.0, 400)
+    keys = np.repeat(["a", "b", "c", "d"], 100)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+
+    one = (
+        run_udaf(rd.from_arrow(t), "k", "v", ["geomean", "span"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    many = (
+        run_udaf(
+            rd.from_arrow(t).repartition(13), "k", "v", ["geomean", "span"]
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        one, many, check_exact=False, rtol=1e-12
+    )
+    for k in "abcd":
+        want = float(np.exp(np.log(vals[keys == k]).sum() / 100))
+        got = float(one.loc[one["k"] == k, "geomean"].iloc[0])
+        assert abs(got - want) < 1e-9
+        assert abs(
+            float(one.loc[one["k"] == k, "span"].iloc[0])
+            - (vals[keys == k].max() - vals[keys == k].min())
+        ) < 1e-12

@@ -1113,6 +1113,18 @@ FROM r
 """
 
 
+def _zorder_oracle_sql() -> str:
+    from osprey_ray.pipelines.analytics import _morton16_sql
+
+    m = _morton16_sql(
+        "(user_id & 255)", "((epoch_us(ts) // 3600000000) & 255)"
+    )
+    return (
+        f"SELECT event_id, CAST({m} AS BIGINT) AS morton "
+        "FROM events ORDER BY morton, event_id"
+    )
+
+
 def _conv_stats(sf_dir: str):
     """Per-conversation dataset-card profile (turn counts by role, tool
     calls, chars, wall duration) — the curation statistics pass over the
@@ -1564,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution": A.q_schema_evolution,  # new in r4 — union-by-name read
         "compact_files": A.q_compact_files,  # new in r4 — small-file compaction
         "custom_udaf": A.q_custom_udaf,  # new in r4 — UDAF plugin surface
+        "zorder_layout": A.q_zorder_layout,  # new in r4 — Morton clustering
         "tumbling_hourly": A.q_tumbling_hourly,
         "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
         "timeseries_day": lambda sf_dir: A.q_timeseries(sf_dir, "day"),  # r4
@@ -2605,6 +2618,8 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
         ),
+        # bit-interleave reproduced in SQL; ORDER BY is the layout
+        "zorder_layout": _zorder_oracle_sql(),
         # the registered demo aggregates in plain SQL: geometric mean of
         # the positive values, max-min span
         "custom_udaf": (

@@ -92,6 +92,55 @@ def q_rule_engine_events(sf_dir: str):
     )
 
 
+def _morton16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave the low 8 bits of x and y into a 16-bit Morton (Z-order)
+    code — vectorized int64, x on even bits, y on odd."""
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(8):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _morton16_sql(xe: str, ye: str) -> str:
+    """The same interleave as a SQL expression over int exprs xe/ye."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({xe}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({ye}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-ORDER layout: each event keyed by the Morton interleave of
+    (user_id low byte, stream-hour low byte) and globally sorted by
+    it — the multi-dimensional clustering layout (public technique:
+    Morton 1966; used by lakehouse OPTIMIZE ZORDER): after the sort,
+    any (user-range × hour-range) predicate touches a bounded number of
+    blocks because Z-order keeps both dimensions' ranges small per
+    block, where a single-column sort bounds only one.  The clustering
+    benefit is asserted physically in a test (per-block bounding-box
+    area vs a one-dimensional sort); the query hash-verifies the code
+    assignment + total order via a SQL bit-interleave twin."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def code(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy()
+        hour = (
+            t["ts"].cast(pa.int64()).to_numpy() // 1_000_000 // 3_600
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "morton": pa.array(_morton16(uid & 255, hour & 255), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(code, batch_format="pyarrow").sort(
+        ["morton", "event_id"]
+    )
+
+
 def q_custom_udaf(sf_dir: str):
     """The UDAF plugin surface exercised end-to-end: the two registered
     demo aggregates (``geomean`` — state (Σ ln x, n); ``span`` — state

@@ -483,3 +483,44 @@ def test_dead_letter_routes_div_zero_rows(ray_session, tmp_path):
     )
     assert got["route"].tolist() == ["ok", "dlq", "ok"]
     assert got["n_errors"].tolist() == [0, 1, 0]
+
+
+def test_zorder_blocks_bound_both_dimensions(ray_session):
+    """The point of the Z-order layout: a one-dimensional user_id sort
+    prunes user-range predicates perfectly but EVERY block overlaps any
+    hour-range predicate; Z-order bounds blocks in BOTH dimensions, so
+    the worst single-dimension predicate touches far fewer blocks.
+    Measured as blocks-overlapped by width-32 range predicates on each
+    dimension (min/max per contiguous block of the layout)."""
+    from osprey_ray.pipelines.analytics import _morton16, _read
+
+    t = (
+        _read("/root/testdata/sf0.01", "events", ["event_id", "user_id", "ts"])
+        .to_pandas()
+    )
+    x = (t["user_id"].to_numpy().astype(np.int64)) & 255
+    y = ((t["ts"].astype("int64").to_numpy() // 1_000_000 // 3_600)) & 255
+    morton = _morton16(x, y)
+
+    def worst_dim_blocks(order, n_blocks=32, width=32):
+        xs, ys = x[order], y[order]
+        bounds = np.linspace(0, len(xs), n_blocks + 1).astype(int)
+        spans = [
+            (xs[a:b].min(), xs[a:b].max(), ys[a:b].min(), ys[a:b].max())
+            for a, b in zip(bounds[:-1], bounds[1:])
+            if b - a
+        ]
+        touched = {"x": [], "y": []}
+        for q0 in range(0, 256 - width, 16):
+            q1 = q0 + width
+            touched["x"].append(
+                sum(1 for x0, x1, _, _ in spans if x1 >= q0 and x0 <= q1)
+            )
+            touched["y"].append(
+                sum(1 for _, _, y0, y1 in spans if y1 >= q0 and y0 <= q1)
+            )
+        return max(np.mean(touched["x"]), np.mean(touched["y"]))
+
+    z_worst = worst_dim_blocks(np.argsort(morton, kind="stable"))
+    lin_worst = worst_dim_blocks(np.argsort(x, kind="stable"))
+    assert z_worst < 0.7 * lin_worst, (z_worst, lin_worst)

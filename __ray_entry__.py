@@ -1577,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_files": A.q_compact_files,  # new in r4 — small-file compaction
         "custom_udaf": A.q_custom_udaf,  # new in r4 — UDAF plugin surface
         "zorder_layout": A.q_zorder_layout,  # new in r4 — Morton clustering
+        "throttle": A.q_throttle,  # new in r4 — per-key hourly rate limit
         "tumbling_hourly": A.q_tumbling_hourly,
         "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
         "timeseries_day": lambda sf_dir: A.q_timeseries(sf_dir, "day"),  # r4
@@ -2617,6 +2618,15 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
+        ),
+        # quota = ROW_NUMBER within (user, hour), deterministic order
+        "throttle": (
+            "WITH r AS (SELECT event_id, user_id, "
+            "(epoch_us(ts) // 3600000000) * 3600 AS hour_s, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000 "
+            "ORDER BY ts, event_id) AS quota_rank FROM events) "
+            "SELECT event_id, user_id, hour_s, quota_rank FROM r "
+            "WHERE quota_rank <= 1"
         ),
         # bit-interleave reproduced in SQL; ORDER BY is the layout
         "zorder_layout": _zorder_oracle_sql(),

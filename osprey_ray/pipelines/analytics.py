@@ -4364,6 +4364,54 @@ def q_time_weighted_avg(sf_dir: str):
     ).map_groups(trap, batch_format="pyarrow")
 
 
+def q_throttle(sf_dir: str, per_hour: int = 1):
+    """Per-key RATE LIMITING: each user may emit at most ``per_hour``
+    events per event-time hour; later events in the hour are dropped
+    (deterministic order: ts then event_id).  The throttle/quota shape
+    an abuse engine applies before expensive downstream stages —
+    distinct from the debounce dedup (:func:`q_window_dedup`, which
+    drops by proximity to the PREVIOUS occurrence; a quota drops by
+    COUNT within the bucket).  One hash(user) exchange of projected
+    rows; rank-within-(user,hour) is a vectorized running index against
+    group starts (no sequential state).  Returns the kept events with
+    their in-quota rank.  Twin: ROW_NUMBER() <= N."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "hour_s": pa.array([], pa.int64()),
+             "quota_rank": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].cast(pa.int64()).to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        hour = ts // 1_000_000 // 3_600
+        order = np.lexsort((eid, ts, hour, uid))
+        uid, eid, hour = uid[order], eid[order], hour[order]
+        n = len(uid)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        m = rank <= per_hour
+        return pa.table(
+            {
+                "event_id": pa.array(eid[m], pa.int64()),
+                "user_id": pa.array(uid[m], pa.int64()),
+                "hour_s": pa.array(hour[m] * 3_600, pa.int64()),
+                "quota_rank": pa.array(rank[m], pa.int64()),
+            }
+        )
+
+    return _by_user_partition(ds).map_groups(keep, batch_format="pyarrow")
+
+
 def q_window_dedup(sf_dir: str, window_s: int = 3600):
     """Debounce-window dedup: drop an event when the SAME (user,
     event_type) fired within the previous ``window_s`` seconds — the

@@ -524,3 +524,36 @@ def test_zorder_blocks_bound_both_dimensions(ray_session):
     z_worst = worst_dim_blocks(np.argsort(morton, kind="stable"))
     lin_worst = worst_dim_blocks(np.argsort(x, kind="stable"))
     assert z_worst < 0.7 * lin_worst, (z_worst, lin_worst)
+
+
+def test_throttle_caps_per_user_hour(ray_session, tmp_path):
+    """5 events from one user in one hour, quota 2/hour: the first two
+    (by ts, then event_id) survive; a second user is untouched."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_throttle
+
+    base = 3_600_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 7, 9], pa.int64()),
+            "ts": pa.array(
+                [base + 10, base + 5, base + 20, base + 30, base + 5, base + 99],
+                pa.timestamp("us"),
+            ),
+            "event_type": ["a"] * 6,
+            "value": pa.array([1.0] * 6, pa.float64()),
+            "props": ['{"k": 1}'] * 6,
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        q_throttle(str(tmp_path), per_hour=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 7, hour 1: order by (ts, event_id) = e2(ts5), e5(ts5), e1, e3, e4
+    assert got["event_id"].tolist() == [2, 5, 6]
+    assert got["quota_rank"].tolist() == [1, 2, 1]

@@ -1407,6 +1407,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": A.q_skew_join,  # new in r4 — hybrid hot-key/shuffle join
         "merge_join": A.q_merge_join,  # new in r4 — range-partitioned sort-merge
         "zonemap_scan": A.q_zonemap_scan,  # new in r4 — partition-pruned read
+        "prefix_join": T.q_prefix_join,  # new in r4 — exact Jaccard scale path
+        "containment_join": T.q_containment_join,  # new in r4 — near-superset pairs
+        "dead_letter": A.q_dead_letter,  # new in r4 — error-routing side output
+        "schema_evolution": A.q_schema_evolution,  # new in r4 — union-by-name read
+        "compact_files": A.q_compact_files,  # new in r4 — small-file compaction
+        "custom_udaf": A.q_custom_udaf,  # new in r4 — UDAF plugin surface
+        "zorder_layout": A.q_zorder_layout,  # new in r4 — Morton clustering
+        "throttle": A.q_throttle,  # new in r4 — per-key hourly rate limit
+        "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
         "embedding_centroids": N.q_embedding_centroids,
@@ -1461,8 +1470,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_forward": A.q_asof_forward,  # new in r4 — forward as-of join
         "chunk_documents": T.q_chunk_documents,  # new in r4 — needs a first row
         "jaccard_neardup": T.q_jaccard_neardup,  # new in r4 — needs a first row
-        "prefix_join": T.q_prefix_join,  # new in r4 — exact Jaccard scale path
-        "containment_join": T.q_containment_join,  # new in r4 — near-superset pairs
         "kmeans_assign": N.q_kmeans_assign,  # new in r4 — needs a first row
         "kmeans_refine": N.q_kmeans_refine,  # new in r4 — needs a first row
         "bpe_tokens": T.q_bpe_tokens,  # new in r4 — needs a first row
@@ -1499,7 +1506,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": A.q_rollup_agg,  # new in r4 — ROLLUP grouping sets
         "conv_render": _conv_render,  # new in r4 — SFT example rendering
         "conv_stats": _conv_stats,  # new in r4 — transcript profile
-        "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "conv_context_cutoff": _conv_context_cutoff,  # new in r4 — budget trunc
         "full_outer_join": A.q_full_outer_join,  # new in r4 — native full outer
         "train_val_split": T.q_train_val_split,  # new in r4 — split manifest
@@ -1572,12 +1578,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / streaming analytics over events + TPC-H tables ----
         "filter_project": A.q_filter_project,
         "rule_engine_events": A.q_rule_engine_events,
-        "dead_letter": A.q_dead_letter,  # new in r4 — error-routing side output
-        "schema_evolution": A.q_schema_evolution,  # new in r4 — union-by-name read
-        "compact_files": A.q_compact_files,  # new in r4 — small-file compaction
-        "custom_udaf": A.q_custom_udaf,  # new in r4 — UDAF plugin surface
-        "zorder_layout": A.q_zorder_layout,  # new in r4 — Morton clustering
-        "throttle": A.q_throttle,  # new in r4 — per-key hourly rate limit
         "tumbling_hourly": A.q_tumbling_hourly,
         "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
         "timeseries_day": lambda sf_dir: A.q_timeseries(sf_dir, "day"),  # r4

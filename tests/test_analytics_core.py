@@ -557,3 +557,39 @@ def test_throttle_caps_per_user_hour(ray_session, tmp_path):
     # user 7, hour 1: order by (ts, event_id) = e2(ts5), e5(ts5), e1, e3, e4
     assert got["event_id"].tolist() == [2, 5, 6]
     assert got["quota_rank"].tolist() == [1, 2, 1]
+
+
+def test_merge_join_expansion_kernel_bruteforce():
+    """The vectorized searchsorted run-expansion at the heart of
+    merge_join, against itertools brute force on random multisets
+    (many-to-many, missing keys, duplicate runs on both sides)."""
+    import itertools
+    import random
+
+    rng = random.Random(99)
+    for _ in range(200):
+        lk = np.sort(
+            np.array([rng.randint(0, 8) for _ in range(rng.randint(0, 12))])
+        )
+        rk = np.sort(
+            np.array([rng.randint(0, 8) for _ in range(rng.randint(0, 12))])
+        )
+        if len(lk) == 0 or len(rk) == 0:
+            continue
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        li = np.repeat(np.arange(len(lk)), cnt)
+        ri = np.repeat(lo, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        got = sorted(zip(li.tolist(), ri.tolist()))
+        want = sorted(
+            (i, j)
+            for (i, a), (j, b) in itertools.product(
+                enumerate(lk), enumerate(rk)
+            )
+            if a == b
+        )
+        assert got == want

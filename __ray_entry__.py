@@ -1415,6 +1415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custom_udaf": A.q_custom_udaf,  # new in r4 — UDAF plugin surface
         "zorder_layout": A.q_zorder_layout,  # new in r4 — Morton clustering
         "throttle": A.q_throttle,  # new in r4 — per-key hourly rate limit
+        "incremental_agg": A.q_incremental_agg,  # new in r4 — IVM merge==recompute
+        "asof_nearest": A.q_asof_nearest,  # new in r4 — nearest-direction as-of
         "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -2618,6 +2620,24 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
+        ),
+        # smallest |delta|, ties to the earlier purchase; clicks with no
+        # same-user purchase emit nothing
+        "asof_nearest": (
+            "SELECT c.event_id, c.user_id, "
+            "(SELECT p.ts FROM events p "
+            " WHERE p.user_id = c.user_id AND p.event_type = 'purchase' "
+            " ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), p.ts LIMIT 1) "
+            "AS nearest_purchase_ts "
+            "FROM events c WHERE c.event_type = 'click' "
+            "AND EXISTS (SELECT 1 FROM events p WHERE p.user_id = c.user_id "
+            "AND p.event_type = 'purchase')"
+        ),
+        # the merged incremental view must equal the full recompute
+        "incremental_agg": (
+            "SELECT event_type, "
+            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, "
+            "COUNT(*) AS n_events FROM events GROUP BY event_type"
         ),
         # quota = ROW_NUMBER within (user, hour), deterministic order
         "throttle": (

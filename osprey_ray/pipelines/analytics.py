@@ -141,6 +141,73 @@ def q_zorder_layout(sf_dir: str):
     )
 
 
+def q_incremental_agg(sf_dir: str):
+    """Incremental view maintenance for aggregates: a materialized
+    per-event_type (count, cents-sum) STATE computed over the closed
+    days is MERGED with a delta pass over only the newest day — the
+    nightly-rollup shape where yesterday's state is reused instead of
+    rescanning history.  Both passes are combiner pre-aggregates; the
+    merge is the same associativity the UDAF contract requires, so the
+    merged view equals the full recompute (which is the twin).  The
+    split day (max day in the stream) is read from parquet row-group
+    STATISTICS, not a data scan."""
+    import pyarrow.parquet as pqt
+
+    md = pqt.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    ts_idx = next(
+        i for i in range(md.schema.num_columns)
+        if md.schema.column(i).name == "ts"
+    )
+    mx = max(
+        md.row_group(r).column(ts_idx).statistics.max
+        for r in range(md.num_row_groups)
+    )
+    import datetime as _dt
+
+    split_day = int(
+        mx.replace(tzinfo=_dt.timezone.utc).timestamp() // 86_400
+        if isinstance(mx, _dt.datetime)
+        else int(mx) // 86_400_000_000
+    )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(day_lo: int, day_hi: int):
+        def f(t: pa.Table) -> pa.Table:
+            day = (
+                pc.divide(pc.divide(t["ts"].cast(pa.int64()), 1_000_000), 86_400)
+                .cast(pa.int64())
+            )
+            m = pc.and_(
+                pc.greater_equal(day, pa.scalar(day_lo, pa.int64())),
+                pc.less_equal(day, pa.scalar(day_hi, pa.int64())),
+            )
+            t = t.filter(m)
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+            )
+            g = (
+                pa.table({"event_type": t["event_type"], "c": cents})
+                .group_by("event_type")
+                .aggregate([("c", "sum"), ("c", "count")])
+            )
+            return g.rename_columns(["event_type", "c_sum", "n_part"])
+
+        return f
+
+    # state = closed days; delta = the newest day only
+    state = ds.map_batches(partial(-(1 << 62), split_day - 1), batch_format="pyarrow")
+    delta = ds.map_batches(partial(split_day, 1 << 62), batch_format="pyarrow")
+    return (
+        state.union(delta)
+        .groupby("event_type")
+        .aggregate(
+            Sum("c_sum", alias_name="value_cents"),
+            Sum("n_part", alias_name="n_events"),
+        )
+    )
+
+
 def q_custom_udaf(sf_dir: str):
     """The UDAF plugin surface exercised end-to-end: the two registered
     demo aggregates (``geomean`` — state (Σ ln x, n); ``span`` — state
@@ -5296,6 +5363,108 @@ def q_unpivot_wide(sf_dir: str):
             Sum("price_cents", alias_name="price_cents"),
         )
         .map_batches(melt, batch_format="pyarrow")
+    )
+
+
+def q_asof_nearest(sf_dir: str):
+    """NEAREST as-of join, completing the direction set (backward =
+    :func:`q_asof_join`, forward = :func:`q_asof_forward`): for each
+    click, the same user's purchase with the smallest |Δts|, ties to
+    the EARLIER purchase (deterministic — matches the twin's
+    ``ORDER BY abs(delta), ts``).  Implemented directly with two
+    searchsorted probes per partition (predecessor + successor, pick
+    the closer) rather than ``merge_asof(direction='nearest')``, whose
+    tie rule is unspecified; co-partitioned by hash(user), per-user
+    timelines isolated by a composite offset."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        m = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        t = t.filter(m)
+        side = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "t": t["ts"],
+                "event_id": t["event_id"],
+                "side": pa.array(side.astype(np.int8)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("nearest_purchase_ts", pa.timestamp("us"))]
+    )
+
+    def nearest_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        key = t["key"].to_numpy()
+        ts = t["t"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].cast(pa.int64()).to_numpy()
+        side = t["side"].to_numpy()
+        pm = side == 1
+        cm = ~pm
+        if not pm.any() or not cm.any():
+            return out_schema.empty_table()
+        # per-user composite offset so ONE sorted purchase array serves
+        # every user: order purchases by (key, ts); map each click to its
+        # user's purchase run via searchsorted on the key runs
+        po = np.lexsort((ts[pm], key[pm]))
+        pk, pt = key[pm][po], ts[pm][po]
+        runs = np.concatenate([[0], np.nonzero(pk[1:] != pk[:-1])[0] + 1])
+        run_keys = pk[runs]
+        run_ends = np.append(runs[1:], len(pk))
+        ck, ct, ce = key[cm], ts[cm], eid[cm]
+        ri = np.searchsorted(run_keys, ck)
+        has = (ri < len(run_keys)) & (run_keys[np.minimum(ri, len(run_keys) - 1)] == ck)
+        ck, ct, ce, ri = ck[has], ct[has], ce[has], ri[has]
+        lo, hi = runs[ri], run_ends[ri]
+        # successor = first purchase >= click ts within the user's run:
+        # composite-offset trick (q_range_join / _segmented_range_counts)
+        # — shift each user's timeline into a disjoint range so ONE
+        # global searchsorted resolves every click, chunked so
+        # run_index*span never overflows int64
+        tmin = np.int64(min(pt.min(), ct.min()))
+        span = np.int64(max(pt.max(), ct.max()) - tmin + 2)
+        n_runs = len(run_keys)
+        max_g = max(1, int(np.iinfo(np.int64).max // int(span)) - 1)
+        prun = np.repeat(np.arange(n_runs, dtype=np.int64), run_ends - runs)
+        succ = np.empty(len(ct), dtype=np.int64)
+        corder = np.argsort(ri, kind="stable")
+        ri_s = ri[corder]
+        for g0 in range(0, n_runs, max_g):
+            p0 = runs[g0]
+            p1 = runs[g0 + max_g] if g0 + max_g < n_runs else len(pt)
+            sh_p = (pt[p0:p1] - tmin) + (prun[p0:p1] - g0) * span
+            c0 = np.searchsorted(ri_s, g0, side="left")
+            c1 = np.searchsorted(ri_s, g0 + max_g, side="left")
+            ci = corder[c0:c1]
+            sh_c = (ct[ci] - tmin) + (ri[ci] - g0) * span
+            succ[ci] = p0 + np.searchsorted(sh_p, sh_c)
+        pred = succ - 1
+        d_succ = np.where(succ < hi, np.abs(pt[np.minimum(succ, len(pt) - 1)] - ct),
+                          np.int64(1 << 62))
+        d_pred = np.where(pred >= lo, np.abs(ct - pt[np.maximum(pred, 0)]),
+                          np.int64(1 << 62))
+        # ties to the EARLIER purchase: predecessor wins on d_pred <= d_succ
+        pick = np.where(d_pred <= d_succ, np.maximum(pred, 0),
+                        np.minimum(succ, len(pt) - 1))
+        order = np.lexsort((ce,))
+        return pa.table(
+            {
+                "event_id": pa.array(ce[order], pa.int64()),
+                "user_id": pa.array(ck[order], pa.int64()),
+                "nearest_purchase_ts": pa.array(pt[pick][order], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        _by_key_partition(ds.map_batches(tag, batch_format="pyarrow"), "key")
+        .map_groups(nearest_part, batch_format="pyarrow")
     )
 
 

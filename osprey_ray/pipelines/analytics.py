@@ -154,10 +154,7 @@ def q_incremental_agg(sf_dir: str):
     import pyarrow.parquet as pqt
 
     md = pqt.ParquetFile(f"{sf_dir}/events.parquet").metadata
-    ts_idx = next(
-        i for i in range(md.schema.num_columns)
-        if md.schema.column(i).name == "ts"
-    )
+    ts_idx = md.schema.to_arrow_schema().get_field_index("ts")
     mx = max(
         md.row_group(r).column(ts_idx).statistics.max
         for r in range(md.num_row_groups)

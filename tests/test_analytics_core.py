@@ -593,3 +593,33 @@ def test_merge_join_expansion_kernel_bruteforce():
             if a == b
         )
         assert got == want
+
+
+def test_asof_nearest_tie_goes_to_earlier(ray_session, tmp_path):
+    """Click equidistant between two purchases: the EARLIER one wins;
+    clicks with no same-user purchase emit nothing."""
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_asof_nearest
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+            "ts": pa.array([100, 200, 300, 50, 60], pa.timestamp("us")),
+            "event_type": ["purchase", "click", "purchase", "click", "view"],
+            "value": pa.array([1.0] * 5, pa.float64()),
+            "props": ['{"k": 1}'] * 5,
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        q_asof_nearest(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 7's click at 200 is equidistant (100 vs 300): earlier (100) wins;
+    # user 9's click has no purchase -> dropped
+    assert got["event_id"].tolist() == [2]
+    assert got["nearest_purchase_ts"].astype("int64").tolist() == [100]

@@ -1417,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle": A.q_throttle,  # new in r4 — per-key hourly rate limit
         "incremental_agg": A.q_incremental_agg,  # new in r4 — IVM merge==recompute
         "asof_nearest": A.q_asof_nearest,  # new in r4 — nearest-direction as-of
+        "kmv_set_ops": T.q_kmv_set_ops,  # new in r4 — sketch union/intersection
         "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -2620,6 +2621,39 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
+        ),
+        # the KMV algebra reproduced in SQL: per-source bottom-k of the
+        # md5-derived token hashes, union sketch = bottom-k of the merged
+        # hash sets, est = (k-1)*2^64 // h_k (exact below k), HUGEINT
+        # floor division; intersection by inclusion-exclusion
+        "kmv_set_ops": (
+            "WITH toks AS (SELECT DISTINCT source, "
+            "('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM "
+            "(SELECT source, unnest(string_split(lower(text), ' ')) AS tok "
+            "FROM documents) WHERE tok <> ''), "
+            "rk AS (SELECT source, h, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY h) AS rn FROM toks), "
+            "sk AS (SELECT source, h FROM rk WHERE rn <= 64), "
+            "per AS (SELECT source, COUNT(*) AS kk, MAX(h) AS hk FROM sk GROUP BY source), "
+            "pest AS (SELECT source, CASE WHEN kk < 64 THEN CAST(kk AS BIGINT) "
+            "ELSE CAST((CAST(63 AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)) "
+            "// CAST(hk AS HUGEINT) AS BIGINT) END AS est FROM per), "
+            "prs AS (SELECT a.source AS sa, b.source AS sb FROM per a JOIN per b "
+            "ON a.source < b.source), "
+            "uh AS (SELECT DISTINCT p.sa, p.sb, s.h FROM prs p JOIN sk s "
+            "ON s.source = p.sa OR s.source = p.sb), "
+            "urk AS (SELECT sa, sb, h, ROW_NUMBER() OVER "
+            "(PARTITION BY sa, sb ORDER BY h) AS rn FROM uh), "
+            "peru AS (SELECT sa, sb, COUNT(*) AS kk, MAX(h) AS hk FROM urk "
+            "WHERE rn <= 64 GROUP BY sa, sb), "
+            "uest AS (SELECT sa, sb, CASE WHEN kk < 64 THEN CAST(kk AS BIGINT) "
+            "ELSE CAST((CAST(63 AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)) "
+            "// CAST(hk AS HUGEINT) AS BIGINT) END AS est_union FROM peru) "
+            "SELECT u.sa AS source_a, u.sb AS source_b, ea.est AS est_a, "
+            "eb.est AS est_b, u.est_union, "
+            "ea.est + eb.est - u.est_union AS est_intersect "
+            "FROM uest u JOIN pest ea ON ea.source = u.sa "
+            "JOIN pest eb ON eb.source = u.sb"
         ),
         # smallest |delta|, ties to the earlier purchase; clicks with no
         # same-user purchase emit nothing

@@ -5610,3 +5610,113 @@ def q_readability(sf_dir: str):
         )
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+KMV_SET_K = 64
+
+
+def q_kmv_set_ops(sf_dir: str, k: int = KMV_SET_K):
+    """KMV sketch SET ALGEBRA across sources: per source-pair, the
+    estimated distinct-token cardinalities of each side, of their UNION
+    (merge the two sketches: bottom-k of the combined hash sets — the
+    KMV merge law), and of their INTERSECTION by inclusion-exclusion.
+    The deterministic-hash estimate (md5-derived ``token_hash_u64``,
+    ``est = (k-1)*2^64 // h_k``, exact when a set holds < k hashes)
+    makes the whole algebra reproducible in SQL, so unlike HLL this
+    approximate structure is HASH-verified, completing the mergeable-
+    sketch family's set-operation surface (HLL counts, Bloom member-
+    ship, Misra-Gries heavy hitters, KMV order stats — now KMV ∪/∩).
+
+    Scale shape: per-batch combiner keeps bottom-k DISTINCT hashes per
+    source (md5 per unique token only); the groupby merge moves ≤ k
+    rows per (source, batch); the driver sees sources × k hashes —
+    sketches, never tokens — and the pairwise algebra runs on those."""
+    import itertools
+
+    import ray
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["source"].to_numpy(zero_copy_only=False), dtype=object)
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().dictionary_encode()
+        words = flat.dictionary.to_pylist()
+        dict_hashes = np.array(
+            [token_hash_u64(w) for w in words], dtype=np.uint64
+        )
+        nonempty = np.array([w != "" for w in words], dtype=bool)
+        idxs = flat.indices.to_numpy(zero_copy_only=False)
+        offsets = np.asarray(toks.offsets)
+        lens0 = np.diff(offsets - offsets[0])
+        keep = nonempty[idxs] if len(nonempty) else np.zeros(0, dtype=bool)
+        h = (dict_hashes[idxs] if len(dict_hashes) else np.zeros(0, dtype=np.uint64))[keep]
+        doc_of = np.repeat(np.arange(len(src)), lens0)[keep]
+        srcs = src[doc_of]
+        # distinct (source, hash), bottom-k per source via one lexsort
+        grp, inv = np.unique(srcs, return_inverse=True)
+        pairs = np.unique(
+            np.stack([inv.astype(np.int64), h.view(np.int64)], axis=1), axis=0
+        )
+        gi, hv = pairs[:, 0], pairs[:, 1].view(np.uint64)
+        order = np.lexsort((hv, gi))
+        gi, hv = gi[order], hv[order]
+        firsts = np.concatenate([[0], np.nonzero(np.diff(gi))[0] + 1])
+        rank = np.arange(len(gi)) - np.repeat(
+            firsts, np.diff(np.append(firsts, len(gi)))
+        )
+        m = rank < k
+        return pa.table(
+            {
+                "source": pa.array(grp[gi[m]], pa.string()),
+                "h": pa.array(hv[m].view(np.int64), pa.int64()),
+            }
+        )
+
+    def merge_sketch(t: pa.Table) -> pa.Table:
+        hv = np.unique(t["h"].to_numpy().view(np.uint64))
+        hv = np.sort(hv)[:k]
+        return pa.table(
+            {
+                "source": pa.array([t["source"][0].as_py()] * len(hv), pa.string()),
+                "h": pa.array(hv.view(np.int64), pa.int64()),
+            }
+        )
+
+    sk = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge_sketch, batch_format="pyarrow")
+    )
+    ct = pa.concat_tables([p for p in ray.get(sk.to_arrow_refs()) if p.num_rows])
+    import pandas as pd
+
+    if ct.num_rows == 0:
+        return pd.DataFrame(
+            columns=["source_a", "source_b", "est_a", "est_b",
+                     "est_union", "est_intersect"]
+        )
+    sketches: dict[str, list[int]] = {}
+    for s, h in zip(
+        ct["source"].to_pylist(), ct["h"].to_numpy().view(np.uint64).tolist()
+    ):
+        sketches.setdefault(s, []).append(int(h))
+
+    def est(hashes: list[int]) -> int:
+        hs = sorted(set(hashes))[:k]
+        if len(hs) < k:
+            return len(hs)
+        return (k - 1) * (1 << 64) // hs[-1]
+
+    rows = []
+    for a, b in itertools.combinations(sorted(sketches), 2):
+        ea, eb = est(sketches[a]), est(sketches[b])
+        eu = est(sketches[a] + sketches[b])
+        rows.append((a, b, ea, eb, eu, ea + eb - eu))
+    return pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "est_a", "est_b",
+                 "est_union", "est_intersect"],
+    )

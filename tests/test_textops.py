@@ -1935,3 +1935,29 @@ def test_containment_prefix_lemma_randomized():
             sa = sorted(A)
             pa_ = set(sa[: len(sa) - math.ceil(t * len(sa)) + 1])
             assert pa_ & B, (t, sa, sorted(B))
+
+
+def test_kmv_set_ops_estimates_track_exact(ray_session):
+    """KMV set-algebra estimates at sf0.001: each per-source estimate
+    within 40% of the exact distinct token count (k=64 ⇒ ~12% std err),
+    union ≥ max(side) and ≤ sum of sides, intersection = incl-excl."""
+    import duckdb
+
+    from osprey_ray.pipelines.textops import q_kmv_set_ops
+
+    got = q_kmv_set_ops("/root/testdata/sf0.001")
+    assert len(got) > 0
+    exact = dict(
+        duckdb.sql(
+            "SELECT source, COUNT(DISTINCT tok) FROM (SELECT source, "
+            "unnest(string_split(lower(text), ' ')) AS tok FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')) "
+            "WHERE tok <> '' GROUP BY source"
+        ).fetchall()
+    )
+    for r in got.itertuples(index=False):
+        for s, e in ((r.source_a, r.est_a), (r.source_b, r.est_b)):
+            assert abs(e - exact[s]) / exact[s] < 0.4, (s, e, exact[s])
+        assert r.est_union >= max(r.est_a, r.est_b)
+        assert r.est_union <= r.est_a + r.est_b
+        assert r.est_intersect == r.est_a + r.est_b - r.est_union

@@ -1418,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg": A.q_incremental_agg,  # new in r4 — IVM merge==recompute
         "asof_nearest": A.q_asof_nearest,  # new in r4 — nearest-direction as-of
         "kmv_set_ops": T.q_kmv_set_ops,  # new in r4 — sketch union/intersection
+        "gdpr_delete": A.q_gdpr_delete,  # new in r4 — targeted-deletion rewrite
         "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -2621,6 +2622,17 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
+        ),
+        # per-day deletion accounting; n_after is read back from the
+        # rewritten files' footers, the twin recomputes it from the rows
+        "gdpr_delete": (
+            "SELECT epoch_us(ts) // 86400000000 AS day_s, "
+            "COUNT(*) AS n_before, "
+            "CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted, "
+            "CAST(COUNT(*) - SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after, "
+            "CAST(CASE WHEN SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) > 0 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS rewritten "
+            "FROM events GROUP BY day_s"
         ),
         # the KMV algebra reproduced in SQL: per-source bottom-k of the
         # md5-derived token hashes, union sketch = bottom-k of the merged

@@ -141,6 +141,112 @@ def q_zorder_layout(sf_dir: str):
     )
 
 
+def q_gdpr_delete(sf_dir: str, id_mod: int = 97):
+    """Targeted-deletion rewrite (right-to-be-forgotten): delete every
+    event of the flagged users (deterministic stand-in for a deletion
+    list: ``user_id % id_mod == 0``) from a day-partitioned copy of the
+    stream by rewriting ONLY the partitions that contain them.  A
+    column-pruned probe pass (user_id + day only — the text/value bytes
+    never move) finds the affected days; untouched partitions are
+    carried forward by manifest reference with footer row counts, never
+    re-read.  The returned manifest (day, n_before, n_deleted, n_after,
+    rewritten) takes n_after from the REWRITTEN files' footers, so the
+    per-day CASE twin verifies the rewrite itself."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    root = tempfile.mkdtemp(prefix="osprey_gdpr_")
+    try:
+        dirs, _p, _lo, _hi = _zonemap_layout(
+            sf_dir, root + "/in", columns=["event_id", "user_id", "ts"]
+        )
+        day_files = {
+            int(d.rsplit("=", 1)[1]): sorted(_glob.glob(d + "/*.parquet"))
+            for d in dirs
+        }
+        n_before = {
+            d: sum(pqt.ParquetFile(f).metadata.num_rows for f in fs)
+            for d, fs in day_files.items()
+        }
+
+        # probe: column-pruned scan counting doomed rows per day
+        probe = rd.read_parquet(
+            sorted(f for fs in day_files.values() for f in fs),
+            columns=["user_id", "ts"],
+        )
+
+        def count_doomed(t: pa.Table) -> pa.Table:
+            day = (
+                t["ts"].cast(pa.int64()).to_numpy() // 1_000_000 // 86_400
+            )
+            doomed = (t["user_id"].cast(pa.int64()).to_numpy() % id_mod) == 0
+            u, idx = np.unique(day, return_inverse=True)
+            cnt = np.bincount(idx, weights=doomed.astype(np.int64)).astype(np.int64)
+            return pa.table(
+                {"day_s": pa.array(u, pa.int64()), "nd": pa.array(cnt, pa.int64())}
+            )
+
+        del_rows = (
+            probe.map_batches(count_doomed, batch_format="pyarrow")
+            .groupby("day_s")
+            .aggregate(Sum("nd", alias_name="n_deleted"))
+            .take_all()
+        )  # one tiny row per day
+        n_deleted = {int(r["day_s"]): int(r["n_deleted"]) for r in del_rows}
+        affected = sorted(d for d, n in n_deleted.items() if n > 0)
+
+        # rewrite only the affected days, in one streaming pass
+        if affected:
+            files = sorted(f for d in affected for f in day_files[d])
+
+            def keep(t: pa.Table) -> pa.Table:
+                m = pc.not_equal(
+                    pc.subtract(
+                        t["user_id"].cast(pa.int64()),
+                        pc.multiply(
+                            pc.divide(t["user_id"].cast(pa.int64()), id_mod),
+                            id_mod,
+                        ),
+                    ),
+                    0,
+                )
+                # user_id >= 0 here, so truncation == floor and the mod
+                # test is exact; also re-derive the day for partitioning
+                t = t.filter(m)
+                day = (
+                    pc.divide(pc.divide(t["ts"].cast(pa.int64()), 1_000_000), 86_400)
+                ).cast(pa.int64())
+                return t.append_column("day_r", day)
+
+            rd.read_parquet(files).map_batches(
+                keep, batch_format="pyarrow"
+            ).drop_columns(["day_s"]).write_parquet(
+                root + "/out", partition_cols=["day_r"]
+            )
+
+        rows = []
+        for d in sorted(day_files):
+            nd = n_deleted.get(d, 0)
+            if nd > 0:
+                out_fs = _glob.glob(root + f"/out/day_r={d}/*.parquet")
+                na = sum(pqt.ParquetFile(f).metadata.num_rows for f in out_fs)
+            else:
+                na = n_before[d]
+            rows.append((d, n_before[d], nd, na, int(nd > 0)))
+        import pandas as pd
+
+        return pd.DataFrame(
+            rows,
+            columns=["day_s", "n_before", "n_deleted", "n_after", "rewritten"],
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_incremental_agg(sf_dir: str):
     """Incremental view maintenance for aggregates: a materialized
     per-event_type (count, cents-sum) STATE computed over the closed
@@ -1018,7 +1124,8 @@ def q_skew_join(sf_dir: str, hot_keys: np.ndarray | None = None):
     return hot.union(cold)
 
 
-def _zonemap_layout(sf_dir: str, root: str) -> tuple[list[str], list[str], int, int]:
+def _zonemap_layout(sf_dir: str, root: str,
+                    columns: list[str] | None = None) -> tuple[list[str], list[str], int, int]:
     """Write the events stream once as day-partitioned parquet (hive
     layout — the partition value IS the zone map), then pick the interior
     day range [min_day+1, max_day-1] from the DIRECTORY NAMES alone (no
@@ -1029,7 +1136,8 @@ def _zonemap_layout(sf_dir: str, root: str) -> tuple[list[str], list[str], int, 
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+        f"{sf_dir}/events.parquet",
+        columns=columns or ["event_id", "ts", "event_type", "value"],
     )
 
     def add_day(t: pa.Table) -> pa.Table:

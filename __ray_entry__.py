@@ -1419,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_nearest": A.q_asof_nearest,  # new in r4 — nearest-direction as-of
         "kmv_set_ops": T.q_kmv_set_ops,  # new in r4 — sketch union/intersection
         "gdpr_delete": A.q_gdpr_delete,  # new in r4 — targeted-deletion rewrite
+        "dq_checks": A.q_dq_checks,  # new in r4 — data-quality expectations
         "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -2622,6 +2623,26 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
+        ),
+        # one row per expectation, same predicates
+        "dq_checks": (
+            "WITH t(check_name, n_violations) AS ("
+            "SELECT 'event_id_unique', "
+            "CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_violations "
+            "FROM events "
+            "UNION ALL SELECT 'props_has_k', "
+            "CAST(SUM(CASE WHEN props->>'$.k' IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM events "
+            "UNION ALL SELECT 'value_in_range', "
+            "CAST(SUM(CASE WHEN value < 0 OR value > 100 THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM events "
+            "UNION ALL SELECT 'user_fk_exists', "
+            "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+            ") "
+            "SELECT check_name, n_violations, "
+            "CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed "
+            "FROM t ORDER BY check_name"
         ),
         # per-day deletion accounting; n_after is read back from the
         # rewritten files' footers, the twin recomputes it from the rows

@@ -141,6 +141,116 @@ def q_zorder_layout(sf_dir: str):
     )
 
 
+def q_dq_checks(sf_dir: str):
+    """Declarative data-quality expectations (the Great-Expectations /
+    dbt-test shape) evaluated distributed, one report row per check:
+
+    * ``event_id_unique`` — duplicate surplus via per-batch unique +
+      ONE keyed count (the exact path; at 100 TB the bloom_dedup
+      pre-filter bounds the shuffle to candidate ids),
+    * ``props_has_k`` — required JSON field present (JsonData kernel,
+      the rule-DSL extraction path),
+    * ``value_in_range`` — 0 ≤ value ≤ 100 (intentionally failing on
+      this corpus so the report shows a violation count),
+    * ``user_fk_exists`` — referential integrity events.user_id ⊆
+      customer.c_custkey via a BROADCAST key-set membership scan (the
+      small side ships once, the fact table streams).
+
+    All counts are combiner pre-aggregates; no check materializes rows,
+    only violation counts.  Twin: UNION ALL of the same predicates."""
+    from ray.data.aggregate import Count as _Count
+
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value", "props"])
+
+    # broadcast customer key set (small side) once
+    cust = pa.concat_tables(
+        [
+            p
+            for p in ray.get(
+                _read(sf_dir, "customer", ["c_custkey"]).to_arrow_refs()
+            )
+            if p.num_rows
+        ]
+    )
+    key_set = ray.put(pc.cast(cust["c_custkey"], pa.int64()).combine_chunks())
+
+    def partial(t: pa.Table) -> pa.Table:
+        from osprey_ray.expr import EvalContext, col, fn
+
+        ctx = EvalContext(t)
+        kv = fn(
+            "JsonData", target=col("props"), path="$.k",
+            required=False, coerce_type="int",
+        ).eval_batch(ctx)
+        missing_k = int(pc.sum(pc.is_null(kv)).as_py() or 0)
+        v = t["value"]
+        out_of_range = int(
+            pc.sum(
+                pc.or_(pc.less(v, 0.0), pc.greater(v, 100.0))
+            ).as_py()
+            or 0
+        )
+        ks = ray.get(key_set)  # zero-copy local object-store hit per batch
+        fk_missing = int(
+            pc.sum(
+                pc.invert(
+                    pc.is_in(pc.cast(t["user_id"], pa.int64()), value_set=ks)
+                )
+            ).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                "check_name": pa.array(
+                    ["props_has_k", "value_in_range", "user_fk_exists"],
+                    pa.string(),
+                ),
+                "nv": pa.array(
+                    [missing_k, out_of_range, fk_missing], pa.int64()
+                ),
+            }
+        )
+
+    scalar_checks = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("check_name")
+        .aggregate(Sum("nv", alias_name="n_violations"))
+        .take_all()
+    )
+
+    # uniqueness: per-batch unique ids -> one keyed count, surplus = n-1
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["event_id"].cast(pa.int64()).to_numpy())
+        return pa.table({"event_id": pa.array(u, pa.int64())})
+
+    dup_rows = (
+        ev.map_batches(uniq_partial, batch_format="pyarrow")
+        .groupby("event_id")
+        .aggregate(_Count(alias_name="c"))
+    )
+
+    def surplus(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy()
+        return pa.table(
+            {"s": pa.array([int((c - 1).sum())], pa.int64())}
+        )
+
+    n_dup = int(
+        dup_rows.map_batches(surplus, batch_format="pyarrow").sum("s") or 0
+    )
+
+    import pandas as pd
+
+    rows = [("event_id_unique", n_dup)] + [
+        (r["check_name"], int(r["n_violations"])) for r in scalar_checks
+    ]
+    df = pd.DataFrame(rows, columns=["check_name", "n_violations"])
+    df["passed"] = (df["n_violations"] == 0).astype(np.int64)
+    return df.sort_values("check_name").reset_index(drop=True)
+
+
 def q_gdpr_delete(sf_dir: str, id_mod: int = 97):
     """Targeted-deletion rewrite (right-to-be-forgotten): delete every
     event of the flagged users (deterministic stand-in for a deletion

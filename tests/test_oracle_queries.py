@@ -71,6 +71,7 @@ ORACLES["rules_ab_diff"] = entrymod._rules_ab_diff_oracle_sql(SF_DIR)
 ORACLES["flagship_label_sql"] = entrymod._flagship_label_oracle_sql(SF_DIR)
 ORACLES["conv_render"] = entrymod._conv_render_oracle_sql(SF_DIR)
 ORACLES["conv_stats"] = entrymod._conv_stats_oracle_sql(SF_DIR)
+ORACLES["sft_mask_spans"] = entrymod._sft_mask_spans_oracle_sql(SF_DIR)
 ORACLES["conv_context_cutoff"] = entrymod._conv_context_cutoff_oracle_sql(SF_DIR)
 ORACLES["qa_pairs"] = entrymod._qa_pairs_oracle_sql(SF_DIR)
 ORACLES["conv_sessions"] = entrymod._conv_sessions_oracle_sql(SF_DIR)

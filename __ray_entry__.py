@@ -890,6 +890,128 @@ def _streaming_hopping_windows(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_topk_windows(sf_dir: str, k: int = 3):
+    """CONTINUOUS TOP-K over the streaming window stream: per closed 1 h
+    tumbling bucket, the k busiest conversations by turn count (ties to
+    the lexicographically smaller conv_id — deterministic).  The
+    streaming engine maintains only per-(conv, bucket) TumblingCount
+    state; the watermark closes buckets into the manifest-committed
+    window stream, and a Ray Data post-stage reduces each bucket to its
+    top-k with a PARTIAL per-batch top-k combiner before the one small
+    groupby — the continuous-analytics shape (Flink-style windowed
+    top-N) composed from slices, like the hopping query.  Twin:
+    ROW_NUMBER() over the same bucket counts."""
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pyarrow.compute as _pc
+
+    from osprey_ray.expr import lit
+    from osprey_ray.rules import RuleSpec, TumblingCount
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        features=[],
+        stateful=[TumblingCount("TurnsHour", when=lit(True), bucket_seconds=3600)],
+    )
+    out = tempfile.mkdtemp(prefix="osprey_topkwin_q_")
+    try:
+        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        files = []
+        for e in range(job.last_committed_epoch() + 1):
+            p = job._manifest_path(e)
+            if os.path.exists(p):
+                for f in json.load(open(p)).get("window_outputs", []):
+                    if f:
+                        files.append(os.path.join(job.data_dir, f))
+        if not files:
+            return pa.table({})
+        ds = rd.read_parquet(files)
+
+        def partial_topk(t: pa.Table) -> pa.Table:
+            # per-batch per-bucket top-k: only k rows per bucket survive
+            # the shuffle (partial top-k is a valid combiner for top-k)
+            st = t["start"].cast(pa.int64()).to_numpy()
+            cnt = t["agg_count"].cast(pa.int64()).to_numpy()
+            conv = np.asarray(
+                t["conv_id"].to_numpy(zero_copy_only=False), dtype=object
+            )
+            order = np.lexsort((conv, -cnt, st))
+            st, cnt, conv = st[order], cnt[order], conv[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(st[1:] != st[:-1])[0] + 1]
+            ) if len(st) else np.array([], dtype=np.int64)
+            counts = np.diff(np.append(starts, len(st)))
+            rank = np.arange(len(st)) - np.repeat(starts, counts)
+            m = rank < k
+            return pa.table(
+                {
+                    "bucket_us": pa.array(st[m], pa.int64()),
+                    "conv_id": pa.array(conv[m], pa.string()),
+                    "n_turns": pa.array(cnt[m], pa.int64()),
+                }
+            )
+
+        def final_topk(t: pa.Table) -> pa.Table:
+            st = t["bucket_us"].cast(pa.int64()).to_numpy()
+            cnt = t["n_turns"].cast(pa.int64()).to_numpy()
+            conv = np.asarray(
+                t["conv_id"].to_numpy(zero_copy_only=False), dtype=object
+            )
+            order = np.lexsort((conv, -cnt))
+            st, cnt, conv = st[order], cnt[order], conv[order]
+            m = np.arange(len(st)) < k
+            rk = np.arange(len(st))[m] + 1
+            return pa.table(
+                {
+                    "bucket_s": pa.array(st[m] // 1_000_000, pa.int64()),
+                    "conv_id": pa.array(conv[m], pa.string()),
+                    "n_turns": pa.array(cnt[m], pa.int64()),
+                    "rank": pa.array(rk, pa.int64()),
+                }
+            )
+
+        res = (
+            ds.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("bucket_us")
+            .map_groups(final_topk, batch_format="pyarrow")
+        )
+        return res.to_pandas()  # tiny: k rows per hour bucket
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_topk_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (SELECT conv_id, epoch_us(ts) AS tus FROM raw WHERE dup_rn = 1),
+b AS (
+  SELECT conv_id, (tus // 3600000000) * 3600 AS bucket_s, COUNT(*) AS n_turns
+  FROM t GROUP BY 1, 2
+), rk AS (
+  SELECT bucket_s, conv_id, n_turns,
+         ROW_NUMBER() OVER (PARTITION BY bucket_s
+                            ORDER BY n_turns DESC, conv_id) AS rank
+  FROM b)
+SELECT bucket_s, conv_id, n_turns, rank FROM rk WHERE rank <= 3
+"""
+
+
 def _streaming_hopping_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     d = _transcript_dataset(sf_dir)
     return f"""
@@ -1404,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_max_windows": _streaming_max_windows,  # new in r4 — TumblingMax
         "streaming_distinct_windows": _streaming_distinct_windows,  # new in r4
         "streaming_hopping_windows": _streaming_hopping_windows,  # new in r4
+        "streaming_topk_windows": _streaming_topk_windows,  # new in r4 — cont. top-N
         "skew_join": A.q_skew_join,  # new in r4 — hybrid hot-key/shuffle join
         "merge_join": A.q_merge_join,  # new in r4 — range-partitioned sort-merge
         "zonemap_scan": A.q_zonemap_scan,  # new in r4 — partition-pruned read
@@ -2589,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_max_windows": _streaming_max_windows_oracle_sql(),
         "streaming_distinct_windows": _streaming_distinct_windows_oracle_sql(),
         "streaming_hopping_windows": _streaming_hopping_windows_oracle_sql(),
+        "streaming_topk_windows": _streaming_topk_windows_oracle_sql(),
         # skew-aware hybrid join ≡ plain inner join (the hot/cold split is
         # a physical plan choice, not a semantic one)
         "skew_join": (

@@ -72,6 +72,7 @@ ORACLES["flagship_label_sql"] = entrymod._flagship_label_oracle_sql(SF_DIR)
 ORACLES["conv_render"] = entrymod._conv_render_oracle_sql(SF_DIR)
 ORACLES["conv_stats"] = entrymod._conv_stats_oracle_sql(SF_DIR)
 ORACLES["sft_mask_spans"] = entrymod._sft_mask_spans_oracle_sql(SF_DIR)
+ORACLES["streaming_topk_windows"] = entrymod._streaming_topk_windows_oracle_sql(SF_DIR)
 ORACLES["conv_context_cutoff"] = entrymod._conv_context_cutoff_oracle_sql(SF_DIR)
 ORACLES["qa_pairs"] = entrymod._qa_pairs_oracle_sql(SF_DIR)
 ORACLES["conv_sessions"] = entrymod._conv_sessions_oracle_sql(SF_DIR)

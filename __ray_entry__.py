@@ -1543,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_set_ops": T.q_kmv_set_ops,  # new in r4 — sketch union/intersection
         "gdpr_delete": A.q_gdpr_delete,  # new in r4 — targeted-deletion rewrite
         "dq_checks": A.q_dq_checks,  # new in r4 — data-quality expectations
+        "bucket_join": A.q_bucket_join,  # new in r4 — zero-shuffle bucketed join
         "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -2747,6 +2748,14 @@ def oracle_sql() -> dict[str, str]:
             "(event_type = 'error' AND value > 10.0) AS RuleBigError, "
             "(CAST(props->>'$.k' AS BIGINT) >= 50) AS RuleHighK "
             "FROM events"
+        ),
+        # bucketing is a layout choice: plain inner-join aggregate twin
+        "bucket_join": (
+            "SELECT c_mktsegment, "
+            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, "
+            "COUNT(*) AS n_events "
+            "FROM events JOIN customer ON user_id = c_custkey "
+            "GROUP BY c_mktsegment"
         ),
         # one row per expectation, same predicates
         "dq_checks": (

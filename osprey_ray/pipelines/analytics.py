@@ -141,6 +141,117 @@ def q_zorder_layout(sf_dir: str):
     )
 
 
+def q_bucket_join(sf_dir: str, n_buckets: int = 16):
+    """BUCKETED co-located join (the Hive/Spark bucketed-map-join
+    layout): both tables are written ONCE bucketed by the SAME hash of
+    the join key (splitmix64 % B → ``bucket=N`` hive partitions); the
+    join then runs with ZERO shuffle — one task per bucket reads its
+    bucket pair straight from storage and joins in-task (sorted-key
+    searchsorted run expansion, the merge_join kernel).  This is the
+    materialized form of 'pick ONE partitioning key and reuse it': at
+    100 TB the bucketed layout amortizes every subsequent co-keyed join
+    or aggregate, and a bucket task's inputs are storage-pruned (only
+    its two bucket directories), never exchanged.  Twin: plain inner
+    join aggregate (bucketing is a layout choice)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pqt
+    import ray
+    import ray.data as rd
+
+    from osprey_ray.pipelines.textops import _splitmix64
+
+    root = tempfile.mkdtemp(prefix="osprey_bucket_")
+    try:
+        ev = _read(sf_dir, "events", ["user_id", "value"])
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+        def bucket(key_col: str):
+            def f(t: pa.Table) -> pa.Table:
+                k = t[key_col].cast(pa.int64()).to_numpy()
+                b = (_splitmix64(k.astype(np.uint64)) % np.uint64(n_buckets)).view(
+                    np.int64
+                )
+                return t.append_column("bucket", pa.array(b))
+
+            return f
+
+        ev.map_batches(bucket("user_id"), batch_format="pyarrow").write_parquet(
+            root + "/ev", partition_cols=["bucket"]
+        )
+        cu.map_batches(bucket("c_custkey"), batch_format="pyarrow").write_parquet(
+            root + "/cu", partition_cols=["bucket"]
+        )
+
+        def join_bucket(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"c_mktsegment": pa.array([], pa.string()),
+                 "c_sum": pa.array([], pa.int64()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+            out = []
+            for bid in t["bucket_id"].to_pylist():
+                efs = _glob.glob(root + f"/ev/bucket={bid}/*.parquet")
+                cfs = _glob.glob(root + f"/cu/bucket={bid}/*.parquet")
+                if not efs or not cfs:
+                    continue
+                et = pa.concat_tables([pqt.read_table(f) for f in efs])
+                ct = pa.concat_tables([pqt.read_table(f) for f in cfs])
+                lk = et["user_id"].cast(pa.int64()).to_numpy()
+                lv = pc.cast(
+                    pc.floor(pc.add(pc.multiply(et["value"], 100.0), 0.5)),
+                    pa.int64(),
+                ).to_numpy()
+                rk = ct["c_custkey"].cast(pa.int64()).to_numpy()
+                rs = np.asarray(
+                    ct["c_mktsegment"].to_numpy(zero_copy_only=False), dtype=object
+                )
+                lo_ = np.argsort(lk, kind="stable")
+                lk, lv = lk[lo_], lv[lo_]
+                ro_ = np.argsort(rk, kind="stable")
+                rk, rs = rk[ro_], rs[ro_]
+                lo = np.searchsorted(rk, lk, side="left")
+                hi = np.searchsorted(rk, lk, side="right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                li = np.repeat(np.arange(len(lk)), cnt)
+                ri = np.repeat(lo, cnt) + (
+                    np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                )
+                g = (
+                    pa.table(
+                        {
+                            "c_mktsegment": pa.array(rs[ri], pa.string()),
+                            "v": pa.array(lv[li], pa.int64()),
+                        }
+                    )
+                    .group_by("c_mktsegment")
+                    .aggregate([("v", "sum"), ("v", "count")])
+                )
+                out.append(g.rename_columns(["c_mktsegment", "c_sum", "n_part"]))
+            return pa.concat_tables(out) if out else empty
+
+        res = (
+            rd.from_arrow(
+                pa.table({"bucket_id": pa.array(range(n_buckets), pa.int64())})
+            )
+            .repartition(n_buckets)
+            .map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+            .groupby("c_mktsegment")
+            .aggregate(
+                Sum("c_sum", alias_name="value_cents"),
+                Sum("n_part", alias_name="n_events"),
+            )
+        )
+        return res.to_pandas()  # materialize before the layout vanishes
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_dq_checks(sf_dir: str):
     """Declarative data-quality expectations (the Great-Expectations /
     dbt-test shape) evaluated distributed, one report row per check:

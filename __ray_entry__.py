@@ -1544,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gdpr_delete": A.q_gdpr_delete,  # new in r4 — targeted-deletion rewrite
         "dq_checks": A.q_dq_checks,  # new in r4 — data-quality expectations
         "bucket_join": A.q_bucket_join,  # new in r4 — zero-shuffle bucketed join
+        "overlap_join": A.q_overlap_join,  # new in r4 — interval×interval sweep
         "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -2756,6 +2757,38 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events "
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        # interval-overlap self join, twin via the SAME sweep identity the
+        # engine uses (overlaps = #{s_j<=e_i} - #{e_j<s_i} - 1) encoded
+        # with window functions — no pair-exploding join in the oracle
+        # either.  Tie rules: c1 counts starts FIRST at equal v (<=,
+        # is_start DESC); c2 counts queries FIRST at equal v (strict <).
+        "overlap_join": (
+            "WITH iv AS ("
+            "SELECT l_suppkey, s, e, "
+            "ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY s, e) AS rid "
+            "FROM (SELECT l_suppkey, epoch_us(l_shipdate) AS s, "
+            "epoch_us(l_shipdate) + (1 + (l_orderkey*7 + l_linenumber*3) % 28) "
+            "* 86400000000 AS e FROM lineitem)), "
+            "p1 AS ("
+            "SELECT l_suppkey, s AS v, 1 AS is_start, NULL AS rid FROM iv "
+            "UNION ALL SELECT l_suppkey, e AS v, 0 AS is_start, rid FROM iv), "
+            "c1 AS ("
+            "SELECT l_suppkey, rid, SUM(is_start) OVER (PARTITION BY l_suppkey "
+            "ORDER BY v, is_start DESC ROWS UNBOUNDED PRECEDING) AS n1 "
+            "FROM p1), "
+            "p2 AS ("
+            "SELECT l_suppkey, e AS v, 1 AS is_end, NULL AS rid FROM iv "
+            "UNION ALL SELECT l_suppkey, s AS v, 0 AS is_end, rid FROM iv), "
+            "c2 AS ("
+            "SELECT l_suppkey, rid, SUM(is_end) OVER (PARTITION BY l_suppkey "
+            "ORDER BY v, is_end ASC ROWS UNBOUNDED PRECEDING) AS n2 "
+            "FROM p2) "
+            "SELECT iv.rid, iv.l_suppkey, "
+            "CAST(c1.n1 - c2.n2 - 1 AS BIGINT) AS n_overlap "
+            "FROM iv "
+            "JOIN c1 ON c1.l_suppkey = iv.l_suppkey AND c1.rid = iv.rid "
+            "JOIN c2 ON c2.l_suppkey = iv.l_suppkey AND c2.rid = iv.rid"
         ),
         # one row per expectation, same predicates
         "dq_checks": (

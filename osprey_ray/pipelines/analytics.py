@@ -1984,6 +1984,94 @@ def q_range_join(sf_dir: str, anchor_type: str = "purchase", window_us: int = 3_
     return _by_user_partition(ds).map_groups(per_part, batch_format="pyarrow")
 
 
+def q_overlap_join(sf_dir: str):
+    """Interval × interval OVERLAP join (self), counting form: for every
+    shipment interval ``[ship, ship + transit)`` how many OTHER shipments
+    of the SAME supplier were concurrently in transit (``s_j <= e_i AND
+    e_j >= s_i``, j != i).  Completes the join ladder — ``q_range_join``
+    is point-in-interval; this is the genomics/temporal interval-overlap
+    shape Ray Data lacks natively (the reference's joins are equi-only,
+    SURVEY §2.5 addendum).
+
+    Scale shape: instead of exploding overlap PAIRS (quadratic on dense
+    keys), each partition runs the classic sweep identity per interval i:
+
+        overlaps(i) = |{j : s_j <= e_i}| - |{j : e_j < s_i}| - 1
+
+    — two order statistics over the group's sorted starts / sorted ends,
+    vectorized across ALL suppliers in a partition with ONE composite-
+    offset searchsorted each (same int64-chunk guard as
+    ``_segmented_range_counts``).  Both sides co-partitioned by the equi
+    key (supplier), so no replication; a keyless overlap join would bucket
+    time and replicate intervals to overlapping buckets instead.  The SQL
+    twin encodes the same sweep with window functions (no pair join there
+    either, so the oracle itself scales).
+
+    Transit time is synthesized deterministically (1 + (okey*7 + ln*3) %
+    28 days) because the table carries only l_shipdate.  The row handle is
+    the rank of (s, e) WITHIN the supplier (computable inside the
+    partition and in SQL with one PARTITION BY window; (orderkey,
+    linenumber) is not unique in the synthetic table) — ties among fully
+    duplicate intervals get arbitrary rank but identical counts, so the
+    (supplier, rank, n_overlap) multiset is deterministic."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"])
+    DAY = np.int64(86_400_000_000)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "rid": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64()),
+            "n_overlap": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ok = t["l_orderkey"].to_numpy()
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        supp = t["l_suppkey"].to_numpy()
+        s = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        e = s + (1 + (ok * 7 + ln * 3) % 28) * DAY
+        # group index over (supplier, s, e)-sorted rows
+        order = np.lexsort((e, s, supp))
+        supp_s, s_s, e_s = supp[order], s[order], e[order]
+        n = len(supp_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = supp_s[1:] != supp_s[:-1]
+        gidx = np.cumsum(change) - 1
+        grp_first = np.nonzero(change)[0]
+        sizes = np.diff(np.append(grp_first, n))
+        rid_s = np.arange(n, dtype=np.int64) - np.repeat(grp_first, sizes) + 1
+        vmin = np.int64(min(s_s.min(), e_s.min()))
+        span = np.int64(max(s_s.max(), e_s.max()) - vmin + 2)
+        n_groups = int(gidx[-1]) + 1
+        max_g = max(1, int(np.iinfo(np.int64).max // int(span)) - 1)
+        c1 = np.empty(n, dtype=np.int64)
+        c2 = np.empty(n, dtype=np.int64)
+        for g0 in range(0, n_groups, max_g):
+            i0 = int(np.searchsorted(gidx, g0, side="left"))
+            i1 = int(np.searchsorted(gidx, g0 + max_g, side="left"))
+            off = (gidx[i0:i1] - g0) * span
+            st = np.sort(s_s[i0:i1] - vmin + off)   # starts, group-shifted
+            en = np.sort(e_s[i0:i1] - vmin + off)   # ends, group-shifted
+            q_e = e_s[i0:i1] - vmin + off
+            q_s = s_s[i0:i1] - vmin + off
+            c1[i0:i1] = np.searchsorted(st, q_e, side="right")  # s_j <= e_i
+            c2[i0:i1] = np.searchsorted(en, q_s, side="left")   # e_j <  s_i
+        # c1 - c2 is per-group as-is: an earlier group in the chunk
+        # contributes ALL its starts to c1 and ALL its ends to c2 (its
+        # shifted values sit wholly below a later group's queries), and
+        # those full-group counts are equal, so they cancel in c1 - c2.
+        return pa.table({
+            "rid": pa.array(rid_s, pa.int64()),
+            "l_suppkey": pa.array(supp_s, pa.int64()),
+            "n_overlap": pa.array(c1 - c2 - 1, pa.int64()),
+        })
+
+    return _by_key_partition(ds, "l_suppkey").map_groups(
+        per_part, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # semi / anti joins, rolling windows, pivot, outliers (round-4 additions)
 # ---------------------------------------------------------------------------

@@ -623,3 +623,66 @@ def test_asof_nearest_tie_goes_to_earlier(ray_session, tmp_path):
     # user 9's click has no purchase -> dropped
     assert got["event_id"].tolist() == [2]
     assert got["nearest_purchase_ts"].astype("int64").tolist() == [100]
+
+
+def test_overlap_join_vs_bruteforce_random(ray_session, tmp_path):
+    """Randomized (fixed-seed) cross-check: the per-partition sweep
+    identity (#{s_j<=e_i} - #{e_j<s_i} - 1) must equal the O(n²) brute
+    force on a dense multi-supplier input with duplicate (okey, ln) rows
+    and duplicate intervals."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_overlap_join
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    us_day = 86_400_000_000
+    base = 1_600_000_000_000_000
+    ok = rng.integers(0, 300, n)               # duplicates on purpose
+    ln = rng.integers(1, 8, n)
+    supp = rng.integers(0, 25, n)
+    ship = base + rng.integers(0, 90, n) * us_day
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_linenumber": pa.array(ln.astype(np.int32), pa.int32()),
+            "l_suppkey": pa.array(supp, pa.int64()),
+            "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = (
+        q_overlap_join(str(tmp_path))
+        .to_pandas()
+        .sort_values(["l_suppkey", "rid"])
+        .reset_index(drop=True)
+    )
+    # brute force: per supplier, count pairwise overlaps per interval
+    s = ship.astype(np.int64)
+    e = s + (1 + (ok * 7 + ln.astype(np.int64) * 3) % 28) * us_day
+    rows = []
+    for sp in np.unique(supp):
+        idx = np.nonzero(supp == sp)[0]
+        order = np.lexsort((e[idx], s[idx]))
+        idx = idx[order]
+        for rank, i in enumerate(idx, start=1):
+            ov = sum(
+                1
+                for j in idx
+                if j != i and s[j] <= e[i] and e[j] >= s[i]
+            )
+            rows.append((int(sp), rank, ov))
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(rows, columns=["l_suppkey", "rid", "n_overlap"])
+        .sort_values(["l_suppkey", "rid"])
+        .reset_index(drop=True)
+    )
+    # ranks among tied (s,e) duplicates are arbitrary both sides but carry
+    # identical counts, so compare the full sorted triple multiset
+    g = got[["l_suppkey", "rid", "n_overlap"]].astype("int64")
+    assert sorted(map(tuple, g.values.tolist())) == sorted(
+        map(tuple, want.values.tolist())
+    )

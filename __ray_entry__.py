@@ -720,6 +720,126 @@ def _streaming_max_windows(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_metrics(sf_dir: str):
+    """Hash-verify the engine's PER-EPOCH LINEAGE METRICS themselves — the
+    north rule's "resumable from checkpoint with per-partition lineage +
+    metrics" surface.  Runs the full streaming engine over the transcript
+    segments and returns one row per epoch (plus the end-of-stream flush
+    epoch): the event-time watermark, rows released (post-dedup), rows
+    dropped as late at arrival, and the pending backlog at epoch end.
+    The DuckDB twin recomputes all four from the raw segment files via
+    ``read_parquet(..., filename=true)`` — epoch = rank of segment file /
+    files_per_epoch, watermark = running max event ts - allowed lateness,
+    a row is late iff ts <= the PREVIOUS epoch's watermark at its arrival
+    epoch, releases at the first epoch >= arrival with watermark >= ts,
+    and (conv, turn) duplicates count once at their first release epoch
+    (the shard's sort_and_dedup + last_turn guard).  So the driver's hash
+    gate certifies the engine's watermark arithmetic, late-drop rule,
+    release rule and cross-epoch dedup guard in one row set."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import Feature, RuleSpec
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        features=[Feature("TxtLen", fn("StringLength", target=col("text")))]
+    )
+    out = tempfile.mkdtemp(prefix="osprey_metrics_q_")
+    try:
+        job = StreamingJob(
+            spec, segs, out, {}, num_shards=8, files_per_epoch=4,
+            allowed_lateness_s=300,  # tight enough that the late path fires
+        )
+        ms = list(job.run())
+        ms.append(job.finalize())
+        return pa.table(
+            {
+                "epoch": pa.array([m["epoch"] for m in ms], pa.int64()),
+                "watermark_us": pa.array(
+                    [int(m["watermark"]) for m in ms], pa.int64()
+                ),
+                "released_rows": pa.array(
+                    [m["released_rows"] for m in ms], pa.int64()
+                ),
+                "late_dropped": pa.array(
+                    [m["late_dropped"] for m in ms], pa.int64()
+                ),
+                "pending_rows": pa.array(
+                    [m["pending_rows"] for m in ms], pa.int64()
+                ),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_metrics_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import glob
+
+    d = _transcript_dataset(sf_dir)
+    n_segs = len(glob.glob(f"{d}/stream/seg-*.parquet"))
+    nep = (n_segs + 3) // 4  # files_per_epoch=4
+    lat = 300_000_000  # allowed_lateness_s=300 in µs
+    i64max = 9223372036854775807
+    return f"""
+WITH r AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS tus,
+         CAST((DENSE_RANK() OVER (ORDER BY filename) - 1) // 4 AS BIGINT) AS aep
+  FROM read_parquet('{d}/stream/seg-*.parquet', filename=true)
+), epmax AS (
+  SELECT aep, MAX(tus) AS mx FROM r GROUP BY aep
+), wm AS (
+  SELECT aep AS ep,
+         MAX(mx) OVER (ORDER BY aep ROWS UNBOUNDED PRECEDING) - {lat} AS w
+  FROM epmax
+), nl AS (
+  SELECT r.conv_id, r.turn_idx, r.tus, r.aep
+  FROM r LEFT JOIN wm pw ON pw.ep = r.aep - 1
+  WHERE pw.w IS NULL OR r.tus > pw.w
+), lt AS (
+  SELECT r.aep AS ep, COUNT(*) AS c
+  FROM r JOIN wm pw ON pw.ep = r.aep - 1
+  WHERE r.tus <= pw.w GROUP BY r.aep
+), nlg AS (
+  SELECT conv_id, turn_idx, tus, aep, COUNT(*) AS mult
+  FROM nl GROUP BY 1, 2, 3, 4
+), relr AS (
+  SELECT nlg.conv_id, nlg.turn_idx, nlg.tus, nlg.aep, nlg.mult,
+         COALESCE(MIN(wm.ep), {nep}) AS relep
+  FROM nlg LEFT JOIN wm ON wm.ep >= nlg.aep AND wm.w >= nlg.tus
+  GROUP BY nlg.conv_id, nlg.turn_idx, nlg.tus, nlg.aep, nlg.mult
+), firstrel AS (
+  SELECT conv_id, turn_idx, MIN(relep) AS frel FROM relr GROUP BY 1, 2
+), rel_c AS (
+  SELECT frel AS ep, COUNT(*) AS c FROM firstrel GROUP BY frel
+), eps AS (
+  SELECT CAST(ep AS BIGINT) AS ep FROM range({nep} + 1) t(ep)
+), pend AS (
+  SELECT e.ep, SUM(mult) AS c
+  FROM eps e JOIN relr ON relr.aep <= e.ep AND relr.relep > e.ep
+  GROUP BY e.ep
+)
+SELECT e.ep AS epoch,
+       CAST(CASE WHEN e.ep = {nep} THEN {i64max} ELSE wm.w END AS BIGINT)
+         AS watermark_us,
+       CAST(COALESCE(rel_c.c, 0) AS BIGINT) AS released_rows,
+       CAST(COALESCE(lt.c, 0) AS BIGINT) AS late_dropped,
+       CAST(COALESCE(pend.c, 0) AS BIGINT) AS pending_rows
+FROM eps e
+LEFT JOIN wm ON wm.ep = e.ep
+LEFT JOIN rel_c ON rel_c.ep = e.ep
+LEFT JOIN lt ON lt.ep = e.ep
+LEFT JOIN pend ON pend.ep = e.ep
+"""
+
+
 def _streaming_max_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     d = _transcript_dataset(sf_dir)
     return f"""
@@ -1527,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_distinct_windows": _streaming_distinct_windows,  # new in r4
         "streaming_hopping_windows": _streaming_hopping_windows,  # new in r4
         "streaming_topk_windows": _streaming_topk_windows,  # new in r4 — cont. top-N
+        "streaming_metrics": _streaming_metrics,  # new in r4 — lineage metrics twin
         "skew_join": A.q_skew_join,  # new in r4 — hybrid hot-key/shuffle join
         "merge_join": A.q_merge_join,  # new in r4 — range-partitioned sort-merge
         "zonemap_scan": A.q_zonemap_scan,  # new in r4 — partition-pruned read
@@ -2715,6 +2836,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_distinct_windows": _streaming_distinct_windows_oracle_sql(),
         "streaming_hopping_windows": _streaming_hopping_windows_oracle_sql(),
         "streaming_topk_windows": _streaming_topk_windows_oracle_sql(),
+        "streaming_metrics": _streaming_metrics_oracle_sql(),
         # skew-aware hybrid join ≡ plain inner join (the hot/cold split is
         # a physical plan choice, not a semantic one)
         "skew_join": (

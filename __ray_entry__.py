@@ -1666,6 +1666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_checks": A.q_dq_checks,  # new in r4 — data-quality expectations
         "bucket_join": A.q_bucket_join,  # new in r4 — zero-shuffle bucketed join
         "overlap_join": A.q_overlap_join,  # new in r4 — interval×interval sweep
+        "entity_resolution": R.q_entity_resolution,  # new in r4 — record linkage
+        "decayed_topk": A.q_decayed_topk,  # new in r4 — trending decay scores
+        "quantile_normalize": A.q_quantile_normalize,  # new in r4 — rank scaling
         "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -2495,6 +2498,40 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"
         ),
         # k-anonymity suppression audit over (lang, source, n_chars//512)
+        # exact integer ppm percent-rank, RANK ties share the min rank
+        "quantile_normalize": (
+            "SELECT event_id, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents, "
+            "CAST((RANK() OVER (ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT)) - 1) "
+            "* 1000000 // GREATEST(COUNT(*) OVER () - 1, 1) AS BIGINT) AS pct_rank_ppm "
+            "FROM events"
+        ),
+        # exact power-of-2 week decay, same integer weights both sides
+        "decayed_topk": (
+            "WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events), "
+            "w AS (SELECT user_id, "
+            "CASE WHEN (mx.m - epoch_us(ts)) // 604800000000 <= 20 "
+            "THEN CAST(1 AS BIGINT) << CAST(20 - (mx.m - epoch_us(ts)) // 604800000000 AS INTEGER) "
+            "ELSE 0 END AS w FROM events, mx) "
+            "SELECT user_id, CAST(SUM(w) AS BIGINT) AS decayed_score "
+            "FROM w GROUP BY user_id "
+            "ORDER BY decayed_score DESC, user_id LIMIT 10"
+        ),
+        # record linkage: blocked fuzzy best-match; same metric both sides
+        "entity_resolution": (
+            "WITH dirty AS ("
+            "SELECT c_custkey AS d_key, c_nationkey, "
+            "c_name || '-' || CAST(c_custkey % 7 AS VARCHAR) AS d_name "
+            "FROM customer WHERE c_custkey % 3 = 0), "
+            "scored AS ("
+            "SELECT d.d_key, m.c_custkey AS m_key, "
+            "levenshtein(d.d_name, m.c_name) AS dist, "
+            "ROW_NUMBER() OVER (PARTITION BY d.d_key "
+            "ORDER BY levenshtein(d.d_name, m.c_name), m.c_custkey) AS rn "
+            "FROM dirty d JOIN customer m ON m.c_nationkey = d.c_nationkey) "
+            "SELECT d_key AS dirty_custkey, m_key AS matched_custkey, "
+            "CAST(dist AS BIGINT) AS lev_dist FROM scored WHERE rn = 1"
+        ),
         "k_anonymity": (
             "WITH g AS (SELECT lang, source, n_chars//512 AS bucket, "
             "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1,2,3) "

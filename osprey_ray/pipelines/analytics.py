@@ -988,10 +988,108 @@ def q_topk_users(sf_dir: str):
     return agg.sort(["n", "user_id"], descending=[True, False]).limit(10)
 
 
+def q_decayed_topk(sf_dir: str, k: int = 10, halflife_weeks: int = 1,
+                   max_weeks: int = 20):
+    """Time-decayed trending top-k: each event contributes weight
+    ``2^-(age_weeks)`` (half-life one week), users ranked by total decayed
+    score — the "trending now" analytic where plain counts over-rank
+    stale-but-large users.  EXACT in integers: age is bucketed to whole
+    weeks from the global max event ts, the weight is the power of two
+    ``2^(max_weeks - weeks)`` (events older than ``max_weeks`` weigh 0 —
+    below one part in 2^20 they cannot change a ranking), so the scaled
+    score is an int64 SUM whose ORDER is the exact decayed order — no
+    float accumulation anywhere, hence hash-verifiable.
+
+    Scale shape: pass 1 is a single MAX aggregate (broadcast scalar);
+    pass 2 computes weights vectorized per batch with a per-batch
+    (user, partial-sum) Arrow combiner BEFORE the groupby, so the shuffle
+    carries one row per (user × batch), then a small top-k sort."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    tmax = int(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([pc.max(t["ts"].cast(pa.int64())).as_py()], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .max("m")
+    )
+    week_us = np.int64(7 * 86_400_000_000) * np.int64(halflife_weeks)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        weeks = (np.int64(tmax) - ts) // week_us
+        w = np.where(weeks <= max_weeks,
+                     np.int64(1) << np.maximum(max_weeks - weeks, 0), 0)
+        part = pa.table({"user_id": t["user_id"], "w": pa.array(w, pa.int64())})
+        g = part.group_by(["user_id"]).aggregate([("w", "sum")])
+        return g.rename_columns(["user_id", "w"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum(on="w", alias_name="decayed_score"))
+    )
+    return agg.sort(["decayed_score", "user_id"], descending=[True, False]).limit(k)
+
+
 def q_distinct_types(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def q_quantile_normalize(sf_dir: str):
+    """Quantile (rank) normalization of a numeric column: every event's
+    value is replaced by its EXACT percent rank across the corpus —
+    the feature-scaling transform that makes heavy-tailed columns
+    comparable across sources.  Integer-exact: values quantized to cents,
+    pct_rank_ppm = floor(#{strictly smaller} * 1e6 / (n-1)) which is
+    SQL's PERCENT_RANK (ties share the min rank) in parts-per-million.
+
+    Scale shape: pass 1 builds a per-batch value-histogram combiner →
+    tiny global histogram (bounded by DISTINCT cents, not rows); the
+    driver turns it into a cumulative rank table and BROADCASTS it; pass
+    2 is a stateless searchsorted map per batch.  No row-level shuffle at
+    all — the only exchange is the histogram."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        vc = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        v, c = np.unique(vc, return_counts=True)
+        return pa.table({"vc": pa.array(v, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    h = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("vc")
+        .aggregate(_Sum("c", alias_name="c"))
+        .to_pandas()  # tiny: one row per distinct cent value
+        .sort_values("vc")
+        .reset_index(drop=True)
+    )
+    counts = h["c"].to_numpy()
+    n = int(counts.sum())
+    less = np.cumsum(counts) - counts
+    ppm = (less * 1_000_000) // max(n - 1, 1)
+    vs = h["vc"].to_numpy()
+
+    def mapb(t: pa.Table) -> pa.Table:
+        vc = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        idx = np.searchsorted(vs, vc)
+        return pa.table({
+            "event_id": t["event_id"],
+            "value_cents": pa.array(vc, pa.int64()),
+            "pct_rank_ppm": pa.array(ppm[idx].astype(np.int64), pa.int64()),
+        })
+
+    return _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        mapb, batch_format="pyarrow")
 
 
 def q_dedup_keep_first(sf_dir: str):

@@ -18,6 +18,14 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def _pool_cap() -> int:
+    """Autoscaling-pool upper bound sized from the cluster (min 4 so small
+    test nodes keep the observed-safe cap)."""
+    import ray
+
+    return max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+
 def synthesize_media(sf_dir: str) -> "rd.Dataset":
     """Deterministic fake media table derived from documents: payload =
     utf-8 bytes of the text, mime chosen by doc_id."""
@@ -85,9 +93,12 @@ def q_multimodal_decode(sf_dir: str):
     media = synthesize_media(sf_dir)
     # autoscaling pool (min 1): a fixed pool reserves its full CPU count up
     # front, and two chained fixed pools + the read task can exceed a small
-    # node's CPUs and deadlock the stream (observed at num_cpus=4)
+    # node's CPUs and deadlock the stream (observed at num_cpus=4).  Cap
+    # scales with the cluster, not a constant (r3 verdict: pinned pools
+    # bound a stage regardless of node count).
     return media.map_batches(
-        FakeImageDecoder, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+        FakeImageDecoder, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, _pool_cap()),
     )
 
 
@@ -128,7 +139,8 @@ def q_frame_sample(sf_dir: str):
     actor pool feeds the sampler actor pool; output is one row per
     (doc, sampled frame index)."""
     return q_multimodal_decode(sf_dir).map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+        FrameSampler, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, _pool_cap())
     )
 
 
@@ -176,5 +188,6 @@ def q_audio_chunks(sf_dir: str):
     :func:`q_frame_sample` — typed metadata from the decode actor pool
     feeds the chunker pool; one row per (doc, window)."""
     return q_multimodal_decode(sf_dir).map_batches(
-        AudioChunker, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+        AudioChunker, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, _pool_cap())
     )

@@ -1666,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_checks": A.q_dq_checks,  # new in r4 — data-quality expectations
         "bucket_join": A.q_bucket_join,  # new in r4 — zero-shuffle bucketed join
         "overlap_join": A.q_overlap_join,  # new in r4 — interval×interval sweep
+        "overlap_global": A.q_overlap_global,  # new in r4 — keyless broadcast ranks
         "entity_resolution": R.q_entity_resolution,  # new in r4 — record linkage
         "decayed_topk": A.q_decayed_topk,  # new in r4 — trending decay scores
         "quantile_normalize": A.q_quantile_normalize,  # new in r4 — rank scaling
@@ -2916,6 +2917,27 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events "
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        # keyless overlap distribution: global sweep via window sums
+        "overlap_global": (
+            "WITH iv AS ("
+            "SELECT epoch_us(l_shipdate) AS s, "
+            "epoch_us(l_shipdate) + (1 + (l_orderkey*7 + l_linenumber*3) % 28) "
+            "* 86400000000 AS e, "
+            "ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rid "
+            "FROM lineitem), "
+            "p1 AS (SELECT s AS v, 1 AS is_start, NULL AS rid FROM iv "
+            "UNION ALL SELECT e AS v, 0 AS is_start, rid FROM iv), "
+            "c1 AS (SELECT rid, SUM(is_start) OVER (ORDER BY v, is_start DESC "
+            "ROWS UNBOUNDED PRECEDING) AS n1 FROM p1), "
+            "p2 AS (SELECT e AS v, 1 AS is_end, NULL AS rid FROM iv "
+            "UNION ALL SELECT s AS v, 0 AS is_end, rid FROM iv), "
+            "c2 AS (SELECT rid, SUM(is_end) OVER (ORDER BY v, is_end ASC "
+            "ROWS UNBOUNDED PRECEDING) AS n2 FROM p2) "
+            "SELECT CAST(c1.n1 - c2.n2 - 1 AS BIGINT) AS n_overlap, "
+            "COUNT(*) AS n_shipments "
+            "FROM iv JOIN c1 USING (rid) JOIN c2 USING (rid) "
+            "GROUP BY 1"
         ),
         # interval-overlap self join, twin via the SAME sweep identity the
         # engine uses (overlaps = #{s_j<=e_i} - #{e_j<s_i} - 1) encoded

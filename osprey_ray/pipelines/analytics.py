@@ -2170,6 +2170,67 @@ def q_overlap_join(sf_dir: str):
         per_part, batch_format="pyarrow")
 
 
+def q_overlap_global(sf_dir: str):
+    """KEYLESS interval-overlap count — the global variant of
+    :func:`q_overlap_join` (that one co-partitions by the equi key; here
+    there is no key, every shipment counts against the WHOLE corpus).
+    The sweep identity still applies, but the two order statistics
+    (#{s_j <= e_i}, #{e_j < s_i}) are now GLOBAL ranks — resolved with
+    broadcast order statistics instead of a shuffle: interval endpoints
+    are day-granular, so pass 1 builds two tiny day-histograms (distinct
+    start days / distinct end days) via per-batch combiners, the driver
+    turns them into sorted cumulative tables and broadcasts, and pass 2
+    is a stateless searchsorted map.  NO row-level exchange at any point
+    — the same two-pass histogram-broadcast shape as
+    ``q_quantile_normalize``.  Output is the concurrency distribution
+    (n_overlap → n_shipments), which needs no row handle.  Twin: the
+    same sweep in SQL via global window sums over stacked endpoints."""
+    from ray.data.aggregate import Sum as _Sum
+
+    DAY = np.int64(86_400_000_000)
+    cols = ["l_orderkey", "l_linenumber", "l_shipdate"]
+
+    def _se(t: pa.Table):
+        ok = t["l_orderkey"].to_numpy()
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        s = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        e = s + (1 + (ok * 7 + ln * 3) % 28) * DAY
+        return s, e
+
+    def hist(which: int):
+        def f(t: pa.Table) -> pa.Table:
+            v = _se(t)[which]
+            u, c = np.unique(v, return_counts=True)
+            return pa.table({"v": pa.array(u, pa.int64()),
+                             "c": pa.array(c.astype(np.int64), pa.int64())})
+        return f
+
+    def cum(h: pd.DataFrame):
+        h = h.sort_values("v").reset_index(drop=True)
+        return h["v"].to_numpy(), np.cumsum(h["c"].to_numpy())
+
+    ds = _read(sf_dir, "lineitem", cols)
+    sv, scum = cum(ds.map_batches(hist(0), batch_format="pyarrow")
+                   .groupby("v").aggregate(_Sum("c", alias_name="c")).to_pandas())
+    ev, ecum = cum(ds.map_batches(hist(1), batch_format="pyarrow")
+                   .groupby("v").aggregate(_Sum("c", alias_name="c")).to_pandas())
+
+    def mapb(t: pa.Table) -> pa.Table:
+        s, e = _se(t)
+        i1 = np.searchsorted(sv, e, side="right")   # starts <= e_i
+        c1 = np.where(i1 > 0, scum[np.maximum(i1 - 1, 0)], 0)
+        i2 = np.searchsorted(ev, s, side="left")    # ends < s_i
+        c2 = np.where(i2 > 0, ecum[np.maximum(i2 - 1, 0)], 0)
+        ov = (c1 - c2 - 1).astype(np.int64)
+        u, c = np.unique(ov, return_counts=True)
+        return pa.table({"n_overlap": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(mapb, batch_format="pyarrow")
+           .groupby("n_overlap").aggregate(_Sum("n", alias_name="n_shipments")))
+    return agg
+
+
 # ---------------------------------------------------------------------------
 # semi / anti joins, rolling windows, pivot, outliers (round-4 additions)
 # ---------------------------------------------------------------------------

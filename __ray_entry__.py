@@ -1670,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution": R.q_entity_resolution,  # new in r4 — record linkage
         "decayed_topk": A.q_decayed_topk,  # new in r4 — trending decay scores
         "quantile_normalize": A.q_quantile_normalize,  # new in r4 — rank scaling
+        "feature_hash": T.q_feature_hash,  # new in r4 — hashing-trick features
         "sft_mask_spans": _sft_mask_spans,  # new in r4 — SFT loss-mask spans
         "rules_ab_diff": _rules_ab_diff,
         "flagship_label_sql": _flagship_label_sql,
@@ -1678,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": M.q_frame_sample,
         "audio_chunks": M.q_audio_chunks,  # new in r4 — strided ASR windows
         "multimodal_decode": M.q_multimodal_decode,
+        "image_resize": M.q_image_resize,  # new in r4 — decode→resize chain
         "model_scoring": _model_scoring,
         "embedding_gram": N.q_embedding_gram,  # new in r4 — exact X'X partials
         "contrastive_pairs": T.q_contrastive_pairs,  # new in r4 — two-view split
@@ -2918,6 +2920,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY c_mktsegment"
         ),
+        # hashing trick: same md5-derived token hash both sides
+        "feature_hash": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(lower(text), ' ')) AS tok FROM documents), "
+            "th AS (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 64 AS BIGINT) "
+            "AS bucket FROM toks WHERE tok <> '') "
+            "SELECT doc_id, bucket, COUNT(*) AS n FROM th GROUP BY 1, 2"
+        ),
         # keyless overlap distribution: global sweep via window sums
         "overlap_global": (
             "WITH iv AS ("
@@ -3450,6 +3461,19 @@ def oracle_sql() -> dict[str, str]:
         # md5-derived fakes (round-2 verdict item #5): DuckDB reproduces the
         # deterministic stand-ins exactly, so the actor-pool plumbing
         # (decode stage / gated inference) is hash-verified, not rows-only
+        # decode→resize chain over image rows, exact integer fit-in-box
+        "image_resize": (
+            "WITH dec AS (SELECT doc_id, "
+            "CAST(64 + ('0x' || substr(md5(text), 1, 2))::UBIGINT % 192 AS BIGINT) AS width, "
+            "CAST(64 + ('0x' || substr(md5(text), 3, 2))::UBIGINT % 192 AS BIGINT) AS height "
+            "FROM documents WHERE doc_id % 3 = 0) "
+            "SELECT doc_id, width, height, "
+            "CAST(width * 224 // GREATEST(width, height) AS BIGINT) AS out_w, "
+            "CAST(height * 224 // GREATEST(width, height) AS BIGINT) AS out_h, "
+            "CAST((width * 224 // GREATEST(width, height)) * "
+            "(height * 224 // GREATEST(width, height)) * 3 AS BIGINT) AS rgb_bytes "
+            "FROM dec"
+        ),
         "multimodal_decode": (
             "SELECT doc_id, "
             "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' "

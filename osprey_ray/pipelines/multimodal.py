@@ -102,6 +102,60 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+class ImageResizer:
+    """STUB resize stage (actor pool), chained after the decoder: fit each
+    image inside a ``box × box`` square preserving aspect ratio with EXACT
+    integer arithmetic (``out = dim * box // max(w, h)``), emit the target
+    dims and the decoded-RGB byte count the real kernel would allocate.
+    A real deployment replaces the arithmetic body with PIL's
+    ``Image.resize`` loaded once in ``__init__``; the pool/batch/schema
+    plumbing is the production shape."""
+
+    def __init__(self, box: int = 224):
+        self.box = box  # real path: warm the SIMD resize kernel here
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w = t["width"].to_numpy()
+        h = t["height"].to_numpy()
+        m = np.maximum(w, h)
+        ow = w * self.box // m
+        oh = h * self.box // m
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "out_w": pa.array(ow.astype(np.int64), pa.int64()),
+                "out_h": pa.array(oh.astype(np.int64), pa.int64()),
+                "rgb_bytes": pa.array((ow * oh * 3).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def q_image_resize(sf_dir: str):
+    """decode → resize actor-pool chain over the image rows only (mime
+    pruned BEFORE the decode pool so audio/video payloads never enter it).
+    Completes the brief's named multimodal ladder (decode /
+    feature-extract / resize / frame-sample)."""
+    import pyarrow.compute as pc
+
+    media = synthesize_media(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["mime"], "image/png")),
+        batch_format="pyarrow",
+    )
+    decoded = media.map_batches(
+        FakeImageDecoder, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, _pool_cap()),
+    ).map_batches(
+        lambda t: t.select(["doc_id", "width", "height"]),
+        batch_format="pyarrow",
+    )
+    return decoded.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, _pool_cap()),
+    )
+
+
 class FrameSampler:
     """Frame-sampling stage (actor pool): pick ≤ ``max_frames`` evenly
     strided frame indices per media row — the decode→sample→embed ladder's

@@ -5720,3 +5720,56 @@ def q_kmv_set_ops(sf_dir: str, k: int = KMV_SET_K):
         columns=["source_a", "source_b", "est_a", "est_b",
                  "est_union", "est_intersect"],
     )
+
+
+def q_feature_hash(sf_dir: str, n_buckets: int = 64):
+    """Hashing-trick featurizer (Weinberger et al. 2009): each document's
+    tokens are hashed into a fixed ``n_buckets``-dimensional sparse count
+    vector, emitted as (doc_id, bucket, n) rows — the classic
+    vocabulary-free text featurization for linear models at corpus scale
+    (no vocabulary build, no global state of any kind).
+
+    Scale shape: ONE stateless pass.  Tokens are dictionary-encoded per
+    batch and only the per-batch DISTINCT tokens are md5-hashed (the
+    simhash token-hash, shared with the SQL twin via
+    '0x'||substr(md5(tok),1,16)); bucket counts are a composite-key
+    np.unique per batch.  Each document lives in exactly one input row,
+    so per-batch counts are final — zero shuffle, zero driver state."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    NB = np.int64(n_buckets)
+
+    def per(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep).combine_chunks()
+        parent = parent.filter(keep).to_numpy(zero_copy_only=False)
+        if len(parent) == 0:
+            return empty
+        d = flat.dictionary_encode()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        # md5 only the DISTINCT tokens of the batch (vocab-bounded loop,
+        # same hash string the SQL twin computes)
+        hv = np.array(
+            [int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big") % int(NB)
+             for v in vocab],
+            dtype=np.int64,
+        )
+        doc = t["doc_id"].to_numpy().astype(np.int64)[parent]
+        assert len(doc) == 0 or int(doc.max()) < 2**57, "doc*NB overflow"
+        key = doc * NB + hv[idx]
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(u // NB, pa.int64()),
+            "bucket": pa.array(u % NB, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(per, batch_format="pyarrow")

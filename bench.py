@@ -161,6 +161,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "bpe_encode",
         "bm25_topk",
         "conv_render",
+        "overlap_join",
+        "entity_resolution",
     ):
         t0 = time.perf_counter()
         r = Q[name](sf_dir)

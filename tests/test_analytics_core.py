@@ -686,3 +686,85 @@ def test_overlap_join_vs_bruteforce_random(ray_session, tmp_path):
     assert sorted(map(tuple, g.values.tolist())) == sorted(
         map(tuple, want.values.tolist())
     )
+
+
+def test_overlap_global_equals_keyed_union(ray_session, tmp_path):
+    """The keyless overlap count must equal the brute-force pairwise count
+    over ALL intervals (no supplier partitioning), aggregated to the
+    concurrency distribution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_overlap_global
+
+    rng = np.random.default_rng(11)
+    n = 800
+    us_day = 86_400_000_000
+    base = 1_600_000_000_000_000
+    ok = rng.integers(0, 200, n)
+    ln = rng.integers(1, 8, n)
+    ship = base + rng.integers(0, 60, n) * us_day
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_linenumber": pa.array(ln.astype(np.int32), pa.int32()),
+            "l_suppkey": pa.array(rng.integers(0, 10, n), pa.int64()),
+            "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = (
+        q_overlap_global(str(tmp_path))
+        .to_pandas()
+        .sort_values("n_overlap")
+        .reset_index(drop=True)
+    )
+    s = ship.astype(np.int64)
+    e = s + (1 + (ok * 7 + ln.astype(np.int64) * 3) % 28) * us_day
+    ov = np.array(
+        [np.sum((s <= e[i]) & (e >= s[i])) - 1 for i in range(n)], dtype=np.int64
+    )
+    import collections
+
+    want = collections.Counter(ov.tolist())
+    assert dict(zip(got["n_overlap"], got["n_shipments"])) == dict(want)
+
+
+def test_quantile_normalize_invariants(ray_session):
+    """pct_rank_ppm must be monotone in value, 0 at the min, and bounded
+    by 1e6 (ties share the min rank, so the max rank is < 1e6 when the
+    max value is tied)."""
+    from osprey_ray.pipelines.analytics import q_quantile_normalize
+
+    got = q_quantile_normalize("/root/testdata/sf0.001").to_pandas()
+    g = got.sort_values(["value_cents", "event_id"]).reset_index(drop=True)
+    assert g["pct_rank_ppm"].is_monotonic_increasing
+    assert g["pct_rank_ppm"].iloc[0] == 0
+    assert g["pct_rank_ppm"].iloc[-1] <= 1_000_000
+    # equal values share one rank
+    per_val = g.groupby("value_cents")["pct_rank_ppm"].nunique()
+    assert (per_val == 1).all()
+
+
+def test_decayed_topk_order_matches_float_decay(ray_session):
+    """The integer power-of-2 score must rank users exactly like the real
+    2^-weeks float decay it stands for (no rank inversions in the top-k)."""
+    import duckdb
+
+    from osprey_ray.pipelines.analytics import q_decayed_topk
+
+    got = q_decayed_topk("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = con.execute(
+        "WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events) "
+        "SELECT user_id FROM events, mx "
+        "GROUP BY user_id "
+        "ORDER BY SUM(CASE WHEN (mx.m - epoch_us(ts)) // 604800000000 <= 20 "
+        "THEN power(2.0, -CAST((mx.m - epoch_us(ts)) // 604800000000 AS DOUBLE)) "
+        "ELSE 0 END) DESC, user_id LIMIT 10"
+    ).fetchdf()
+    assert got["user_id"].tolist() == want["user_id"].tolist()

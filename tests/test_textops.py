@@ -1961,3 +1961,25 @@ def test_kmv_set_ops_estimates_track_exact(ray_session):
         assert r.est_union >= max(r.est_a, r.est_b)
         assert r.est_union <= r.est_a + r.est_b
         assert r.est_intersect == r.est_a + r.est_b - r.est_union
+
+
+def test_feature_hash_bucket_sums_equal_token_counts(ray_session):
+    """Summing a doc's bucket counts must give back its (non-empty,
+    lowercased, space-split) token count — hashing never loses mass."""
+    import duckdb
+
+    from osprey_ray.pipelines.textops import q_feature_hash
+
+    got = q_feature_hash("/root/testdata/sf0.001").to_pandas()
+    sums = got.groupby("doc_id")["n"].sum().sort_index()
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT doc_id, len(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '')) AS n FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchdf()
+    want = want[want["n"] > 0]
+    assert sums.index.tolist() == want["doc_id"].tolist()
+    assert sums.tolist() == want["n"].tolist()
+    assert got["bucket"].between(0, 63).all()

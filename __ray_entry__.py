@@ -720,6 +720,73 @@ def _streaming_max_windows(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_pairs(sf_dir: str):
+    """The engine's windowed STREAM-STREAM JOIN stream, hash-verified: a
+    ``rules.FollowedBy`` pattern (every mail turn paired with each exec
+    turn of the same conversation in the preceding 600 s) through the
+    FULL streaming engine — pairs emitted at the B turn's release, armed
+    A state carried across epoch cuts, snapshotted with the shard state,
+    evicted by the watermark — paired with a plain interval-join DuckDB
+    twin over the deduped transcript."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from osprey_ray.expr import col
+    from osprey_ray.rules import FollowedBy, RuleSpec
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        follows=[
+            FollowedBy(
+                "exec_then_mail",
+                first=col("tool") == "exec",
+                second=col("tool") == "mail",
+                window_seconds=600.0,
+            )
+        ]
+    )
+    out = tempfile.mkdtemp(prefix="osprey_pairq_")
+    try:
+        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
+        job.run()
+        job.finalize()
+        t = job.pairs_stream_table()
+        return pa.table(
+            {
+                "pattern": t["pattern"],
+                "conv_id": t["conv_id"],
+                "first_ts_us": t["first_ts"].cast(pa.int64()),
+                "second_ts_us": t["second_ts"].cast(pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_pairs_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, tool, ts,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
+  FROM read_parquet('{d}/batch/*.parquet')
+), t AS (
+  SELECT conv_id, tool, epoch_us(ts) AS tus FROM raw WHERE dup_rn = 1
+)
+SELECT 'exec_then_mail' AS pattern, a.conv_id AS conv_id,
+       CAST(a.tus AS BIGINT) AS first_ts_us,
+       CAST(b.tus AS BIGINT) AS second_ts_us
+FROM t a JOIN t b
+  ON b.conv_id = a.conv_id AND a.tool = 'exec' AND b.tool = 'mail'
+ AND b.tus > a.tus AND b.tus <= a.tus + 600000000
+"""
+
+
 def _streaming_metrics(sf_dir: str):
     """Hash-verify the engine's PER-EPOCH LINEAGE METRICS themselves — the
     north rule's "resumable from checkpoint with per-partition lineage +
@@ -1648,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_hopping_windows": _streaming_hopping_windows,  # new in r4
         "streaming_topk_windows": _streaming_topk_windows,  # new in r4 — cont. top-N
         "streaming_metrics": _streaming_metrics,  # new in r4 — lineage metrics twin
+        "streaming_pairs": _streaming_pairs,  # new in r4 — stream-stream join pairs
         "skew_join": A.q_skew_join,  # new in r4 — hybrid hot-key/shuffle join
         "merge_join": A.q_merge_join,  # new in r4 — range-partitioned sort-merge
         "zonemap_scan": A.q_zonemap_scan,  # new in r4 — partition-pruned read
@@ -2877,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hopping_windows": _streaming_hopping_windows_oracle_sql(),
         "streaming_topk_windows": _streaming_topk_windows_oracle_sql(),
         "streaming_metrics": _streaming_metrics_oracle_sql(),
+        "streaming_pairs": _streaming_pairs_oracle_sql(),
         # skew-aware hybrid join ≡ plain inner join (the hot/cold split is
         # a physical plan choice, not a semantic one)
         "skew_join": (

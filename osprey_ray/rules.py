@@ -324,6 +324,33 @@ class AbsenceAlert:
     window_seconds: float
 
 
+@dataclass
+class FollowedBy:
+    """CEP stream-stream interval join emitting PAIR rows: every turn
+    matching ``second`` joins with every EARLIER turn of the SAME
+    conversation matching ``first`` with ``second_ts in (first_ts,
+    first_ts + window_seconds]`` — one row per (A, B) pair on the pairs
+    stream.  The positive complement of :class:`AbsenceAlert` ("A then
+    B" pairs vs "A with no B"), and the windowed stream-stream join
+    emission the north-star names: like window aggregates and absence
+    alerts, a pair is a STREAM row, never a per-turn column.
+
+    Pairs are emitted at the B turn's release (deterministic: released
+    slices are (conv, turn, ts)-sorted and any pairable A has
+    ``a_ts < b_ts <= watermark``, so the A is in this slice or the
+    carried arm state).  Carried state per (pattern, conv) is the armed
+    A timestamps, evicted once ``a_ts + W <= watermark`` (no future
+    released row can pair) — bounded by window × arrival rate.
+
+    ``first`` / ``second`` are stateless Exprs over the turn's columns
+    and stage-1 features (same restriction and reason as AbsenceAlert)."""
+
+    name: str
+    first: Expr
+    second: Expr
+    window_seconds: float
+
+
 StatefulFeature = (
     IncrementWindow | TumblingCount | TumblingSum | TumblingMax
     | TumblingDistinct | SessionWindow | SequenceMatch | HasLabel
@@ -346,6 +373,7 @@ class RuleSpec:
     rules: list[Rule] = field(default_factory=list)
     triggers: list[WhenRules] = field(default_factory=list)
     absences: list[AbsenceAlert] = field(default_factory=list)
+    follows: list[FollowedBy] = field(default_factory=list)
 
     def stateful_names(self) -> list[str]:
         out: list[str] = []
@@ -399,6 +427,15 @@ class RuleSpec:
                 raise ValueError(
                     f"absence alert {a.name}: window_seconds must be > 0"
                 )
+        fb_names = set()
+        for fb in self.follows:
+            if fb.name in fb_names:
+                raise ValueError(f"duplicate followed-by pattern {fb.name}")
+            fb_names.add(fb.name)
+            if fb.window_seconds <= 0:
+                raise ValueError(
+                    f"followed-by {fb.name}: window_seconds must be > 0"
+                )
         for t in self.triggers:
             for rn in t.rules_any:
                 if rn not in rules:
@@ -421,6 +458,7 @@ class RuleSpec:
             rules=list(self.rules),
             triggers=list(self.triggers),
             absences=list(self.absences),
+            follows=list(self.follows),
         )
         for o in others:
             out.features += o.features
@@ -428,6 +466,7 @@ class RuleSpec:
             out.rules += o.rules
             out.triggers += o.triggers
             out.absences += o.absences
+            out.follows += o.follows
         out.validate()
         return out
 
@@ -456,6 +495,12 @@ class RuleSpec:
                              a.window_seconds)
                 for a in self.absences
             ],
+            # same gating rule: a gated file's pairs only form on its rows
+            follows=[
+                FollowedBy(fb.name, and_(gate, fb.first), and_(gate, fb.second),
+                           fb.window_seconds)
+                for fb in self.follows
+            ],
         )
 
     def uses_labels(self) -> bool:
@@ -480,12 +525,12 @@ class RuleSpec:
 
         # cloudpickle, not pickle: Expr trees may close over locally-defined
         # kernel classes (exactly what ships them to Ray actors today)
-        payload = cloudpickle.dumps(
-            (self.features, self.stateful, self.rules, self.triggers)
-            if not self.absences
-            # absences extend the tuple only when present so pre-absence
-            # manifests keep their recorded hashes valid for resume
-            else (self.features, self.stateful, self.rules, self.triggers,
-                  self.absences)
-        )
+        parts = [self.features, self.stateful, self.rules, self.triggers]
+        # absences/follows extend the tuple only when present so manifests
+        # recorded before each feature existed keep their hashes valid
+        if self.absences or self.follows:
+            parts.append(self.absences)
+        if self.follows:
+            parts.append(self.follows)
+        payload = cloudpickle.dumps(tuple(parts))
         return hashlib.blake2b(payload, digest_size=16).hexdigest()

@@ -155,6 +155,14 @@ class StatelessStage:
             out_cols[f"__sf_ab__{ab.name}__b"] = _bool_operand(
                 _as_array(ab.second.eval_batch(ctx), ctx.n)
             )
+        # followed-by pair predicates ride the same hidden-column contract
+        for fb in getattr(spec, "follows", ()):
+            out_cols[f"__sf_fb__{fb.name}__a"] = _bool_operand(
+                _as_array(fb.first.eval_batch(ctx), ctx.n)
+            )
+            out_cols[f"__sf_fb__{fb.name}__b"] = _bool_operand(
+                _as_array(fb.second.eval_batch(ctx), ctx.n)
+            )
 
         # rule pre-folds over stateless conjuncts
         for rp in self.rule_plans:

@@ -219,6 +219,12 @@ class StreamingJob:
                 "AbsenceAlert patterns are not supported together with "
                 "hot-conversation sub-key routing (hot_convs)"
             )
+        if getattr(spec, "follows", None) and self.hot_convs:
+            # same whole-conversation requirement as absence timers
+            raise NotImplementedError(
+                "FollowedBy patterns are not supported together with "
+                "hot-conversation sub-key routing (hot_convs)"
+            )
         self.hot_block_turns = hot_block_turns
         self.hot_states: dict = {}          # conv_id -> carry state
         self.hot_open_windows: dict = {}    # same keying as shard open_windows
@@ -477,6 +483,11 @@ class StreamingJob:
                 "cannot hot-swap AbsenceAlert patterns in while "
                 "hot-conversation sub-key routing is active (see __init__)"
             )
+        if self.hot_convs and getattr(spec, "follows", None):
+            raise ValueError(
+                "cannot hot-swap FollowedBy patterns in while "
+                "hot-conversation sub-key routing is active (see __init__)"
+            )
         self.spec = spec
         self.stage1 = compile_stateless(spec)
         self._cur_hash = spec.content_hash()
@@ -614,7 +625,9 @@ class StreamingJob:
                 window_outputs=[s.get("windows_file") for s in stats]
                 + ([hot["windows_file"]] if hot else []),
                 absence_outputs=[s.get("absence_file") for s in stats],
+                pairs_outputs=[s.get("pairs_file") for s in stats],
                 open_absences=sum(s.get("open_absences", 0) for s in stats),
+                open_pairs=sum(s.get("open_pairs", 0) for s in stats),
                 open_windows=sum(s.get("open_windows", 0) for s in stats)
                 + len(self.hot_open_windows),
                 snapshots=snap_paths,
@@ -704,6 +717,30 @@ class StreamingJob:
         return tbl.sort_by(
             [("pattern", "ascending"), ("conv_id", "ascending"),
              ("first_ts", "ascending")]
+        )
+
+    def pairs_stream_table(self) -> pa.Table:
+        """Committed pair emissions (one row per (A, B) interval-join
+        match — rules.FollowedBy), manifest order."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for e in range(self.last_committed_epoch() + 1):
+            p = self._manifest_path(e)
+            if os.path.exists(p):
+                for f in json.load(open(p)).get("pairs_outputs", []):
+                    if f:
+                        files.append(os.path.join(self.data_dir, f))
+        if not files:
+            from osprey_ray.streaming.follow import PAIR_SCHEMA
+
+            return PAIR_SCHEMA.empty_table()
+        tbl = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        )
+        return tbl.sort_by(
+            [("pattern", "ascending"), ("conv_id", "ascending"),
+             ("first_ts", "ascending"), ("second_ts", "ascending")]
         )
 
     def results_table(self) -> pa.Table:

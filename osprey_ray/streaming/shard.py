@@ -170,6 +170,8 @@ class StateShard:
         #   (pattern, conv_id) -> sorted int64 array of armed first-ts
         self.absences = list(getattr(spec, "absences", []))
         self.pending_absences: dict[tuple, np.ndarray] = {}
+        self.follows = list(getattr(spec, "follows", []))
+        self.pending_pairs: dict[tuple, np.ndarray] = {}
 
     def update_spec(self, spec: RuleSpec, salt_block_rows: int | None = None) -> bool:
         """Hot-swap the compiled ruleset at an epoch boundary (the etcd-watch
@@ -199,6 +201,11 @@ class StateShard:
         live_ab = {a.name for a in self.absences}
         self.pending_absences = {
             k: v for k, v in self.pending_absences.items() if k[0] in live_ab
+        }
+        self.follows = list(getattr(spec, "follows", []))
+        live_fb = {f.name for f in self.follows}
+        self.pending_pairs = {
+            k: v for k, v in self.pending_pairs.items() if k[0] in live_fb
         }
         return True
 
@@ -258,6 +265,7 @@ class StateShard:
         fired = 0
         out_path = None
         labels_path = None
+        pair_tbl = None
         hot_summaries: list = []
         failures: dict[str, str] = {}
         if released is not None and released.num_rows:
@@ -271,6 +279,12 @@ class StateShard:
                 from osprey_ray.streaming.absence import track_slice
 
                 track_slice(self.pending_absences, released, self.absences)
+            if self.follows:
+                from osprey_ray.streaming.follow import track_slice_pairs
+
+                pair_tbl = track_slice_pairs(
+                    self.pending_pairs, released, self.follows, watermark_us
+                )
             if self.hot_convs:
                 released, hot_summaries = self._hold_hot_blocks(released, epoch)
             whale_refs: list = []
@@ -315,6 +329,19 @@ class StateShard:
                     lambda: self._write_atomic(epoch, mt, prefix="labels"),
                     failures,
                 )
+        if self.follows and pair_tbl is None and (released is None or not released.num_rows):
+            from osprey_ray.streaming.follow import track_slice_pairs
+
+            pair_tbl = track_slice_pairs(
+                self.pending_pairs, pa.table({}), self.follows, watermark_us
+            )
+        pairs_path = None
+        if pair_tbl is not None and write:
+            pairs_path = self._guarded_write(
+                "pairs",
+                lambda: self._write_atomic(epoch, pair_tbl, prefix="pairs"),
+                failures,
+            )
         windows_path = None
         if self.tumbling or self.sessions:
             win_tbl = self._emit_closed_windows(watermark_us)
@@ -354,10 +381,14 @@ class StateShard:
             "file": out_path,
             "labels_file": labels_path,
             "windows_file": windows_path,
+            "pairs_file": pairs_path,
             "absence_file": absence_path,
             "open_windows": len(self.open_windows),
             "open_absences": int(
                 sum(len(v) for v in self.pending_absences.values())
+            ),
+            "open_pairs": int(
+                sum(len(v) for v in self.pending_pairs.values())
             ),
             "hot_summaries": hot_summaries,
         }
@@ -626,6 +657,7 @@ class StateShard:
             "watermark": self.watermark,
             "open_windows": self.open_windows,
             "pending_absences": self.pending_absences,
+            "pending_pairs": self.pending_pairs,
             "spilled": self.spilled,
             "spill_seq": self._spill_seq,
         }
@@ -662,6 +694,7 @@ class StateShard:
 
         self.states, self.open_windows = {}, {}
         self.pending_absences = {}
+        self.pending_pairs = {}
         lab_entries: list = []
         pend: list[pa.Table] = []
         wm = None
@@ -683,6 +716,11 @@ class StateShard:
             # (pattern, conv_id) and unique across old shards
             self.pending_absences.update(
                 {k: v for k, v in payload.get("pending_absences", {}).items()
+                 if mine(k[1])}
+            )
+            # armed pair state re-deals identically; keys (pattern, conv)
+            self.pending_pairs.update(
+                {k: v for k, v in payload.get("pending_pairs", {}).items()
                  if mine(k[1])}
             )
             lab_entries.extend(e for e in payload["labels"] if mine(e[0]))
@@ -754,6 +792,7 @@ class StateShard:
         self.watermark = payload["watermark"]
         self.open_windows = payload.get("open_windows", {})
         self.pending_absences = payload.get("pending_absences", {})
+        self.pending_pairs = payload.get("pending_pairs", {})
         self.spilled = payload.get("spilled", [])
         self._spill_seq = payload.get("spill_seq", 0)
         self._consumed_spills = []

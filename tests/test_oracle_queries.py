@@ -86,6 +86,7 @@ ORACLES["streaming_max_windows"] = entrymod._streaming_max_windows_oracle_sql(SF
 ORACLES["streaming_distinct_windows"] = entrymod._streaming_distinct_windows_oracle_sql(SF_DIR)
 ORACLES["streaming_hopping_windows"] = entrymod._streaming_hopping_windows_oracle_sql(SF_DIR)
 ORACLES["streaming_metrics"] = entrymod._streaming_metrics_oracle_sql(SF_DIR)
+ORACLES["streaming_pairs"] = entrymod._streaming_pairs_oracle_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

@@ -1067,3 +1067,118 @@ def test_absence_hot_convs_rejected(stream_data, tmp_path):
             _absence_spec(), segs, str(tmp_path / "x"), lmap,
             num_shards=2, hot_convs={"conv-1"},
         )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream pair emission (rules.FollowedBy)
+# ---------------------------------------------------------------------------
+
+
+def _follow_spec(window_s: float = 600.0):
+    from osprey_ray.expr import col
+    from osprey_ray.rules import FollowedBy, RuleSpec
+
+    return RuleSpec(
+        follows=[
+            FollowedBy(
+                "exec_then_mail",
+                first=col("tool") == "exec",
+                second=col("tool") == "mail",
+                window_seconds=window_s,
+            )
+        ],
+    )
+
+
+def _pairs_bruteforce(full, window_s: float = 600.0) -> list:
+    """Row-at-a-time reference: every (conv, a_ts, b_ts) with a exec turn,
+    b mail turn of the same conversation, b in (a, a+W] — multiset."""
+    from osprey_ray.stages.stateful import sort_and_dedup
+
+    t = sort_and_dedup(full, {}).to_pandas()
+    t["tus"] = t["ts"].astype("int64")
+    W = int(window_s * 1e6)
+    out = []
+    for cid, g in t.groupby("conv_id"):
+        mails = g.loc[g["tool"] == "mail", "tus"].tolist()
+        for a in g.loc[g["tool"] == "exec", "tus"]:
+            a = int(a)
+            for b in mails:
+                b = int(b)
+                if a < b <= a + W:
+                    out.append((cid, a, b))
+    return sorted(out)
+
+
+def test_pairs_stream_matches_bruteforce(stream_data, tmp_path):
+    """Multi-epoch streaming pair emissions == row-at-a-time interval
+    join (multiset, including duplicate-ts multiplicities)."""
+    import pyarrow as pa
+
+    segs, lmap, full = stream_data
+    job = StreamingJob(
+        _follow_spec(), segs, str(tmp_path / "fb"), lmap,
+        num_shards=4, files_per_epoch=3,
+    )
+    job.run()
+    job.finalize()
+    got = job.pairs_stream_table()
+    got_list = sorted(
+        zip(
+            got["conv_id"].to_pylist(),
+            got["first_ts"].cast(pa.int64()).to_pylist(),
+            got["second_ts"].cast(pa.int64()).to_pylist(),
+        )
+    )
+    assert got_list == _pairs_bruteforce(full)
+    assert set(got["pattern"].to_pylist()) <= {"exec_then_mail"}
+
+
+def test_pairs_kill_resume_bit_identical(stream_data, tmp_path):
+    """Armed pair state snapshots with the shard state: kill after epoch 2,
+    resume, and the committed pairs stream is bit-identical to the
+    uninterrupted run."""
+    segs, lmap, full = stream_data
+    spec = _follow_spec()
+    ref_job = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=2
+    )
+    ref_job.run()
+    ref_job.finalize()
+    ref = ref_job.pairs_stream_table()
+
+    out = str(tmp_path / "crash")
+    j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j1.run(stop_after_epoch=2)
+    del j1
+
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j2.run(resume=True)
+    j2.finalize()
+    got = j2.pairs_stream_table()
+    assert got.equals(ref)
+
+
+def test_pairs_rescale_on_resume(stream_data, tmp_path):
+    """Resuming a killed FollowedBy run under a DIFFERENT shard count
+    re-deals the armed pair state and still reproduces the reference
+    pairs stream exactly."""
+    segs, lmap, full = stream_data
+    spec = _follow_spec()
+    ref_job = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=2
+    )
+    ref_job.run()
+    ref_job.finalize()
+    ref = ref_job.pairs_stream_table()
+
+    out = str(tmp_path / "crash")
+    j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j1.run(stop_after_epoch=2)
+    del j1
+
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=8, files_per_epoch=2)
+    j2.run(resume=True)
+    j2.finalize()
+    got = j2.pairs_stream_table()
+    assert got.equals(ref)

@@ -53,8 +53,10 @@ from dataclasses import dataclass, field
 from osprey_ray.expr import BinOp, BoolOp, Cmp, Expr, Fmt, IsNull, Neg, Not, col, fn, lit
 from osprey_ray.kernels import list_kernels
 from osprey_ray.rules import (
+    AbsenceAlert,
     DeclareVerdict,
     Feature,
+    FollowedBy,
     HasLabel,
     IncrementWindow,
     KvCache,
@@ -134,6 +136,11 @@ _STATEFUL_TYPES = {
 
 _EFFECTS = {"DeclareVerdict", "LabelAdd", "LabelRemove"}
 
+# stream-emission patterns: declared like stateful features but they route
+# to RuleSpec.absences / RuleSpec.follows (they emit STREAM rows, never a
+# per-turn column, so the bound name is the pattern name, not a feature)
+_STREAMS = {"AbsenceAlert": AbsenceAlert, "FollowedBy": FollowedBy}
+
 
 @dataclass(frozen=True)
 class SmlError:
@@ -165,6 +172,8 @@ class _Ctx:
     rules: list[Rule] = field(default_factory=list)
     triggers: list[WhenRules] = field(default_factory=list)
     rule_names: set[str] = field(default_factory=set)
+    absences: list = field(default_factory=list)
+    follows: list = field(default_factory=list)
 
     def err(self, node: ast.AST, kind: str, message: str) -> None:
         self.errors.append(
@@ -484,6 +493,37 @@ def _compile_stateful(ctx: _Ctx, name: str, node: ast.Call):
         ctx.types[name] = _STATEFUL_TYPES[cls_name]
 
 
+def _compile_stream(ctx: _Ctx, name: str, node: ast.Call):
+    """AbsenceAlert / FollowedBy declarations: first/second are compiled
+    bool Exprs, window_seconds a positive constant; the bound name becomes
+    the pattern name on the emission stream (not a column — reading it in
+    a later expression is an unknown-name error, which is the point)."""
+    cls_name = node.func.id  # type: ignore[union-attr]
+    cls = _STREAMS[cls_name]
+    kwargs = _kwargs_only(ctx, node, cls_name)
+    if kwargs is None:
+        return
+    built = {}
+    for k, v in kwargs.items():
+        if k in ("first", "second"):
+            e, t = _compile_expr(ctx, v)
+            if t not in ("bool", "Any"):
+                ctx.err(v, "type-error",
+                        f"{cls_name}.{k} has type {t}, expected bool")
+            built[k] = e
+        elif isinstance(v, ast.Constant):
+            built[k] = v.value
+        else:
+            ctx.err(v, "invalid-literal", f"{cls_name}.{k} must be a constant")
+            return
+    try:
+        pat = cls(name, **built)
+    except TypeError as e:
+        ctx.err(node, "invalid-stream-pattern", f"{cls_name}: {e}")
+        return
+    (ctx.absences if cls is AbsenceAlert else ctx.follows).append(pat)
+
+
 def _handle_statement(ctx: _Ctx, st: ast.stmt, root: str, seen_files: set[str]) -> None:
     # Import(...) / Require(...) / WhenRules(...) as expression statements
     if isinstance(st, ast.Expr) and isinstance(st.value, ast.Call) and isinstance(st.value.func, ast.Name):
@@ -513,13 +553,16 @@ def _handle_statement(ctx: _Ctx, st: ast.stmt, root: str, seen_files: set[str]) 
             sub_ctx.rule_names = set(ctx.rule_names)
             _load_into(sub_ctx, os.path.join(root, kwargs["rule"].value), root, seen_files)
             ctx.errors.extend(sub_ctx.errors)
-            sub = RuleSpec(sub_ctx.features, sub_ctx.stateful, sub_ctx.rules, sub_ctx.triggers)
+            sub = RuleSpec(sub_ctx.features, sub_ctx.stateful, sub_ctx.rules, sub_ctx.triggers,
+                           absences=sub_ctx.absences, follows=sub_ctx.follows)
             if gate is not None:
                 sub = sub.gated(gate)
             ctx.features += sub.features
             ctx.stateful += sub.stateful
             ctx.rules += sub.rules
             ctx.triggers += sub.triggers
+            ctx.absences += sub.absences
+            ctx.follows += sub.follows
             ctx.rule_names |= {r.name for r in sub.rules}
             ctx.types.update(sub_ctx.types)
             return
@@ -597,6 +640,11 @@ def _handle_statement(ctx: _Ctx, st: ast.stmt, root: str, seen_files: set[str]) 
         # stateful declaration
         if isinstance(value, ast.Call) and isinstance(value.func, ast.Name) and value.func.id in _STATEFUL:
             _compile_stateful(ctx, name, value)
+            return
+
+        # stream-emission pattern declaration (absence timers / pair joins)
+        if isinstance(value, ast.Call) and isinstance(value.func, ast.Name) and value.func.id in _STREAMS:
+            _compile_stream(ctx, name, value)
             return
 
         # plain feature — dynamic-return UDF calls must carry an annotation
@@ -685,7 +733,8 @@ def parse_sml(
     _parse_into(ctx, text, root, set())
     if ctx.errors:
         raise SmlValidationError(ctx.errors)
-    spec = RuleSpec(ctx.features, ctx.stateful, ctx.rules, ctx.triggers)
+    spec = RuleSpec(ctx.features, ctx.stateful, ctx.rules, ctx.triggers,
+                    absences=ctx.absences, follows=ctx.follows)
     try:
         spec.validate()
     except ValueError as e:
@@ -701,7 +750,8 @@ def load_sml(path: str, input_columns: dict[str, str] | None = None) -> RuleSpec
     _load_into(ctx, path, root, set())
     if ctx.errors:
         raise SmlValidationError(ctx.errors)
-    spec = RuleSpec(ctx.features, ctx.stateful, ctx.rules, ctx.triggers)
+    spec = RuleSpec(ctx.features, ctx.stateful, ctx.rules, ctx.triggers,
+                    absences=ctx.absences, follows=ctx.follows)
     try:
         spec.validate()
     except ValueError as e:

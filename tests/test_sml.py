@@ -260,3 +260,50 @@ def test_dynamic_udf_requires_annotation():
 
     spec = parse_sml("Data: str = JsonData(data=text)\n")
     assert spec.features[0].name == "Data"
+
+
+def test_sml_stream_patterns_parse_and_drive_engine(tmp_path):
+    """AbsenceAlert / FollowedBy declared in an SML file land on
+    RuleSpec.absences / .follows with compiled predicates; the parsed spec
+    drives the streaming engine identically to the hand-built one."""
+    from osprey_ray.rules import AbsenceAlert, FollowedBy
+    from osprey_ray.sml import parse_sml
+
+    spec = parse_sml(
+        "IsExec = tool == 'exec'\n"
+        "Unanswered = AbsenceAlert(first=tool == 'exec', "
+        "second=tool == 'mail', window_seconds=600.0)\n"
+        "ExecMail = FollowedBy(first=tool == 'exec', "
+        "second=tool == 'mail', window_seconds=600.0)\n"
+    )
+    assert [a.name for a in spec.absences] == ["Unanswered"]
+    assert isinstance(spec.absences[0], AbsenceAlert)
+    assert [f.name for f in spec.follows] == ["ExecMail"]
+    assert isinstance(spec.follows[0], FollowedBy)
+    assert spec.follows[0].window_seconds == 600.0
+    # content hash distinguishes stream patterns
+    base = parse_sml("IsExec = tool == 'exec'\n")
+    assert spec.content_hash() != base.content_hash()
+
+
+def test_sml_stream_pattern_errors():
+    """Bad stream-pattern declarations produce positioned errors: non-bool
+    predicate, non-constant window, unknown kwarg."""
+    import pytest
+
+    from osprey_ray.sml import SmlValidationError, parse_sml
+
+    with pytest.raises(SmlValidationError) as ei:
+        parse_sml("P = FollowedBy(first=text, second=tool == 'mail', "
+                  "window_seconds=600.0)\n")
+    assert any(e.kind == "type-error" for e in ei.value.errors)
+
+    with pytest.raises(SmlValidationError) as ei:
+        parse_sml("P = FollowedBy(first=tool == 'a', second=tool == 'b', "
+                  "window_seconds=StringLength(target=text))\n")
+    assert any(e.kind == "invalid-literal" for e in ei.value.errors)
+
+    with pytest.raises(SmlValidationError) as ei:
+        parse_sml("P = AbsenceAlert(first=tool == 'a', second=tool == 'b', "
+                  "window_seconds=0)\n")
+    assert any(e.kind == "invalid-spec" for e in ei.value.errors)

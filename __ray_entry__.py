@@ -787,6 +787,70 @@ FROM t a JOIN t b
 """
 
 
+def _streaming_late(sf_dir: str):
+    """The engine's LATE-DATA SIDE OUTPUT, hash-verified: rows the
+    watermark had already passed at arrival are not silently dropped —
+    with ``late_output=True`` they ride their own exactly-once stream
+    (the Beam late-side-output pattern) for offline reconciliation or
+    backfill.  Same tight 300 s lateness as ``streaming_metrics`` so the
+    path fires; the twin selects exactly the rows with
+    ``ts <= previous epoch's watermark`` at their arrival epoch."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import Feature, RuleSpec
+    from osprey_ray.streaming import StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    spec = RuleSpec(
+        features=[Feature("TxtLen", fn("StringLength", target=col("text")))]
+    )
+    out = tempfile.mkdtemp(prefix="osprey_lateq_")
+    try:
+        job = StreamingJob(
+            spec, segs, out, {}, num_shards=8, files_per_epoch=4,
+            allowed_lateness_s=300, late_output=True,
+        )
+        job.run()
+        job.finalize()
+        t = job.late_stream_table()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"].cast(pa.int64()),
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_late_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    d = _transcript_dataset(sf_dir)
+    return f"""
+WITH r AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS tus,
+         CAST((DENSE_RANK() OVER (ORDER BY filename) - 1) // 4 AS BIGINT) AS aep
+  FROM read_parquet('{d}/stream/seg-*.parquet', filename=true)
+), epmax AS (
+  SELECT aep, MAX(tus) AS mx FROM r GROUP BY aep
+), wm AS (
+  SELECT aep AS ep,
+         MAX(mx) OVER (ORDER BY aep ROWS UNBOUNDED PRECEDING) - 300000000 AS w
+  FROM epmax
+)
+SELECT r.conv_id, CAST(r.turn_idx AS BIGINT) AS turn_idx,
+       CAST(r.tus AS BIGINT) AS ts_us
+FROM r JOIN wm pw ON pw.ep = r.aep - 1
+WHERE r.tus <= pw.w
+"""
+
+
 def _streaming_metrics(sf_dir: str):
     """Hash-verify the engine's PER-EPOCH LINEAGE METRICS themselves — the
     north rule's "resumable from checkpoint with per-partition lineage +
@@ -1716,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_topk_windows": _streaming_topk_windows,  # new in r4 — cont. top-N
         "streaming_metrics": _streaming_metrics,  # new in r4 — lineage metrics twin
         "streaming_pairs": _streaming_pairs,  # new in r4 — stream-stream join pairs
+        "streaming_late": _streaming_late,  # new in r4 — late-data side output
         "skew_join": A.q_skew_join,  # new in r4 — hybrid hot-key/shuffle join
         "merge_join": A.q_merge_join,  # new in r4 — range-partitioned sort-merge
         "zonemap_scan": A.q_zonemap_scan,  # new in r4 — partition-pruned read
@@ -2946,6 +3011,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_topk_windows": _streaming_topk_windows_oracle_sql(),
         "streaming_metrics": _streaming_metrics_oracle_sql(),
         "streaming_pairs": _streaming_pairs_oracle_sql(),
+        "streaming_late": _streaming_late_oracle_sql(),
         # skew-aware hybrid join ≡ plain inner join (the hot/cold split is
         # a physical plan choice, not a semantic one)
         "skew_join": (

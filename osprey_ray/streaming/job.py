@@ -175,8 +175,10 @@ class StreamingJob:
         stream_write_timeout_s: float = 30.0,
         stream_write_retries: int = 1,
         fault_injection: dict[str, list[float]] | None = None,
+        late_output: bool = False,
     ):
         self.spec = spec
+        self.late_output = late_output
         self.segment_files = list(segment_files)
         self.out_dir = out_dir
         self.manifest_dir = os.path.join(out_dir, "manifest")
@@ -323,6 +325,7 @@ class StreamingJob:
                 stream_write_timeout_s=self.stream_write_timeout_s,
                 stream_write_retries=self.stream_write_retries,
                 fault_injection=self.fault_injection,
+                late_output=self.late_output,
             )
             for p in range(self.P)
         ]
@@ -626,6 +629,7 @@ class StreamingJob:
                 + ([hot["windows_file"]] if hot else []),
                 absence_outputs=[s.get("absence_file") for s in stats],
                 pairs_outputs=[s.get("pairs_file") for s in stats],
+                late_outputs=[s.get("late_file") for s in stats],
                 open_absences=sum(s.get("open_absences", 0) for s in stats),
                 open_pairs=sum(s.get("open_pairs", 0) for s in stats),
                 open_windows=sum(s.get("open_windows", 0) for s in stats)
@@ -741,6 +745,33 @@ class StreamingJob:
         return tbl.sort_by(
             [("pattern", "ascending"), ("conv_id", "ascending"),
              ("first_ts", "ascending"), ("second_ts", "ascending")]
+        )
+
+    def late_stream_table(self) -> pa.Table:
+        """Committed late-data side output (rows dropped at arrival because
+        the watermark had passed them — the Beam late-side-output pattern),
+        manifest order.  Empty unless the job was built with
+        ``late_output=True``."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for e in range(self.last_committed_epoch() + 1):
+            p = self._manifest_path(e)
+            if os.path.exists(p):
+                for f in json.load(open(p)).get("late_outputs", []):
+                    if f:
+                        files.append(os.path.join(self.data_dir, f))
+        if not files:
+            return pa.schema(
+                [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                 ("ts", pa.timestamp("us"))]
+            ).empty_table()
+        tbl = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        )
+        return tbl.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"),
+             ("ts", "ascending")]
         )
 
     def results_table(self) -> pa.Table:

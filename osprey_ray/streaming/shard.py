@@ -114,6 +114,7 @@ class StateShard:
         stream_write_timeout_s: float = 30.0,
         stream_write_retries: int = 1,
         fault_injection: dict[str, list[float]] | None = None,
+        late_output: bool = False,
     ):
         from osprey_ray.rules import SessionWindow, TumblingCount, TumblingDistinct, TumblingMax, TumblingSum
 
@@ -172,6 +173,7 @@ class StateShard:
         self.pending_absences: dict[tuple, np.ndarray] = {}
         self.follows = list(getattr(spec, "follows", []))
         self.pending_pairs: dict[tuple, np.ndarray] = {}
+        self.late_output = late_output
 
     def update_spec(self, spec: RuleSpec, salt_block_rows: int | None = None) -> bool:
         """Hot-swap the compiled ruleset at an epoch boundary (the etcd-watch
@@ -227,11 +229,28 @@ class StateShard:
             tables = [next(fetched) if isinstance(t, ray.ObjectRef) else t for t in tables]
         incoming = [t for t in tables if t is not None and t.num_rows]
         late_dropped = 0
+        late_parts: list[pa.Table] = []
         for t in incoming:
             ts = t["ts"].cast(pa.int64())
             mask = pc.greater(ts, self.watermark)
             kept = t.filter(mask)
-            late_dropped += t.num_rows - kept.num_rows
+            n_late = t.num_rows - kept.num_rows
+            late_dropped += n_late
+            if n_late and self.late_output:
+                # late-data SIDE OUTPUT (the Beam pattern): rows the
+                # watermark has passed are never evaluated, but instead of
+                # vanishing behind a counter they ride their own
+                # exactly-once stream for offline reconciliation/backfill
+                lt = t.filter(pc.invert(mask)).select(
+                    ["conv_id", "turn_idx", "ts"]
+                )
+                # routed conv_id arrives dictionary-encoded; decode for a
+                # sortable, schema-stable side-output file
+                late_parts.append(
+                    lt.set_column(
+                        0, "conv_id", pc.cast(lt["conv_id"], pa.string())
+                    )
+                )
             if kept.num_rows:
                 self.pending.append(kept)
 
@@ -335,6 +354,17 @@ class StateShard:
             pair_tbl = track_slice_pairs(
                 self.pending_pairs, pa.table({}), self.follows, watermark_us
             )
+        late_path = None
+        if late_parts and write:
+            late_tbl = pa.concat_tables(late_parts).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending"),
+                 ("ts", "ascending")]
+            )
+            late_path = self._guarded_write(
+                "late",
+                lambda: self._write_atomic(epoch, late_tbl, prefix="late"),
+                failures,
+            )
         pairs_path = None
         if pair_tbl is not None and write:
             pairs_path = self._guarded_write(
@@ -382,6 +412,7 @@ class StateShard:
             "labels_file": labels_path,
             "windows_file": windows_path,
             "pairs_file": pairs_path,
+            "late_file": late_path,
             "absence_file": absence_path,
             "open_windows": len(self.open_windows),
             "open_absences": int(

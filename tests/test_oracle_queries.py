@@ -87,6 +87,7 @@ ORACLES["streaming_distinct_windows"] = entrymod._streaming_distinct_windows_ora
 ORACLES["streaming_hopping_windows"] = entrymod._streaming_hopping_windows_oracle_sql(SF_DIR)
 ORACLES["streaming_metrics"] = entrymod._streaming_metrics_oracle_sql(SF_DIR)
 ORACLES["streaming_pairs"] = entrymod._streaming_pairs_oracle_sql(SF_DIR)
+ORACLES["streaming_late"] = entrymod._streaming_late_oracle_sql(SF_DIR)
 
 
 def test_oracle_keys_subset_of_queries():

@@ -1182,3 +1182,31 @@ def test_pairs_rescale_on_resume(stream_data, tmp_path):
     j2.finalize()
     got = j2.pairs_stream_table()
     assert got.equals(ref)
+
+
+def test_late_side_output_off_by_default(stream_data, tmp_path):
+    """Without late_output=True no late files are written and the stream
+    accessor returns an empty, correctly-typed table; the late_dropped
+    metric is unchanged either way."""
+    import glob as _glob
+
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "x"), lmap, num_shards=4,
+        files_per_epoch=2, allowed_lateness_s=60,
+    )
+    m_off = job.run()
+    job.finalize()
+    assert job.late_stream_table().num_rows == 0
+    assert not _glob.glob(str(tmp_path / "x" / "data" / "late-*.parquet"))
+
+    job2 = StreamingJob(
+        spec, segs, str(tmp_path / "y"), lmap, num_shards=4,
+        files_per_epoch=2, allowed_lateness_s=60, late_output=True,
+    )
+    m_on = job2.run()
+    job2.finalize()
+    n_dropped = sum(m["late_dropped"] for m in m_on)
+    assert job2.late_stream_table().num_rows == n_dropped
+    assert [m["late_dropped"] for m in m_on] == [m["late_dropped"] for m in m_off]

@@ -31,6 +31,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-interval", type=int, default=1)
     ap.add_argument("--rows-per-epoch", type=int, default=None,
                     help="plan epochs at Parquet row-group boundaries (~N rows each) instead of whole files")
+    ap.add_argument("--rules", default=None,
+                    help="root SML rules file (Imports/Requires resolved "
+                         "relative to it); defaults to the built-in "
+                         "flagship ruleset")
+    ap.add_argument("--late-output", action="store_true",
+                    help="write dropped-late rows to a late-* side-output "
+                         "stream instead of only counting them")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="only for standalone runs")
     args = ap.parse_args(argv)
@@ -55,8 +62,14 @@ def main(argv: list[str] | None = None) -> int:
         print(f"no parquet segments in {args.input}", file=sys.stderr)
         return 2
     lmap = label_events_map(pq.read_table(args.label_events)) if args.label_events else {}
+    if args.rules:
+        from osprey_ray.sml import load_sml
+
+        spec = load_sml(args.rules)
+    else:
+        spec = flagship_spec()
     job = StreamingJob(
-        flagship_spec(),
+        spec,
         segs,
         args.out,
         lmap,
@@ -65,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         allowed_lateness_s=args.lateness,
         checkpoint_interval=args.checkpoint_interval,
         rows_per_epoch=args.rows_per_epoch,
+        late_output=args.late_output,
     )
     import time
 

@@ -133,3 +133,34 @@ def test_read_transcripts_jsonl_matches_parquet(ray_session, tmp_path):
         a.sort_values(srt).reset_index(drop=True),
         b.sort_values(srt).reset_index(drop=True),
     )
+
+
+def test_job_submit_runner_with_sml_stream_patterns(ray_session, tmp_path):
+    """The ray-job-submit runner (streaming.run) accepts a root SML file —
+    including stream-emission patterns — plus --late-output, and commits
+    pairs/absence/late streams through the normal manifests."""
+    import glob
+    import json
+
+    from osprey_ray.datagen import ensure_dataset
+    from osprey_ray.streaming.run import main
+
+    d = ensure_dataset(2_000, seed=11, root=str(tmp_path / "data"))
+    rc = main(
+        [
+            "--input", d + "/stream",
+            "--out", str(tmp_path / "out"),
+            "--rules", "examples/rules/streams.sml",
+            "--shards", "4",
+            "--files-per-epoch", "2",
+            "--lateness", "60",
+            "--late-output",
+        ]
+    )
+    assert rc == 0
+    manifests = sorted(glob.glob(str(tmp_path / "out" / "manifest" / "*.json")))
+    assert manifests
+    last = json.load(open(manifests[-1]))
+    assert "pairs_outputs" in last and "late_outputs" in last
+    # the dataset's exec->mail cadence produces at least one pair file
+    assert glob.glob(str(tmp_path / "out" / "data" / "pairs-*.parquet"))

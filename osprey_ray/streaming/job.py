@@ -667,6 +667,79 @@ class StreamingJob:
                     return e
         return -1
 
+    # -- ops utilities ------------------------------------------------------
+
+    def gc_checkpoints(self) -> int:
+        """Delete state snapshots a resume can no longer reach: only the
+        snapshot set named by the LAST committed manifest's
+        ``last_snapshot_epoch`` (plus its hot-state pickle) is a live
+        recovery point — every earlier ``state-e*-p*.pkl`` / ``hot-e*.pkl``
+        is unreachable garbage.  At 10^12-turn scale snapshots are the
+        dominant retained bytes (O(epochs × shards) files of carried conv
+        state), so long-running jobs call this after commits.  Manifests
+        are NEVER deleted — they are the output lineage.  Returns the
+        number of files removed."""
+        last = self.last_committed_epoch()
+        if last < 0:
+            return 0
+        m = json.load(open(self._manifest_path(last)))
+        live = m.get("last_snapshot_epoch", -1)
+        removed = 0
+        import re
+
+        for name in os.listdir(self.ckpt_dir):
+            mt = re.match(r"(?:state|hot)-e(\d{5})", name)
+            if mt and int(mt.group(1)) != live:
+                try:
+                    os.remove(os.path.join(self.ckpt_dir, name))
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
+
+    def fsck(self) -> dict:
+        """Validate the committed lineage chain: every manifest from epoch
+        0 to the last committed must exist (no gaps), reference only
+        output/snapshot/spill files that are present on disk, and carry a
+        ruleset hash.  Returns ``{"ok": bool, "last_epoch": int,
+        "problems": [...]}`` — the pre-resume integrity check an operator
+        runs after moving/restoring a checkpoint directory."""
+        problems: list[str] = []
+        last = self.last_committed_epoch()
+        for e in range(last + 1):
+            p = self._manifest_path(e)
+            if not os.path.exists(p):
+                problems.append(f"manifest gap at epoch {e}")
+                continue
+            m = json.load(open(p))
+            if not m.get("ruleset_hash"):
+                problems.append(f"epoch {e}: missing ruleset_hash")
+            for key in ("outputs", "label_outputs", "window_outputs",
+                        "pairs_outputs", "late_outputs", "absence_outputs"):
+                for f in m.get(key) or []:
+                    if f and not os.path.exists(os.path.join(self.data_dir, f)):
+                        problems.append(f"epoch {e}: missing {key} file {f}")
+            # historical manifests may reference snapshots gc_checkpoints
+            # already removed — only the LIVE recovery point (checked
+            # below) must be restorable
+        # the last manifest's recovery point must be fully restorable
+        if last >= 0:
+            m = json.load(open(self._manifest_path(last)))
+            snap_e = m.get("last_snapshot_epoch", -1)
+            if snap_e >= 0 and os.path.exists(self._manifest_path(snap_e)):
+                sm = json.load(open(self._manifest_path(snap_e)))
+                for s in sm.get("snapshots") or []:
+                    if not os.path.exists(s):
+                        problems.append(
+                            f"recovery point e{snap_e}: missing snapshot {s}"
+                        )
+                hs = sm.get("hot_state")
+                if hs and not os.path.exists(hs):
+                    problems.append(
+                        f"recovery point e{snap_e}: missing hot_state {hs}"
+                    )
+        return {"ok": not problems, "last_epoch": last, "problems": problems}
+
     # -- results -----------------------------------------------------------
 
     def output_files(self) -> list[str]:

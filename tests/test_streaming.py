@@ -1210,3 +1210,47 @@ def test_late_side_output_off_by_default(stream_data, tmp_path):
     n_dropped = sum(m["late_dropped"] for m in m_on)
     assert job2.late_stream_table().num_rows == n_dropped
     assert [m["late_dropped"] for m in m_on] == [m["late_dropped"] for m in m_off]
+
+
+def test_gc_checkpoints_and_fsck(stream_data, tmp_path):
+    """gc_checkpoints removes every snapshot except the live recovery
+    point, fsck stays clean, and resume after GC is still bit-identical;
+    deleting a referenced file makes fsck report it."""
+    import glob as _glob
+    import os as _os
+
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    ref_job = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=2
+    )
+    ref_job.run()
+    ref_job.finalize()
+    ref = _df(ref_job.results_table())
+
+    out = str(tmp_path / "gc")
+    j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j1.run(stop_after_epoch=3)
+    n_before = len(_glob.glob(str(tmp_path / "gc" / "checkpoint" / "*.pkl")))
+    removed = j1.gc_checkpoints()
+    assert removed > 0
+    kept = _glob.glob(str(tmp_path / "gc" / "checkpoint" / "state-*.pkl"))
+    assert len(kept) == 4  # one live snapshot set (4 shards)
+    assert n_before == removed + len(kept)
+    chk = j1.fsck()
+    assert chk["ok"], chk["problems"]
+    del j1
+
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    assert j2.fsck()["ok"]
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+    assert len(got) == len(ref)
+    for k in ref.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in ref[k]]
+    # corrupt: remove one committed output file -> fsck flags it
+    victim = _glob.glob(str(tmp_path / "gc" / "data" / "part-*.parquet"))[0]
+    _os.remove(victim)
+    bad = j2.fsck()
+    assert not bad["ok"] and any("missing outputs file" in p for p in bad["problems"])

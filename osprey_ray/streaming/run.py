@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="write dropped-late rows to a late-* side-output "
                          "stream instead of only counting them")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--fsck", action="store_true",
+                    help="validate the committed lineage chain in --out "
+                         "and exit (no processing)")
+    ap.add_argument("--gc-checkpoints", action="store_true",
+                    help="after the run, delete snapshots superseded by "
+                         "the final recovery point")
     ap.add_argument("--num-cpus", type=int, default=None, help="only for standalone runs")
     args = ap.parse_args(argv)
 
@@ -61,6 +67,15 @@ def main(argv: list[str] | None = None) -> int:
     if not segs:
         print(f"no parquet segments in {args.input}", file=sys.stderr)
         return 2
+    if args.fsck:
+        from osprey_ray.streaming import StreamingJob as _SJ
+
+        from osprey_ray.pipelines.flagship import flagship_spec as _fs
+
+        job = _SJ(_fs(), segs, args.out, {}, num_shards=args.shards)
+        rep = job.fsck()
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 3
     lmap = label_events_map(pq.read_table(args.label_events)) if args.label_events else {}
     if args.rules:
         from osprey_ray.sml import load_sml
@@ -85,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     job.run(resume=args.resume)
     job.finalize()
+    if args.gc_checkpoints:
+        print(json.dumps({"gc_removed": job.gc_checkpoints()}))
     wall = time.perf_counter() - t0  # epochs overlap; per-epoch walls don't sum
     metrics = job.metrics  # run() + finalize() share this list
     for m in metrics:

@@ -164,3 +164,26 @@ def test_job_submit_runner_with_sml_stream_patterns(ray_session, tmp_path):
     assert "pairs_outputs" in last and "late_outputs" in last
     # the dataset's exec->mail cadence produces at least one pair file
     assert glob.glob(str(tmp_path / "out" / "data" / "pairs-*.parquet"))
+
+
+def test_job_submit_fsck_and_gc_flags(ray_session, tmp_path):
+    """--gc-checkpoints prunes superseded snapshots after the run and
+    --fsck validates (exit 0 clean, 3 after corruption)."""
+    import glob
+
+    from osprey_ray.datagen import ensure_dataset
+    from osprey_ray.streaming.run import main
+
+    d = ensure_dataset(2_000, seed=11, root=str(tmp_path / "data"))
+    args = [
+        "--input", d + "/stream", "--out", str(tmp_path / "out"),
+        "--shards", "4", "--files-per-epoch", "2",
+    ]
+    assert main(args + ["--gc-checkpoints"]) == 0
+    snaps = glob.glob(str(tmp_path / "out" / "checkpoint" / "state-*.pkl"))
+    assert len(snaps) == 4  # only the live recovery point remains
+    assert main(args + ["--fsck"]) == 0
+    import os as _os
+
+    _os.remove(glob.glob(str(tmp_path / "out" / "data" / "part-*.parquet"))[0])
+    assert main(args + ["--fsck"]) == 3

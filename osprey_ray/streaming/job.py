@@ -154,6 +154,56 @@ def _atomic_write_json(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def _validate_state_ttl(spec, ttl_us: int, lateness_us: int) -> None:
+    """Idle-conversation eviction is only semantically invisible when the
+    spec's cross-turn reach is TIME-bounded and the TTL covers both the
+    allowed lateness and every feature's span.  Reject anything else
+    loudly: SequenceMatch reaches back by TURN COUNT (a conversation can
+    resume after a year and still need its old matches), labels and
+    TTL-less KvCache persist indefinitely."""
+    from osprey_ray.rules import (
+        IncrementWindow, KvCache, SequenceMatch, SessionWindow,
+        TumblingCount, TumblingDistinct, TumblingMax, TumblingSum,
+        WindowCount,
+    )
+
+    if spec.uses_labels():
+        raise ValueError(
+            "state_ttl_s: label state persists indefinitely; eviction would "
+            "change HasLabel answers — not supported with label rulesets"
+        )
+    spans: list[float] = []
+    for s in spec.stateful:
+        if isinstance(s, SequenceMatch):
+            raise ValueError(
+                f"state_ttl_s: SequenceMatch {s.name!r} reaches back by turn "
+                "count, not time — eviction would drop live match state"
+            )
+        if isinstance(s, SessionWindow):
+            raise ValueError(
+                f"state_ttl_s: SessionWindow {s.name!r} numbers sessions "
+                "with a lifetime per-conversation counter; eviction would "
+                "reset __id for conversations resuming after the TTL"
+            )
+        if isinstance(s, KvCache):
+            if s.ttl_seconds is None:
+                raise ValueError(
+                    f"state_ttl_s: KvCache {s.name!r} has no ttl_seconds; "
+                    "its entries persist indefinitely"
+                )
+            spans.append(s.ttl_seconds)
+        elif isinstance(s, (IncrementWindow, WindowCount)):
+            spans.append(s.window_seconds)
+        elif isinstance(s, (TumblingCount, TumblingSum, TumblingMax, TumblingDistinct)):
+            spans.append(s.bucket_seconds)
+    need_us = max([lateness_us] + [int(sp * 1e6) for sp in spans])
+    if ttl_us < need_us:
+        raise ValueError(
+            f"state_ttl_s too small: must be >= max(allowed lateness, every "
+            f"feature span) = {need_us / 1e6:.0f}s, got {ttl_us / 1e6:.0f}s"
+        )
+
+
 class StreamingJob:
     def __init__(
         self,
@@ -176,9 +226,15 @@ class StreamingJob:
         stream_write_retries: int = 1,
         fault_injection: dict[str, list[float]] | None = None,
         late_output: bool = False,
+        state_ttl_s: float | None = None,
     ):
         self.spec = spec
         self.late_output = late_output
+        self.state_ttl_us = (
+            int(state_ttl_s * 1e6) if state_ttl_s is not None else None
+        )
+        if self.state_ttl_us is not None:
+            _validate_state_ttl(spec, self.state_ttl_us, int(allowed_lateness_s * 1e6))
         self.segment_files = list(segment_files)
         self.out_dir = out_dir
         self.manifest_dir = os.path.join(out_dir, "manifest")
@@ -326,6 +382,7 @@ class StreamingJob:
                 stream_write_retries=self.stream_write_retries,
                 fault_injection=self.fault_injection,
                 late_output=self.late_output,
+                state_ttl_us=self.state_ttl_us,
             )
             for p in range(self.P)
         ]
@@ -491,6 +548,8 @@ class StreamingJob:
                 "cannot hot-swap FollowedBy patterns in while "
                 "hot-conversation sub-key routing is active (see __init__)"
             )
+        if self.state_ttl_us is not None:
+            _validate_state_ttl(spec, self.state_ttl_us, self.lateness_us)
         self.spec = spec
         self.stage1 = compile_stateless(spec)
         self._cur_hash = spec.content_hash()

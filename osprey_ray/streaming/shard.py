@@ -39,6 +39,8 @@ import ray
 from osprey_ray.rules import RuleSpec
 from osprey_ray.stages.stateful import _conv_codes, eval_released, sort_and_dedup
 
+I64_MIN = np.iinfo(np.int64).min
+
 
 @ray.remote
 def _eval_block(tbl: pa.Table, spec, rule_plans, conv: str, state: dict) -> pa.Table:
@@ -115,6 +117,7 @@ class StateShard:
         stream_write_retries: int = 1,
         fault_injection: dict[str, list[float]] | None = None,
         late_output: bool = False,
+        state_ttl_us: int | None = None,
     ):
         from osprey_ray.rules import SessionWindow, TumblingCount, TumblingDistinct, TumblingMax, TumblingSum
 
@@ -174,6 +177,10 @@ class StateShard:
         self.follows = list(getattr(spec, "follows", []))
         self.pending_pairs: dict[tuple, np.ndarray] = {}
         self.late_output = late_output
+        # idle-conversation state eviction horizon (validated job-side:
+        # only time-bounded specs, ttl >= lateness and >= every feature
+        # span, so eviction is semantically invisible)
+        self.state_ttl_us = state_ttl_us
 
     def update_spec(self, spec: RuleSpec, salt_block_rows: int | None = None) -> bool:
         """Hot-swap the compiled ruleset at an epoch boundary (the etcd-watch
@@ -316,6 +323,8 @@ class StateShard:
                 outs = ([out] if out.num_rows else []) + ray.get(whale_refs)
                 out = pa.concat_tables(outs, promote_options="default")
             out_rows = out.num_rows
+            if self.state_ttl_us is not None and released.num_rows:
+                self._touch_and_evict(released, watermark_us)
             if "__verdicts" in out.column_names:
                 fired = int(
                     pc.sum(
@@ -675,6 +684,41 @@ class StateShard:
         return None
 
     # -- checkpointing -----------------------------------------------------
+
+    def _touch_and_evict(self, released: pa.Table, watermark_us: int) -> None:
+        """Record each conversation's newest event ts, then drop carry
+        state for conversations idle past the TTL horizon.  Safe because
+        the job validated the spec is time-bounded and ttl >= lateness:
+        any future row of an evicted conversation either arrives with
+        ts > watermark - lateness (all window/bucket/session state it
+        could observe has necessarily expired, and by the per-conv ts
+        monotonicity assumption its turn_idx exceeds the evicted
+        last_turn) or is dropped as late before touching state."""
+        codes, dictionary = _conv_codes(released)
+        names = dictionary.to_pylist()
+        ts = released["ts"].cast(pa.int64()).to_numpy()
+        change = np.empty(len(codes), dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(codes))
+        for s, e in zip(starts, ends):
+            st = self.states.get(names[codes[s]])
+            if st is not None:
+                st["_last_seen_us"] = max(
+                    int(ts[s:e].max()), st.get("_last_seen_us", I64_MIN)
+                )
+        horizon = watermark_us - self.state_ttl_us
+        for cid in [
+            c for c, st in self.states.items()
+            if st.get("_last_seen_us", I64_MIN) <= horizon
+            and "_last_seen_us" in st
+        ]:
+            del self.states[cid]
+
+    def state_size(self) -> int:
+        """Carried-conversation count (observability / eviction tests)."""
+        return len(self.states)
 
     def snapshot(self, ckpt_dir: str, epoch: int) -> dict:
         os.makedirs(ckpt_dir, exist_ok=True)

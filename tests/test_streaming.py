@@ -1254,3 +1254,67 @@ def test_gc_checkpoints_and_fsck(stream_data, tmp_path):
     _os.remove(victim)
     bad = j2.fsck()
     assert not bad["ok"] and any("missing outputs file" in p for p in bad["problems"])
+
+
+def test_state_ttl_eviction_invisible_and_bounded(stream_data, tmp_path):
+    """With a time-bounded spec, state_ttl_s eviction produces
+    bit-identical output while carrying strictly fewer conversations;
+    incompatible specs are rejected loudly."""
+    import pytest as _pytest
+
+    import ray as _ray
+
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import (
+        Feature, IncrementWindow, KvCache, RuleSpec, SequenceMatch,
+        SessionWindow, TumblingCount,
+    )
+
+    segs, lmap, full = stream_data
+    spec = RuleSpec(
+        features=[Feature("is_tool", col("role") == "tool")],
+        stateful=[
+            IncrementWindow("vel", when=col("is_tool"), window_seconds=300),
+            TumblingCount("hourly", when=col("is_tool"), bucket_seconds=3600),
+        ],
+    )
+    ref = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), {}, num_shards=4,
+        files_per_epoch=2, allowed_lateness_s=600,
+    )
+    ref.run()
+    ref.finalize()
+    ref_out = _df(ref.results_table())
+    ref_state = sum(_ray.get([s.state_size.remote() for s in ref.shards]))
+
+    ev = StreamingJob(
+        spec, segs, str(tmp_path / "ev"), {}, num_shards=4,
+        files_per_epoch=2, allowed_lateness_s=600, state_ttl_s=3600,
+    )
+    ev.run()
+    ev.finalize()
+    ev_out = _df(ev.results_table())
+    ev_state = sum(_ray.get([s.state_size.remote() for s in ev.shards]))
+
+    assert len(ev_out) == len(ref_out)
+    for k in ref_out.columns:
+        assert [_norm(x) for x in ev_out[k]] == [_norm(x) for x in ref_out[k]], k
+    assert ev_state < ref_state  # idle conversations actually evicted
+
+    # incompatible specs rejected with clear messages
+    for bad, msg in [
+        (RuleSpec(stateful=[SequenceMatch("sq", col("role") == "tool",
+                                          col("role") == "user", 5)]),
+         "turn count"),
+        (RuleSpec(stateful=[SessionWindow("sess", gap_seconds=1800)]),
+         "lifetime"),
+        (RuleSpec(stateful=[KvCache("kv", set_when=col("role") == "tool",
+                                    value=col("text"))]),
+         "ttl_seconds"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            StreamingJob(bad, segs, str(tmp_path / "x"), {}, state_ttl_s=7200)
+    # too-small TTL rejected
+    with _pytest.raises(ValueError, match="too small"):
+        StreamingJob(spec, segs, str(tmp_path / "y"), {},
+                     allowed_lateness_s=600, state_ttl_s=60)

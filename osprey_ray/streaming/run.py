@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="root SML rules file (Imports/Requires resolved "
                          "relative to it); defaults to the built-in "
                          "flagship ruleset")
+    ap.add_argument("--state-ttl", type=float, default=None,
+                    help="evict idle-conversation state after this many "
+                         "seconds (validated: time-bounded specs only)")
     ap.add_argument("--late-output", action="store_true",
                     help="write dropped-late rows to a late-* side-output "
                          "stream instead of only counting them")
@@ -94,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_interval=args.checkpoint_interval,
         rows_per_epoch=args.rows_per_epoch,
         late_output=args.late_output,
+        state_ttl_s=args.state_ttl,
     )
     import time
 

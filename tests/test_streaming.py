@@ -1318,3 +1318,36 @@ def test_state_ttl_eviction_invisible_and_bounded(stream_data, tmp_path):
     with _pytest.raises(ValueError, match="too small"):
         StreamingJob(spec, segs, str(tmp_path / "y"), {},
                      allowed_lateness_s=600, state_ttl_s=60)
+
+
+def test_committed_dataset_excludes_orphan_files(stream_data, tmp_path):
+    """The lazy exactly-once reader sees manifest-referenced files ONLY:
+    an orphan parquet dropped into data/ (a failed epoch's leftovers) is
+    invisible, and the streamed rows equal the driver-side table path."""
+    import pyarrow.parquet as pq_
+
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "cd"), lmap, num_shards=4, files_per_epoch=2
+    )
+    job.run()
+    job.finalize()
+    ref = job.results_table()
+    # drop an orphan file that no manifest references
+    orphan = ref.slice(0, 5)
+    pq_.write_table(orphan, str(tmp_path / "cd" / "data" / "part-e99999-p0000.parquet"))
+    ds = job.committed_dataset("results")
+    assert ds.count() == ref.num_rows  # orphan invisible
+    got = ds.to_arrow_refs()
+    import ray as _ray
+
+    import pyarrow as pa_
+
+    tbl = pa_.concat_tables(
+        [t for t in _ray.get(got) if t.num_rows], promote_options="default"
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert tbl.num_rows == ref.num_rows
+    assert tbl["conv_id"].to_pylist() == ref["conv_id"].to_pylist()
+    # pairs/late streams go through the same contract
+    assert job.committed_dataset("pairs").count() == 0  # no FollowedBy in spec

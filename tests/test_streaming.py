@@ -1351,3 +1351,61 @@ def test_committed_dataset_excludes_orphan_files(stream_data, tmp_path):
     assert tbl["conv_id"].to_pylist() == ref["conv_id"].to_pylist()
     # pairs/late streams go through the same contract
     assert job.committed_dataset("pairs").count() == 0  # no FollowedBy in spec
+
+
+def test_follow_and_absence_together_and_hot_swap(stream_data, tmp_path):
+    """FollowedBy and AbsenceAlert coexist in one spec (their streams
+    partition the B-space: pairs = answered A's, alerts = unanswered A's),
+    and a hot-swap that REMOVES the FollowedBy pattern prunes its armed
+    state mid-run (the _apply_spec pruning path) — post-swap epochs emit
+    no new pairs."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from osprey_ray.expr import col
+    from osprey_ray.rules import AbsenceAlert, FollowedBy, RuleSpec
+
+    segs, lmap, full = stream_data
+    W = 600.0
+    both = RuleSpec(
+        absences=[AbsenceAlert("un", first=col("tool") == "exec",
+                               second=col("tool") == "mail", window_seconds=W)],
+        follows=[FollowedBy("pair", first=col("tool") == "exec",
+                            second=col("tool") == "mail", window_seconds=W)],
+    )
+    job = StreamingJob(
+        both, segs, str(tmp_path / "both"), {}, num_shards=4, files_per_epoch=3
+    )
+    job.run()
+    job.finalize()
+    pairs = job.pairs_stream_table()
+    alerts = job.absence_stream_table()
+    # every exec turn either pairs with >=1 mail (pairs stream) or fires
+    # an absence alert — never both, covering all exec turns exactly
+    paired_a = set(zip(pairs["conv_id"].to_pylist(),
+                       pairs["first_ts"].cast(pa.int64()).to_pylist()))
+    alerted_a = set(zip(alerts["conv_id"].to_pylist(),
+                        alerts["first_ts"].cast(pa.int64()).to_pylist()))
+    assert paired_a.isdisjoint(alerted_a)
+    execs = {(c, a) for (c, a, _b) in _pairs_bruteforce(full, W)}
+    assert paired_a == execs
+    assert alerted_a == _absence_bruteforce(full, W)
+
+    # hot-swap: drop the FollowedBy pattern at epoch 2 — armed state pruned
+    no_follow = RuleSpec(
+        absences=[AbsenceAlert("un", first=col("tool") == "exec",
+                               second=col("tool") == "mail", window_seconds=W)],
+    )
+    j2 = StreamingJob(
+        both, segs, str(tmp_path / "swap"), {}, num_shards=4,
+        files_per_epoch=3, spec_updates={2: no_follow},
+    )
+    j2.run()
+    j2.finalize()
+    for e in range(j2.last_committed_epoch() + 1):
+        m = _json.load(open(j2._manifest_path(e)))
+        if e >= 2:
+            assert not any(m.get("pairs_outputs") or []), f"epoch {e} emitted pairs after swap"
+    # the absence stream is unaffected by the swap
+    assert j2.absence_stream_table().num_rows == alerts.num_rows

@@ -1800,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_join": A.q_bucket_join,  # new in r4 — zero-shuffle bucketed join
         "overlap_join": A.q_overlap_join,  # new in r4 — interval×interval sweep
         "overlap_global": A.q_overlap_global,  # new in r4 — keyless broadcast ranks
+        "peak_concurrency": A.q_peak_concurrency,  # new in r4 — sweep max
         "entity_resolution": R.q_entity_resolution,  # new in r4 — record linkage
         "decayed_topk": A.q_decayed_topk,  # new in r4 — trending decay scores
         "quantile_normalize": A.q_quantile_normalize,  # new in r4 — rank scaling
@@ -3063,6 +3064,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 64 AS BIGINT) "
             "AS bucket FROM toks WHERE tok <> '') "
             "SELECT doc_id, bucket, COUNT(*) AS n FROM th GROUP BY 1, 2"
+        ),
+        # sweep max: starts before ends at equal v (inclusive ends)
+        "peak_concurrency": (
+            "WITH iv AS ("
+            "SELECT l_suppkey, epoch_us(l_shipdate) AS s, "
+            "epoch_us(l_shipdate) + (1 + (l_orderkey*7 + l_linenumber*3) % 28) "
+            "* 86400000000 AS e FROM lineitem), "
+            "ev AS ("
+            "SELECT l_suppkey, s AS v, 0 AS kind, 1 AS delta FROM iv "
+            "UNION ALL SELECT l_suppkey, e AS v, 1 AS kind, -1 AS delta FROM iv), "
+            "run AS ("
+            "SELECT l_suppkey, SUM(delta) OVER (PARTITION BY l_suppkey "
+            "ORDER BY v, kind ROWS UNBOUNDED PRECEDING) AS r FROM ev) "
+            "SELECT l_suppkey, CAST(MAX(r) AS BIGINT) AS peak_concurrency "
+            "FROM run GROUP BY l_suppkey"
         ),
         # keyless overlap distribution: global sweep via window sums
         "overlap_global": (

@@ -2170,6 +2170,64 @@ def q_overlap_join(sf_dir: str):
         per_part, batch_format="pyarrow")
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrency per supplier: the MAXIMUM number of shipments
+    simultaneously in transit (same synthesized intervals as
+    ``q_overlap_join``) — the staffing/peak-load order statistic the
+    per-interval overlap counts don't give you.  Classic sweep: +1 at
+    each start, -1 just after each INCLUSIVE end, running sum, max per
+    group — all suppliers in a partition in ONE lexsort + cumsum with a
+    per-group baseline subtraction (the running sum resets exactly at
+    group boundaries because each group's events net to zero).  Tie rule:
+    a start at the same instant an interval ends still overlaps it
+    (inclusive ends), so starts sort before end-events at equal time.
+    Twin: the same sweep as window sums over stacked endpoints."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"])
+    DAY = np.int64(86_400_000_000)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l_suppkey": pa.array([], pa.int64()),
+            "peak_concurrency": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ok = t["l_orderkey"].to_numpy()
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        supp = t["l_suppkey"].to_numpy()
+        s = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        e = s + (1 + (ok * 7 + ln * 3) % 28) * DAY
+        n = len(supp)
+        # event stream: (supp, time, kind) with kind 0 = start (+1) sorted
+        # BEFORE kind 1 = end (-1) at equal times (inclusive ends)
+        gsupp = np.concatenate([supp, supp])
+        gtime = np.concatenate([s, e])
+        gkind = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        gdelta = np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+        order = np.lexsort((gkind, gtime, gsupp))
+        supp_s, delta_s = gsupp[order], gdelta[order]
+        run = np.cumsum(delta_s)
+        change = np.empty(2 * n, dtype=bool)
+        change[0] = True
+        change[1:] = supp_s[1:] != supp_s[:-1]
+        starts = np.flatnonzero(change)
+        # each group's deltas net to zero, so the cumsum entering a group
+        # equals the cumsum at the previous group's last element — the
+        # baseline to subtract is run[start-1] (0 for the first group)
+        base = np.zeros(len(starts), dtype=np.int64)
+        base[1:] = run[starts[1:] - 1]
+        gidx = np.cumsum(change) - 1
+        peak = np.maximum.reduceat(run - base[gidx], starts)
+        return pa.table({
+            "l_suppkey": pa.array(supp_s[starts], pa.int64()),
+            "peak_concurrency": pa.array(peak.astype(np.int64), pa.int64()),
+        })
+
+    return _by_key_partition(ds, "l_suppkey").map_groups(
+        per_part, batch_format="pyarrow")
+
+
 def q_overlap_global(sf_dir: str):
     """KEYLESS interval-overlap count — the global variant of
     :func:`q_overlap_join` (that one co-partitions by the equi key; here

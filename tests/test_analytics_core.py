@@ -768,3 +768,48 @@ def test_decayed_topk_order_matches_float_decay(ray_session):
         "ELSE 0 END) DESC, user_id LIMIT 10"
     ).fetchdf()
     assert got["user_id"].tolist() == want["user_id"].tolist()
+
+
+def test_peak_concurrency_vs_bruteforce(ray_session, tmp_path):
+    """Sweep max per supplier == brute-force max over per-interval overlap
+    counts + 1 at interval starts (dense random input, inclusive ends)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osprey_ray.pipelines.analytics import q_peak_concurrency
+
+    rng = np.random.default_rng(23)
+    n = 1200
+    us_day = 86_400_000_000
+    base = 1_600_000_000_000_000
+    ok = rng.integers(0, 250, n)
+    ln = rng.integers(1, 8, n)
+    supp = rng.integers(0, 15, n)
+    ship = base + rng.integers(0, 60, n) * us_day
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_linenumber": pa.array(ln.astype(np.int32), pa.int32()),
+            "l_suppkey": pa.array(supp, pa.int64()),
+            "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = (
+        q_peak_concurrency(str(tmp_path))
+        .to_pandas()
+        .sort_values("l_suppkey")
+        .reset_index(drop=True)
+    )
+    s = ship.astype(np.int64)
+    e = s + (1 + (ok * 7 + ln.astype(np.int64) * 3) % 28) * us_day
+    want = {}
+    for sp in np.unique(supp):
+        idx = np.nonzero(supp == sp)[0]
+        # concurrency is maximized at some interval start: count intervals
+        # covering each start point (inclusive ends)
+        peak = max(
+            int(np.sum((s[idx] <= s[i]) & (e[idx] >= s[i]))) for i in idx
+        )
+        want[int(sp)] = peak
+    assert dict(zip(got["l_suppkey"], got["peak_concurrency"])) == want

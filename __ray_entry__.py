@@ -2438,7 +2438,13 @@ def _fim_sql() -> str:
     )
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Twin SQL per queries() key.  ``sf_dir`` parameterizes the ~28
+    transcript-pinned twins (they read the synthetic transcript log whose
+    size derives from the sf directory); the driver calls this with no
+    args (sf0.01, its gate scale), tools/gate_dryrun.py passes the scale
+    under test so correctness is machine-checkable at sf0.001/0.01/0.1
+    alike (VERDICT r4 item 2)."""
     from osprey_ray.pipelines import textops as T
 
     return {
@@ -2997,22 +3003,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
             "CAST(score_ppm AS BIGINT) AS score_ppm FROM r WHERE rn = 1"
         ),
-        "flagship_sql": _flagship_oracle_sql(),
-        "flagship_salted": _flagship_oracle_sql(),
-        "query_filter": _query_filter_oracle_sql(),
-        "streaming_windows": _streaming_windows_oracle_sql(),
-        "flagship_verdict_sql": _flagship_verdict_oracle_sql(),
-        "streaming_verdict_sql": _flagship_verdict_oracle_sql(),
-        "streaming_absence": _streaming_absence_oracle_sql(),
-        "streaming_idle": _streaming_idle_oracle_sql(),
-        "streaming_sum_windows": _streaming_sum_windows_oracle_sql(),
-        "streaming_max_windows": _streaming_max_windows_oracle_sql(),
-        "streaming_distinct_windows": _streaming_distinct_windows_oracle_sql(),
-        "streaming_hopping_windows": _streaming_hopping_windows_oracle_sql(),
-        "streaming_topk_windows": _streaming_topk_windows_oracle_sql(),
-        "streaming_metrics": _streaming_metrics_oracle_sql(),
-        "streaming_pairs": _streaming_pairs_oracle_sql(),
-        "streaming_late": _streaming_late_oracle_sql(),
+        "flagship_sql": _flagship_oracle_sql(sf_dir),
+        "flagship_salted": _flagship_oracle_sql(sf_dir),
+        "query_filter": _query_filter_oracle_sql(sf_dir),
+        "streaming_windows": _streaming_windows_oracle_sql(sf_dir),
+        "flagship_verdict_sql": _flagship_verdict_oracle_sql(sf_dir),
+        "streaming_verdict_sql": _flagship_verdict_oracle_sql(sf_dir),
+        "streaming_absence": _streaming_absence_oracle_sql(sf_dir),
+        "streaming_idle": _streaming_idle_oracle_sql(sf_dir),
+        "streaming_sum_windows": _streaming_sum_windows_oracle_sql(sf_dir),
+        "streaming_max_windows": _streaming_max_windows_oracle_sql(sf_dir),
+        "streaming_distinct_windows": _streaming_distinct_windows_oracle_sql(sf_dir),
+        "streaming_hopping_windows": _streaming_hopping_windows_oracle_sql(sf_dir),
+        "streaming_topk_windows": _streaming_topk_windows_oracle_sql(sf_dir),
+        "streaming_metrics": _streaming_metrics_oracle_sql(sf_dir),
+        "streaming_pairs": _streaming_pairs_oracle_sql(sf_dir),
+        "streaming_late": _streaming_late_oracle_sql(sf_dir),
         # skew-aware hybrid join ≡ plain inner join (the hot/cold split is
         # a physical plan choice, not a semantic one)
         "skew_join": (
@@ -3032,9 +3038,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type"
         ),
         # ruleset backtest: two engine runs diffed; same flagship core SQL
-        "rules_ab_diff": _rules_ab_diff_oracle_sql(),
+        "rules_ab_diff": _rules_ab_diff_oracle_sql(sf_dir),
         # label loop (HasLabel + write-after-classify) replayed in SQL
-        "flagship_label_sql": _flagship_label_oracle_sql(),
+        "flagship_label_sql": _flagship_label_oracle_sql(sf_dir),
         "filter_project": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type = 'error' AND value > 5.0"
@@ -3241,7 +3247,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY day), "
             "c AS (SELECT day, n, COALESCE(SUM(n) OVER (ORDER BY day "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM d) "
-            "SELECT prev // 2000 AS bin, COUNT(*) AS n_inputs, "
+            "SELECT CAST(prev // 2000 AS BIGINT) AS bin, COUNT(*) AS n_inputs, "
             "CAST(SUM(n) AS BIGINT) AS n_rows FROM c GROUP BY bin"
         ),
         # the v1/v2 snapshot split is event_id parity; v1 lacks `value`,
@@ -3752,10 +3758,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         # transcript-native SFT prep: rendered-example digest + profile
-        "conv_render": _conv_render_oracle_sql(),
-        "conv_stats": _conv_stats_oracle_sql(),
-        "sft_mask_spans": _sft_mask_spans_oracle_sql(),
-        "conv_context_cutoff": _conv_context_cutoff_oracle_sql(),
+        "conv_render": _conv_render_oracle_sql(sf_dir),
+        "conv_stats": _conv_stats_oracle_sql(sf_dir),
+        "sft_mask_spans": _sft_mask_spans_oracle_sql(sf_dir),
+        "conv_context_cutoff": _conv_context_cutoff_oracle_sql(sf_dir),
         # sparse per-(user,hour) series alignment via native full outer
         "full_outer_join": (
             "WITH a AS (SELECT user_id, epoch_us(ts)//3600000000*3600000000 AS hour_us, "
@@ -3825,10 +3831,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM rk WHERE rnk = CASE WHEN nd >= 16 THEN 16 ELSE nd END"
         ),
         # transcript Q/A pair extraction digest
-        "qa_pairs": _qa_pairs_oracle_sql(),
+        "qa_pairs": _qa_pairs_oracle_sql(sf_dir),
         # transcript idle-gap sessions + tool-transition mining
-        "conv_sessions": _conv_sessions_oracle_sql(),
-        "tool_transitions": _tool_transitions_oracle_sql(),
+        "conv_sessions": _conv_sessions_oracle_sql(sf_dir),
+        "tool_transitions": _tool_transitions_oracle_sql(sf_dir),
         # offset pagination over the event log (page 2 of 100)
         "paginated_scan": (
             "SELECT CAST(event_id AS BIGINT) AS event_id, epoch_us(ts) AS tus, "
@@ -3937,9 +3943,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) GROUP BY event_type"
         ),
         # URL host histogram over transcript text (regex shared verbatim)
-        "domain_histogram": _domain_histogram_oracle_sql(),
+        "domain_histogram": _domain_histogram_oracle_sql(sf_dir),
         # inter-turn latency per conversation (LAG twin; engine telescopes the SUM)
-        "conv_turn_gap": _conv_turn_gap_oracle_sql(),
+        "conv_turn_gap": _conv_turn_gap_oracle_sql(sf_dir),
         # gaps-and-islands run-length encoding (row_number difference trick)
         "event_runs": (
             "WITH o AS (SELECT user_id, event_type, "

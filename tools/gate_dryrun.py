@@ -70,7 +70,10 @@ def _canon(df):
 
 
 QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+try:
+    ORACLES = entrymod.oracle_sql(SF_DIR)
+except TypeError:  # older signature without sf_dir
+    ORACLES = entrymod.oracle_sql()
 
 ONLY = [a for a in sys.argv[2:] if not a.startswith("-")]
 if ONLY:

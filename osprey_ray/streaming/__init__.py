@@ -1,1 +1,7 @@
 from osprey_ray.streaming.job import StreamingJob  # noqa: F401
+from osprey_ray.streaming.source import (  # noqa: F401
+    InputStream,
+    KafkaStream,
+    MockBroker,
+    SegmentLogStream,
+)

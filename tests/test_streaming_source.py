@@ -1,0 +1,224 @@
+"""InputStream seam tests: the pluggable poll/ack source interface
+(reference parity: osprey_worker input_stream.py:413-444 poll loop,
+osprey_coordinator kafka.rs:112-350 manual commit after processing).
+
+The headline invariant — the consumer's committed offsets always equal a
+committed manifest's ``offsets.end`` (acks never run ahead of the
+exactly-once sink) — is what makes a replayed crash invisible."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from osprey_ray.datagen import ensure_dataset
+from osprey_ray.oracle import oracle_results
+from osprey_ray.pipelines.flagship import flagship_spec, label_events_map
+from osprey_ray.streaming import (
+    KafkaStream,
+    MockBroker,
+    SegmentLogStream,
+    StreamingJob,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_data(ray_session):
+    d = ensure_dataset(6000, seed=42, root="/tmp/osprey_test_stream")
+    segs = sorted(glob.glob(os.path.join(d, "stream", "seg-*.parquet")))
+    lmap = label_events_map(pq.read_table(os.path.join(d, "label_events.parquet")))
+    import pyarrow as pa
+
+    full = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(os.path.join(d, "batch", "*.parquet")))]
+    )
+    return segs, lmap, full
+
+
+def _norm(v):
+    return list(v) if isinstance(v, np.ndarray) else v
+
+
+def _df(tbl) -> pd.DataFrame:
+    return (
+        tbl.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+
+def _assert_same(a: pd.DataFrame, b: pd.DataFrame):
+    assert len(a) == len(b) > 0
+    for k in a.columns:
+        assert [_norm(x) for x in a[k]] == [_norm(x) for x in b[k]], f"column {k}"
+
+
+def _broker(segs, num_partitions=3) -> MockBroker:
+    """Produce the arrival-ordered stream rows as keyed JSON messages —
+    what the reference's upstream writes to its queue."""
+    broker = MockBroker(num_partitions)
+    for p in segs:
+        df = pq.read_table(p).to_pandas()
+        lines = df.to_json(
+            orient="records", lines=True, date_format="iso", date_unit="us"
+        ).splitlines()
+        import zlib
+
+        for row_json, conv in zip(lines, df["conv_id"]):
+            broker.produce(
+                zlib.crc32(str(conv).encode()) % num_partitions, row_json.encode()
+            )
+    return broker
+
+
+def test_segment_log_stream_matches_filelist(stream_data, tmp_path):
+    """source=SegmentLogStream is the built-in impl of the seam: output and
+    per-epoch offset lineage must match the pre-listed segment_files path."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    ref = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=3
+    )
+    ref.run()
+    ref.finalize()
+
+    src = SegmentLogStream(segs, files_per_epoch=3)
+    job = StreamingJob(
+        spec, None, str(tmp_path / "src"), lmap, num_shards=4, files_per_epoch=3,
+        source=src,
+    )
+    job.run()
+    job.finalize()
+    _assert_same(_df(ref.results_table()), _df(job.results_table()))
+    # manifests carry the consumed offset ranges, chained start==prev end
+    last = job.last_committed_epoch()
+    prev_end = [0, 0]
+    saw = 0
+    for e in range(last + 1):
+        m = json.load(open(job._manifest_path(e)))
+        offs = m.get("offsets")
+        if offs is None:  # the finalize() flush epoch consumes no input
+            continue
+        assert offs["start"] == prev_end
+        prev_end = offs["end"]
+        saw += 1
+    assert saw > 1 and prev_end == [len(segs), 0]
+
+
+def test_segment_log_stream_rows_per_epoch_plan_parity(stream_data, tmp_path):
+    """Row-group granular planning in the stream equals StreamingJob.epochs()."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    job = StreamingJob(
+        spec, segs, str(tmp_path / "plan"), lmap, num_shards=4, rows_per_epoch=700
+    )
+    want = job.epochs()
+    src = SegmentLogStream(segs, rows_per_epoch=700)
+    got = []
+    while True:
+        eb = src.poll_epoch()
+        if eb is None:
+            break
+        got.append(eb.chunks)
+    assert got == want
+    # seek to any epoch boundary and re-poll the identical tail
+    src.seek([0, 0])
+    assert src.poll_epoch().chunks == want[0]
+
+
+def test_kafka_stream_matches_oracle(stream_data, tmp_path):
+    """JSON messages through the Kafka-shaped connector produce the same
+    verdicts as the batch oracle (lateness covers delivery delay + the
+    cross-partition poll skew, so nothing drops)."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    broker = _broker(segs)
+    src = KafkaStream(broker.consumer(), rows_per_epoch=1500)
+    job = StreamingJob(
+        spec, None, str(tmp_path / "out"), lmap, num_shards=4,
+        allowed_lateness_s=4000.0, source=src,
+    )
+    job.run()
+    job.finalize()
+    assert sum(m["late_dropped"] for m in job.metrics) == 0
+    got = _df(job.results_table())
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k}"
+
+
+def test_kafka_commits_track_manifests(stream_data, tmp_path):
+    """The ack protocol: after every run — including one killed mid-stream —
+    the broker's committed offsets equal the LAST COMMITTED manifest's
+    offsets.end, never further (manifest commit strictly precedes ack)."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    broker = _broker(segs)
+    consumer = broker.consumer()
+    src = KafkaStream(consumer, rows_per_epoch=1500)
+    job = StreamingJob(
+        spec, None, str(tmp_path / "out"), lmap, num_shards=4,
+        allowed_lateness_s=4000.0, source=src,
+    )
+    job.run(stop_after_epoch=1)
+    last = job.last_committed_epoch()
+    assert last == 1
+    m = json.load(open(job._manifest_path(last)))
+    committed = {int(p): o for p, o in consumer.committed_offsets().items()}
+    assert committed == {int(p): o for p, o in m["offsets"]["end"].items()}
+    # total consumed so far is a strict prefix of the log
+    assert sum(committed.values()) < sum(len(p) for p in broker.partitions)
+
+
+def test_kafka_kill_resume_bit_identical(stream_data, tmp_path):
+    """Crash after epoch 1, resume with a NEW job + NEW consumer: manifests
+    drive offset replay, the live stream seeks to the committed end, and
+    the final output is bit-identical to an uninterrupted run."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+
+    ref_broker = _broker(segs)
+    ref = StreamingJob(
+        spec, None, str(tmp_path / "ref"), lmap, num_shards=4,
+        allowed_lateness_s=4000.0,
+        source=KafkaStream(ref_broker.consumer(), rows_per_epoch=1500),
+    )
+    ref.run()
+    ref.finalize()
+
+    broker = _broker(segs)
+    crash = StreamingJob(
+        spec, None, str(tmp_path / "out"), lmap, num_shards=4,
+        allowed_lateness_s=4000.0,
+        source=KafkaStream(broker.consumer(), rows_per_epoch=1500),
+    )
+    crash.run(stop_after_epoch=1)
+
+    # resume: fresh consumer with a DIFFERENT poll granularity — replay
+    # must follow the manifests' recorded ranges, not re-planned batches
+    resumed = StreamingJob(
+        spec, None, str(tmp_path / "out"), lmap, num_shards=4,
+        allowed_lateness_s=4000.0,
+        source=KafkaStream(
+            broker.consumer(), rows_per_epoch=1500, max_polls_per_epoch=128
+        ),
+    )
+    resumed.run(resume=True)
+    resumed.finalize()
+    _assert_same(_df(ref.results_table()), _df(resumed.results_table()))
+    # and the ack caught up to the full log
+    committed = resumed.source.consumer._pos
+    assert sum(committed.values()) == sum(len(p) for p in broker.partitions)
+
+
+def test_source_and_files_mutually_exclusive(stream_data, tmp_path):
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    with pytest.raises(ValueError, match="exactly one"):
+        StreamingJob(spec, segs, str(tmp_path / "x"), lmap,
+                     source=SegmentLogStream(segs))
+    with pytest.raises(ValueError, match="exactly one"):
+        StreamingJob(spec, None, str(tmp_path / "y"), lmap)

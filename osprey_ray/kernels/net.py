@@ -18,7 +18,6 @@ import ipaddress
 import pyarrow as pa
 
 from osprey_ray.expr import ExprError
-from osprey_ray.kernels import register_rowwise
 
 # compact public-suffix subset (full PSL is the production path; enough for
 # deterministic tests — same shape as the tld library's effective-TLD logic)
@@ -357,9 +356,120 @@ _register_vector("DomainTld", _domain_tld_batch, _domain_tld)
 _register_vector("RootDomain", _root_domain_batch, _root_domain)
 _register_vector("IpNetwork", _ip_network_batch, _ip_network)
 _register_vector("ExtractCookie", _extract_cookie_batch, _extract_cookie)
-# cold kernels stay auto-vectorized: DomainChopper is list-typed; the phone
-# pair's Python str.isdigit() accepts Unicode digits RE2's [0-9] doesn't,
-# so a regex rewrite would silently diverge from the row/oracle dual
-register_rowwise("DomainChopper", _domain_chopper, pa.list_(pa.string()))
-register_rowwise("PhonePrefix", _phone_prefix, pa.string())
-register_rowwise("PhoneCountry", _phone_country, pa.string())
+# -- vectorized phone / chopper (VERDICT r4 item 5: the last rowwise
+# loops).  Exactness guard: Python's str.isdigit()/\s are Unicode-aware
+# where RE2's classes are ASCII, so rows containing ANY non-ASCII byte
+# take the row dual (rare; the patch loop touches only those rows) and
+# the ASCII bulk stays fully vectorized.
+
+_PFX_KEYS = pa.array(list(_PHONE_PREFIXES.keys()), pa.string())
+_PFX_VALS = pa.array(list(_PHONE_PREFIXES.values()), pa.string())
+_PFX_BY_LEN = {
+    k: pa.array(sorted(p for p in _PHONE_PREFIXES if len(p) == k), pa.string())
+    for k in (1, 2, 3)
+}
+
+
+def _patch_nonascii(out: pa.Array, target: pa.Array, row_fn) -> pa.Array:
+    """Recompute rows whose input isn't pure ASCII with the exact row dual
+    (Unicode digits / whitespace); returns ``out`` untouched when—as
+    almost always—every row is ASCII."""
+    bad = pc.and_kleene(pc.is_valid(target), pc.invert(pc.string_is_ascii(target)))
+    bad = pc.fill_null(bad, False)
+    if not pc.any(bad).as_py():
+        return out
+    import numpy as np
+
+    from osprey_ray.expr import ExprError
+
+    idxs = np.nonzero(bad.to_numpy(zero_copy_only=False))[0]
+    vals = out.to_pylist()
+    for i, v in zip(idxs, target.take(pa.array(idxs, pa.int64())).to_pylist()):
+        try:
+            vals[i] = row_fn(None, target=v)
+        except ExprError:
+            vals[i] = None
+    return pa.array(vals, out.type)
+
+
+def _phone_prefix_batch(ctx, target):
+    if isinstance(target, pa.ChunkedArray):
+        target = target.combine_chunks()
+    d = pc.replace_substring_regex(target, pattern="[^0-9]", replacement="")
+    out = _NULL_STR
+    for k in (1, 2, 3):  # longest match wins: later if_else layers override
+        p = pc.utf8_slice_codeunits(d, 0, k)
+        out = pc.if_else(pc.is_in(p, value_set=_PFX_BY_LEN[k]), p, out)
+    if isinstance(out, pa.Scalar):  # zero-row batch
+        out = pa.array([], pa.string())
+    return _patch_nonascii(out, target, _phone_prefix)
+
+
+def _phone_country_batch(ctx, target):
+    pref = _phone_prefix_batch(ctx, target)
+    return _PFX_VALS.take(pc.index_in(pref, value_set=_PFX_KEYS))
+
+
+def _domain_chopper_batch(ctx, target):
+    """List-aware: flatten → anchored host extract → registered-domain over
+    UNIQUE hosts → rebuild lists dropping misses.  Null list slots stay
+    null (row dual raises ExprError); null/unmatched elements drop (row
+    dual skips them)."""
+    import numpy as np
+
+    if isinstance(target, pa.ChunkedArray):
+        target = target.combine_chunks()
+    n = len(target)
+    lens = pc.fill_null(pc.list_value_length(target), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(target)
+    host = pc.struct_field(
+        pc.extract_regex(flat, pattern=r"^(?:https?://)?(?P<x>[^/:\s]+)"), "x"
+    )
+    dom = _per_unique(host, _registered_domain_vec) if len(host) else host
+    keep = pc.is_valid(dom).to_numpy(zero_copy_only=False)
+    kept = dom.filter(pa.array(keep)) if isinstance(dom, pa.Array) else pc.filter(dom, pa.array(keep))
+    csum = np.zeros(len(keep) + 1, dtype=np.int64)
+    np.cumsum(keep, out=csum[1:])
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    new_lens = csum[starts[1:]] - csum[starts[:-1]]
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_off[1:])
+    null_rows = pc.is_null(target).to_numpy(zero_copy_only=False)
+    off_list = new_off.tolist()
+    # ListArray.from_arrays: a null at offsets[i] nulls list i (null rows
+    # contribute 0 kept elements, so surrounding starts stay consistent);
+    # the final offset must stay non-null
+    offsets = pa.array(
+        [None if i < n and null_rows[i] else off_list[i] for i in range(n + 1)],
+        pa.int32(),
+    )
+    if isinstance(kept, pa.ChunkedArray):
+        kept = kept.combine_chunks()
+    out = pa.ListArray.from_arrays(offsets, kept.cast(pa.string()))
+    # rows with non-ASCII URLs: Python \s (host-stop class) is Unicode-aware
+    flat_ascii = pc.string_is_ascii(pc.fill_null(flat, ""))
+    row_bad = np.zeros(n, dtype=bool)
+    if len(flat):
+        fa = flat_ascii.to_numpy(zero_copy_only=False)
+        ncsum = np.zeros(len(fa) + 1, dtype=np.int64)
+        np.cumsum(~fa, out=ncsum[1:])
+        row_bad = (ncsum[starts[1:]] - ncsum[starts[:-1]]) > 0
+    if row_bad.any():
+        from osprey_ray.expr import ExprError
+
+        vals = out.to_pylist()
+        for i in np.nonzero(row_bad)[0]:
+            try:
+                vals[i] = _domain_chopper(None, target[i].as_py())
+            except ExprError:
+                vals[i] = None
+        out = pa.array(vals, pa.list_(pa.string()))
+    return out
+
+
+_register_vector("DomainChopper", _domain_chopper_batch, _domain_chopper)
+_register_vector("PhonePrefix", _phone_prefix_batch, _phone_prefix)
+_register_vector("PhoneCountry", _phone_country_batch, _phone_country)

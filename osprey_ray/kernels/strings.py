@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from osprey_ray.expr import ExprError
-from osprey_ray.kernels import kernel, register_rowwise
+from osprey_ray.kernels import kernel
 
 
 def _null_if(arr, cond_null_fn):
@@ -460,9 +460,81 @@ def _b64e_batch(ctx, target):
 from osprey_ray.kernels import _REGISTRY, Kernel  # noqa: E402
 
 _REGISTRY["Base64Encode"] = Kernel("Base64Encode", _b64e_batch, _b64e)
-# Decode stays rowwise: validate=True error semantics (quiet null on any
-# invalid alphabet/padding/UTF-8) don't decompose into array kernels
-register_rowwise("Base64Decode", _b64d, pa.string())
+
+# validate=True format in one RE2 pass: alphabet-only quads, padded tail,
+# total length % 4 == 0 (binascii rejects everything else)
+_B64_FORMAT = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{4}|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{2}==)?$"
+_B64_LUT = np.zeros(256, dtype=np.uint8)
+_B64_LUT[_B64_ALPHABET] = np.arange(64, dtype=np.uint8)
+
+
+def _b64d_batch(ctx, target):
+    """Vectorized strict decode (VERDICT r4 item 5): RE2 format gate →
+    numpy 4→3-byte group decode over the concatenated buffer (every valid
+    row is 4-aligned, so row boundaries stay group-aligned) → zero-copy
+    binary→utf8 cast, with a per-row Python fallback ONLY when the batch
+    contains invalid UTF-8 output (the cast raises; rare)."""
+    if isinstance(target, pa.ChunkedArray):
+        target = target.combine_chunks()
+    ok = pc.fill_null(pc.match_substring_regex(target, pattern=_B64_FORMAT), False)
+    okm = ok.to_numpy(zero_copy_only=False)
+    n = len(target)
+    good = target.filter(ok)
+    if isinstance(good, pa.ChunkedArray):
+        good = good.combine_chunks()
+    if len(good) == 0:
+        return pa.array([None] * n, pa.string())
+    goff = np.frombuffer(good.buffers()[1], dtype=np.int32)[
+        good.offset : good.offset + len(good) + 1
+    ].astype(np.int64)
+    gbytes = np.frombuffer(good.buffers()[2], dtype=np.uint8) if len(good) else np.zeros(0, np.uint8)
+    seg = gbytes[goff[0] : goff[-1]]
+    goff = goff - goff[0]
+    # per-row pad count from the tail bytes
+    glens = goff[1:] - goff[:-1]
+    pad = np.zeros(len(good), dtype=np.int64)
+    nz = glens > 0
+    last = goff[1:][nz] - 1
+    pad[nz] += seg[last] == ord("=")
+    two = nz & (glens >= 2)
+    pad[two] += (seg[goff[1:][two] - 2] == ord("=")) & (pad[two] > 0)
+    vals = _B64_LUT[seg]
+    q = vals.reshape(-1, 4).astype(np.uint32)
+    words = (q[:, 0] << 18) | (q[:, 1] << 12) | (q[:, 2] << 6) | q[:, 3]
+    triples = np.empty((len(q), 3), dtype=np.uint8)
+    triples[:, 0] = words >> 16
+    triples[:, 1] = (words >> 8) & 0xFF
+    triples[:, 2] = words & 0xFF
+    decoded = triples.reshape(-1)
+    # keep 3*len/4 - pad bytes per row
+    dstarts = (goff[:-1] // 4) * 3
+    dlens = (glens // 4) * 3 - pad
+    new_off = np.zeros(len(good) + 1, dtype=np.int64)
+    np.cumsum(dlens, out=new_off[1:])
+    idx = _concat_ranges(dstarts, dlens, int(new_off[-1]))
+    out_bin = pa.Array.from_buffers(
+        pa.binary(),
+        len(good),
+        [None, pa.py_buffer(new_off.astype(np.int32).tobytes()),
+         pa.py_buffer(decoded[idx].tobytes() if len(idx) else b"")],
+    )
+    try:
+        out_str = out_bin.cast(pa.string())
+    except pa.ArrowInvalid:
+        vals_py = []
+        for b in out_bin.to_pylist():
+            try:
+                vals_py.append(b.decode("utf-8"))
+            except UnicodeDecodeError:
+                vals_py.append(None)
+        out_str = pa.array(vals_py, pa.string())
+    # scatter back: valid-format rows get their decode, the rest null
+    full = np.full(n, None, dtype=object)
+    full[okm] = out_str.to_numpy(zero_copy_only=False)
+    return pa.array(full, pa.string())
+
+
+_REGISTRY["Base64Decode"] = Kernel("Base64Decode", _b64d_batch, _b64d)
 
 
 # -- normalization: StringClean / Censorize / Tokenize -----------------------

@@ -106,6 +106,11 @@ CASES = [
     ("RootDomain", {"target": ["a..b.c", "..x..", "Deep.Sub.co.uk", "", "."]}, {}),
     ("IpNetwork", {"target": ["10.0.0.255", " 1.2.3.4 ", "256.1.1.1", "01.2.3.4", "::1", "2001:DB8:0:0:0:0:0:1", "1.2.3", ""]}, {}),
     ("ExtractCookie", {"header": ["b", "b=", "b ; b=2", " b = 1; c=2", "a=1;b=x=y", "xb=1; b=2 ", "b=v ;c=1"]}, {"name": "b"}),
+    # adversarial vectorized-kernel parity (r5: the last four rowwise loops)
+    ("PhonePrefix", {"target": ["+49 170", "001", "12", "1", "", "abc", "٤٩ ١٢٣", "＋４４ ７７", "+999", None]}, {}),
+    ("PhoneCountry", {"target": ["+49x", "+1 (555)", "۹۸-21", "nope", "+351 9", None, ""]}, {}),
+    ("DomainChopper", {"target": [["https://A.Co.UK/x", "b.com:8080", "http://", "", " lead.com"], [], [None, "plain"], None, ["юникод.рф/д", "x.com"]]}, {}),
+    ("Base64Decode", {"target": ["YWJj", "YQ==", "YWI=", "", "YQ=", "YQ===", "Y WJj", "####", "/w==", "gA==", "YWJjZA==", None, "4pyT"]}, {}),
 ]
 
 

@@ -146,6 +146,22 @@ def test_kcore_membership(ray_session):
     assert df.node.is_unique
 
 
+def test_kcore_driver_equals_distributed(ray_session):
+    """The driver bincount-peel fast path (edges <= cap) must equal the
+    distributed semi-join loop (forced with cap=0) row for row."""
+    from osprey_ray.pipelines.ann import q_kcore
+
+    fast = (
+        q_kcore(SF_DIR, core_k=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        q_kcore(SF_DIR, core_k=3, driver_edge_cap=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast.equals(dist)
+
+
 def test_group_kmv_estimate_accuracy(ray_session):
     from osprey_ray.pipelines.analytics import q_group_kmv_distinct
 

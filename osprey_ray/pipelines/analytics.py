@@ -1000,14 +1000,20 @@ def q_decayed_topk(sf_dir: str, k: int = 10, halflife_weeks: int = 1,
     score is an int64 SUM whose ORDER is the exact decayed order — no
     float accumulation anywhere, hence hash-verifiable.
 
-    Scale shape: pass 1 is a single MAX aggregate (broadcast scalar);
-    pass 2 computes weights vectorized per batch with a per-batch
-    (user, partial-sum) Arrow combiner BEFORE the groupby, so the shuffle
-    carries one row per (user × batch), then a small top-k sort."""
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    Scale shape: the slim (user_id, ts) projection is materialized ONCE
+    (16 B/row, spillable) and feeds BOTH the MAX aggregate and the weight
+    pass — one parquet scan total (ADVICE r4: the max previously re-read
+    the events table).  The weight pass uses a per-batch (user,
+    partial-sum) Arrow combiner BEFORE the groupby, so the shuffle
+    carries one row per (user × batch), then a small top-k sort.
+
+    NOTE: the registered DuckDB twin hard-codes the default
+    ``halflife_weeks``/``max_weeks``/``k`` — overriding them changes the
+    weights and breaks hash-verification against that fixed oracle (the
+    engine stays exact; only the twin is pinned)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).materialize()
     tmax = int(
-        _read(sf_dir, "events", ["ts"])
-        .map_batches(
+        ds.map_batches(
             lambda t: pa.table(
                 {"m": pa.array([pc.max(t["ts"].cast(pa.int64())).as_py()], pa.int64())}
             ),

@@ -322,6 +322,7 @@ class StreamingJob:
         self._cur_hash = spec.content_hash()
         self.shards: list | None = None
         self.metrics: list[dict] = []
+        self._run_active = False  # guards gc_checkpoints (ADVICE r4)
 
     # -- epoch planning ----------------------------------------------------
 
@@ -417,6 +418,7 @@ class StreamingJob:
             self._start_shards()
         epochs = self.epochs()
         start_epoch, watermark, recover_until = self._resume_point(resume)
+        self._run_active = True
 
         hot_ref = ray.put(self.hot_convs) if self.hot_convs else None
 
@@ -487,6 +489,7 @@ class StreamingJob:
                 _drain_one()
         while in_flight:
             _drain_one()
+        self._run_active = False
         return self.metrics
 
     def _run_source(self, stop_after_epoch: int | None, resume: bool) -> list[dict]:
@@ -509,6 +512,7 @@ class StreamingJob:
         if self.shards is None:
             self._start_shards()
         start_epoch, watermark, recover_until = self._resume_point(resume)
+        self._run_active = True
         hot_ref = ray.put(self.hot_convs) if self.hot_convs else None
 
         def _process(e: int, eb, recovery: bool, t0: float, wm_override=None):
@@ -604,6 +608,7 @@ class StreamingJob:
             # committed offsets therefore always equal some manifest's end
             self.source.commit(eb.end)
             e += 1
+        self._run_active = False
         return self.metrics
 
     def _resume_point(self, resume: bool):
@@ -619,6 +624,38 @@ class StreamingJob:
         recover_until = -1
         if resume:
             last = self.last_committed_epoch()
+            if last >= 0 and self.source is None:
+                # the committed manifests pin the epoch boundaries; resuming
+                # under DIFFERENT planning params (files_per_epoch /
+                # rows_per_epoch / a changed segment list) would replay
+                # mis-aligned slices and then re-read or skip committed rows
+                # — reject loudly instead of silently corrupting
+                plan = self.epochs()
+
+                def _canon(chunks):
+                    out = []
+                    for c in chunks:
+                        if isinstance(c, (tuple, list)):
+                            p, rgs = c
+                            out.append([p, list(rgs) if rgs is not None else None])
+                        else:
+                            out.append([c, None])
+                    return out
+
+                for e in range(last + 1):
+                    m = json.load(open(self._manifest_path(e)))
+                    want = m.get("input_files")
+                    have = _canon(plan[e]) if e < len(plan) else None
+                    # an empty file list = a finalize() flush epoch — no
+                    # input consumed, nothing to validate
+                    if want and _canon(want) != have:
+                        raise ValueError(
+                            f"resume epoch-plan mismatch at epoch {e}: the "
+                            f"committed manifest consumed {want} but the "
+                            f"current planning yields {have} — resume with "
+                            "the same segment list and files_per_epoch/"
+                            "rows_per_epoch the run was started with"
+                        )
             if last >= 0:
                 manifest = json.load(open(self._manifest_path(last)))
                 # the committed lineage names the ruleset that produced it;
@@ -897,6 +934,12 @@ class StreamingJob:
         state), so long-running jobs call this after commits.  Manifests
         are NEVER deleted — they are the output lineage.  Returns the
         number of files removed."""
+        if self._run_active:
+            raise RuntimeError(
+                "gc_checkpoints() while run() is active: an in-flight "
+                "epoch's snapshots may not be manifest-referenced yet — "
+                "call it between runs or after commits only (ADVICE r4)"
+            )
         last = self.last_committed_epoch()
         if last < 0:
             return 0
@@ -907,7 +950,11 @@ class StreamingJob:
 
         for name in os.listdir(self.ckpt_dir):
             mt = re.match(r"(?:state|hot)-e(\d{5})", name)
-            if mt and int(mt.group(1)) != live:
+            # STRICTLY BELOW the live recovery point: an epoch above it is
+            # either garbage from a crashed run (harmless to keep) or an
+            # in-flight epoch whose manifest hasn't committed — deleting
+            # it would break the next commit's lineage (ADVICE r4)
+            if mt and int(mt.group(1)) < live:
                 try:
                     os.remove(os.path.join(self.ckpt_dir, name))
                     removed += 1
@@ -996,8 +1043,52 @@ class StreamingJob:
 
         files = self.committed_files(kind)
         if not files:
-            return rd.from_arrow(pa.table({}))
+            # schema-identical empty dataset (ADVICE r4: a zero-column
+            # table broke downstream map_batches only in the empty case)
+            return rd.from_arrow(self._stream_schema(kind).empty_table())
         return rd.read_parquet(files)
+
+    def _stream_schema(self, kind: str) -> pa.Schema:
+        """The exact Arrow schema a stream's committed files carry —
+        static for the fixed-layout streams, derived by dry-running the
+        eval path on an empty slice for the spec-dependent ones."""
+        if kind == "absence":
+            from osprey_ray.streaming.absence import ALERT_SCHEMA
+
+            return ALERT_SCHEMA
+        if kind == "pairs":
+            from osprey_ray.streaming.follow import PAIR_SCHEMA
+
+            return PAIR_SCHEMA
+        if kind == "windows":
+            return pa.schema(
+                [("window", pa.string()), ("conv_id", pa.string()),
+                 ("start", pa.timestamp("us")), ("end", pa.timestamp("us")),
+                 ("agg_count", pa.int64())]
+            )
+        if kind == "late":
+            return pa.schema(
+                [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                 ("ts", pa.timestamp("us"))]
+            )
+        if kind == "labels":
+            return pa.schema(
+                [("conv_id", pa.string()), ("ts", pa.timestamp("us")),
+                 ("label", pa.string()), ("status", pa.string()),
+                 ("reason", pa.string())]
+            )
+        # results: spec-dependent — run the stateless + stateful eval over
+        # an EMPTY transcript slice; same code path as a real epoch, so
+        # the derived schema matches the committed files exactly
+        from osprey_ray.io import TRANSCRIPT_SCHEMA
+        from osprey_ray.stages.stateful import eval_released, split_rules
+        from osprey_ray.state.labels import LabelStore
+
+        empty = self.stage1(TRANSCRIPT_SCHEMA.empty_table())
+        out, _ = eval_released(
+            empty, self.spec, split_rules(self.spec), {}, LabelStore(), {}
+        )
+        return out.schema
 
     def output_files(self) -> list[str]:
         """Committed output files, manifest order (exactly-once read path)."""

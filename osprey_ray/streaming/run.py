@@ -22,7 +22,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="dir of ordered stream segment parquet files")
+    ap.add_argument("--input", default=None, help="dir of ordered stream segment parquet files (not needed with --fsck)")
     ap.add_argument("--out", required=True, help="output/checkpoint directory")
     ap.add_argument("--label-events", default=None, help="label_events parquet (stream-stream join side)")
     ap.add_argument("--shards", type=int, default=32)
@@ -66,26 +66,28 @@ def main(argv: list[str] | None = None) -> int:
     from osprey_ray.pipelines.flagship import flagship_spec, label_events_map
     from osprey_ray.streaming import StreamingJob
 
-    segs = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
-    if not segs:
-        print(f"no parquet segments in {args.input}", file=sys.stderr)
-        return 2
-    if args.fsck:
-        from osprey_ray.streaming import StreamingJob as _SJ
-
-        from osprey_ray.pipelines.flagship import flagship_spec as _fs
-
-        job = _SJ(_fs(), segs, args.out, {}, num_shards=args.shards)
-        rep = job.fsck()
-        print(json.dumps(rep))
-        return 0 if rep["ok"] else 3
-    lmap = label_events_map(pq.read_table(args.label_events)) if args.label_events else {}
     if args.rules:
         from osprey_ray.sml import load_sml
 
         spec = load_sml(args.rules)
     else:
         spec = flagship_spec()
+    if args.fsck:
+        # fsck only reads manifests in --out — no input segments needed,
+        # and it validates under the SAME spec the run would use
+        # (ADVICE r4: --fsck was unreachable without a valid --input)
+        job = StreamingJob(spec, [], args.out, {}, num_shards=args.shards)
+        rep = job.fsck()
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 3
+    if not args.input:
+        print("--input is required (except with --fsck)", file=sys.stderr)
+        return 2
+    segs = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not segs:
+        print(f"no parquet segments in {args.input}", file=sys.stderr)
+        return 2
+    lmap = label_events_map(pq.read_table(args.label_events)) if args.label_events else {}
     job = StreamingJob(
         spec,
         segs,

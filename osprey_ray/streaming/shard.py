@@ -136,6 +136,11 @@ class StateShard:
         self.hot_block_turns = hot_block_turns
         self._held_blocks: dict[int, list] = {}  # epoch -> [(cid, blk, tbl)]
         self.states: dict = {}
+        # conv -> newest event ts (µs) for TTL eviction — kept OUT of the
+        # per-conversation state dicts so a user feature named
+        # '_last_seen_us' can never collide with engine bookkeeping
+        # (ADVICE r4); snapshots/restores ride alongside states
+        self.last_seen: dict = {}
         self.labels = LabelStore()
         self.pending: list[pa.Table] = []
         # bounded buffer (VERDICT r1 item #10): a stalled watermark used to
@@ -703,18 +708,15 @@ class StateShard:
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(codes))
         for s, e in zip(starts, ends):
-            st = self.states.get(names[codes[s]])
-            if st is not None:
-                st["_last_seen_us"] = max(
-                    int(ts[s:e].max()), st.get("_last_seen_us", I64_MIN)
+            cid = names[codes[s]]
+            if cid in self.states:
+                self.last_seen[cid] = max(
+                    int(ts[s:e].max()), self.last_seen.get(cid, I64_MIN)
                 )
         horizon = watermark_us - self.state_ttl_us
-        for cid in [
-            c for c, st in self.states.items()
-            if st.get("_last_seen_us", I64_MIN) <= horizon
-            and "_last_seen_us" in st
-        ]:
-            del self.states[cid]
+        for cid in [c for c, t in self.last_seen.items() if t <= horizon]:
+            self.states.pop(cid, None)
+            del self.last_seen[cid]
 
     def state_size(self) -> int:
         """Carried-conversation count (observability / eviction tests)."""
@@ -726,6 +728,7 @@ class StateShard:
         tmp = path + f".tmp.{os.getpid()}"
         payload = {
             "states": self.states,
+            "last_seen": self.last_seen,
             "labels": self.labels.snapshot(),
             "pending": [t.to_pydict() for t in self.pending],
             "pending_schema": self.pending[0].schema if self.pending else None,
@@ -768,6 +771,7 @@ class StateShard:
         import zlib
 
         self.states, self.open_windows = {}, {}
+        self.last_seen = {}
         self.pending_absences = {}
         self.pending_pairs = {}
         lab_entries: list = []
@@ -782,6 +786,9 @@ class StateShard:
 
             self.states.update(
                 {c: s for c, s in payload["states"].items() if mine(c)}
+            )
+            self.last_seen.update(
+                {c: v for c, v in payload.get("last_seen", {}).items() if mine(c)}
             )
             # open_windows keys are (window_name, conv_id, ...) tuples
             self.open_windows.update(
@@ -859,6 +866,7 @@ class StateShard:
         with open(path, "rb") as f:
             payload = pickle.load(f)
         self.states = payload["states"]
+        self.last_seen = payload.get("last_seen", {})
         self.labels = LabelStore.restore(payload["labels"])
         schema = payload["pending_schema"]
         self.pending = [

@@ -1351,6 +1351,17 @@ def test_committed_dataset_excludes_orphan_files(stream_data, tmp_path):
     assert tbl["conv_id"].to_pylist() == ref["conv_id"].to_pylist()
     # pairs/late streams go through the same contract
     assert job.committed_dataset("pairs").count() == 0  # no FollowedBy in spec
+    # empty and non-empty cases are SCHEMA-IDENTICAL (ADVICE r4): an empty
+    # stream's dataset carries the stream's real schema, and the
+    # spec-dependent results schema matches the committed files exactly
+    from osprey_ray.streaming.follow import PAIR_SCHEMA
+
+    assert job.committed_dataset("pairs").schema().base_schema == PAIR_SCHEMA
+    fresh = StreamingJob(
+        spec, segs, str(tmp_path / "fresh"), lmap, num_shards=4, files_per_epoch=2
+    )
+    assert fresh.committed_dataset("results").schema().base_schema == ref.schema
+    assert fresh.committed_dataset("late").schema().names == ["conv_id", "turn_idx", "ts"]
 
 
 def test_follow_and_absence_together_and_hot_swap(stream_data, tmp_path):
@@ -1409,3 +1420,97 @@ def test_follow_and_absence_together_and_hot_swap(stream_data, tmp_path):
             assert not any(m.get("pairs_outputs") or []), f"epoch {e} emitted pairs after swap"
     # the absence stream is unaffected by the swap
     assert j2.absence_stream_table().num_rows == alerts.num_rows
+
+
+# ---------------------------------------------------------------------------
+# recovery-matrix red team (r5: crash mid-finalize, changed planning params,
+# manually deleted snapshot)
+# ---------------------------------------------------------------------------
+
+
+def test_crash_during_finalize_resume_bit_identical(stream_data, tmp_path):
+    """Crash AFTER finalize() flushed the shards but BEFORE its manifest
+    committed: the flush epoch's outputs exist on disk but are invisible
+    (no manifest), so a resumed job re-runs the flush idempotently and
+    the final committed results are bit-identical to an uninterrupted
+    run."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+
+    ref = StreamingJob(
+        spec, segs, str(tmp_path / "ref"), lmap, num_shards=4, files_per_epoch=2
+    )
+    ref.run()
+    ref.finalize()
+    want = _df(ref.results_table())
+
+    out = str(tmp_path / "crash")
+    j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j1.run()
+    # crash point: shards processed the +inf watermark flush and wrote
+    # their final files, but the manifest never lands
+    j1._commit = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("crash between flush and manifest commit")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash between flush"):
+        j1.finalize()
+    last_before = j1.last_committed_epoch()
+    del j1
+
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    assert j2.last_committed_epoch() == last_before  # flush stayed invisible
+    j2.run(resume=True)
+    j2.finalize()
+    got = _df(j2.results_table())
+    assert len(got) == len(want) > 0
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k}"
+
+
+def test_resume_with_changed_files_per_epoch_rejected(stream_data, tmp_path):
+    """The committed manifests pin epoch boundaries; resuming with a
+    different files_per_epoch (or a truncated segment list) must be
+    rejected loudly, not silently replay mis-aligned slices."""
+    import pytest as _pytest
+
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    out = str(tmp_path / "out")
+    j1 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j1.run(stop_after_epoch=2)
+    del j1
+
+    j2 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=3)
+    with _pytest.raises(ValueError, match="epoch-plan mismatch"):
+        j2.run(resume=True)
+
+    j3 = StreamingJob(spec, segs[:2], out, lmap, num_shards=4, files_per_epoch=2)
+    with _pytest.raises(ValueError, match="epoch-plan mismatch"):
+        j3.run(resume=True)
+
+    # unchanged params still resume fine
+    j4 = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j4.run(resume=True)
+    j4.finalize()
+    assert j4.last_committed_epoch() >= 2
+
+
+def test_fsck_flags_deleted_snapshot(stream_data, tmp_path):
+    """Manually deleting a snapshot file of the LIVE recovery point makes
+    fsck report it before a resume would fail on it."""
+    import glob as _glob
+    import os as _os
+
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    out = str(tmp_path / "out")
+    j = StreamingJob(spec, segs, out, lmap, num_shards=4, files_per_epoch=2)
+    j.run(stop_after_epoch=2)
+    assert j.fsck()["ok"]
+    victim = sorted(_glob.glob(str(tmp_path / "out" / "checkpoint" / "state-*.pkl")))[-1]
+    _os.remove(victim)
+    bad = j.fsck()
+    assert not bad["ok"]
+    assert any("missing snapshot" in p for p in bad["problems"]), bad["problems"]

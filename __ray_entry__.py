@@ -634,19 +634,50 @@ FROM x GROUP BY conv_id, sid
 """
 
 
-def _streaming_sum_windows(sf_dir: str):
-    """Weighted tumbling windows through the FULL streaming engine: a
-    ``rules.TumblingSum`` feature (running per-bucket sum of the turn's
-    text length) rides the same watermark-driven window stream as counts —
-    partials merged by max across epochs (the running sum is monotone
-    within a bucket), closed on watermark passage, state evicted.  Twin:
-    GROUP BY SUM over the deduped transcript."""
+def _timeseries_ladder(sf_dir: str):
+    """All three Druid granularity rungs (minute/day/ISO-week) through
+    q_timeseries in one entry (r5 consolidation, VERDICT item 9), tagged
+    by a granularity column; twin = UNION ALL of the three GROUP BYs."""
+    import pyarrow as pa
+
+    from osprey_ray.pipelines import analytics as A
+
+    parts = []
+    for g in ("minute", "day", "week"):
+        ds = A.q_timeseries(sf_dir, g).map_batches(
+            lambda t, g=g: t.append_column(
+                "granularity", pa.array([g] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        parts.append(ds)
+    return parts[0].union(*parts[1:])
+
+
+def _streaming_agg_windows(sf_dir: str):
+    """The tumbling-aggregate FAMILY through ONE streaming job (r5
+    registry consolidation — VERDICT item 9: the sum/max/distinct
+    variants shared all machinery except the accumulator, so one
+    parameterized entry exercises all three per driver draw, plus their
+    coexistence in a single spec):
+
+    - ``TumblingSum``  BytesThisHour     — per-hour sum of text length
+    - ``TumblingMax``  MaxBytesThisHour  — per-hour max of text length
+    - ``TumblingDistinct`` ToolsThisHour — per-hour distinct tools (null
+      contributes nothing; windows nothing contributed to never open)
+
+    All three ride the same watermark-driven window stream: running
+    per-bucket values are monotone within a bucket, cross-epoch partials
+    merge by max, windows close on watermark passage, state evicts.
+    Twin: UNION ALL of the three GROUP BYs over the deduped transcript."""
     import glob
     import shutil
     import tempfile
 
     from osprey_ray.expr import col, fn
-    from osprey_ray.rules import Feature, RuleSpec, TumblingSum
+    from osprey_ray.rules import (
+        Feature, RuleSpec, TumblingDistinct, TumblingMax, TumblingSum,
+    )
     from osprey_ray.streaming import StreamingJob
 
     d = _transcript_dataset(sf_dir)
@@ -654,10 +685,12 @@ def _streaming_sum_windows(sf_dir: str):
     spec = RuleSpec(
         features=[Feature("TxtLen", fn("StringLength", target=col("text")))],
         stateful=[
-            TumblingSum("BytesThisHour", value=col("TxtLen"), bucket_seconds=3600)
+            TumblingSum("BytesThisHour", value=col("TxtLen"), bucket_seconds=3600),
+            TumblingMax("MaxBytesThisHour", value=col("TxtLen"), bucket_seconds=3600),
+            TumblingDistinct("ToolsThisHour", value=col("tool"), bucket_seconds=3600),
         ],
     )
-    out = tempfile.mkdtemp(prefix="osprey_sumwin_q_")
+    out = tempfile.mkdtemp(prefix="osprey_aggwin_q_")
     try:
         job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
         job.run()
@@ -667,15 +700,15 @@ def _streaming_sum_windows(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _streaming_sum_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _streaming_agg_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     d = _transcript_dataset(sf_dir)
     return f"""
 WITH raw AS (
-  SELECT conv_id, turn_idx, text, ts,
+  SELECT conv_id, turn_idx, text, tool, ts,
          ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
   FROM read_parquet('{d}/batch/*.parquet')
 ), t AS (
-  SELECT conv_id, epoch_us(ts) AS tus, LENGTH(text) AS tl
+  SELECT conv_id, epoch_us(ts) AS tus, LENGTH(text) AS tl, tool
   FROM raw WHERE dup_rn = 1
 )
 SELECT 'BytesThisHour' AS "window", conv_id,
@@ -683,41 +716,20 @@ SELECT 'BytesThisHour' AS "window", conv_id,
        make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
        CAST(SUM(tl) AS BIGINT) AS agg_count
 FROM t GROUP BY conv_id, tus // 3600000000
+UNION ALL
+SELECT 'MaxBytesThisHour' AS "window", conv_id,
+       make_timestamp((tus // 3600000000) * 3600000000) AS "start",
+       make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
+       CAST(MAX(GREATEST(tl, 0)) AS BIGINT) AS agg_count
+FROM t GROUP BY conv_id, tus // 3600000000
+UNION ALL
+SELECT 'ToolsThisHour' AS "window", conv_id,
+       make_timestamp((tus // 3600000000) * 3600000000) AS "start",
+       make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS agg_count
+FROM t GROUP BY conv_id, tus // 3600000000
+HAVING COUNT(DISTINCT tool) > 0
 """
-
-
-def _streaming_max_windows(sf_dir: str):
-    """Per-bucket MAX tumbling windows through the FULL streaming engine: a
-    ``rules.TumblingMax`` feature (running per-hour max of the turn's text
-    length — "largest message this hour") rides the same watermark-driven
-    window stream as counts/sums — the per-turn running max is monotone
-    within a bucket, so cross-epoch partials merge by max, windows close on
-    watermark passage and state is evicted.  Twin: GROUP BY MAX over the
-    deduped transcript."""
-    import glob
-    import shutil
-    import tempfile
-
-    from osprey_ray.expr import col, fn
-    from osprey_ray.rules import Feature, RuleSpec, TumblingMax
-    from osprey_ray.streaming import StreamingJob
-
-    d = _transcript_dataset(sf_dir)
-    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
-    spec = RuleSpec(
-        features=[Feature("TxtLen", fn("StringLength", target=col("text")))],
-        stateful=[
-            TumblingMax("MaxBytesThisHour", value=col("TxtLen"), bucket_seconds=3600)
-        ],
-    )
-    out = tempfile.mkdtemp(prefix="osprey_maxwin_q_")
-    try:
-        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
-        job.run()
-        job.finalize()
-        return job.window_stream_table()
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
 
 
 def _streaming_pairs(sf_dir: str):
@@ -968,81 +980,6 @@ LEFT JOIN wm ON wm.ep = e.ep
 LEFT JOIN rel_c ON rel_c.ep = e.ep
 LEFT JOIN lt ON lt.ep = e.ep
 LEFT JOIN pend ON pend.ep = e.ep
-"""
-
-
-def _streaming_max_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    d = _transcript_dataset(sf_dir)
-    return f"""
-WITH raw AS (
-  SELECT conv_id, turn_idx, text, ts,
-         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
-  FROM read_parquet('{d}/batch/*.parquet')
-), t AS (
-  SELECT conv_id, epoch_us(ts) AS tus, LENGTH(text) AS tl
-  FROM raw WHERE dup_rn = 1
-)
-SELECT 'MaxBytesThisHour' AS "window", conv_id,
-       make_timestamp((tus // 3600000000) * 3600000000) AS "start",
-       make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
-       CAST(MAX(GREATEST(tl, 0)) AS BIGINT) AS agg_count
-FROM t GROUP BY conv_id, tus // 3600000000
-"""
-
-
-def _streaming_distinct_windows(sf_dir: str):
-    """Per-bucket DISTINCT-CARDINALITY tumbling windows through the FULL
-    streaming engine: a ``rules.TumblingDistinct`` feature (distinct tools
-    used per conversation-hour; nulls contribute nothing, count saturates
-    at a cap with the exact set carried below it) rides the watermark
-    -driven window stream — the per-turn running distinct count is
-    monotone within a bucket, so cross-epoch partials merge by max.
-    Windows nothing contributed to (all tools null) are never opened, so
-    the twin excludes zero-distinct buckets (HAVING > 0).  Twin: GROUP BY
-    COUNT(DISTINCT tool) over the deduped transcript."""
-    import glob
-    import shutil
-    import tempfile
-
-    from osprey_ray.expr import col
-    from osprey_ray.rules import RuleSpec, TumblingDistinct
-    from osprey_ray.streaming import StreamingJob
-
-    d = _transcript_dataset(sf_dir)
-    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
-    spec = RuleSpec(
-        features=[],
-        stateful=[
-            TumblingDistinct("ToolsThisHour", value=col("tool"), bucket_seconds=3600)
-        ],
-    )
-    out = tempfile.mkdtemp(prefix="osprey_dwin_q_")
-    try:
-        job = StreamingJob(spec, segs, out, {}, num_shards=8, files_per_epoch=4)
-        job.run()
-        job.finalize()
-        return job.window_stream_table()
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-
-
-def _streaming_distinct_windows_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    d = _transcript_dataset(sf_dir)
-    return f"""
-WITH raw AS (
-  SELECT conv_id, turn_idx, tool, ts,
-         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts) AS dup_rn
-  FROM read_parquet('{d}/batch/*.parquet')
-), t AS (
-  SELECT conv_id, epoch_us(ts) AS tus, tool
-  FROM raw WHERE dup_rn = 1
-)
-SELECT 'ToolsThisHour' AS "window", conv_id,
-       make_timestamp((tus // 3600000000) * 3600000000) AS "start",
-       make_timestamp((tus // 3600000000) * 3600000000 + 3600000000) AS "end",
-       CAST(COUNT(DISTINCT tool) AS BIGINT) AS agg_count
-FROM t GROUP BY conv_id, tus // 3600000000
-HAVING COUNT(DISTINCT tool) > 0
 """
 
 
@@ -1773,9 +1710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_verdict_sql": _streaming_verdict_sql,
         "streaming_absence": _streaming_absence,  # new in r4 — CEP timers
         "streaming_idle": _streaming_idle,  # new in r4 — inactivity timers
-        "streaming_sum_windows": _streaming_sum_windows,  # new in r4 — TumblingSum
-        "streaming_max_windows": _streaming_max_windows,  # new in r4 — TumblingMax
-        "streaming_distinct_windows": _streaming_distinct_windows,  # new in r4
+        # r5 consolidation (VERDICT item 9): sum+max+distinct tumbling
+        # aggregates share one job/spec/twin — more machinery per draw
+        "streaming_agg_windows": _streaming_agg_windows,
         "streaming_hopping_windows": _streaming_hopping_windows,  # new in r4
         "streaming_topk_windows": _streaming_topk_windows,  # new in r4 — cont. top-N
         "streaming_metrics": _streaming_metrics,  # new in r4 — lineage metrics twin
@@ -1970,9 +1907,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": A.q_filter_project,
         "rule_engine_events": A.q_rule_engine_events,
         "tumbling_hourly": A.q_tumbling_hourly,
-        "timeseries_minute": lambda sf_dir: A.q_timeseries(sf_dir, "minute"),
-        "timeseries_day": lambda sf_dir: A.q_timeseries(sf_dir, "day"),  # r4
-        "timeseries_week": lambda sf_dir: A.q_timeseries(sf_dir, "week"),  # r4
+        # r5 consolidation (VERDICT item 9): the Druid granularity ladder
+        # (minute/day/ISO-week) rides one entry — every draw exercises all
+        # three rungs incl. the week-offset bucket math
+        "timeseries_ladder": _timeseries_ladder,
         "sliding_window_counts": A.q_sliding_window_counts,
         "session_counts": A.q_session_counts,
         "cep_sequence": A.q_cep_sequence,
@@ -3011,9 +2949,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "streaming_verdict_sql": _flagship_verdict_oracle_sql(sf_dir),
         "streaming_absence": _streaming_absence_oracle_sql(sf_dir),
         "streaming_idle": _streaming_idle_oracle_sql(sf_dir),
-        "streaming_sum_windows": _streaming_sum_windows_oracle_sql(sf_dir),
-        "streaming_max_windows": _streaming_max_windows_oracle_sql(sf_dir),
-        "streaming_distinct_windows": _streaming_distinct_windows_oracle_sql(sf_dir),
+        "streaming_agg_windows": _streaming_agg_windows_oracle_sql(sf_dir),
         "streaming_hopping_windows": _streaming_hopping_windows_oracle_sql(sf_dir),
         "streaming_topk_windows": _streaming_topk_windows_oracle_sql(sf_dir),
         "streaming_metrics": _streaming_metrics_oracle_sql(sf_dir),
@@ -3278,22 +3214,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         # the Druid granularity ladder's finest step (druid.py:147-166)
-        "timeseries_minute": (
-            "SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS bucket_s, "
+        # the Druid granularity ladder (druid.py:147-223), one twin
+        "timeseries_ladder": (
+            "SELECT 'minute' AS granularity, event_type, "
+            "(CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS bucket_s, "
             "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
-            "FROM events GROUP BY 1, 2"
-        ),
-        # the rest of the Druid granularity ladder (druid.py:147-223)
-        "timeseries_day": (
-            "SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS bucket_s, "
-            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
-            "FROM events GROUP BY 1, 2"
-        ),
-        "timeseries_week": (
-            "SELECT event_type, "
+            "FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT 'day', event_type, "
+            "(CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS bucket_s, "
+            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT), COUNT(*) "
+            "FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT 'week', event_type, "
             "((CAST(floor(epoch(ts)) AS BIGINT) - 345600) // 604800) * 604800 + 345600 AS bucket_s, "
-            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, COUNT(*) AS n "
-            "FROM events GROUP BY 1, 2"
+            "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT), COUNT(*) "
+            "FROM events GROUP BY 2, 3"
         ),
         "sliding_window_counts": (
             "SELECT event_id, user_id, COUNT(*) OVER ("

@@ -58,36 +58,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 import __ray_entry__ as entrymod
 
 QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
-# the flagship oracle SQL embeds the transcript-dataset path for the driver's
-# sf0.01 gate; rebuild it for this module's sf0.001 fixture scale
-ORACLES["flagship_sql"] = entrymod._flagship_oracle_sql(SF_DIR)
-ORACLES["flagship_salted"] = ORACLES["flagship_sql"]
-ORACLES["query_filter"] = entrymod._query_filter_oracle_sql(SF_DIR)
-ORACLES["streaming_windows"] = entrymod._streaming_windows_oracle_sql(SF_DIR)
-ORACLES["flagship_verdict_sql"] = entrymod._flagship_verdict_oracle_sql(SF_DIR)
-ORACLES["streaming_verdict_sql"] = entrymod._flagship_verdict_oracle_sql(SF_DIR)
-ORACLES["rules_ab_diff"] = entrymod._rules_ab_diff_oracle_sql(SF_DIR)
-ORACLES["flagship_label_sql"] = entrymod._flagship_label_oracle_sql(SF_DIR)
-ORACLES["conv_render"] = entrymod._conv_render_oracle_sql(SF_DIR)
-ORACLES["conv_stats"] = entrymod._conv_stats_oracle_sql(SF_DIR)
-ORACLES["sft_mask_spans"] = entrymod._sft_mask_spans_oracle_sql(SF_DIR)
-ORACLES["streaming_topk_windows"] = entrymod._streaming_topk_windows_oracle_sql(SF_DIR)
-ORACLES["conv_context_cutoff"] = entrymod._conv_context_cutoff_oracle_sql(SF_DIR)
-ORACLES["qa_pairs"] = entrymod._qa_pairs_oracle_sql(SF_DIR)
-ORACLES["conv_sessions"] = entrymod._conv_sessions_oracle_sql(SF_DIR)
-ORACLES["tool_transitions"] = entrymod._tool_transitions_oracle_sql(SF_DIR)
-ORACLES["domain_histogram"] = entrymod._domain_histogram_oracle_sql(SF_DIR)
-ORACLES["conv_turn_gap"] = entrymod._conv_turn_gap_oracle_sql(SF_DIR)
-ORACLES["streaming_absence"] = entrymod._streaming_absence_oracle_sql(SF_DIR)
-ORACLES["streaming_idle"] = entrymod._streaming_idle_oracle_sql(SF_DIR)
-ORACLES["streaming_sum_windows"] = entrymod._streaming_sum_windows_oracle_sql(SF_DIR)
-ORACLES["streaming_max_windows"] = entrymod._streaming_max_windows_oracle_sql(SF_DIR)
-ORACLES["streaming_distinct_windows"] = entrymod._streaming_distinct_windows_oracle_sql(SF_DIR)
-ORACLES["streaming_hopping_windows"] = entrymod._streaming_hopping_windows_oracle_sql(SF_DIR)
-ORACLES["streaming_metrics"] = entrymod._streaming_metrics_oracle_sql(SF_DIR)
-ORACLES["streaming_pairs"] = entrymod._streaming_pairs_oracle_sql(SF_DIR)
-ORACLES["streaming_late"] = entrymod._streaming_late_oracle_sql(SF_DIR)
+ORACLES = entrymod.oracle_sql(SF_DIR)  # r5: twins parameterized by scale
 
 
 def test_oracle_keys_subset_of_queries():

@@ -257,21 +257,101 @@ def _compiled(pattern: str, flags: int = 0):
     return re.compile(pattern, flags)
 
 
+@functools.lru_cache(maxsize=512)
+def _re2_extract_pattern(pattern: str, has_groups: bool) -> str | None:
+    """Rewrite ``pattern`` so RE2's ``extract_regex`` returns what the row
+    dual's ``m.group(1) if groups else m.group(0)`` returns: name the
+    FIRST plain capturing group ``x`` (scanner skips escapes, char
+    classes and ``(?`` constructs), or wrap the whole pattern when it has
+    none.  Returns None when the rewrite can't be done safely."""
+    in_class = False
+    rewritten = None
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "$":
+            # Python's $ also matches before a trailing newline; RE2's
+            # does not — not rewritable without changing semantics
+            return None
+        elif c == "(" and rewritten is None and has_groups:
+            if pattern[i + 1 : i + 2] != "?":
+                rewritten = pattern[: i + 1] + "?P<x>" + pattern[i + 1 :]
+            elif pattern[i + 1 : i + 3] == "?P":
+                # existing named group as group 1 — renaming is ambiguous
+                return None
+        i += 1
+    if not has_groups:
+        return f"(?P<x>{pattern})"
+    return rewritten
+
+
 @kernel("RegexExtract")
 class RegexExtract:
-    """First match of group 1 (or whole match); no match → expected null."""
+    """First match of group 1 (or whole match); no match → expected null.
+
+    Batch path (r5): RE2 ``extract_regex`` over a rewritten pattern with
+    the target group named — vectorized for the common case.  Python-re
+    fallbacks where exactness demands them: patterns RE2 can't compile
+    (backrefs, lookarounds) take the row loop wholesale, and rows with
+    non-ASCII bytes are re-done rowwise when the pattern uses Unicode-
+    sensitive shorthands (``\\d``/``\\w``/``\\s``/``\\b`` are
+    Unicode-aware in Python, ASCII in RE2)."""
 
     @staticmethod
     def batch(ctx, target, pattern, case_insensitive=False):
         rx = _compiled(pattern, re.IGNORECASE if case_insensitive else 0)
-        out = []
-        for v in target.to_pylist():
-            if v is None:
-                out.append(None)
-                continue
-            m = rx.search(v)
-            out.append(None if m is None else (m.group(1) if rx.groups else m.group(0)))
-        return pa.array(out, pa.string())
+        re2_pat = _re2_extract_pattern(pattern, rx.groups > 0)
+        out = None
+        if re2_pat is not None:
+            if isinstance(target, pa.ChunkedArray):
+                target = target.combine_chunks()
+            try:
+                ex = pc.extract_regex(
+                    target, pattern=("(?i)" + re2_pat) if case_insensitive else re2_pat
+                )
+                out = pc.struct_field(ex, "x")
+            except pa.ArrowInvalid:
+                out = None  # RE2 can't compile it — full row fallback
+        if out is None:
+            vals = []
+            for v in target.to_pylist():
+                if v is None:
+                    vals.append(None)
+                    continue
+                m = rx.search(v)
+                vals.append(None if m is None else (m.group(1) if rx.groups else m.group(0)))
+            return pa.array(vals, pa.string())
+        # Unicode-shorthand exactness: rows with non-ASCII bytes re-run
+        # through Python re when the pattern could class-match differently
+        if re.search(r"\\[dwsbDWSB]", pattern):
+            bad = pc.and_kleene(
+                pc.is_valid(target), pc.invert(pc.string_is_ascii(target))
+            )
+            bad = pc.fill_null(bad, False)
+            if pc.any(bad).as_py():
+                import numpy as np
+
+                idxs = np.nonzero(bad.to_numpy(zero_copy_only=False))[0]
+                vals = out.to_pylist()
+                for i in idxs:
+                    v = target[int(i)].as_py()
+                    m = rx.search(v)
+                    vals[int(i)] = (
+                        None if m is None
+                        else (m.group(1) if rx.groups else m.group(0))
+                    )
+                out = pa.array(vals, pa.string())
+        if out.type != pa.string():
+            out = out.cast(pa.string())
+        return out
 
     @staticmethod
     def row(rctx, target, pattern, case_insensitive=False):
@@ -292,6 +372,63 @@ class RegexMatchMap:
     def batch(ctx, target, pattern, mode="any", case_insensitive=False):
         rx = _compiled(pattern, re.IGNORECASE if case_insensitive else 0)
         agg = any if mode == "any" else all
+        # vectorized fast path (r5): flatten → one RE2 match over all
+        # elements → per-list reduction by counting.  Fallbacks exactly
+        # as RegexExtract's: unescaped $ (newline semantics), RE2-
+        # uncompilable patterns, and non-ASCII rows under Unicode-aware
+        # shorthands re-run through the Python dual.
+        fast = None
+        if "$" not in pattern.replace("\\$", "").replace("[$]", ""):
+            import numpy as np
+
+            if isinstance(target, pa.ChunkedArray):
+                target = target.combine_chunks()
+            flat = pc.list_flatten(target)
+            try:
+                m = pc.match_substring_regex(
+                    flat, pattern=pattern, ignore_case=case_insensitive
+                )
+            except pa.ArrowInvalid:
+                m = None
+            if m is not None:
+                valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+                hit = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+                lens = pc.fill_null(
+                    pc.list_value_length(target), 0
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                cs_hit = np.zeros(len(flat) + 1, np.int64)
+                np.cumsum(valid & hit, out=cs_hit[1:])
+                cs_miss = np.zeros(len(flat) + 1, np.int64)
+                np.cumsum(valid & ~hit, out=cs_miss[1:])
+                if mode == "any":
+                    res = (cs_hit[ends] - cs_hit[starts]) > 0
+                else:
+                    res = (cs_miss[ends] - cs_miss[starts]) == 0
+                fast = pa.array(res, pa.bool_())
+                if target.null_count:
+                    fast = pc.if_else(
+                        pc.is_valid(target), fast, pa.scalar(None, pa.bool_())
+                    )
+                if re.search(r"\\[dwsbDWSB]", pattern):
+                    na = pc.invert(pc.string_is_ascii(pc.fill_null(flat, "")))
+                    na_np = na.to_numpy(zero_copy_only=False)
+                    cs_na = np.zeros(len(flat) + 1, np.int64)
+                    np.cumsum(na_np, out=cs_na[1:])
+                    bad_rows = (cs_na[ends] - cs_na[starts]) > 0
+                    if bad_rows.any():
+                        vals = fast.to_pylist()
+                        for i in np.nonzero(bad_rows)[0]:
+                            lst = target[int(i)].as_py()
+                            if lst is not None:
+                                vals[int(i)] = agg(
+                                    rx.search(s) is not None
+                                    for s in lst if s is not None
+                                )
+                        fast = pa.array(vals, pa.bool_())
+        if fast is not None:
+            return fast
         out = []
         for lst in target.to_pylist():
             if lst is None:

@@ -53,6 +53,21 @@ CASES = [
     ("SubstrCount", {"target": TEXTS}, {"substring": "o"}),
     ("RegexMatch", {"target": TEXTS}, {"pattern": r"w.rld", "case_insensitive": True}),
     ("RegexExtract", {"target": TEXTS}, {"pattern": r"(\w+)$"}),
+    # r5 vectorized-path parity: RE2 rewrite (group naming, no-group wrap,
+    # non-capturing prefix, class parens), $-semantics fallback (trailing
+    # newline), Unicode \w patch rows, ci flag, backref full fallback
+    ("RegexExtract", {"target": ["ab12cd", "xyz", None, "", "tél 42"]}, {"pattern": r"(\d+)"}),
+    ("RegexExtract", {"target": ["HeLLo world", "nope"]}, {"pattern": r"hello", "case_insensitive": True}),
+    ("RegexExtract", {"target": ["a-b", "c-d", "nodash"]}, {"pattern": r"(?:\w)-(\w)"}),
+    ("RegexExtract", {"target": ["x(1)", "[y]2"]}, {"pattern": r"\((\d)\)"}),
+    ("RegexExtract", {"target": ["end\n", "end"]}, {"pattern": r"(end)$"}),
+    ("RegexExtract", {"target": ["café word", "abc def"]}, {"pattern": r"(\w+)"}),
+    ("RegexExtract", {"target": ["aa", "ab"]}, {"pattern": r"(.)\1"}),
+    ("RegexExtract", {"target": ["k=v; b=2", ""]}, {"pattern": r"b=([^;]*)"}),
+    ("RegexMatchMap", {"target": [["spam mail", "ok"], [], None, ["tölt", "x1"]]}, {"pattern": r"\w\d"}),
+    ("RegexMatchMap", {"target": [["abc", "abd"], ["zz"]]}, {"pattern": r"ab", "mode": "all"}),
+    ("RegexMatchMap", {"target": [["end\n"], ["end"]]}, {"pattern": r"end$", "mode": "any"}),
+    ("RegexMatchMap", {"target": [[None, "hit9"], [None]]}, {"pattern": r"\d", "mode": "all"}),
     ("StringExtractURLs", {"target": ["go to https://a.com/x now", None, "none"]}, {}),
     ("StringExtractDomains", {"target": ["https://A.com/x http://b.co.uk/y", None]}, {}),
     ("HashMd5", {"target": ["abc", None]}, {}),

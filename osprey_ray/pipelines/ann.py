@@ -882,7 +882,7 @@ def q_pagerank(
     )
 
 
-def q_triangle_count(sf_dir: str, k: int = 5):
+def q_triangle_count(sf_dir: str, k: int = 5, driver_edge_cap: int = 4_000_000):
     """Per-node triangle counting over the undirected exact kNN graph —
     the classic two-join distributed enumeration (wedge-generate then
     wedge-close), the standard MapReduce/Spark formulation: canonical
@@ -916,10 +916,88 @@ def q_triangle_count(sf_dir: str, k: int = 5):
         )
 
     edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    edges_raw = _pin_schema(
+        q_knn_graph(sf_dir, k=k).map_batches(undirect, batch_format="pyarrow"),
+        edge_schema,
+    ).materialize()
+
+    if edges_raw.count() <= driver_edge_cap:
+        # Sparse fast path (same regime split as q_kcore/q_neardup_clusters/
+        # q_pagerank): a ≤4M-edge list is ≤64 MB — dedupe with np.unique and
+        # count triangles on the driver via sorted-adjacency wedge closing
+        # (searchsorted membership of (a,c) in the canonical edge list),
+        # instead of paying two Dataset hash joins + two groupbys of fixed
+        # cost.  Identical a<b<c enumeration, identical output.
+        import ray
+        import ray.data as rd
+
+        et = pa.concat_tables(
+            ray.get(
+                [
+                    ref
+                    for bdl in edges_raw.iter_internal_ref_bundles()
+                    for ref, meta in bdl.blocks
+                    if meta.num_rows
+                ]
+            )
+        ) if edges_raw.count() else edge_schema.empty_table()
+        key = np.unique(
+            np.stack(
+                [et["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                 et["v"].to_numpy(zero_copy_only=False).astype(np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        ) if et.num_rows else np.zeros((0, 2), np.int64)
+        u, v = key[:, 0], key[:, 1]
+        # wedges (a<b<c): for each middle b, pair every in-edge (a,b) with
+        # every out-edge (b,c); enumerate via grouped cross products
+        order_v = np.lexsort((u, v))   # group edges by their HIGH vertex b=v
+        order_u = np.lexsort((v, u))   # group edges by their LOW vertex b=u
+        assert key.max(initial=0) < (1 << 31), "node id overflows composite key"
+        ek = u * (np.int64(1) << 32) + v  # composite key, ids < 2^31
+        ek_sorted = np.sort(ek)
+        a_all, b_all, c_all = [], [], []
+        # iterate unique middle vertices; wedge count is Σ deg² ≤ n·(2k)²,
+        # tiny at driver scale — the inner work is vectorized per middle
+        hi_v = v[order_v]
+        lo_u = u[order_u]
+        mids = np.unique(np.concatenate([hi_v, lo_u]))
+        # positions of each middle's in-edges (a,b): v == b, a = u
+        in_start = np.searchsorted(hi_v, mids)
+        in_end = np.searchsorted(hi_v, mids, side="right")
+        out_start = np.searchsorted(lo_u, mids)
+        out_end = np.searchsorted(lo_u, mids, side="right")
+        for bi, b in enumerate(mids):
+            a_s = u[order_v[in_start[bi]:in_end[bi]]]      # a < b
+            c_s = v[order_u[out_start[bi]:out_end[bi]]]    # c > b
+            if len(a_s) == 0 or len(c_s) == 0:
+                continue
+            aa = np.repeat(a_s, len(c_s))
+            cc = np.tile(c_s, len(a_s))
+            wk = aa * (np.int64(1) << 32) + cc
+            pos = np.searchsorted(ek_sorted, wk)
+            pos_c = np.minimum(pos, len(ek_sorted) - 1)
+            closed = (pos < len(ek_sorted)) & (ek_sorted[pos_c] == wk)
+            if closed.any():
+                a_all.append(aa[closed])
+                b_all.append(np.full(int(closed.sum()), b, np.int64))
+                c_all.append(cc[closed])
+        if a_all:
+            node = np.concatenate(a_all + b_all + c_all)
+            uu, cnt = np.unique(node, return_counts=True)
+        else:
+            uu = np.zeros(0, np.int64)
+            cnt = np.zeros(0, np.int64)
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array(uu, pa.int64()),
+                 "n_triangles": pa.array(cnt.astype(np.int64), pa.int64())}
+            )
+        )
+
     edges = _pin_schema(
-        q_knn_graph(sf_dir, k=k)
-        .map_batches(undirect, batch_format="pyarrow")
-        .groupby(["u", "v"])
+        edges_raw.groupby(["u", "v"])
         .aggregate(Sum("u", alias_name="__d"))
         .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow"),
         edge_schema,

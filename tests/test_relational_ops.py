@@ -66,6 +66,22 @@ def test_triangle_corner_conservation(ray_session):
     assert (df.n_triangles > 0).all()
 
 
+def test_triangle_driver_equals_distributed(ray_session):
+    """The driver sorted-adjacency wedge-closing fast path (edges <= cap)
+    must equal the two-join distributed enumeration (forced with cap=0)."""
+    from osprey_ray.pipelines.ann import q_triangle_count
+
+    fast = (
+        q_triangle_count(SF_DIR)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        q_triangle_count(SF_DIR, driver_edge_cap=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast.equals(dist)
+
+
 def test_incremental_dedup_subset_of_new(ray_session):
     from osprey_ray.pipelines.textops import q_incremental_dedup
 

@@ -222,3 +222,46 @@ def test_source_and_files_mutually_exclusive(stream_data, tmp_path):
                      source=SegmentLogStream(segs))
     with pytest.raises(ValueError, match="exactly one"):
         StreamingJob(spec, None, str(tmp_path / "y"), lmap)
+
+
+def test_source_mode_ruleset_swap_matches_segment_mode(stream_data, tmp_path):
+    """SegmentLogStream plans byte-identical epoch boundaries to the
+    pre-listed path, so a ruleset hot-swap mid-stream through the source
+    seam must produce bit-identical output — including a kill+resume
+    ACROSS the swap (source-mode replay re-applies the swap schedule at
+    the recorded epochs)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from test_streaming import _verdict_specs
+
+    segs, lmap, _ = stream_data
+    spec_a, spec_b = _verdict_specs()
+    K = 3
+    kw = dict(num_shards=4, files_per_epoch=2, spec_updates={K: spec_b})
+
+    ref = StreamingJob(spec_a, segs, str(tmp_path / "ref"), {}, **kw)
+    ref.run()
+    ref.finalize()
+    want = _df(ref.results_table())
+
+    src_job = StreamingJob(
+        spec_a, None, str(tmp_path / "src"), {}, source=SegmentLogStream(segs, files_per_epoch=2), **kw
+    )
+    src_job.run()
+    src_job.finalize()
+    _assert_same(want, _df(src_job.results_table()))
+
+    # kill across the swap, resume with a fresh source object
+    out2 = str(tmp_path / "crash")
+    j1 = StreamingJob(
+        spec_a, None, out2, {}, source=SegmentLogStream(segs, files_per_epoch=2), **kw
+    )
+    j1.run(stop_after_epoch=K + 1)
+    del j1
+    j2 = StreamingJob(
+        spec_a, None, out2, {}, source=SegmentLogStream(segs, files_per_epoch=2), **kw
+    )
+    j2.run(resume=True)
+    j2.finalize()
+    _assert_same(want, _df(j2.results_table()))

@@ -532,7 +532,7 @@ class StreamingJob:
                 # verbatim — bit-identical regardless of source internals
                 watermark = wm_override
             elif eb.wm_ts is not None:
-                # the source watermarkes itself (per-partition minima)
+                # the source watermarks itself (per-partition minima)
                 watermark = max(watermark, eb.wm_ts - self.lateness_us)
             else:
                 max_ts = max(

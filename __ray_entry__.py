@@ -436,6 +436,73 @@ def _streaming_verdict_sql(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_pubsub_verdict_sql(sf_dir: str):
+    """The pull/ack connector path, hash-verified against the SAME verdict
+    oracle as ``streaming_verdict_sql`` — but through the hardest route the
+    seam supports: events arrive as JSON messages on a PubSub-shaped
+    non-replayable broker (reference ``PubSubOspreyActionInputStream``,
+    input_stream.py:123-206), the job is killed after two epochs, the
+    broker re-delivers already-ACKED messages (PubSub's documented
+    at-least-once delivery), and a NEW job resumes from the journal +
+    manifest-persisted dedupe window.  A hash match therefore certifies
+    journal-then-process durability, the ack-after-manifest ordering AND
+    the duplicate filter in one value."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from osprey_ray.streaming import MockPubSub, PubSubStream, StreamingJob
+
+    d = _transcript_dataset(sf_dir)
+    segs = sorted(glob.glob(f"{d}/stream/seg-*.parquet"))
+    broker = MockPubSub()
+    for p in segs:
+        df = pq.read_table(p).to_pandas()
+        for line in df.to_json(
+            orient="records", lines=True, date_format="iso", date_unit="us"
+        ).splitlines():
+            broker.publish(line.encode())
+    rows_per_epoch = max(500, len(broker.messages) // 12)  # ~12 epochs
+    out = tempfile.mkdtemp(prefix="osprey_pubsub_")
+    jdir = tempfile.mkdtemp(prefix="osprey_pubsub_journal_")
+    try:
+        kw = dict(num_shards=8, allowed_lateness_s=4000.0)
+        job = StreamingJob(
+            _verdict_spec(), None, out, {},
+            source=PubSubStream(broker, jdir, rows_per_epoch=rows_per_epoch),
+            **kw,
+        )
+        job.run(stop_after_epoch=1)  # crash after two committed epochs
+        acked = sorted(broker.acked)
+        broker.redeliver_acked(
+            [broker.messages[i][0] for i in acked[: min(200, len(acked))]]
+        )
+        resumed = StreamingJob(
+            _verdict_spec(), None, out, {},
+            source=PubSubStream(broker, jdir, rows_per_epoch=rows_per_epoch),
+            **kw,
+        )
+        resumed.run(resume=True)
+        resumed.finalize()
+        assert broker.unacked_count() == 0, "pull/ack protocol left messages unacked"
+        t = resumed.results_table()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"].cast(pa.string()),
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "verdicts_csv": pc.binary_join(t["__verdicts"], ","),
+                "rules_fired_csv": pc.binary_join(t["__rules_fired"], ","),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(jdir, ignore_errors=True)
+
+
 def _streaming_absence(sf_dir: str):
     """The engine's watermark-driven CEP absence stream, hash-verified:
     StreamingJob with an AbsenceAlert pattern (exec turn with no mail turn
@@ -1708,6 +1775,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row — or whose SQL twin landed after their last sampling — go
         # first (r3 verdict item #1).  Long-green queries moved to the tail.
         "streaming_verdict_sql": _streaming_verdict_sql,
+        # new in r5 — pull/ack connector: journal, dedupe window, ack-loss
+        # recovery and acked-redelivery, all inside one hash
+        "streaming_pubsub": _streaming_pubsub_verdict_sql,
         "streaming_absence": _streaming_absence,  # new in r4 — CEP timers
         "streaming_idle": _streaming_idle,  # new in r4 — inactivity timers
         # r5 consolidation (VERDICT item 9): sum+max+distinct tumbling
@@ -2947,6 +3017,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "streaming_windows": _streaming_windows_oracle_sql(sf_dir),
         "flagship_verdict_sql": _flagship_verdict_oracle_sql(sf_dir),
         "streaming_verdict_sql": _flagship_verdict_oracle_sql(sf_dir),
+        "streaming_pubsub": _flagship_verdict_oracle_sql(sf_dir),
         "streaming_absence": _streaming_absence_oracle_sql(sf_dir),
         "streaming_idle": _streaming_idle_oracle_sql(sf_dir),
         "streaming_agg_windows": _streaming_agg_windows_oracle_sql(sf_dir),

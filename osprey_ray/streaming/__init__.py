@@ -1,4 +1,9 @@
 from osprey_ray.streaming.job import StreamingJob  # noqa: F401
+from osprey_ray.streaming.pubsub import (  # noqa: F401
+    MockPubSub,
+    PubSubLikeSubscriber,
+    PubSubStream,
+)
 from osprey_ray.streaming.source import (  # noqa: F401
     InputStream,
     KafkaStream,

@@ -265,3 +265,211 @@ def test_source_mode_ruleset_swap_matches_segment_mode(stream_data, tmp_path):
     j2.run(resume=True)
     j2.finalize()
     _assert_same(want, _df(j2.results_table()))
+
+
+# ---------------------------------------------------------------------------
+# PubSub-shaped connector (pull/ack, non-replayable broker, journal + dedupe)
+# ---------------------------------------------------------------------------
+
+import base64  # noqa: E402
+
+from osprey_ray.streaming import MockPubSub, PubSubStream  # noqa: E402
+
+
+def _pubsub(segs, attributes=None, transform=None) -> MockPubSub:
+    """Publish the arrival-ordered stream rows as JSON messages (topic
+    order = arrival order; PubSub has no partitions)."""
+    broker = MockPubSub()
+    for p in segs:
+        df = pq.read_table(p).to_pandas()
+        lines = df.to_json(
+            orient="records", lines=True, date_format="iso", date_unit="us"
+        ).splitlines()
+        for row_json in lines:
+            data = row_json.encode()
+            if transform is not None:
+                data = transform(data)
+            broker.publish(data, attributes)
+    return broker
+
+
+def _pubsub_job(spec, lmap, out, src):
+    return StreamingJob(
+        spec, None, out, lmap, num_shards=4, allowed_lateness_s=4000.0,
+        source=src,
+    )
+
+
+def test_pubsub_stream_matches_oracle(stream_data, tmp_path):
+    """JSON messages through the PubSub-shaped connector produce the same
+    verdicts as the batch oracle; the run journals every epoch and acks
+    every message."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    broker = _pubsub(segs)
+    src = PubSubStream(broker, str(tmp_path / "journal"), rows_per_epoch=1500)
+    job = _pubsub_job(spec, lmap, str(tmp_path / "out"), src)
+    job.run()
+    job.finalize()
+    assert sum(m["late_dropped"] for m in job.metrics) == 0
+    got = _df(job.results_table())
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k}"
+    assert broker.unacked_count() == 0
+    assert len(glob.glob(str(tmp_path / "journal" / "journal-*.jsonl"))) >= 2
+
+
+def test_pubsub_acks_track_manifests(stream_data, tmp_path):
+    """Acks never run ahead of the sink: after a mid-stream stop, exactly
+    the messages journaled by COMMITTED epochs are acked."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    broker = _pubsub(segs)
+    src = PubSubStream(broker, str(tmp_path / "journal"), rows_per_epoch=1500)
+    job = _pubsub_job(spec, lmap, str(tmp_path / "out"), src)
+    job.run(stop_after_epoch=1)
+    last = job.last_committed_epoch()
+    assert last == 1
+    committed_rows = 0
+    for e in range(last + 1):
+        m = json.load(open(job._manifest_path(e)))
+        committed_rows += sum(
+            int(lin.split("#rows=")[1]) for lin in m["input_files"]
+        )
+    assert len(broker.acked) == committed_rows
+    assert broker.unacked_count() > 0  # backlog remains
+
+
+def test_pubsub_kill_resume_bit_identical(stream_data, tmp_path):
+    """Crash after epoch 1, resume with a NEW stream object over the same
+    subscription: manifests drive journal replay, the dedupe window
+    (restored from the manifest) filters the broker's redeliveries —
+    including duplicates of already-ACKED messages — and the final output
+    is bit-identical to an uninterrupted run."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+
+    ref = _pubsub_job(
+        spec, lmap, str(tmp_path / "ref"),
+        PubSubStream(_pubsub(segs), str(tmp_path / "jref"), rows_per_epoch=1500),
+    )
+    ref.run()
+    ref.finalize()
+
+    broker = _pubsub(segs)
+    jdir = str(tmp_path / "journal")
+    crash = _pubsub_job(
+        spec, lmap, str(tmp_path / "out"),
+        PubSubStream(broker, jdir, rows_per_epoch=1500),
+    )
+    crash.run(stop_after_epoch=1)
+    # at-least-once strikes: the broker re-delivers some ACKED messages
+    acked_ids = [broker.messages[i][0] for i in sorted(broker.acked)[:40]]
+    broker.redeliver_acked(acked_ids)
+
+    resumed = _pubsub_job(
+        spec, lmap, str(tmp_path / "out"),
+        PubSubStream(broker, jdir, rows_per_epoch=1500),
+    )
+    resumed.run(resume=True)
+    resumed.finalize()
+    _assert_same(_df(ref.results_table()), _df(resumed.results_table()))
+    assert broker.unacked_count() == 0
+
+
+def test_pubsub_ack_loss_crash(stream_data, tmp_path):
+    """Crash BETWEEN manifest commit and ack (the window exactly-once
+    exists for): the broker redelivers the unacked messages, the resumed
+    run recognizes them via the manifest-persisted dedupe state, acks
+    them, and emits nothing twice."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+
+    ref = _pubsub_job(
+        spec, lmap, str(tmp_path / "ref"),
+        PubSubStream(_pubsub(segs), str(tmp_path / "jref"), rows_per_epoch=1500),
+    )
+    ref.run()
+    ref.finalize()
+
+    broker = MockPubSub(ack_deadline_pulls=1)  # expire fast
+    for p in segs:
+        df = pq.read_table(p).to_pandas()
+        for row_json in df.to_json(
+            orient="records", lines=True, date_format="iso", date_unit="us"
+        ).splitlines():
+            broker.publish(row_json.encode())
+    jdir = str(tmp_path / "journal")
+    src = PubSubStream(broker, jdir, rows_per_epoch=1500)
+    real_commit = src.commit
+    src.commit = lambda offsets: (
+        None if int(offsets[0]) == 2 else real_commit(offsets)
+    )  # epoch 1's ack is lost; its manifest is already durable
+    crash = _pubsub_job(spec, lmap, str(tmp_path / "out"), src)
+    crash.run(stop_after_epoch=1)
+    lost = broker.unacked_count()
+    assert lost > 0
+
+    resumed = _pubsub_job(
+        spec, lmap, str(tmp_path / "out"),
+        PubSubStream(broker, jdir, rows_per_epoch=1500),
+    )
+    resumed.run(resume=True)
+    resumed.finalize()
+    _assert_same(_df(ref.results_table()), _df(resumed.results_table()))
+    assert broker.unacked_count() == 0
+
+
+def test_pubsub_encrypted_payloads(stream_data, tmp_path):
+    """The KMS-envelope seam (reference input_stream.py:152-160): messages
+    marked encrypted are decrypted by the hook on the journal's READ side
+    — the journal itself stores ciphertext — and the output matches the
+    plaintext run."""
+    segs, lmap, full = stream_data
+    spec = flagship_spec()
+    KEY = 0x5A
+
+    def xor(data: bytes) -> bytes:
+        return bytes(b ^ KEY for b in data)
+
+    broker = _pubsub(segs, attributes={"encrypted": "true"}, transform=xor)
+    jdir = str(tmp_path / "journal")
+    src = PubSubStream(
+        broker, jdir, rows_per_epoch=1500,
+        decrypt=lambda data, attrs: xor(data),
+    )
+    job = _pubsub_job(spec, lmap, str(tmp_path / "out"), src)
+    job.run()
+    job.finalize()
+    got = _df(job.results_table())
+    want = pd.DataFrame(oracle_results(full, spec, lmap))
+    assert len(got) == len(want)
+    for k in want.columns:
+        assert [_norm(x) for x in got[k]] == [_norm(x) for x in want[k]], f"column {k}"
+    # ciphertext at rest: the journal stores the XOR-ed payload verbatim
+    blob = open(sorted(glob.glob(f"{jdir}/journal-*.jsonl"))[0], "rb").read()
+    first = json.loads(blob.splitlines()[0].decode())
+    raw = base64.b64decode(first["d"])
+    assert b"conv" not in raw and b"conv" in xor(raw)
+
+
+def test_pubsub_journal_gc(stream_data, tmp_path):
+    """gc_journal removes only files below the given seq; replay of a
+    GC-ed committed epoch fails loudly with the recovery hint."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+    broker = _pubsub(segs)
+    jdir = str(tmp_path / "journal")
+    src = PubSubStream(broker, jdir, rows_per_epoch=1500)
+    job = _pubsub_job(spec, lmap, str(tmp_path / "out"), src)
+    job.run()
+    job.finalize()
+    n = len(glob.glob(f"{jdir}/journal-*.jsonl"))
+    assert n >= 3
+    removed = src.gc_journal(2)
+    assert len(removed) == 2
+    assert len(glob.glob(f"{jdir}/journal-*.jsonl")) == n - 2
+    with pytest.raises(FileNotFoundError, match="gc_journal"):
+        src.replay([0], [1])

@@ -1,3 +1,8 @@
+from osprey_ray.streaming.effects import (  # noqa: F401
+    EffectClient,
+    EffectPump,
+    MockEffectService,
+)
 from osprey_ray.streaming.job import StreamingJob  # noqa: F401
 from osprey_ray.streaming.pubsub import (  # noqa: F401
     MockPubSub,

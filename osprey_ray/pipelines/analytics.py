@@ -5134,12 +5134,21 @@ def q_window_dedup(sf_dir: str, window_s: int = 3600):
     w_us = window_s * 1_000_000
 
     def project(t: pa.Table) -> pa.Table:
+        import zlib
+
         P = _key_parts(None)
         et = t["event_type"].to_numpy(zero_copy_only=False)
-        _, inv = np.unique(et, return_inverse=True)
+        uniq, inv = np.unique(et, return_inverse=True)
+        # BATCH-INDEPENDENT type code: a per-batch ordinal (np.unique index)
+        # shifts when a batch is missing a type, scattering one (user, type)
+        # key across partitions and duplicating its output row — hash the
+        # type STRING instead (crc32 over the handful of uniques)
+        tcode = np.array(
+            [zlib.crc32(str(s).encode()) for s in uniq], dtype=np.uint64
+        )
         u = t["user_id"].to_numpy().astype(np.uint64)
-        # route by hash(user·7 + type-id) — co-locates each (user, type)
-        kp = (_splitmix64(u * np.uint64(7) + inv.astype(np.uint64)) % np.uint64(P)).view(
+        # route by hash(user·7 + type-hash) — co-locates each (user, type)
+        kp = (_splitmix64(u * np.uint64(7) + tcode[inv]) % np.uint64(P)).view(
             np.int64
         )
         return pa.table(

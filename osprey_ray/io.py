@@ -67,22 +67,9 @@ def read_transcripts_jsonl(path: str) -> "rd.Dataset":
     )
 
 
-def read_parquet_union_by_name(roots: list[str]) -> "rd.Dataset":
-    """Schema-evolution read: union several Parquet roots whose schemas
-    differ by ADDED columns (the common evolution: a later snapshot grew
-    a field).  The union schema is assembled from file FOOTERS only (one
-    ``pq.read_schema`` per root — metadata, never data), each root is
-    read with its own schema, and a per-batch pad stage appends the
-    root's missing columns as typed nulls so every block carries the
-    full union schema.  Conflicting types for a same-named column error
-    loudly rather than coercing silently."""
-    import glob as _glob
-    import os
-
-    schemas = []
-    for r in roots:
-        first = sorted(_glob.glob(os.path.join(r, "*.parquet"))) or [r]
-        schemas.append(pq.read_schema(first[0]).remove_metadata())
+def unify_schemas_by_name(schemas: list[pa.Schema]) -> pa.Schema:
+    """Union-by-name schema: added columns accumulate, conflicting types
+    for a same-named column error loudly rather than coercing silently."""
     by_name: dict[str, pa.Field] = {}
     for sch in schemas:
         for f in sch:
@@ -92,7 +79,14 @@ def read_parquet_union_by_name(roots: list[str]) -> "rd.Dataset":
                     f"{by_name[f.name].type} vs {f.type}"
                 )
             by_name.setdefault(f.name, f)
-    union = pa.schema(list(by_name.values()))
+    return pa.schema(list(by_name.values()))
+
+
+def union_datasets_by_name(groups: list[tuple["rd.Dataset", pa.Schema]]) -> "rd.Dataset":
+    """Union datasets whose schemas differ by ADDED columns: a per-batch
+    pad stage appends each group's missing columns as typed nulls so
+    every block carries the full union schema."""
+    union = unify_schemas_by_name([sch for _, sch in groups])
 
     def pad(missing: list[str]):
         def _pad(t: pa.Table) -> pa.Table:
@@ -105,15 +99,29 @@ def read_parquet_union_by_name(roots: list[str]) -> "rd.Dataset":
         return _pad
 
     parts = []
-    for r, sch in zip(roots, schemas):
-        ds = rd.read_parquet(r, schema=sch)
+    for ds, sch in groups:
         missing = [f.name for f in union if sch.get_field_index(f.name) < 0]
-        parts.append(
-            ds.map_batches(pad(missing), batch_format="pyarrow")
-            if missing
-            else ds.map_batches(pad([]), batch_format="pyarrow")
-        )
+        parts.append(ds.map_batches(pad(missing), batch_format="pyarrow"))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def read_parquet_union_by_name(roots: list[str]) -> "rd.Dataset":
+    """Schema-evolution read: union several Parquet roots whose schemas
+    differ by ADDED columns (the common evolution: a later snapshot grew
+    a field).  The union schema is assembled from file FOOTERS only (one
+    ``pq.read_schema`` per root — metadata, never data), each root is
+    read with its own schema, and the pad stage appends each root's
+    missing columns as typed nulls so every block carries the full union
+    schema."""
+    import glob as _glob
+    import os
+
+    groups = []
+    for r in roots:
+        first = sorted(_glob.glob(os.path.join(r, "*.parquet"))) or [r]
+        sch = pq.read_schema(first[0]).remove_metadata()
+        groups.append((rd.read_parquet(r, schema=sch), sch))
+    return union_datasets_by_name(groups)

@@ -1038,15 +1038,36 @@ class StreamingJob:
         10^12-turn run's verdicts must stream through the object store
         instead, so downstream pipelines chain ``map_batches`` /
         ``write_parquet`` off this without ever materializing.  Returns an
-        empty in-memory dataset when the stream has no committed files."""
+        empty in-memory dataset when the stream has no committed files.
+
+        A ruleset hot-swap that ADDS features mid-run leaves earlier
+        epochs' files without the new columns (the dynamic
+        ``ALTER ADD COLUMN`` case): files are grouped by footer schema
+        and unioned by name, padding pre-swap blocks with typed nulls —
+        deterministic, instead of relying on ``read_parquet``'s
+        undefined mixed-schema behavior."""
         import ray.data as rd
+
+        import pyarrow.parquet as _pq
+
+        from osprey_ray.io import union_datasets_by_name
 
         files = self.committed_files(kind)
         if not files:
             # schema-identical empty dataset (ADVICE r4: a zero-column
             # table broke downstream map_batches only in the empty case)
             return rd.from_arrow(self._stream_schema(kind).empty_table())
-        return rd.read_parquet(files)
+        by_schema: dict[tuple, tuple[pa.Schema, list[str]]] = {}
+        for f in files:
+            sch = _pq.read_schema(f).remove_metadata()  # footer-only
+            key = tuple((fl.name, str(fl.type)) for fl in sch)
+            by_schema.setdefault(key, (sch, []))[1].append(f)
+        if len(by_schema) == 1:
+            (sch, fs), = by_schema.values()
+            return rd.read_parquet(fs, schema=sch)
+        return union_datasets_by_name(
+            [(rd.read_parquet(fs, schema=sch), sch) for sch, fs in by_schema.values()]
+        )
 
     def _stream_schema(self, kind: str) -> pa.Schema:
         """The exact Arrow schema a stream's committed files carry —

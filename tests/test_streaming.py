@@ -1514,3 +1514,89 @@ def test_fsck_flags_deleted_snapshot(stream_data, tmp_path):
     bad = j.fsck()
     assert not bad["ok"]
     assert any("missing snapshot" in p for p in bad["problems"]), bad["problems"]
+
+
+def test_feature_adding_swap_schema_evolution(stream_data, tmp_path):
+    """A hot-swap that ADDS features mid-run (the dynamic ALTER ADD COLUMN
+    case): epochs before the swap lack the new columns, results_table()
+    promotes them to typed nulls, committed_dataset() groups files by
+    footer schema and unions by name (deterministic — not read_parquet's
+    undefined mixed-schema behavior), and kill+resume ACROSS the swap
+    stays bit-identical."""
+    from osprey_ray.expr import col, fn
+    from osprey_ray.rules import DeclareVerdict, Feature, Rule, RuleSpec, WhenRules
+
+    def spec_a():
+        s = RuleSpec(
+            features=[Feature("TextLen", fn("StringLength", target=col("text")))],
+            rules=[Rule("RuleLong", [col("TextLen")])],
+            triggers=[WhenRules(["RuleLong"], [DeclareVerdict("long")])],
+        )
+        s.validate()
+        return s
+
+    def spec_b():
+        s = RuleSpec(
+            features=[
+                Feature("TextLen", fn("StringLength", target=col("text"))),
+                Feature("HasHello", fn("StringContains", target=col("text"), substring="hello")),
+            ],
+            rules=[Rule("RuleLong", [col("TextLen")]), Rule("RuleHello", [col("HasHello")])],
+            triggers=[
+                WhenRules(["RuleLong"], [DeclareVerdict("long")]),
+                WhenRules(["RuleHello"], [DeclareVerdict("greet")]),
+            ],
+        )
+        s.validate()
+        return s
+
+    segs, _, _ = stream_data
+    K = 3
+    kw = dict(num_shards=4, files_per_epoch=2, spec_updates={K: spec_b()})
+
+    ref = StreamingJob(spec_a(), segs, str(tmp_path / "ref"), {}, **kw)
+    ref.run()
+    ref.finalize()
+    t = ref.results_table()
+    # union schema with typed nulls exactly on pre-swap rows
+    assert {"HasHello", "RuleHello"} <= set(t.column_names)
+    assert 0 < t["HasHello"].null_count < t.num_rows
+    pre_null = t.to_pandas()
+    swap_files = ref.committed_files("results")
+    import json
+
+    first_b_epoch_ts = None
+    for e in range(ref.last_committed_epoch() + 1):
+        m = json.load(open(ref._manifest_path(e)))
+        if m.get("ruleset_hash") == spec_b().content_hash() and first_b_epoch_ts is None:
+            first_b_epoch_ts = e
+    assert first_b_epoch_ts is not None and len(swap_files) > 2
+
+    # committed_dataset: deterministic union-by-name, row-identical to
+    # results_table
+    df = (
+        ref.committed_dataset("results")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert sorted(df.columns) == sorted(pre_null.columns)
+    assert len(df) == len(pre_null)
+    assert int(df["HasHello"].isna().sum()) == t["HasHello"].null_count
+
+    # kill AT the swap boundary, resume with the same schedule
+    out = str(tmp_path / "crash")
+    j1 = StreamingJob(spec_a(), segs, out, {}, **kw)
+    j1.run(stop_after_epoch=K)
+    del j1
+    j2 = StreamingJob(spec_a(), segs, out, {}, **kw)
+    j2.run(resume=True)
+    j2.finalize()
+    got = j2.results_table().to_pandas()
+    want = pre_null
+    got = got[want.columns].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for k in want.columns:
+        a = [list(v) if isinstance(v, np.ndarray) else v for v in got[k]]
+        b = [list(v) if isinstance(v, np.ndarray) else v for v in want[k]]
+        assert [x if x == x else None for x in a] == [x if x == x else None for x in b], k

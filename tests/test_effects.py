@@ -156,3 +156,19 @@ def test_pump_dead_letter_and_halt(labeled_run, tmp_path):
     stats2 = pump2.pump()
     assert stats2["rows_emitted"] == len(want)
     assert _keys(svc2.applied.values()) == _keys(want)
+
+
+def test_union_by_name_type_conflict_errors(ray_session, tmp_path):
+    """Schema evolution that CHANGES a column's type (not allowed — only
+    additions are) errors loudly instead of coercing silently."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osprey_ray.io import union_datasets_by_name
+
+    a = rd.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+    b = rd.from_arrow(pa.table({"x": pa.array(["a"], pa.string())}))
+    with pytest.raises(TypeError, match="schema evolution conflict"):
+        union_datasets_by_name(
+            [(a, pa.schema([("x", pa.int64())])), (b, pa.schema([("x", pa.string())]))]
+        )

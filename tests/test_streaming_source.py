@@ -473,3 +473,56 @@ def test_pubsub_journal_gc(stream_data, tmp_path):
     assert len(glob.glob(f"{jdir}/journal-*.jsonl")) == n - 2
     with pytest.raises(FileNotFoundError, match="gc_journal"):
         src.replay([0], [1])
+
+
+def test_pubsub_crash_during_journal_write(stream_data, tmp_path):
+    """A crash mid-journal-write leaves a .tmp orphan (the atomic rename
+    never happened): those messages were never leased-committed, the
+    broker redelivers them, and the resumed run overwrites the orphan —
+    output bit-identical to an uninterrupted run."""
+    segs, lmap, _ = stream_data
+    spec = flagship_spec()
+
+    ref = _pubsub_job(
+        spec, lmap, str(tmp_path / "ref"),
+        PubSubStream(_pubsub(segs), str(tmp_path / "jref"), rows_per_epoch=1500),
+    )
+    ref.run()
+    ref.finalize()
+
+    # deadline of ONE pull so the crashed epoch's un-journaled leases
+    # expire (and redeliver) before the resumed run's backlog runs dry
+    broker = MockPubSub(ack_deadline_pulls=1)
+    for p in segs:
+        df = pq.read_table(p).to_pandas()
+        for row_json in df.to_json(
+            orient="records", lines=True, date_format="iso", date_unit="us"
+        ).splitlines():
+            broker.publish(row_json.encode())
+    jdir = str(tmp_path / "journal")
+    src = PubSubStream(broker, jdir, rows_per_epoch=1500)
+    real_write = src._write_journal
+    calls = {"n": 0}
+
+    def crashy(seq, msgs):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die INSIDE the third epoch's journal write
+            with open(src._journal_path(seq) + ".tmp", "w") as f:
+                f.write("torn half-written journal")
+            raise OSError("disk died mid-write")
+        return real_write(seq, msgs)
+
+    src._write_journal = crashy
+    crash = _pubsub_job(spec, lmap, str(tmp_path / "out"), src)
+    with pytest.raises(OSError, match="disk died"):
+        crash.run()
+    assert os.path.exists(os.path.join(jdir, "journal-000002.jsonl.tmp"))
+
+    resumed = _pubsub_job(
+        spec, lmap, str(tmp_path / "out"),
+        PubSubStream(broker, jdir, rows_per_epoch=1500),
+    )
+    resumed.run(resume=True)
+    resumed.finalize()
+    _assert_same(_df(ref.results_table()), _df(resumed.results_table()))
+    assert broker.unacked_count() == 0

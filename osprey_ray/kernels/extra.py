@@ -123,14 +123,44 @@ class DidFromUri:
         return m.group(1)
 
 
-def _resolve_mx(domain: str) -> str:
-    """STUB resolver — deterministic fake (no network in this sandbox).
-    Production: replace with an aiodns MX→A lookup + LRU cache, exactly the
-    reference's mx_lookup.py shape."""
+def _fake_resolve_mx(domain: str) -> str:
+    """Default STUB resolver — deterministic fake (no network in this
+    sandbox).  Production swaps in a real resolver via
+    :func:`set_mx_resolver`."""
     import hashlib
 
     h = hashlib.blake2b(domain.encode(), digest_size=4).digest()
     return f"mx.{domain}|{h[0]}.{h[1]}.{h[2]}.{h[3]}"
+
+
+_mx_resolver = _fake_resolve_mx
+_MX_CACHE: dict[str, str] = {}
+_MX_CACHE_MAX = 65_536  # coarse bound: full clear at capacity
+
+
+def set_mx_resolver(fn, clear_cache: bool = True):
+    """Inject the DNS resolver (``domain -> str``) the MXLookup kernel
+    calls — e.g. an aiodns MX→A lookup, exactly the reference's
+    mx_lookup.py:15-31 shape.  Runs once per DISTINCT domain per worker
+    process (cross-batch memo cache mirrors the reference's
+    external-service memoisation, external_service_utils.py:12-100).
+    Returns the previous resolver so tests can restore it."""
+    global _mx_resolver
+    prev = _mx_resolver
+    _mx_resolver = fn
+    if clear_cache:
+        _MX_CACHE.clear()
+    return prev
+
+
+def _resolve_mx(domain: str) -> str:
+    v = _MX_CACHE.get(domain)
+    if v is None:
+        if len(_MX_CACHE) >= _MX_CACHE_MAX:
+            _MX_CACHE.clear()
+        v = _mx_resolver(domain)
+        _MX_CACHE[domain] = v
+    return v
 
 
 @kernel("MXLookup")

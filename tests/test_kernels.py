@@ -335,3 +335,32 @@ def test_udaf_registry_and_partition_invariance(ray_session):
             float(one.loc[one["k"] == k, "span"].iloc[0])
             - (vals[keys == k].max() - vals[keys == k].min())
         ) < 1e-12
+
+
+def test_mx_resolver_injectable_and_memoized():
+    """The MXLookup resolver seam: a swapped-in resolver is called once
+    per DISTINCT domain across batches (the reference's external-service
+    memoisation), and restoring the default brings the stub back."""
+    import pyarrow as pa
+
+    from osprey_ray.kernels.extra import MXLookup, set_mx_resolver
+
+    calls = []
+
+    def fake(domain):
+        calls.append(domain)
+        return f"resolved:{domain}"
+
+    prev = set_mx_resolver(fake)
+    try:
+        out1 = MXLookup.batch(
+            None, pa.array(["a.com", "b.com", "a.com", None])
+        ).to_pylist()
+        assert out1 == ["resolved:a.com", "resolved:b.com", "resolved:a.com", None]
+        # second batch: b.com cached, only c.com resolves
+        out2 = MXLookup.batch(None, pa.array(["b.com", "c.com"])).to_pylist()
+        assert out2 == ["resolved:b.com", "resolved:c.com"]
+        assert sorted(calls) == ["a.com", "b.com", "c.com"]
+    finally:
+        set_mx_resolver(prev)
+    assert MXLookup.batch(None, pa.array(["a.com"])).to_pylist()[0].startswith("mx.a.com|")

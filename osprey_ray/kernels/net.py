@@ -204,13 +204,11 @@ def _per_unique(arr, f):
 
 
 def _str_off(arr: pa.Array):
-    """Offset vector of a string array, slice-aware: values are absolute
-    byte positions into ``arr.buffers()[2]``."""
-    import numpy as np
+    """Offset vector of a string array — slice-aware and offset-width-aware
+    (large_string carries int64 offsets; see strings.str_offsets)."""
+    from osprey_ray.kernels.strings import str_offsets
 
-    return np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-        arr.offset : arr.offset + len(arr) + 1
-    ]
+    return str_offsets(arr)
 
 
 def _email_dom_vec(target):

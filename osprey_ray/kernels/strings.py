@@ -532,6 +532,23 @@ _B64_ALPHABET = np.frombuffer(
 )
 
 
+def str_offsets(arr: pa.Array) -> np.ndarray:
+    """Offset vector of a string/binary array, slice-aware AND
+    offset-width-aware: ``large_string``/``large_binary`` carry int64
+    offsets where ``string``/``binary`` carry int32 — reading the buffer
+    with the wrong dtype yields garbage lengths that silently null or
+    corrupt every row (the engine's ``text`` column is large_string).
+    Values are absolute byte positions into ``arr.buffers()[2]``."""
+    dt = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    return np.frombuffer(arr.buffers()[1], dtype=dt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+
+
 def _concat_ranges(starts: np.ndarray, lens: np.ndarray, total: int) -> np.ndarray:
     """Index vector = concat of ranges [starts_i, starts_i+lens_i) without a
     per-segment np.repeat (same cumsum-delta trick as kernels/net.py)."""
@@ -557,9 +574,7 @@ def _b64e_batch(ctx, target):
     if isinstance(target, pa.ChunkedArray):
         target = target.combine_chunks()
     n = len(target)
-    toff = np.frombuffer(target.buffers()[1], dtype=np.int32)[
-        target.offset : target.offset + n + 1
-    ].astype(np.int64)
+    toff = str_offsets(target).astype(np.int64)
     data = np.frombuffer(target.buffers()[2], dtype=np.uint8)
     lens = toff[1:] - toff[:-1]
     if target.null_count:
@@ -621,9 +636,7 @@ def _b64d_batch(ctx, target):
         good = good.combine_chunks()
     if len(good) == 0:
         return pa.array([None] * n, pa.string())
-    goff = np.frombuffer(good.buffers()[1], dtype=np.int32)[
-        good.offset : good.offset + len(good) + 1
-    ].astype(np.int64)
+    goff = str_offsets(good).astype(np.int64)
     gbytes = np.frombuffer(good.buffers()[2], dtype=np.uint8) if len(good) else np.zeros(0, np.uint8)
     seg = gbytes[goff[0] : goff[-1]]
     goff = goff - goff[0]

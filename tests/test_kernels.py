@@ -364,3 +364,34 @@ def test_mx_resolver_injectable_and_memoized():
     finally:
         set_mx_resolver(prev)
     assert MXLookup.batch(None, pa.array(["a.com"])).to_pylist()[0].startswith("mx.a.com|")
+
+
+def test_kernels_large_string_parity():
+    """The engine's ``text`` column is LARGE_string (int64 offsets).  A
+    batch kernel that reads offset buffers as int32 silently nulls or
+    corrupts every row on that input (found live in EmailDomain /
+    Base64Encode / Base64Decode) — so every kernel whose batch accepts a
+    lone string target must produce identical output for string and
+    large_string arrays."""
+    import pyarrow as pa
+
+    from osprey_ray.kernels import _REGISTRY
+
+    samples = [
+        "a@x.com", "hello world", "aGVsbG8=", "http://a.b.com/x",
+        "+1-555-0100", None, "日本語@例え.jp", "", "a@b@c.co.uk",
+    ]
+    checked = 0
+    for name, k in sorted(_REGISTRY.items()):
+        def run(typ):
+            try:
+                out = k.batch(None, pa.array(samples, typ))
+                return out.to_pylist() if hasattr(out, "to_pylist") else list(out)
+            except Exception as e:
+                return ("ERR", type(e).__name__)
+
+        a, b = run(pa.string()), run(pa.large_string())
+        assert a == b, f"kernel {name}: string vs large_string diverge"
+        if not (isinstance(a, tuple) and a[0] == "ERR"):
+            checked += 1
+    assert checked >= 30  # the sweep actually exercises the string kernels

@@ -346,6 +346,11 @@ def ngram_containment(a: str, b: str, k: int = 3) -> float:
 # (e.g. an all-identical corpus) would otherwise emit O(n²) pairs.  Truncation
 # is counted and surfaced in the task log.
 MAX_BUCKET_DOCS = 64
+# SimHash big-bucket guard: all-pairs popcount over UNIQUE hashes stays
+# exact up to this many distinct hashes per (segment, value) bucket —
+# chunked, so it's sub-second and ~64 MB; beyond it (adversarial corpus)
+# deterministic truncation engages and is surfaced in the task log.
+MAX_BUCKET_UNIQUE = 8192
 # raw candidate-pair count below which the minhash verify dedups + gathers
 # texts via one broadcast is_in filter scan and verifies on the driver;
 # above it the Jaccard loop itself needs cluster parallelism, so the
@@ -1022,18 +1027,65 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
             m = e - s
             if m < 2:
                 continue
-            if m > MAX_BUCKET_DOCS:
+            if m <= MAX_BUCKET_DOCS:
+                iu, ju = np.triu_indices(m, k=1)
+                d = _popcount64(h[s:e][iu] ^ h[s:e][ju])
+                keep = d <= max_hamming
+                a_out.append(ids[s:e][iu][keep])
+                b_out.append(ids[s:e][ju][keep])
+                d_out.append(d[keep].astype(np.int64))
+                continue
+            # Oversized bucket (real corpora: similar docs cluster in one
+            # 16-bit segment) — stay EXACT: group by the FULL hash
+            # (intra-group pairs are Hamming 0 by construction), then a
+            # CHUNKED all-pairs popcount over the unique hashes.  XOR +
+            # popcount is ~1 ns/pair vectorized, so exactness is cheap up
+            # to MAX_BUCKET_UNIQUE distinct hashes (67M popcounts ≈
+            # sub-second, block-chunked so memory stays ~64 MB); only
+            # beyond that — a genuinely adversarial corpus — does the
+            # deterministic truncation guard engage.
+            hb, ib = h[s:e], ids[s:e]
+            o2 = np.lexsort((ib, hb))
+            hb, ib = hb[o2], ib[o2]
+            gnew = np.empty(m, dtype=bool)
+            gnew[0] = True
+            gnew[1:] = hb[1:] != hb[:-1]
+            gs = np.flatnonzero(gnew)
+            ge = np.append(gs[1:], m)
+            if len(gs) > MAX_BUCKET_UNIQUE:
                 truncated += 1
-                e = s + MAX_BUCKET_DOCS
-                m = MAX_BUCKET_DOCS
-            iu, ju = np.triu_indices(m, k=1)
-            d = _popcount64(h[s:e][iu] ^ h[s:e][ju])
-            keep = d <= max_hamming
-            a_out.append(ids[s:e][iu][keep])
-            b_out.append(ids[s:e][ju][keep])
-            d_out.append(d[keep])
+                gs, ge = gs[:MAX_BUCKET_UNIQUE], ge[:MAX_BUCKET_UNIQUE]
+            uh = hb[gs]
+            for a, b in zip(gs, ge):  # intra-group: identical hashes, d=0
+                k = b - a
+                if k >= 2:
+                    iu, ju = np.triu_indices(k, k=1)
+                    a_out.append(ib[a:b][iu])
+                    b_out.append(ib[a:b][ju])
+                    d_out.append(np.zeros(len(iu), np.int64))
+            U = len(gs)
+            BLK = 1024
+            for bi in range(0, U - 1, BLK):
+                bj = min(bi + BLK, U)
+                cols = uh[bi + 1 :]
+                x = uh[bi:bj, None] ^ cols[None, :]
+                db = _popcount64(x.ravel()).reshape(x.shape)
+                ii, jj = np.nonzero(db <= max_hamming)
+                keep = jj >= ii  # global j = bi+1+jj > global i = bi+ii
+                for i_l, j_l in zip(ii[keep], jj[keep]):
+                    gi, gj = bi + i_l, bi + 1 + j_l
+                    A = ib[gs[gi]:ge[gi]]
+                    B = ib[gs[gj]:ge[gj]]
+                    ra = np.repeat(A, len(B))
+                    rb = np.tile(B, len(A))
+                    a_out.append(np.minimum(ra, rb))
+                    b_out.append(np.maximum(ra, rb))
+                    d_out.append(np.full(len(ra), np.int64(db[i_l, j_l])))
         if truncated:
-            print(f"[simhash] {truncated} bucket(s) truncated to {MAX_BUCKET_DOCS} docs")
+            print(
+                f"[simhash] {truncated} bucket(s) truncated to "
+                f"{MAX_BUCKET_UNIQUE} distinct hashes"
+            )
         if not a_out:
             return empty
         return pa.table(
